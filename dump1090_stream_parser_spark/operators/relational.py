@@ -1,0 +1,520 @@
+"""Tier B relational surface, part 1: scan / project / filter / aggregate /
+set ops / strings / time / JSON / rollup / subqueries / arrays / math.
+
+The reference delegates ALL querying to SQLite SQL over the ``squitters``
+table (SURVEY.md §2.2); these queries re-express that capability contract
+idiomatically over the driver's testdata star schema so the DuckDB oracle
+can verify them value-for-value. Each query cites the SURVEY.md §2.2 row
+it covers.
+
+Determinism rules applied throughout (driver hashes values):
+- every computed column is aliased identically in Spark and oracle SQL;
+- per-row double arithmetic is left UNROUNDED (IEEE ops are bit-identical
+  across engines) and ``round()`` is never applied at a value's own
+  decimal precision (engines disagree on boundary halves);
+- money/double SUMs are computed in exact scaled-integer space (cents)
+  and divided once at the end, so FP association order can't differ;
+- sums/avgs of integer-valued columns are exact as-is;
+- any ORDER BY ... LIMIT carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import scaled_int
+from ..functions.geo import haversine_km, haversine_sql
+from ..tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Aggregation: hash-agg + top-k (SURVEY.md §2.2 "Aggregation: hash-agg",
+# "Sort/limit/top-k"; the reference's #1 use-case -- messages per aircraft,
+# Appendix A's `SELECT hex_ident, COUNT(*) ... ORDER BY ... LIMIT`).
+# Physical shape to preserve at scale: partial agg -> shuffle by key ->
+# final agg -> TakeOrderedAndProject (no global sort).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_group_topk",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_msgs
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_msgs DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 busiest entities -- the flagship (SURVEY.md §7.3)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_msgs"))
+        .orderBy(F.desc("n_msgs"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_distinct_aircraft",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_msgs
+    FROM events
+    """,
+)
+def q_distinct_aircraft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Aircraft seen' = COUNT(DISTINCT key) (SURVEY.md §2.2).
+
+    Exact here; at 100 TB swap in approx_count_distinct (HLL sketch) --
+    same shape, no extra shuffle for the approximate variant.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_msgs"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_items,
+      COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+      SUM(CASE WHEN l_discount > 0.05
+               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT) END)
+        / 10000.0 AS discounted_revenue,
+      AVG(l_quantity) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates: COUNT(CASE WHEN ...) (SURVEY.md §2.2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    discounted = F.col("l_discount") > 0.05
+    # Exact: cents(price) * cents(1-discount) is an integer number of
+    # "basis-point cents"; the sum is exact, one division at the end.
+    rev_units = scaled_int(F.col("l_extendedprice")) * scaled_int(
+        1 - F.col("l_discount")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.count(F.when(discounted, 1)).alias("n_discounted"),
+        (F.sum(F.when(discounted, rev_units)) / 10000.0).alias(
+            "discounted_revenue"
+        ),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets -- capability gap vs the SQLite-era dialect
+    (SURVEY.md §2.2 "Grouping sets"); free in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_group_concat",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT parity (SURVEY.md §2.2): order-stable via array_sort so
+    the concatenation is deterministic under distributed collect_list."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter (SURVEY.md §2.2 "Projection", "Filter/predicates").
+# The point at scale: both must reach the parquet scan (PushedFilters /
+# ReadSchema pruning) -- verified in tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_project_cast",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_quantity AS BIGINT) AS qty_int,
+      l_extendedprice * (1 - l_discount) AS net_price,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+      upper(l_returnflag) AS flag_uc
+    FROM lineitem
+    """,
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with casts and computed expressions (SURVEY.md §2.2).
+
+    Mirrors the Bronze->Silver cast discipline (SQLite affinity replaced
+    by explicit casts, SURVEY.md §1.3). Column-pruned scan: only 6 of 11
+    lineitem columns should appear in ReadSchema.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        F.upper("l_returnflag").alias("flag_uc"),
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_returnflag <> 'A'
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + inequality predicates (SURVEY.md §2.2 "Filter/predicates");
+    all four predicates push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") != "A")
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.2 "Set ops").
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH early AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    late AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+    UNION ALL
+    SELECT o_custkey, 'early_only' AS cohort FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result (SURVEY.md §2.2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    late = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    both = early.intersect(late).withColumn("cohort", F.lit("both"))
+    early_only = early.subtract(late).withColumn("cohort", F.lit("early_only"))
+    return both.unionAll(early_only)
+
+
+# --------------------------------------------------------------------------
+# Strings / time / JSON (SURVEY.md §2.2 "String fns", "Date/time fns",
+# "JSON fns"). The reference's callsign-cleanup and hourly-bucketing
+# workloads, re-expressed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_string_clean",
+    oracle="""
+    SELECT
+      c_custkey,
+      upper(trim(c_name)) AS name_uc,
+      replace(c_name, '#', '-') AS name_dashed,
+      substring(c_name, 10) AS name_tail,
+      length(c_name) AS name_len,
+      CASE WHEN c_mktsegment LIKE '%MACH%' THEN 1 ELSE 0 END AS is_machinery
+    FROM customer
+    WHERE c_name LIKE '%1%'
+    """,
+)
+def q_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String cleanup surface (SURVEY.md §2.2): the callsign-trim workload
+    (8-char padded callsigns) generalized to trim/upper/replace/substr/
+    length/LIKE."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_uc"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.substring("c_name", 10, 2147483647).alias("name_tail"),
+        F.length("c_name").alias("name_len"),
+        F.when(F.col("c_mktsegment").like("%MACH%"), 1).otherwise(0).alias(
+            "is_machinery"
+        ),
+    )
+
+
+@query(
+    "q_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
+    FROM events
+    GROUP BY hour_ts
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly bucketing (SURVEY.md §2.2 "Date/time fns"): the batch twin of
+    the streaming tumbling window (`F.window(ts, '1 hour')`)."""
+    events = load_table(spark, sf_dir, "events")
+    # date_trunc upcasts ntz -> timestamp; cast back so collect() is
+    # timezone-independent (matches the oracle's naive TIMESTAMP).
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(scaled_int(F.col("value"), 1000000)) / 1000000.0).alias(
+            "sum_value"
+        ),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+           AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (SURVEY.md §2.2 "JSON fns") over
+    events.props -- `get_json_object`, no schema inference needed."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.avg(k).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (SURVEY.md §2.2 "Subqueries") -- exercised through spark.sql
+# so Catalyst's decorrelation/rewrite-to-semijoin path is what runs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      AND o_orderkey NOT IN (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries; Catalyst rewrites to left-semi / null-aware
+    anti join (SURVEY.md §2.2 "Subqueries", "Join: semi/anti")."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS sum_price
+        FROM v_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer WHERE c_acctbal > 5000)
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM v_lineitem WHERE l_quantity > 49
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrays (SURVEY.md §2.2 "Array/map fns") over embeddings ARRAY<FLOAT>.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_array_explode",
+    oracle="""
+    SELECT label,
+           i - 1 AS pos,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
+    FROM embeddings, generate_series(1, 4) AS g(i)
+    GROUP BY label, pos
+    """,
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over ARRAY<FLOAT> (first 4 dims), agg by (label, pos).
+
+    The explode multiplies rows 4x BEFORE the shuffle; at scale prefer
+    slicing first (as here) so the shuffle carries only needed elements.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.slice("embedding", 1, 4)))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("col").cast("double")), 6).alias("avg_val"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Math / geo (SURVEY.md §2.2 "Math fns"): haversine as a composed Catalyst
+# expression. Testdata has no lat/lon, so coordinates are derived
+# deterministically from integer keys -- identical derivation in the oracle.
+# --------------------------------------------------------------------------
+
+_HAV_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 120 AS DOUBLE) - 60.0 + 0.25 AS lat,
+             CAST(c_custkey % 300 AS DOUBLE) - 150.0 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           ROUND({haversine_sql('lat', 'lon', '48.35', '11.78')}, 3) AS dist_km
+    FROM pts
+"""
+
+
+@query("q_haversine", oracle=_HAV_ORACLE)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance, JVM-side trig, no UDF (SURVEY.md §2.2 "Math fns")."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 120).cast("double") - 60.0 + 0.25).alias("lat"),
+        ((F.col("c_custkey") % 300).cast("double") - 150.0 + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.lit(48.35), F.lit(11.78)), 3
+        ).alias("dist_km"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (SURVEY.md §2.2 "Streaming: session window" batch twin):
+# lag-gap algorithm; the streaming path uses F.session_window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+             AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flight-leg style sessionization: 30-min inactivity gap splits a
+    session (SURVEY.md §2.2; reference users reconstruct flight legs
+    offline the same way). One shuffle by user_id serves both windows."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros for sub-second exactness (ts is µs-precision TIMESTAMP_NTZ;
+    # session tz is UTC so the cast is a no-op on the stored instant).
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1000000), 1
+    ).otherwise(0)
+    flagged = events.select(
+        "user_id", "event_id", "ts", "value", new_session.alias("new_session")
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.sum(scaled_int(F.col("value"), 1000000)) / 1000000.0).alias(
+            "session_value"
+        ),
+    )

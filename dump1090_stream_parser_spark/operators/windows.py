@@ -1,0 +1,131 @@
+"""Tier B relational surface, part 3: window functions (SURVEY.md §2.2
+"Window: ranking / analytic / aggregate+frame").
+
+The reference workload these mirror: "latest position per aircraft"
+(row_number over hex_ident ordered by parsed_time desc), altitude deltas
+between consecutive messages (lag), running totals. All three share one
+physical shape -- shuffle by partition key, sort within partition -- so at
+scale the partition key choice (entity id) is what bounds skew; a single
+hot aircraft is still one task's worth of rows.
+
+Determinism: every ORDER BY includes a unique tiebreaker (orderkey /
+event_id) so ranks and lags are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import scaled_int
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "q_window_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o.*, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders o
+    ) t
+    WHERE rn = 1
+    """,
+)
+def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest state per entity' (SURVEY.md §2.2 "Window: ranking"): the
+    newest order per customer, the squitters latest-position twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "q_window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS price_delta,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderkey
+    FROM orders
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytics (SURVEY.md §2.2 "Window: analytic"): delta vs previous
+    order -- the altitude-delta-between-consecutive-squitters twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "price_delta"
+        ),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    WITH o AS (
+      SELECT orders.*,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           SUM(price_cents) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+             AS running_spend,
+           CAST(SUM(price_cents) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+             AS moving_avg_3,
+           rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             AS spend_rank
+    FROM o
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate windows with explicit frames + rank (SURVEY.md §2.2
+    "Window: aggregate + frame"): running total, 3-row moving average.
+    Both frames reuse the same shuffle+sort by (custkey, date)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", scaled_int(F.col("o_totalprice"))
+    )
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-2, Window.currentRow)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum("price_cents").over(running) / 100.0).alias("running_spend"),
+        (
+            F.sum("price_cents").over(moving).cast("double")
+            / F.count("*").over(moving)
+            / 100.0
+        ).alias("moving_avg_3"),
+        F.rank().over(by_price).alias("spend_rank"),
+    )
