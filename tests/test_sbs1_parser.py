@@ -1,0 +1,124 @@
+"""Golden-line + property tests for the SBS-1 Bronze->Silver parser
+(SURVEY.md §5.2 items 2-3; fixtures from FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.sources.sbs1 import (
+    POPULATION_MATRIX,
+    SBS1_FIELDS,
+    dead_letter,
+    parse_lines,
+    silver,
+)
+
+GOLDEN = [
+    "MSG,1,1,1,4CA2D6,1,2026/08/13,10:00:01.000,2026/08/13,10:00:01.050,BAW256,,,,,,,,,,,",
+    "MSG,2,1,1,A1B2C3,1,2026/08/13,10:00:03.000,2026/08/13,10:00:03.020,,0,12.5,245.0,51.47001,-0.45430,,,,,,-1",
+    "MSG,3,1,1,4CA2D6,1,2026/08/13,10:00:02.000,2026/08/13,10:00:02.040,,37000,,,51.46720,-0.18195,,,0,0,0,0",
+    "MSG,4,1,1,4CA2D6,1,2026/08/13,10:00:04.000,2026/08/13,10:00:04.030,,,420.0,263.5,,,64,,,,,",
+    "MSG,5,1,1,7C6B2E,1,2026/08/13,10:00:05.000,2026/08/13,10:00:05.015,,11900,,,,,,,0,,0,0",
+    "MSG,6,1,1,7C6B2E,1,2026/08/13,10:00:06.000,2026/08/13,10:00:06.025,,11900,,,,,,7000,0,0,0,0",
+    "MSG,7,1,1,4CA2D6,1,2026/08/13,10:00:07.000,2026/08/13,10:00:07.010,,36975,,,,,,,,,,0",
+    "MSG,8,1,1,4CA2D6,1,2026/08/13,10:00:08.000,2026/08/13,10:00:08.005,,,,,,,,,,,,0",
+]
+
+INVALID = [
+    "AIR,,1,1,4CA2D6,1,2026/08/13,10:00:09.000,2026/08/13,10:00:09.010",
+    "STA,,1,1,4CA2D6,1,2026/08/13,10:00:10.000,2026/08/13,10:00:10.010,RM",
+    "MSG,3,1,1,4CA2D6,1,2026/08/13,10:00",
+    "MSG,3,1,1,4CA2D6,1,2026/08/13,10:00:11.000,2026/08/13,10:00:11.040,,37000,,,51.4,-0.1,,,0,0,0,0,EXTRA",
+]
+
+#: Fields that are always populated on a valid MSG line.
+ALWAYS = {
+    "message_type",
+    "transmission_type",
+    "session_id",
+    "aircraft_id",
+    "hex_ident",
+    "flight_id",
+    "generated_date",
+    "generated_time",
+    "logged_date",
+    "logged_time",
+}
+
+
+def _parse(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    return parse_lines(df, parsed_time=F.lit("2026-08-13 12:00:00").cast("timestamp"))
+
+
+def test_golden_lines_match_population_matrix(spark):
+    rows = {
+        r["transmission_type"]: r
+        for r in silver(_parse(spark, GOLDEN)).collect()
+    }
+    assert set(rows) == set(range(1, 9))
+    nullable = {name for name, _ in SBS1_FIELDS} - ALWAYS
+    for ttype, row in rows.items():
+        expected = POPULATION_MATRIX[ttype]
+        populated = {f for f in nullable if row[f] is not None}
+        assert populated == expected, f"type {ttype}: {populated} != {expected}"
+
+
+def test_golden_values_typed(spark):
+    rows = {r["transmission_type"]: r for r in silver(_parse(spark, GOLDEN)).collect()}
+    assert rows[1]["callsign"] == "BAW256"
+    assert rows[2]["ground_speed"] == pytest.approx(12.5)  # DOUBLE, not INT
+    assert rows[2]["lat"] == pytest.approx(51.47001)
+    assert rows[2]["is_on_ground"] == -1
+    assert rows[3]["altitude"] == 37000
+    assert rows[4]["vertical_rate"] == pytest.approx(64.0)
+    assert rows[6]["squawk"] == "7000"  # STRING: leading zeros preserved
+    assert rows[3]["generated_ts"] == datetime.datetime(2026, 8, 13, 10, 0, 2)
+    assert rows[3]["parsed_time"] is not None
+
+
+def test_invalid_lines_dead_lettered(spark):
+    parsed = _parse(spark, GOLDEN + INVALID)
+    assert silver(parsed).count() == len(GOLDEN)
+    dl = dead_letter(parsed).collect()
+    assert sorted(r["raw_line"] for r in dl) == sorted(INVALID)
+    assert all(r["reason"] == "arity != 22" for r in dl)
+
+
+def test_crlf_tolerated(spark):
+    rows = silver(_parse(spark, [GOLDEN[2] + "\r"])).collect()
+    assert len(rows) == 1
+    assert rows[0]["is_on_ground"] == 0  # trailing \r stripped before cast
+
+
+def test_empty_string_becomes_null_not_zero(spark):
+    # SQLite affinity would store ''; we normalize to NULL (SURVEY.md §7.4.1).
+    row = silver(_parse(spark, [GOLDEN[0]])).collect()[0]
+    assert row["altitude"] is None
+    assert row["callsign"] == "BAW256"
+
+
+def test_property_arbitrary_arity_never_throws(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # SBS-1 has no quoting; any comma count != 21 must dead-letter.
+    field = st.text(
+        alphabet=st.characters(blacklist_characters=",\n\r"), max_size=8
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(field, min_size=1, max_size=40))
+    def check(fields):
+        line = ",".join(fields)
+        parsed = _parse(spark, [line]).collect()
+        assert len(parsed) == 1
+        if len(fields) == 22:
+            assert parsed[0]["_corrupt_record"] is None
+        else:
+            assert parsed[0]["_corrupt_record"] == line
+
+    check()

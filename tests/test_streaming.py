@@ -1,0 +1,134 @@
+"""Streaming integration tests (SURVEY.md §5.2 item 4): file replay and
+the custom sbs1 TCP source, each checked against batch-mode parity."""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.sources.sbs1 import parse_lines, silver
+from dump1090_stream_parser_spark.streaming.pipeline import (
+    bronze_from_file_replay,
+    bronze_from_sbs1,
+    silver_stream,
+    write_silver,
+)
+
+from .test_sbs1_parser import GOLDEN, INVALID
+
+
+def test_file_replay_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "lines"
+    src.mkdir()
+    (src / "part1.txt").write_text("\n".join(GOLDEN + INVALID) + "\n")
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    bronze = bronze_from_file_replay(spark, str(src))
+    q = write_silver(
+        silver_stream(bronze),
+        str(out),
+        str(ckpt),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out / "squitters"))
+    batch_lines = spark.read.text(str(src))
+    expect = silver(parse_lines(batch_lines))
+    assert got.count() == len(GOLDEN)
+    # stream/batch parity on the typed payload (parsed_time differs by
+    # construction: batch stamp vs stream stamp)
+    key_cols = ["transmission_type", "hex_ident", "generated_ts", "altitude"]
+    assert sorted(map(tuple, got.select(*key_cols).collect())) == sorted(
+        map(tuple, expect.select(*key_cols).collect())
+    )
+    dead = spark.read.parquet(str(out / "dead_letter"))
+    assert dead.count() == len(INVALID)
+
+
+class _Broadcast(socketserver.BaseRequestHandler):
+    """Serves the fixture lines once, in two chunks split mid-field to
+    exercise partial-line carry (FIXTURES.md §1.2), then keeps the
+    connection open."""
+
+    def handle(self):
+        payload = ("\n".join(GOLDEN + INVALID) + "\n").encode()
+        cut = payload.index(b"51.46720") + 4  # mid-field split
+        self.request.sendall(payload[:cut])
+        time.sleep(0.3)
+        self.request.sendall(payload[cut:])
+        time.sleep(30)
+
+
+def test_sbs1_source_end_to_end(spark, tmp_path):
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Broadcast)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        bronze = bronze_from_sbs1(
+            spark, "127.0.0.1", port, connect_attempt_limit=3
+        )
+        parsed = silver_stream(bronze)
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("sbs1_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            want = len(GOLDEN) + len(INVALID)
+            while time.time() < deadline:
+                n = spark.sql("SELECT count(*) FROM sbs1_test").collect()[0][0]
+                if n >= want:
+                    break
+                time.sleep(1)
+            rows = spark.sql("SELECT * FROM sbs1_test").collect()
+            good = [r for r in rows if r["_corrupt_record"] is None]
+            bad = [r for r in rows if r["_corrupt_record"] is not None]
+            # partial-line carry reassembled the split MSG,3 line exactly once
+            assert len(good) == len(GOLDEN)
+            assert len(bad) == len(INVALID)
+            assert all(r["parsed_time"] is not None for r in good)
+            msg3 = [r for r in good if r["transmission_type"] == 3]
+            assert any(abs(r["lat"] - 51.46720) < 1e-9 for r in msg3)
+        finally:
+            q.stop()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_sbs1_source_reconnect_backoff():
+    """A9 parity: reader retries with delay, then raises after the limit."""
+    from dump1090_stream_parser_spark.sources.sbs1_source import Sbs1StreamReader
+
+    # Find a port with nothing listening.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    reader = Sbs1StreamReader(
+        {
+            "location": "127.0.0.1",
+            "port": str(dead_port),
+            "connect_attempt_limit": "2",
+            "connect_attempt_delay": "0.05",
+        }
+    )
+    t0 = time.time()
+    try:
+        reader.read(reader.initialOffset())
+        raised = False
+    except ConnectionError:
+        raised = True
+    assert raised
+    assert time.time() - t0 >= 0.05  # at least one backoff sleep happened
