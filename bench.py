@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver), matching how a production job consumes these
+operators. BASELINE.md discipline: the first recorded run is the
+baseline; later changes must stay within 2x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dump1090_stream_parser_spark.session import get_spark
+
+#: Headline queries: one per physical shape that matters at scale.
+HEADLINE = [
+    "q_group_topk",        # scan -> partial/final agg -> top-k (flagship)
+    "q_filter_range",      # pushed-down predicate scan
+    "q_join_star",         # 5-way star join + agg
+    "q_join_left",         # outer join + agg
+    "q_window_latest",     # shuffle+sort window rank
+    "q_window_running",    # framed window aggregates
+    "q_sessionize",        # lag-gap sessionization (two window passes)
+    "q_rollup",            # grouping sets
+    "q_asof_lastval",      # as-of via last(ignorenulls) window
+    "q_time_bucket",       # time bucketing
+    "q_json_extract",      # JSON column access
+    "q_token_tf",          # explode -> agg -> top-k
+    "q_tfidf",             # two-level text aggregation + broadcast join
+    "q_lang_id",           # bigram profile scorer (explode-join-argmax)
+    "q_dedup",             # exact dedup
+    "q_near_dedup_minhash",  # MinHash LSH end-to-end
+    "q_near_dedup_simhash",  # SimHash banding
+    "q_knn_cosine",        # brute-force similarity top-k
+    "q_ann_lsh",           # hyperplane-LSH bucketed ANN
+    "q_multimodal_features",  # Arrow mapInPandas codec path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="bench",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once (not timed): tiny query.
+    queries["q_group_topk"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

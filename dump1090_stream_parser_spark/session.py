@@ -16,6 +16,8 @@ owns the session used by ``__spark_entry__``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 #: Confs safe to set on a live session (verified runtime-settable on 4.1.2).
@@ -56,11 +58,16 @@ def get_spark(
     post-shuffle partitions down to fit actual data volume, so a value
     sized for the largest query is safe for the smallest.
     """
+    # Local mode = one JVM for driver+executors; size it for the machine
+    # (static conf -- only effective when this call creates the JVM).
+    memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", memory)
+        .config("spark.driver.maxResultSize", "4g")
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)

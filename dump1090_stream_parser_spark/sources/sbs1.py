@@ -110,14 +110,18 @@ def parse_lines(
         F.when(ok, _typed_field(fields, i, name, typ)).alias(name)
         for i, (name, typ) in enumerate(SBS1_FIELDS)
     ]
-    cols.append(F.when(ok, parsed_time).alias("parsed_time"))
     cols.append(F.when(~ok, F.col(value_col)).alias("_corrupt_record"))
-    out = lines.select(*cols)
+    # Pass through non-value Bronze columns (e.g. the sbs1 source's
+    # ingest_ts) so the parsed_time expression may reference them too.
+    extras = [c for c in lines.columns if c != value_col]
+    out = lines.select(*cols, *extras)
 
     # try_to_timestamp: malformed/missing date parts -> NULL, never a
-    # query-killing ANSI parse error.
+    # query-killing ANSI parse error. Derived BEFORE parsed_time is
+    # stamped so callers may pass e.g. F.col("generated_ts") as the
+    # parsed_time (deterministic event-time replay in tests).
     ts_fmt = F.lit("yyyy/MM/dd HH:mm:ss.SSS")
-    return out.withColumns(
+    out = out.withColumns(
         {
             "generated_ts": F.try_to_timestamp(
                 F.concat_ws(" ", "generated_date", "generated_time"), ts_fmt
@@ -126,6 +130,15 @@ def parse_lines(
                 F.concat_ws(" ", "logged_date", "logged_time"), ts_fmt
             ),
         }
+    )
+    valid = F.col("_corrupt_record").isNull()
+    return out.select(  # drops the passed-through Bronze extras
+
+        *[name for name, _ in SBS1_FIELDS],
+        F.when(valid, parsed_time).alias("parsed_time"),
+        "_corrupt_record",
+        "generated_ts",
+        "logged_ts",
     )
 
 

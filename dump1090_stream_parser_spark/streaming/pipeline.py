@@ -133,6 +133,22 @@ def hourly_message_rates(
     )
 
 
+def sliding_message_rates(
+    silver_df: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window rates (SURVEY.md §2.2 'sliding window' -- absent in
+    the reference, free in Spark). Each row lands in window/slide panes;
+    state bounded by the watermark."""
+    return (
+        silver_df.withWatermark("parsed_time", watermark)
+        .groupBy(F.window("parsed_time", window, slide), F.col("hex_ident"))
+        .agg(F.count("*").alias("n_msgs"))
+    )
+
+
 def flight_legs(silver_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per aircraft = flight-leg sessionization
     (SURVEY.md §2.2 'session window'; batch twin: q_sessionize)."""

@@ -1,0 +1,65 @@
+"""Optional drop-in parity sink: SQLite.
+
+The reference's output artifact is ``adsb_messages.db`` with one
+``squitters`` table (Appendix A L35-L62); downstream users point the
+sqlite3 CLI at it. For drop-in migration this sink writes the same
+artifact from a foreachBatch stream -- micro-batch INSERTs inside one
+transaction reproduce the reference's ``--batch-size`` batched-commit
+behavior (Appendix A L134-L140) with the batch boundary now defined by
+the trigger interval.
+
+Scale note: SQLite is a single-writer file -- this sink exists for
+parity/migration, not scale. The parquet sink in pipeline.py is the
+real path; this one funnels through the driver deliberately
+(toPandas), which is fine at SBS-1 rates (<= a few k rows/s).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import DataFrame
+
+from ..sources.sbs1 import SBS1_FIELDS
+
+#: Reference DDL (Appendix A L37-L61), byte-compatible for sqlite3 users.
+SQUITTERS_SQLITE_DDL = """
+CREATE TABLE IF NOT EXISTS squitters (
+    message_type TEXT, transmission_type INT, session_id INT,
+    aircraft_id INT, hex_ident TEXT, flight_id INT,
+    generated_date TEXT, generated_time TEXT, logged_date TEXT,
+    logged_time TEXT, callsign TEXT, altitude INT, ground_speed REAL,
+    track REAL, lat REAL, lon REAL, vertical_rate REAL, squawk TEXT,
+    alert INT, emergency INT, spi INT, is_on_ground INT,
+    parsed_time TEXT
+)
+"""
+
+_COLS = [name for name, _ in SBS1_FIELDS] + ["parsed_time"]
+
+
+def write_sqlite_batch(silver_batch: DataFrame, db_path: str) -> int:
+    """Append one micro-batch of Silver rows to the SQLite parity DB.
+
+    Use inside foreachBatch:
+        write_silver-style fn that calls
+        ``write_sqlite_batch(silver(batch), "adsb_messages.db")``.
+    Returns rows written. One transaction per micro-batch = the
+    reference's batched commit.
+    """
+    pdf = silver_batch.select(*_COLS).toPandas()
+    pdf["parsed_time"] = pdf["parsed_time"].map(
+        lambda t: t.isoformat() if t is not None else None
+    )
+    conn = sqlite3.connect(db_path)
+    try:
+        conn.execute(SQUITTERS_SQLITE_DDL)
+        placeholders = ",".join("?" * len(_COLS))
+        conn.executemany(
+            f"INSERT INTO squitters VALUES ({placeholders})",
+            pdf.itertuples(index=False, name=None),
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    return len(pdf)

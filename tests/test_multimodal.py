@@ -1,0 +1,46 @@
+"""The multimodal codec is a stub, but the Arrow/mapInPandas plumbing is
+real -- assert exact deterministic output through the Spark surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.operators.multimodal import (
+    N_HISTOGRAM_BINS,
+    extract_features,
+    q_multimodal_features,
+)
+
+from .conftest import SF_DIR
+
+
+def test_feature_schema_and_determinism(spark):
+    df = q_multimodal_features(spark, SF_DIR)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,fake_width:int,"
+        "fake_height:int,byte_histogram:array<double>>"
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    rows2 = {r["doc_id"]: r for r in q_multimodal_features(spark, SF_DIR).collect()}
+    assert rows.keys() == rows2.keys()
+    some = sorted(rows)[:5]
+    for k in some:
+        assert rows[k] == rows2[k]  # bit-deterministic fake codec
+
+
+def test_feature_values_match_python_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(3)
+    payloads = [
+        (r["doc_id"], r["text"].encode()) for r in docs.collect()
+    ]
+    df = q_multimodal_features(spark, SF_DIR)
+    got = {r["doc_id"]: r for r in df.collect()}
+    for doc_id, payload in payloads:
+        hist = [0] * N_HISTOGRAM_BINS
+        for byte in payload:
+            hist[byte % N_HISTOGRAM_BINS] += 1
+        expect = [h / len(payload) for h in hist]
+        assert got[doc_id]["n_bytes"] == len(payload)
+        assert got[doc_id]["byte_histogram"] == pytest.approx(expect, abs=0)
+        assert got[doc_id]["fake_width"] == payload[0] + 1
