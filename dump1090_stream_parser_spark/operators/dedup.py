@@ -222,19 +222,21 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Verify with set-intersection on the token ARRAYS: two broadcast
-    # joins against the tiny (doc_id, ts) dim plus a narrow map -- never
-    # an exploded token x token join (that shape is O(pairs x tokens)
-    # rows through a shuffle and dominated the first bench run).
+    # Verify with set-intersection on the token ARRAYS joined per pair --
+    # never an exploded token x token join (that shape is O(pairs x
+    # tokens) rows through a shuffle and dominated the first bench run).
+    # Plain equi-joins, not broadcast: both joins hash-partition toks by
+    # doc_id, so ReuseExchange shingles the corpus once, and no executor
+    # ever holds every document's shingle set (broadcasting toks would
+    # cap scale at driver memory; candidates, not docs, are the small
+    # side -- AQE broadcasts them at runtime when they fit).
     t1 = toks.select(
         F.col("doc_id").alias("doc_id_1"), F.col("ts").alias("ts1")
     )
     t2 = toks.select(
         F.col("doc_id").alias("doc_id_2"), F.col("ts").alias("ts2")
     )
-    pairs = cand.join(F.broadcast(t1), "doc_id_1").join(
-        F.broadcast(t2), "doc_id_2"
-    )
+    pairs = cand.join(t1, "doc_id_1").join(t2, "doc_id_2")
     n_inter = F.size(F.array_intersect("ts1", "ts2"))
     jac = pairs.select(
         "doc_id_1",
@@ -331,40 +333,58 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", sim_expr.cast("bigint").alias("simhash")
     )
 
-    bands = sim.select(
-        "doc_id",
+    # Banding, candidate join, dedup, and the hamming filter all run at
+    # the DISTINCT-SIGNATURE level: a 16-bit space has <= 65536 distinct
+    # values no matter how many docs exist, so the self-join + distinct
+    # touch a bounded tiny relation instead of shuffling every doc pair
+    # (many docs share a signature -- doc-level banding was output-bound).
+    # Doc pairs are expanded only for signature pairs that already passed
+    # the hamming cut. Semantics are unchanged: a doc has exactly one
+    # signature, so each qualifying doc pair comes from exactly one
+    # (s1 <= s2) signature pair.
+    u = sim.select("simhash").distinct()
+    ubands = u.select(
         "simhash",
         F.lit(0).alias("band_idx"),
         F.expr("simhash >> 8").alias("band_key"),
     ).unionAll(
-        sim.select(
-            "doc_id",
+        u.select(
             "simhash",
             F.lit(1).alias("band_idx"),
             F.expr("simhash & 255").alias("band_key"),
         )
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    a, b = ubands.alias("a"), ubands.alias("b")
+    sim_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") <= F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("a.simhash").alias("simhash_1"),
-            F.col("b.simhash").alias("simhash_2"),
+            F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2")
         )
         .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("s1 ^ s2")))
+        .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    return cand.select(
-        "doc_id_1",
-        "doc_id_2",
-        F.bit_count(F.expr("simhash_1 ^ simhash_2")).alias("hamming"),
-    ).filter(F.col("hamming") <= HAMMING_MAX)
+    x, y = sim.alias("x"), sim.alias("y")
+    return (
+        sim_pairs.join(x, F.col("x.simhash") == F.col("s1"))
+        .join(
+            y,
+            (F.col("y.simhash") == F.col("s2"))
+            # equal-signature groups: emit each unordered pair once
+            & ((F.col("s1") < F.col("s2"))
+               | (F.col("x.doc_id") < F.col("y.doc_id"))),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_id_1"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_id_2"),
+            "hamming",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -173,21 +173,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bg = bg.groupBy("doc_id", "lang", "bigram").agg(
         F.count("*").alias("n")
     )
-    profile = bg.groupBy(F.col("lang").alias("plang"), "bigram").agg(
-        F.count("*").alias("cnt")
+    # Profile derived FROM doc_bg, not from bg: the doc_bg subtree then
+    # appears twice with an identical exchange, so ReuseExchange runs
+    # the explode+partial-agg once instead of twice (it is the dominant
+    # cost -- |corpus chars| rows). sum(n) == count(*) over occurrences.
+    # PIVOTED to one row per bigram (|alphabet^2| x |langs| cells --
+    # bounded regardless of corpus size): the join then emits one row per
+    # (doc, bigram) instead of one per (doc, bigram, lang), and every
+    # language's score accumulates in the same aggregation pass.
+    langs = sorted(
+        r[0] for r in docs.select("lang").distinct().collect()
     )
-    scores = (
-        doc_bg.join(F.broadcast(profile), "bigram")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(F.sum(F.col("n") * F.col("cnt")).alias("score"))
+    profile = (
+        doc_bg.groupBy("bigram")
+        .pivot("lang", langs)
+        .agg(F.sum("n"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
-    best = scores.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    score_cols = [
+        F.sum(
+            F.col("n") * F.coalesce(F.col(f"`{lang}`"), F.lit(0))
+        ).alias(f"_s{i}")
+        for i, lang in enumerate(langs)
+    ]
+    per_doc = doc_bg.join(F.broadcast(profile), "bigram").groupBy(
+        "doc_id", "lang"
+    ).agg(*score_cols)
+    # argmax via least() over (score desc, lang asc) structs -- a single
+    # projection instead of a row_number window (no per-doc sort). A
+    # zero-overlap language scores 0 here where the inner-join original
+    # produced no row; it can never win the argmax because a doc always
+    # overlaps its own language's profile with a positive score.
+    best = F.least(
+        *[
+            F.struct(
+                (-F.col(f"_s{i}")).alias("ns"), F.lit(lang).alias("plang")
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
-    return best.groupBy(
-        "lang", F.col("plang").alias("guessed")
-    ).agg(F.count("*").alias("n_docs"))
+    return (
+        per_doc.select("lang", best.getField("plang").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 @query(

@@ -106,8 +106,13 @@ def test_property_arbitrary_arity_never_throws(spark):
     from hypothesis import strategies as st
 
     # SBS-1 has no quoting; any comma count != 21 must dead-letter.
+    # Exclude surrogates (category Cs): they cannot round-trip through
+    # UTF-8, so Spark would store U+FFFD -- a codec fact, not a parser bug.
     field = st.text(
-        alphabet=st.characters(blacklist_characters=",\n\r"), max_size=8
+        alphabet=st.characters(
+            blacklist_characters=",\n\r", blacklist_categories=("Cs",)
+        ),
+        max_size=8,
     )
 
     @settings(max_examples=20, deadline=None)
