@@ -134,6 +134,42 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY.md §2.2 "Grouping sets"): all 2^n
+    grouping combinations in one pass -- the expand happens before the
+    shuffle, so it is one aggregation, not 2^n scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@query("q_approx_distinct", oracle=None)  # HLL estimate: no exact SQL twin
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) -- the 100 TB tier of
+    q_distinct_aircraft (SURVEY.md §2.2 "Aggregation: distinct"): the
+    sketch merges map-side, so the shuffle carries kilobytes per
+    partition where exact COUNT(DISTINCT) shuffles every key once.
+    Estimates are engine-specific, hence no DuckDB oracle (driver runs
+    the rows-only check); accuracy is asserted in tests instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_msgs"),
+    )
+
+
+@query(
     "q_group_concat",
     oracle="""
     SELECT c_nationkey,
@@ -319,6 +355,33 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(scaled_int(F.col("value"), 1000000)) / 1000000.0).alias(
             "sum_value"
         ),
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT date_trunc('minute', ts) - to_minutes(k) AS window_start,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest(generate_series(0, 9)) AS k)
+    GROUP BY window_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts, batch twin of
+    `F.window(ts, '10 minutes', '1 minute')` (SURVEY.md §2.2 "Streaming:
+    sliding window"). Spark expands each row into window/slide = 10
+    panes before the shuffle -- exactly the oracle's generate_series
+    expansion. Epoch-aligned minute slides make the pane starts equal
+    date_trunc('minute', ts) - k minutes for k in 0..9."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "1 minute"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
     )
 
 

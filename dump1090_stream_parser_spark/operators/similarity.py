@@ -241,6 +241,101 @@ def _bucket_sql(emb: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+# of N_CELLS seed centroids, probe only the query's cell, re-rank there.
+# Centroid seeds are vec_ids 1..N_CELLS -- deterministic "training" both
+# engines replicate exactly (a production build would k-means these).
+# --------------------------------------------------------------------------
+
+N_CELLS = 8
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, label, embedding, cell_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql("e.embedding", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e, cents c
+      ) t WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv, cell_id AS qcell FROM assign
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label, cell_id,
+           ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
+    FROM assign, q
+    WHERE cell_id = qcell AND vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (C3 scale path): assign every vector to its nearest seed
+    centroid in one narrow pass (centroids broadcast -- N_CELLS rows at
+    any scale), then re-rank only the query's cell (~1/N_CELLS of the
+    data). The 100 TB layout writes ``cell_id`` as a partition column so
+    a probe is a partition-pruned scan; nprobe>1 = scan more cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The trained quantizer is a driver-side artifact (N_CELLS vectors --
+    # bytes, not data): inlining it as literals makes assignment a pure
+    # narrow projection -- no join, no shuffle of the embedding column.
+    # Ties break toward the lowest cell id via the struct ordering,
+    # matching the oracle's row_number ordering.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .select(F.col("vec_id").alias("cell_id"), "embedding")
+        .collect(),
+        key=lambda r: r["cell_id"],
+    )
+    cell = F.least(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine_similarity(
+                            F.col("embedding"),
+                            F.array(*[F.lit(float(v)) for v in r["embedding"]]),
+                        ),
+                        6,
+                    )
+                ).alias("nc"),
+                F.lit(r["cell_id"]).alias("cell_id"),
+            )
+            for r in cent_rows
+        ]
+    ).getField("cell_id")
+    assign = emb.select("vec_id", "label", "embedding", cell.alias("cell_id"))
+    q = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("cell_id").alias("qcell")
+    )
+    return (
+        assign.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query(
     "q_ann_lsh",
     oracle=f"""
