@@ -129,3 +129,34 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_3"),
         F.rank().over(by_price).alias("spend_rank"),
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           dense_rank() OVER nw AS balance_drank,
+           ntile(4) OVER nw AS balance_quartile,
+           ROUND(percent_rank() OVER nw, 6) AS balance_prank,
+           ROUND(cume_dist() OVER nw, 6) AS balance_cume
+    FROM customer
+    WINDOW nw AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows (SURVEY.md §2.2 "Window: ranking"):
+    dense_rank / ntile / percent_rank / cume_dist share one window spec,
+    so Catalyst plans a single shuffle+sort for all four."""
+    cust = load_table(spark, sf_dir, "customer")
+    nw = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(nw).alias("balance_drank"),
+        F.ntile(4).over(nw).alias("balance_quartile"),
+        F.round(F.percent_rank().over(nw), 6).alias("balance_prank"),
+        F.round(F.cume_dist().over(nw), 6).alias("balance_cume"),
+    )
