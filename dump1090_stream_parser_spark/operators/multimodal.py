@@ -153,6 +153,108 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# --------------------------------------------------------------------------
+# Frame sampling: the video-shaped batch op (1 payload row -> N frame
+# rows). Frames are 64-unit slices sampled every SAMPLE_EVERY-th; the
+# slice unit is a character so DuckDB can mirror it exactly (substr is
+# char-based in both engines; md5 hashes the UTF-8 bytes in both), which
+# gives a mapInPandas operator a FULL value oracle.
+# --------------------------------------------------------------------------
+
+FRAME_CHARS = 64
+SAMPLE_EVERY = 4
+_MAX_FRAMES = 1024  # >= ceil(max doc length / FRAME_CHARS); filter-bounded
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_fp bigint"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sample stub: every SAMPLE_EVERY-th fixed-width slice of the
+    payload, fingerprinted. A real deployment decodes video and samples
+    key frames here; the Spark-side shape (row-expanding Arrow batch op,
+    frame index + digest out) is the real thing."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, lens, fps = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for i in range(0, max(len(text) - 1, 0) // FRAME_CHARS + 1):
+                if i % SAMPLE_EVERY:
+                    continue
+                frame = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                ids.append(doc_id)
+                idxs.append(i)
+                lens.append(len(frame))
+                fps.append(
+                    int(hashlib.md5(frame.encode()).hexdigest()[:15], 16)
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_len": pd.array(lens, dtype="int32"),
+                "frame_fp": pd.array(fps, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    SELECT doc_id, i AS frame_idx,
+           length(substr(text, 1 + {FRAME_CHARS} * i, {FRAME_CHARS}))
+             AS frame_len,
+           CAST('0x' || substring(md5(
+               substr(text, 1 + {FRAME_CHARS} * i, {FRAME_CHARS})
+             ), 1, 15) AS BIGINT) AS frame_fp
+    FROM documents,
+         (SELECT unnest(generate_series(0, {_MAX_FRAMES - 1})) AS i)
+    WHERE i <= CAST(floor((length(text) - 1) / {FRAME_CHARS}) AS INT)
+      AND i % {SAMPLE_EVERY} = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over mapInPandas (C5): one payload row expands to
+    one row per sampled frame -- the video batch shape. Unlike the codec
+    stub, the slice/digest semantics are engine-neutral, so this Python
+    operator is held to the same full value oracle as the SQL surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        sample_frames, FRAMES_SCHEMA
+    )
+
+
+def resize_payloads(
+    df: DataFrame, max_bytes: int = 64
+) -> DataFrame:
+    """Resize stub over mapInPandas: deterministic decimation of the
+    payload to <= max_bytes (every k-th byte). A real deployment decodes
+    + reencodes here; schema and batch plumbing are the real thing."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, scales = [], []
+            for p in pdf["payload"]:
+                k = max(1, -(-len(p) // max_bytes))  # ceil div
+                outs.append(bytes(p[::k]))
+                scales.append(1.0 / k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": outs,
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "resized_bytes": [len(o) for o in outs],
+                    "scale": scales,
+                }
+            )
+
+    return df.mapInPandas(
+        _resize,
+        "doc_id bigint, payload binary, orig_bytes int, "
+        "resized_bytes int, scale double",
+    )
+
+
 @query("q_multimodal_features", oracle=None)  # codec stub: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary -> feature-vector pipeline over mapInPandas (stub codec).

@@ -44,3 +44,22 @@ def test_feature_values_match_python_reference(spark):
         assert got[doc_id]["n_bytes"] == len(payload)
         assert got[doc_id]["byte_histogram"] == pytest.approx(expect, abs=0)
         assert got[doc_id]["fake_width"] == payload[0] + 1
+
+
+def test_resize_payloads_bounds_size(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.multimodal import (
+        resize_payloads,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = resize_payloads(docs, max_bytes=64).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r["resized_bytes"] <= 64
+        assert r["resized_bytes"] == len(r["payload"])
+        assert 0 < r["scale"] <= 1.0
