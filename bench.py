@@ -33,6 +33,7 @@ HEADLINE = [
     "q_window_running",    # framed window aggregates
     "q_sessionize",        # lag-gap sessionization (two window passes)
     "q_rollup",            # grouping sets
+    "q_percentile",        # sort-based quantile aggregate
     "q_asof_lastval",      # as-of via last(ignorenulls) window
     "q_time_bucket",       # time bucketing
     "q_json_extract",      # JSON column access

@@ -581,3 +581,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value"
         ),
     )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY.md §2.2 "Math
+    fns" tier): a single sort-based aggregate serves all three
+    quantiles. At 100 TB swap in approx_percentile (t-digest sketch) --
+    same shape, mergeable map-side state instead of a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "p50_price"
+        ),
+        F.count("*").alias("n_items"),
+    )
