@@ -609,3 +609,74 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "q_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 6)
+             AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SURVEY.md §2.2 "Math fns" tier): stddev /
+    variance / correlation / covariance in one partial+final pass.
+    Rounded at 6 decimals: both engines use the textbook estimators but
+    accumulate in different orders, so trailing bits differ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+_MONTHS = list(range(1, 13))
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+    """
+    + ",\n    ".join(
+        f"SUM(CASE WHEN month(l_shipdate) = {m} THEN 1 ELSE 0 END) AS m{m}"
+        for m in _MONTHS
+    )
+    + """
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: ship-month columns per return flag (SURVEY.md §2.2
+    aggregation tier). Fixed pivot values keep the plan one aggregation
+    pass (no value-discovery job) -- the form that scales."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("ship_month", _MONTHS)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            *[
+                F.coalesce(F.col(f"`{m}`"), F.lit(0)).cast("bigint").alias(f"m{m}")
+                for m in _MONTHS
+            ],
+        )
+    )

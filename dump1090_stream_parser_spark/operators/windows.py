@@ -137,8 +137,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            dense_rank() OVER nw AS balance_drank,
            ntile(4) OVER nw AS balance_quartile,
-           ROUND(percent_rank() OVER nw, 6) AS balance_prank,
-           ROUND(cume_dist() OVER nw, 6) AS balance_cume
+           percent_rank() OVER nw AS balance_prank,
+           cume_dist() OVER nw AS balance_cume
     FROM customer
     WINDOW nw AS (PARTITION BY c_nationkey
                   ORDER BY c_acctbal DESC, c_custkey)
@@ -157,6 +157,9 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.dense_rank().over(nw).alias("balance_drank"),
         F.ntile(4).over(nw).alias("balance_quartile"),
-        F.round(F.percent_rank().over(nw), 6).alias("balance_prank"),
-        F.round(F.cume_dist().over(nw), 6).alias("balance_cume"),
+        # raw doubles, never rounded: (rank-1)/(n-1) and k/n are single
+        # IEEE divisions, bit-identical across engines; rounding at a
+        # boundary half (e.g. 41/640) is where engines disagree
+        F.percent_rank().over(nw).alias("balance_prank"),
+        F.cume_dist().over(nw).alias("balance_cume"),
     )
