@@ -680,3 +680,39 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+N_SALTS = 16
+
+
+@query(
+    "q_group_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation (SURVEY.md §4.3 / the 100 TB
+    skew playbook): phase 1 aggregates by (key, salt) so one hot key
+    spreads over N_SALTS reducers; phase 2 combines the per-salt partials
+    by key. Result is identical to a plain GROUP BY -- count and the
+    scaled-integer sum are associative -- which is what the oracle
+    verifies. Spark's own partial aggregation covers mild skew already;
+    explicit salting is for the one-key-dominates case where a single
+    reducer would otherwise receive most of the data."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(scaled_int(F.col("value"), 1000000)).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("pv") / 1000000.0).alias("sum_value"),
+    )
