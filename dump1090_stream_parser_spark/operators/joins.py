@@ -213,3 +213,45 @@ def q_asof_lastval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "last_signup_value"
     )
+
+
+@query(
+    "q_join_snowflake",
+    oracle="""
+    SELECT p_brand, n_name,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS gross_revenue
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 25
+    GROUP BY p_brand, n_name
+    """,
+)
+def q_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join over the supply-side dimensions (part -> lineitem
+    <- supplier -> nation): revenue per brand and supplier nation. part
+    and supplier scale with SF but stay dimension-sized relative to the
+    fact -- leave them to AQE (broadcast when they fit, shuffle when
+    not); only the constant-sized nation is forced broadcast. The part
+    filter prunes before the join, so pushdown reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(scaled_int(F.col("l_extendedprice"))) / 100.0).alias(
+                "gross_revenue"
+            ),
+        )
+    )

@@ -81,34 +81,47 @@ def silver_stream(bronze: DataFrame) -> DataFrame:
     return parse_lines(bronze, parsed_time=parsed_time)
 
 
+def silver_batch_writer(out_dir: str):
+    """The foreachBatch function for :func:`write_silver`, exposed so
+    tests can drive a batch replay directly."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # Idempotence: each micro-batch owns a batch_id=N directory and
+        # OVERWRITES it, so a re-delivered batch (failure between sink
+        # write and offset commit) replaces its own output instead of
+        # double-appending. batch_id surfaces as a partition column on
+        # read; parsed_date partitioning under it keeps date pruning.
+        good = silver(batch).withColumn(
+            "parsed_date", F.to_date("parsed_time")
+        )
+        good.write.mode("overwrite").partitionBy("parsed_date").parquet(
+            f"{out_dir}/squitters/batch_id={batch_id}"
+        )
+        bad = dead_letter(batch)
+        if not bad.isEmpty():
+            bad.write.mode("overwrite").parquet(
+                f"{out_dir}/dead_letter/batch_id={batch_id}"
+            )
+
+    return write_batch
+
+
 def write_silver(
     parsed: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
 ):
-    """Append Silver to partitioned parquet + dead-letter sink.
+    """Silver to partitioned parquet + dead-letter sink.
 
     foreachBatch = the reference's batched commit (Appendix A L134-L140),
-    except the checkpoint makes replays exactly-once instead of
-    best-effort: a re-delivered micro-batch overwrites by batch id
-    instead of double-inserting.
+    except checkpointed offsets + per-batch-id overwrite make replays
+    exactly-once instead of best-effort (the reference double-inserts on
+    its lock-retry path).
     """
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        good = silver(batch).withColumn(
-            "parsed_date", F.to_date("parsed_time")
-        )
-        good.write.mode("append").partitionBy("parsed_date").parquet(
-            f"{out_dir}/squitters"
-        )
-        bad = dead_letter(batch)
-        if not bad.isEmpty():
-            bad.write.mode("append").parquet(f"{out_dir}/dead_letter")
-
-    writer = parsed.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = parsed.writeStream.foreachBatch(
+        silver_batch_writer(out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()

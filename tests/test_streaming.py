@@ -132,3 +132,24 @@ def test_sbs1_source_reconnect_backoff():
         raised = True
     assert raised
     assert time.time() - t0 >= 0.05  # at least one backoff sleep happened
+
+
+def test_silver_sink_idempotent_on_batch_replay(spark, tmp_path):
+    """A re-delivered micro-batch (same batch_id) must not double-insert."""
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        silver_batch_writer,
+    )
+
+    out = tmp_path / "idem"
+    batch = parse_lines(
+        spark.createDataFrame([(l,) for l in GOLDEN], "value string"),
+        parsed_time=F.col("generated_ts"),
+    )
+    write_batch = silver_batch_writer(str(out))
+    write_batch(batch, 7)
+    write_batch(batch, 7)  # replay of the SAME batch id
+    n = spark.read.parquet(str(out / "squitters")).count()
+    assert n == len(GOLDEN)
+    write_batch(batch, 8)  # a NEW batch id appends
+    n2 = spark.read.parquet(str(out / "squitters")).count()
+    assert n2 == 2 * len(GOLDEN)
