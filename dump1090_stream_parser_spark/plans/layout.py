@@ -1,0 +1,70 @@
+"""Physical data layout for the 100 TB tier: bucketing & partitioning.
+
+The expensive step in the star join is lineitem⋈orders co-location: at
+100 TB both sides shuffle by orderkey on every query. Bucketing both
+tables by the join key at WRITE time moves that shuffle out of every
+query and into the (one-time) layout job -- a bucketed sort-merge join
+reads co-located buckets with NO exchange on either side.
+
+Partition columns (low-cardinality, prunable: dates) go to directory
+partitioning; join/group keys (high-cardinality: orderkey, hex_ident)
+go to buckets. The Silver squitters layout combines both:
+`parsed_date` directories x `hex_ident` buckets (SURVEY.md §1.3).
+
+Verified by tests/test_plans.py::test_bucketed_join_is_shuffle_free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str | list[str],
+    n_buckets: int = 64,
+    partition_by: str | list[str] | None = None,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally partitioned) table.
+
+    ``sort_by`` defaults to the bucket key: sorted buckets let the
+    sort-merge join skip its sort step too (scan -> merge, no exchange,
+    no sort). Bucket counts should match between co-joined tables.
+    """
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    sort = sort_by or keys
+    sort = [sort] if isinstance(sort, str) else list(sort)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(
+        *sort
+    )
+    if partition_by:
+        parts = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+        writer = writer.partitionBy(*parts)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_star_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> None:
+    """One-time layout job: lineitem + orders bucketed by orderkey so
+    every subsequent orderkey join is exchange-free."""
+    from ..tables import load_table
+
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        "lineitem_bucketed",
+        "l_orderkey",
+        n_buckets,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "orders_bucketed",
+        "o_orderkey",
+        n_buckets,
+    )

@@ -57,3 +57,41 @@ def test_topk_avoids_global_sort(spark):
 
 def test_flagship_runs_in_codegen(spark):
     assert codegen_stage_count(q_group_topk(spark, SF_DIR)) >= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both join sides by the key at write time removes the
+    per-query exchange entirely (the 100 TB layout for lineitem x orders,
+    docs/SCALE.md)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.layout import bucketed_star_layout
+
+    bucketed_star_layout(spark, SF_DIR, n_buckets=4)
+    # disable broadcast: at test scale every table fits a broadcast, but
+    # the layout exists for the scale where neither side does -- that is
+    # the plan this test pins down
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("lineitem_bucketed")
+        orders = spark.table("orders_bucketed")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = formatted_plan(joined)
+        # join itself must not exchange either side (bucket co-location);
+        # the only exchange allowed is the final groupBy's.
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\bExchange hashpartitioning\(l_orderkey",
+                              plan)) == 0
+        assert len(re.findall(r"\bExchange hashpartitioning\(o_orderkey",
+                              plan)) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
