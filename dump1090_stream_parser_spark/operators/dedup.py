@@ -177,7 +177,10 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature in a narrow map, candidates from a band-key self-join,
     exact jaccard verify on survivors only."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens_col()
+    # token array staged once (size + two slices reference it; staging
+    # keeps the split-and-filter to one evaluation per row)
+    staged = docs.select("doc_id", tokens_col().alias("_t"))
+    t = F.col("_t")
     n = F.size(t)
     shingles = F.array_distinct(
         F.zip_with(
@@ -186,7 +189,7 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.concat_ws(" ", x, y),
         )
     )
-    toks = docs.select("doc_id", shingles.alias("ts"))
+    toks = staged.select("doc_id", shingles.alias("ts"))
     hashed = toks.select(
         "doc_id",
         F.transform("ts", lambda s: portable_hash64(s) % P).alias("hs"),
@@ -426,10 +429,12 @@ def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup within language blocks (C2). The
     bigram equi-join is the blocking step: disjoint pairs never appear."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n = F.size(toks)
     # slice+zip_with, not element_at-per-index: the token array would be
-    # re-evaluated per element inside a transform lambda (O(n^2)).
+    # re-evaluated per element inside a transform lambda (O(n^2)); and
+    # the array itself is staged so its three references cost one split.
+    staged = docs.select("doc_id", "lang", tokens_col().alias("_t"))
+    toks = F.col("_t")
+    n = F.size(toks)
     grams = F.array_distinct(
         F.zip_with(
             F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
@@ -437,7 +442,7 @@ def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.concat_ws(" ", x, y),
         )
     )
-    g = docs.select("doc_id", "lang", grams.alias("gs"))
+    g = staged.select("doc_id", "lang", grams.alias("gs"))
     gx = g.select("doc_id", "lang", F.explode("gs").alias("gram"))
     sizes = g.select("doc_id", F.size("gs").alias("sz"))
     inter = (

@@ -156,14 +156,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bigrams via one split + two slices zipped: linear in text length.
     # (substr-per-index inside a transform lambda re-evaluates the
     # lower(text) subexpression per element -- O(len^2), 10x slower.)
-    chars = F.split(F.lower(F.col("text")), "")
+    # The char array is STAGED as its own projection so the three
+    # references below (size + two slices) split the text once per row,
+    # not three times (CollapseProject keeps a multiply-referenced
+    # non-cheap alias in its own project).
+    staged = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), "").alias("_c")
+    )
+    chars = F.col("_c")
     n = F.size(chars)
     bigrams = F.zip_with(
         F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(chars, 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.concat(x, y),
     )
-    bg = docs.select(
+    bg = staged.select(
         "doc_id", "lang", F.explode(bigrams).alias("bigram")
     )
     # Pre-aggregate doc-side occurrences and BROADCAST the profile: the
