@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import functions as F
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -52,9 +50,13 @@ def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
 
     from .session import get_spark
-    from .sources.sbs1 import dead_letter, silver
+    from .sources.sbs1 import silver
     from .streaming.monitor import IngestCounters, supervise
-    from .streaming.pipeline import bronze_from_sbs1, silver_stream
+    from .streaming.pipeline import (
+        bronze_from_sbs1,
+        silver_batch_writer,
+        silver_stream,
+    )
     from .streaming.sinks import write_sqlite_batch
 
     spark = get_spark(master=args.master, app_name="sbs1-ingest")
@@ -62,15 +64,10 @@ def main(argv: list[str] | None = None) -> None:
     spark.streams.addListener(counters)
 
     out, ckpt = args.database, f"{args.database}/_checkpoint"
+    parquet_writer = silver_batch_writer(out)  # idempotent per batch id
 
     def write_batch(batch, batch_id):
-        good = silver(batch).withColumn("parsed_date", F.to_date("parsed_time"))
-        good.write.mode("append").partitionBy("parsed_date").parquet(
-            f"{out}/squitters"
-        )
-        bad = dead_letter(batch)
-        if not bad.isEmpty():
-            bad.write.mode("append").parquet(f"{out}/dead_letter")
+        parquet_writer(batch, batch_id)
         if args.sqlite:
             write_sqlite_batch(silver(batch), args.sqlite)
 
