@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> None:
     def write_batch(batch, batch_id):
         parquet_writer(batch, batch_id)
         if args.sqlite:
-            write_sqlite_batch(silver(batch), args.sqlite)
+            write_sqlite_batch(silver(batch), args.sqlite, batch_id)
 
     def start():
         bronze = bronze_from_sbs1(

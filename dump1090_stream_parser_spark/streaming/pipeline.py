@@ -176,6 +176,18 @@ def flight_legs(silver_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def enrich_with_registry(
+    silver_df: DataFrame, registry: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join (SURVEY.md §2.2 "Join: inner equi",
+    streaming form): each micro-batch joins against a static aircraft
+    registry dimension keyed by hex_ident. The static side is planned
+    per batch, so Catalyst broadcasts it when it fits -- the stream side
+    never shuffles for this join. At 100 TB the registry is still
+    dimension-sized (one row per airframe)."""
+    return silver_df.join(F.broadcast(registry), "hex_ident", "left")
+
+
 def dedup_stream(silver_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Duplicate squitters (same aircraft, same generated ts+payload)
     arrive within seconds; dropDuplicatesWithinWatermark bounds the state

@@ -38,14 +38,19 @@ CREATE TABLE IF NOT EXISTS squitters (
 _COLS = [name for name, _ in SBS1_FIELDS] + ["parsed_time"]
 
 
-def write_sqlite_batch(silver_batch: DataFrame, db_path: str) -> int:
+def write_sqlite_batch(
+    silver_batch: DataFrame, db_path: str, batch_id: int | None = None
+) -> int:
     """Append one micro-batch of Silver rows to the SQLite parity DB.
 
     Use inside foreachBatch:
         write_silver-style fn that calls
-        ``write_sqlite_batch(silver(batch), "adsb_messages.db")``.
+        ``write_sqlite_batch(silver(batch), "adsb_messages.db", batch_id)``.
     Returns rows written. One transaction per micro-batch = the
-    reference's batched commit.
+    reference's batched commit -- and when ``batch_id`` is given, the
+    batch-ledger insert rides in the SAME transaction, so a re-delivered
+    micro-batch is skipped instead of double-inserted (exactly-once; the
+    reference's lock-retry path could double-insert).
     """
     pdf = silver_batch.select(*_COLS).toPandas()
     pdf["parsed_time"] = pdf["parsed_time"].map(
@@ -54,6 +59,20 @@ def write_sqlite_batch(silver_batch: DataFrame, db_path: str) -> int:
     conn = sqlite3.connect(db_path)
     try:
         conn.execute(SQUITTERS_SQLITE_DDL)
+        if batch_id is not None:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS _ingested_batches "
+                "(batch_id INTEGER PRIMARY KEY)"
+            )
+            done = conn.execute(
+                "SELECT 1 FROM _ingested_batches WHERE batch_id = ?",
+                (batch_id,),
+            ).fetchone()
+            if done:
+                return 0
+            conn.execute(
+                "INSERT INTO _ingested_batches VALUES (?)", (batch_id,)
+            )
         placeholders = ",".join("?" * len(_COLS))
         conn.executemany(
             f"INSERT INTO squitters VALUES ({placeholders})",

@@ -95,3 +95,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global plan gate: no registered query may plan a CartesianProduct
+    (the knn/ann crossJoins carry a one-row broadcast side and must plan
+    as BroadcastNestedLoopJoin, never a shuffled cartesian)."""
+    import __spark_entry__ as entry_mod
+
+    offenders = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"

@@ -50,7 +50,7 @@ def _run_stream(spark, tmp_path, lines, transform, name):
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name == "dedup" else "complete")
+        .outputMode("append" if name in ("dedup", "enriched") else "complete")
         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
         .trigger(availableNow=True)
         .start()
@@ -153,3 +153,36 @@ def test_cli_mirrors_reference_options():
     assert args.buffer_size == 4096
     assert args.connect_attempt_limit == 3
     assert args.connect_attempt_delay == 5.0  # reference default
+
+
+def test_sqlite_sink_skips_replayed_batch(spark, tmp_path):
+    silver_df = silver(_silver_from(spark, GOLDEN))
+    db = str(tmp_path / "idem.db")
+    assert write_sqlite_batch(silver_df, db, batch_id=3) == len(GOLDEN)
+    assert write_sqlite_batch(silver_df, db, batch_id=3) == 0  # replay
+    assert write_sqlite_batch(silver_df, db, batch_id=4) == len(GOLDEN)
+    conn = sqlite3.connect(db)
+    n = conn.execute("SELECT COUNT(*) FROM squitters").fetchone()[0]
+    conn.close()
+    assert n == 2 * len(GOLDEN)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        enrich_with_registry,
+    )
+
+    registry = spark.createDataFrame(
+        [("AAA111", "B738", "Acme Air"), ("CCC333", "A320", "Other")],
+        "hex_ident string, type_code string, operator string",
+    )
+    res = _run_stream(
+        spark,
+        tmp_path,
+        LEG_LINES,
+        lambda s: enrich_with_registry(s, registry),
+        "enriched",
+    ).collect()
+    by_ac = {r["hex_ident"]: r for r in res}
+    assert by_ac["AAA111"]["type_code"] == "B738"
+    assert by_ac["BBB222"]["type_code"] is None  # left join keeps unknowns
