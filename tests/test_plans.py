@@ -109,3 +109,45 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew posture (docs/SCALE.md): with AQE skew-join on, a hot key
+    partition is split at runtime -- SortMergeJoin(skew=true) -- instead
+    of serializing one reducer. Thresholds are lowered so test-scale data
+    triggers the same code path production data would."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), F.col("id")).alias("name"),
+        )
+        j = fact.join(dim, "k").select(F.sum("payload").alias("s"))
+        j.collect()
+        plan = (
+            j._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
