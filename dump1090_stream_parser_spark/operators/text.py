@@ -352,3 +352,78 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_same"),
         F.min("doc_id").over(w).alias("canonical_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash fingerprint (C4 "document fingerprinting (rolling hash)"):
+# polynomial hash of every WINDOW_CHARS-char window, winnowed to the 4
+# smallest distinct hashes per doc. Shared sketch hashes indicate shared
+# substrings -- the plagiarism/near-dup primitive. Integer arithmetic
+# mod 2^31-1 on unicode codepoints, identical in both engines (Spark
+# aggregate seeds with 0, DuckDB list_reduce seeds with the first
+# element: ((0*B + c1)*B + c2) == ((c1)*B + c2), same polynomial).
+# --------------------------------------------------------------------------
+
+WINDOW_CHARS = 8
+_ROLL_B = 31
+_ROLL_P = 2147483647  # MERSENNE31
+SKETCH_K = 4
+
+
+@query(
+    "q_rolling_fingerprint",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(lt)),
+                            i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT))
+               AS cs
+      FROM c
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(cs) - {WINDOW_CHARS} + 1),
+               i -> list_reduce(cs[i:i+{WINDOW_CHARS}-1],
+                                (acc, x) -> (acc * {_ROLL_B} + x)
+                                            % {_ROLL_P})) AS hs
+      FROM codes
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(hs))[1:{SKETCH_K}] AS sketch
+    FROM hashes
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash sketch per document (C4). The codepoint
+    array is staged once; each window hash folds {WINDOW_CHARS} codes --
+    a narrow map, no shuffle, O(len * window) per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.col("text")), ""), lambda ch: F.ascii(ch)
+        ).alias("_codes"),
+    )
+    cs = F.col("_codes")
+    n = F.size(cs)
+    window_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(cs, i, WINDOW_CHARS),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _ROLL_B + x) % _ROLL_P,
+    )
+    hashes = F.when(
+        n >= WINDOW_CHARS,
+        F.transform(
+            F.sequence(F.lit(1), n - WINDOW_CHARS + 1), window_hash
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return staged.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(hashes)), 1, SKETCH_K
+        ).alias("sketch"),
+    )
