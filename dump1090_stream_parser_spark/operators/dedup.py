@@ -427,7 +427,14 @@ NGRAM_JACCARD_THRESHOLD = 0.08
 )
 def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup within language blocks (C2). The
-    bigram equi-join is the blocking step: disjoint pairs never appear."""
+    bigram equi-join is the blocking step: disjoint pairs never appear.
+
+    Scale honesty: this is the EXACT method -- its cost is the number of
+    co-gram pairs, and a low threshold (0.08 here) defeats prefix
+    filtering (the prunable prefix shrinks to ~nothing as t -> 0). It is
+    the verification-grade tool; at corpus scale the probabilistic
+    operators (q_near_dedup_minhash / _simhash) are the first pass and
+    this runs only on their survivors."""
     docs = load_table(spark, sf_dir, "documents")
     # slice+zip_with, not element_at-per-index: the token array would be
     # re-evaluated per element inside a transform lambda (O(n^2)); and

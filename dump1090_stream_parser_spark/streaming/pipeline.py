@@ -106,6 +106,44 @@ def silver_batch_writer(out_dir: str):
     return write_batch
 
 
+def write_bronze_and_silver(
+    bronze: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """One stream, two layers: archive the RAW lines and write Silver.
+
+    The reference loses any line it mis-frames or that arrives during a
+    crash window; archiving Bronze exactly as received (SURVEY.md §7.4.3
+    improvement) makes every downstream layer reproducible by replay.
+    Both writes share the micro-batch and the batch-id overwrite
+    discipline, so replays are exactly-once for both layers. Parsing
+    happens inside foreachBatch on the static batch -- same shared
+    expression set, so stream/batch parity still holds.
+    """
+    silver_writer = None
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        nonlocal silver_writer
+        batch.write.mode("overwrite").parquet(
+            f"{out_dir}/bronze/batch_id={batch_id}"
+        )
+        parsed_time = (
+            F.col("ingest_ts") if "ingest_ts" in batch.columns else None
+        )
+        if silver_writer is None:
+            silver_writer = silver_batch_writer(out_dir)
+        silver_writer(parse_lines(batch, parsed_time=parsed_time), batch_id)
+
+    writer = bronze.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def write_silver(
     parsed: DataFrame,
     out_dir: str,

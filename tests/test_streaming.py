@@ -153,3 +153,30 @@ def test_silver_sink_idempotent_on_batch_replay(spark, tmp_path):
     write_batch(batch, 8)  # a NEW batch id appends
     n2 = spark.read.parquet(str(out / "squitters")).count()
     assert n2 == 2 * len(GOLDEN)
+
+
+def test_bronze_archive_and_silver_from_one_stream(spark, tmp_path):
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        write_bronze_and_silver,
+    )
+
+    src = tmp_path / "blines"
+    src.mkdir()
+    (src / "l.txt").write_text("\n".join(GOLDEN + INVALID) + "\n")
+    out = tmp_path / "bout"
+    q = write_bronze_and_silver(
+        bronze_from_file_replay(spark, str(src)),
+        str(out),
+        str(tmp_path / "bckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    bronze = spark.read.parquet(str(out / "bronze"))
+    assert bronze.count() == len(GOLDEN) + len(INVALID)  # raw, lossless
+    got = spark.read.parquet(str(out / "squitters"))
+    assert got.count() == len(GOLDEN)
+    dead = spark.read.parquet(str(out / "dead_letter"))
+    assert dead.count() == len(INVALID)
+    # every raw line is recoverable: bronze replay reproduces silver
+    replay = silver(parse_lines(bronze.select("value")))
+    assert replay.count() == len(GOLDEN)
