@@ -716,3 +716,19 @@ def q_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         (F.sum("pv") / 1000000.0).alias("sum_value"),
     )
+
+
+@query("q_approx_percentile", oracle=None)  # sketch estimate: no SQL twin
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile -- the 100 TB tier of q_percentile
+    (SURVEY.md §2.2 math-fns tier): a mergeable quantile sketch replaces
+    the per-group sort, so map-side state is bounded and the shuffle
+    carries sketches, not values. Estimates are engine-specific, hence
+    the rows-only driver check; bounded error is asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("qty_quantiles"),
+        F.count("*").alias("n_items"),
+    )

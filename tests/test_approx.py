@@ -44,3 +44,25 @@ def test_approx_and_exact_total_agree(spark):
         .collect()[0]["e"]
     )
     assert abs(est - total_exact) <= max(0.10 * total_exact, 2)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from dump1090_stream_parser_spark.operators.relational import (
+        q_approx_percentile,
+        q_percentile,
+    )
+
+    exact = {
+        r["l_returnflag"]: (r["p50_qty"], r["p90_qty"])
+        for r in q_percentile(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["qty_quantiles"]
+        for r in q_approx_percentile(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (p50, p90) in exact.items():
+        a50, a90 = approx[flag]
+        # l_quantity spans 1..50; accuracy=10000 keeps rank error tiny
+        assert abs(a50 - p50) <= 1.0, (flag, a50, p50)
+        assert abs(a90 - p90) <= 1.0, (flag, a90, p90)
