@@ -178,7 +178,9 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, idxs, lens, fps = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            for i in range(0, max(len(text) - 1, 0) // FRAME_CHARS + 1):
+            # floor((len-1)/w)+1 frames; len==0 -> -1//w+1 == 0 frames,
+            # matching the oracle's empty generate_series exactly
+            for i in range((len(text) - 1) // FRAME_CHARS + 1):
                 if i % SAMPLE_EVERY:
                     continue
                 frame = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
