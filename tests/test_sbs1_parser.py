@@ -127,3 +127,22 @@ def test_property_arbitrary_arity_never_throws(spark):
             assert parsed[0]["_corrupt_record"] == line
 
     check()
+
+
+def test_non_msg_lines_dead_letter(spark):
+    """SBS-1 SEL/ID/AIR/STA/CLK records carry fewer than 22 fields; the
+    reference's len==22 gate rebuffers (drops) them and so must we --
+    into the dead letter, raw line preserved."""
+    non_msg = [
+        # SEL: 11 fields
+        "SEL,,496,2286,4CA4E5,27215,2010/02/19,18:06:07.710,2010/02/19,18:06:07.710,RYR1427",
+        # ID: 11 fields
+        "ID,,496,7162,405637,27928,2010/02/19,18:06:07.115,2010/02/19,18:06:07.115,EZY691A",
+        # AIR: 10 fields
+        "AIR,,496,5906,400F01,27931,2010/02/19,18:06:07.128,2010/02/19,18:06:07.128",
+        # CLK: 10 fields
+        "CLK,,496,-1,,-1,2010/02/19,18:18:19.036,2010/02/19,18:18:19.036",
+    ]
+    parsed = _parse(spark, non_msg).collect()
+    assert all(r["_corrupt_record"] is not None for r in parsed)
+    assert [r["_corrupt_record"] for r in parsed] == non_msg

@@ -180,3 +180,37 @@ def test_bronze_archive_and_silver_from_one_stream(spark, tmp_path):
     # every raw line is recoverable: bronze replay reproduces silver
     replay = silver(parse_lines(bronze.select("value")))
     assert replay.count() == len(GOLDEN)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restarting the stream with the same checkpoint resumes from the
+    committed offset: old files are not reprocessed, new ones are, and
+    the batch-id-idempotent sink never double-counts."""
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    out, ckpt = tmp_path / "rout", tmp_path / "rckpt"
+
+    def run_once():
+        bronze = bronze_from_file_replay(spark, str(src))
+        q = write_silver(
+            silver_stream(bronze),
+            str(out),
+            str(ckpt),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    (src / "a.txt").write_text("\n".join(GOLDEN[:3]) + "\n")
+    run_once()
+    assert spark.read.parquet(str(out / "squitters")).count() == 3
+
+    # restart with no new data: nothing is reprocessed
+    run_once()
+    assert spark.read.parquet(str(out / "squitters")).count() == 3
+
+    # restart with one new file: only its lines are appended
+    (src / "b.txt").write_text("\n".join(GOLDEN[3:]) + "\n")
+    run_once()
+    got = spark.read.parquet(str(out / "squitters"))
+    assert got.count() == len(GOLDEN)
+    assert got.select("hex_ident").distinct().count() == 3
