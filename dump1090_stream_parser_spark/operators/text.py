@@ -95,6 +95,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # (Deriving df from tf for ReuseExchange was measured: the exchange
+    # is not reusable across the broadcast-subtree boundary, and warm
+    # times are identical -- keep the standard two-aggregation form.)
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; driver-side by design (one number)
     return (
