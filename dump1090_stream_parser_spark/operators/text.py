@@ -430,3 +430,58 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(hashes)), 1, SKETCH_K
         ).alias("sketch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (training-pipeline primitive): a
+# content-independent hash of the stable key assigns every row to a
+# split -- reproducible across engines, runs, partitionings, and cluster
+# sizes, which sample()/TABLESAMPLE are not. The assignment is a narrow
+# map; downstream writers partition by `split`.
+# --------------------------------------------------------------------------
+
+SPLIT_PCT = (80, 10)  # train, val; remainder = test
+
+
+@query(
+    "q_train_split",
+    oracle=f"""
+    WITH assign AS (
+      SELECT doc_id, lang, n_chars,
+             CASE
+               WHEN ({portable_hash64_sql("doc_id")}) % 100
+                    < {SPLIT_PCT[0]} THEN 'train'
+               WHEN ({portable_hash64_sql("doc_id")}) % 100
+                    < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM assign
+    GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment + per-split stats (C4
+    training-pipeline op). The split of a given doc_id never changes
+    when the corpus grows -- the property that keeps eval sets stable
+    across dataset versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
