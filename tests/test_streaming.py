@@ -214,3 +214,41 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(str(out / "squitters"))
     assert got.count() == len(GOLDEN)
     assert got.select("hex_ident").distinct().count() == 3
+
+
+def test_supervise_restarts_failed_query(spark, tmp_path):
+    """supervise() re-launches a failed stream (the reference's reconnect
+    loop at the query level) and stops retrying on a clean termination."""
+    from dump1090_stream_parser_spark.streaming.monitor import supervise
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    (src / "l.txt").write_text("\n".join(GOLDEN) + "\n")
+    attempts = []
+
+    def start():
+        if not attempts:
+            attempts.append("fail")
+            raise RuntimeError("transient failure before start")
+        attempts.append("ok")
+        bronze = bronze_from_file_replay(spark, str(src))
+        return write_silver(
+            silver_stream(bronze),
+            str(tmp_path / "sout"),
+            str(tmp_path / "sckpt"),
+            trigger={"availableNow": True},
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        # the first factory call raises before a query exists -- supervise
+        # only guards awaitTermination, so factory errors propagate (by
+        # design: a startup bug should not be retried silently)
+        supervise(start, attempt_limit=3, delay=0.1)
+
+    # second run: factory succeeds, query runs to clean completion
+    supervise(start, attempt_limit=3, delay=0.1)
+    assert attempts == ["fail", "ok"]
+    got = spark.read.parquet(str(tmp_path / "sout" / "squitters"))
+    assert got.count() == len(GOLDEN)
