@@ -11,11 +11,16 @@ is a thin adapter over its operator registry (SURVEY.md §2 inventory).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dump1090_stream_parser_spark import operators as _ops
+# Importable regardless of the harness's working directory.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dump1090_stream_parser_spark import operators as _ops  # noqa: E402
 from dump1090_stream_parser_spark.operators.relational import q_group_topk
 
 
