@@ -38,24 +38,43 @@ from .text import tokens_col
 
 @query(
     "q_dedup",
-    oracle="""
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             {portable_hash64_sql("text")} AS fingerprint
+      FROM documents
+    )
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, MIN(source) AS source
-    FROM documents
-    GROUP BY text
+    FROM fp
+    GROUP BY fingerprint
     """,
 )
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, keep-first semantics (C1). GROUP BY content with MIN
-    representative -- deterministic, unlike dropDuplicates' arbitrary
-    row choice. At scale, group by the 60-bit content hash instead of the
-    raw text so the shuffle carries 8 bytes per doc (see
-    q_doc_fingerprint for that primitive)."""
+    """Exact dedup, keep-first semantics (C1), keyed on the 60-bit
+    content fingerprint: the projection drops ``text`` before the
+    groupBy, so the exchange carries an 8-byte hash + (doc_id, source)
+    per row instead of the raw document -- at 100 TB that is the
+    difference between shuffling kilobytes and shuffling the corpus
+    (asserted in tests/test_plans.py). MIN representative keeps the
+    choice deterministic, unlike dropDuplicates' arbitrary pick.
+    Collision risk at 60 bits is ~n^2/2^61 (~10^-7 at a billion docs);
+    a byte-exact pipeline re-checks equality inside each fingerprint
+    group, where the text join touches only group members."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count("*").alias("n_copies"),
-        F.min("source").alias("source"),
-    ).drop("text")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            portable_hash64(F.col("text")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("source").alias("source"),
+        )
+        .drop("fingerprint")
+    )
 
 
 @query(

@@ -220,7 +220,7 @@ def q_asof_lastval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, n_name,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
              AS gross_revenue
     FROM lineitem

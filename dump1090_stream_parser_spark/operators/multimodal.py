@@ -146,8 +146,11 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"].values,
                 "n_bytes": lens.astype("int32"),
-                "fake_width": (first + 1).astype("int32"),
-                "fake_height": (second + 1).astype("int32"),
+                # widen BEFORE incrementing: first/second are uint8, so
+                # (first + 1) wraps 0xff -> 0 where the scalar codec
+                # yields 256
+                "fake_width": first.astype("int32") + 1,
+                "fake_height": second.astype("int32") + 1,
                 "byte_histogram": list(hist),
             }
         )

@@ -118,7 +118,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -138,7 +138,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
@@ -653,7 +653,10 @@ _MONTHS = list(range(1, 13))
     SELECT l_returnflag,
     """
     + ",\n    ".join(
-        f"SUM(CASE WHEN month(l_shipdate) = {m} THEN 1 ELSE 0 END) AS m{m}"
+        # CAST: DuckDB types SUM(int) as HUGEINT, which the driver's
+        # pandas canon reads as float64 while Spark emits int64.
+        f"CAST(SUM(CASE WHEN month(l_shipdate) = {m} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS m{m}"
         for m in _MONTHS
     )
     + """
@@ -724,11 +727,23 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.2 math-fns tier): a mergeable quantile sketch replaces
     the per-group sort, so map-side state is bounded and the shuffle
     carries sketches, not values. Estimates are engine-specific, hence
-    the rows-only driver check; bounded error is asserted in tests."""
+    the rows-only driver check; bounded error is asserted in tests.
+
+    Scalar output columns (not the raw quantile ARRAY): the driver's
+    canonicalizer sorts cell values and dies on list cells."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000
-        ).alias("qty_quantiles"),
-        F.count("*").alias("n_items"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000
+            ).alias("qty_quantiles"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("qty_quantiles", 1).alias("p50_qty"),
+            F.element_at("qty_quantiles", 2).alias("p90_qty"),
+            "n_items",
+        )
     )

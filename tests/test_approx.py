@@ -57,7 +57,7 @@ def test_approx_percentile_close_to_exact(spark):
         for r in q_percentile(spark, SF_DIR).collect()
     }
     approx = {
-        r["l_returnflag"]: r["qty_quantiles"]
+        r["l_returnflag"]: (r["p50_qty"], r["p90_qty"])
         for r in q_approx_percentile(spark, SF_DIR).collect()
     }
     assert set(approx) == set(exact)

@@ -8,7 +8,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from dump1090_stream_parser_spark.operators.multimodal import (
@@ -30,6 +30,12 @@ texts = st.lists(
 
 @settings(max_examples=50, deadline=None)
 @given(payloads)
+@example(
+    ps=[b'\x00\xff'],
+).via('discovered failure')
+@example(
+    ps=[b'\xff'],
+).via('discovered failure')
 def test_vectorized_features_equal_scalar_codec(ps):
     pdf = pd.DataFrame({"doc_id": range(len(ps)), "payload": ps})
     out = pd.concat(list(extract_features(iter([pdf]))), ignore_index=True)

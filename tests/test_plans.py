@@ -151,3 +151,13 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_dedup_shuffle_carries_fingerprint_not_text(spark):
+    """q_dedup's exchange must partition on the 60-bit hash: grouping by
+    raw text would ship the whole corpus through the shuffle at 100 TB."""
+    from dump1090_stream_parser_spark.operators.dedup import q_dedup
+
+    plan = formatted_plan(q_dedup(spark, SF_DIR))
+    assert "hashpartitioning(fingerprint" in plan
+    assert "hashpartitioning(text" not in plan
