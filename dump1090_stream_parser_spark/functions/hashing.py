@@ -31,6 +31,18 @@ def portable_hash64_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
+def portable_hash4_hi(col: Column) -> Column:
+    """4 extra hash bits, independent of :func:`portable_hash64`: hex
+    digit 16 of the same md5 (digits 1-15 feed the 60-bit hash). Lets a
+    64-bit signature (e.g. SimHash) draw all its bits from one md5 run."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 16, 1), 16, 10).cast("long")
+
+
+def portable_hash4_hi_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`portable_hash4_hi`."""
+    return f"CAST('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 16, 1) AS BIGINT)"
+
+
 def minhash_value(h: Column, a: int, b: int) -> Column:
     """One member of a universal hash family over a base hash.
 

@@ -14,8 +14,8 @@ Scale posture (the whole point of LSH at 100 TB):
   (band_idx, band_key) pairs shuffle for the self-join, and candidate
   verification touches only LSH survivors, not all O(n^2) pairs;
 - SimHash: one explode + one groupBy per doc; candidate pairs come from
-  two byte-half band joins (hamming<=3 within 16 bits guarantees one
-  untouched half -- pigeonhole), again avoiding all-pairs;
+  four 16-bit band joins over the 64-bit signature (hamming<=3 leaves
+  one band intact -- pigeonhole), again avoiding all-pairs;
 - n-gram Jaccard: the bigram equi-join IS the blocking -- pairs sharing
   zero bigrams are never materialized.
 """
@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE31 as P
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import (
+    portable_hash4_hi,
+    portable_hash4_hi_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
 from ..tables import load_table
 from .registry import query
 from .text import tokens_col
@@ -272,131 +277,203 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C2b: SimHash near-dup (16-bit; byte-half banding for hamming<=3).
+# C2b: SimHash near-dup -- 64-bit signature, 4 x 16-bit bands, hamming<=3
+# (the production-scale shape: web-dedup uses exactly 64-bit simhash with
+# banded hamming search). The 64 bits come from one md5 per distinct
+# token: 60 from the portable hash + 4 from hex digit 16. The signature
+# is carried as its four 16-bit band keys k0..k3 -- banding and per-band
+# xor/bit_count need exactly that form, and it avoids packing bit 63 into
+# a signed 64-bit value; a bias-packed `sig` scalar gives identity and a
+# total order for pair canonicalization.
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIM_BAND_BITS = 16
+N_SIM_BANDS = SIMHASH_BITS // SIM_BAND_BITS
 HAMMING_MAX = 3
+
+# bias-packed signature: fits signed 64, monotonic in (k3,k2,k1,k0);
+# BIGINT casts because DuckDB evaluates the band-key CASE sums as INT32
+_SIG_SQL = (
+    f"((CAST(k3 AS BIGINT) - {1 << 15}) * {1 << 48})"
+    f" + (CAST(k2 AS BIGINT) * {1 << 32})"
+    f" + (CAST(k1 AS BIGINT) * {1 << 16}) + CAST(k0 AS BIGINT)"
+)
+
+
+def _sim_bit_sql(j: int) -> str:
+    """SQL for signature bit j of a (th, th2) hashed token row."""
+    if j < 60:
+        return f"((th >> {j}) & 1)"
+    return f"((th2 >> {j - 60}) & 1)"
 
 
 def _simhash_oracle() -> str:
-    h = portable_hash64_sql("token")
     bit_sums = ",\n      ".join(
-        f"SUM(CASE WHEN ((({h}) >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        f"SUM(CASE WHEN {_sim_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
     )
-    sim_expr = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
+    band_keys = ",\n      ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN s{SIM_BAND_BITS * b + r} > 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(SIM_BAND_BITS)
+        )
+        + f") AS k{b}"
+        for b in range(N_SIM_BANDS)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT sig, k0, k1, k2, k3, {b} AS band_idx, k{b} AS band_key"
+        " FROM u"
+        for b in range(N_SIM_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.k{b}, b.k{b}))" for b in range(N_SIM_BANDS)
     )
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token
       FROM documents
     ),
+    hashed AS (
+      SELECT doc_id,
+             {portable_hash64_sql("token")} AS th,
+             {portable_hash4_hi_sql("token")} AS th2
+      FROM tok WHERE token <> ''
+    ),
     sums AS (
       SELECT doc_id,
       {bit_sums}
-      FROM tok WHERE token <> ''
+      FROM hashed
       GROUP BY doc_id
     ),
-    sim AS (
-      SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums
+    keys AS (
+      SELECT doc_id,
+      {band_keys}
+      FROM sums
     ),
+    sim AS (
+      SELECT doc_id, k0, k1, k2, k3, {_SIG_SQL} AS sig FROM keys
+    ),
+    u AS (SELECT DISTINCT sig, k0, k1, k2, k3 FROM sim),
     bands AS (
-      SELECT doc_id, simhash, 0 AS band_idx, simhash >> 8 AS band_key FROM sim
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS band_idx, simhash & 255 AS band_key FROM sim
+      {band_selects}
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-             a.simhash AS simhash_1, b.simhash AS simhash_2
+      SELECT DISTINCT a.sig AS s1, b.sig AS s2, {ham} AS hamming
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
+       AND a.sig <= b.sig
+      WHERE {ham} <= {HAMMING_MAX}
     )
-    SELECT doc_id_1, doc_id_2,
-           bit_count(xor(simhash_1, simhash_2)) AS hamming
+    SELECT least(x.doc_id, y.doc_id) AS doc_id_1,
+           greatest(x.doc_id, y.doc_id) AS doc_id_2,
+           hamming
     FROM cand
-    WHERE bit_count(xor(simhash_1, simhash_2)) <= {HAMMING_MAX}
+    JOIN sim x ON x.sig = cand.s1
+    JOIN sim y ON y.sig = cand.s2
+     AND (cand.s1 < cand.s2 OR x.doc_id < y.doc_id)
     """
 
 
 @query("q_near_dedup_simhash", oracle=_simhash_oracle())
 def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (C2): 16-bit signature from token-hash bit votes;
-    hamming<=3 pairs found via byte-half banding (pigeonhole: <=3 flipped
-    bits leave one byte intact), so no all-pairs comparison."""
+    """SimHash near-dup (C2): 64-bit signature from weighted token-hash
+    bit votes; hamming<=3 pairs via 4 x 16-bit banding (pigeonhole: <=3
+    flipped bits leave one band intact), so no all-pairs comparison.
+
+    Round 1 shipped 16 bits to keep the oracle tractable; this is the
+    full-width production form, still with a 1:1 DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     # Pre-aggregate to (doc, token, n) so md5 runs once per distinct
-    # token per doc and the 16 bit-vote sums see ~2x fewer rows; votes
+    # token per doc and the 64 bit-vote sums see ~2x fewer rows; votes
     # stay weighted by occurrence count, so values are unchanged.
     tok = (
         docs.select("doc_id", F.explode(tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("n"))
-        .withColumn("th", portable_hash64(F.col("token")))
+        .select(
+            "doc_id",
+            "n",
+            portable_hash64(F.col("token")).alias("th"),
+            portable_hash4_hi(F.col("token")).alias("th2"),
+        )
     )
 
     bit_sums = [
         F.sum(
-            F.when(
-                F.expr(f"(th >> {b}) & 1") == 1, F.col("n")
-            ).otherwise(-F.col("n"))
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+            F.when(F.expr(_sim_bit_sql(j)) == 1, F.col("n")).otherwise(
+                -F.col("n")
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sim_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
-        sim_expr = term if sim_expr is None else sim_expr + term
-    sim = sums.select(
-        "doc_id", sim_expr.cast("bigint").alias("simhash")
-    )
 
-    # Banding, candidate join, dedup, and the hamming filter all run at
-    # the DISTINCT-SIGNATURE level: a 16-bit space has <= 65536 distinct
-    # values no matter how many docs exist, so the self-join + distinct
-    # touch a bounded tiny relation instead of shuffling every doc pair
-    # (many docs share a signature -- doc-level banding was output-bound).
-    # Doc pairs are expanded only for signature pairs that already passed
-    # the hamming cut. Semantics are unchanged: a doc has exactly one
-    # signature, so each qualifying doc pair comes from exactly one
-    # (s1 <= s2) signature pair.
-    u = sim.select("simhash").distinct()
-    ubands = u.select(
-        "simhash",
-        F.lit(0).alias("band_idx"),
-        F.expr("simhash >> 8").alias("band_key"),
-    ).unionAll(
+    def band_key(b: int) -> F.Column:
+        e = None
+        for r in range(SIM_BAND_BITS):
+            term = F.when(
+                F.col(f"s{SIM_BAND_BITS * b + r}") > 0, 1 << r
+            ).otherwise(0)
+            e = term if e is None else e + term
+        return e.cast("long")
+
+    sim = sums.select(
+        "doc_id", *[band_key(b).alias(f"k{b}") for b in range(N_SIM_BANDS)]
+    ).withColumn("sig", F.expr(_SIG_SQL))
+
+    # Banding, candidate join, dedup, and the hamming filter run at the
+    # DISTINCT-SIGNATURE level (exact duplicates and signature-colliding
+    # docs collapse to one row). Each of the 4 band joins buckets on a
+    # 16-bit key -- <= 65536 buckets, expected bucket size n/2^16 -- so
+    # candidate generation is a bucketed equi-join, never all-pairs.
+    # Semantics: a doc has exactly one signature, so each qualifying doc
+    # pair comes from exactly one (s1 <= s2) signature pair.
+    u = sim.select("sig", "k0", "k1", "k2", "k3").distinct()
+    band_frames = [
         u.select(
-            "simhash",
-            F.lit(1).alias("band_idx"),
-            F.expr("simhash & 255").alias("band_key"),
+            "sig",
+            "k0",
+            "k1",
+            "k2",
+            "k3",
+            F.lit(b).alias("band_idx"),
+            F.col(f"k{b}").alias("band_key"),
         )
-    )
+        for b in range(N_SIM_BANDS)
+    ]
+    ubands = band_frames[0]
+    for bf in band_frames[1:]:
+        ubands = ubands.unionAll(bf)
+
     a, b = ubands.alias("a"), ubands.alias("b")
+    ham = None
+    for i in range(N_SIM_BANDS):
+        term = F.bit_count(F.expr(f"a.k{i} ^ b.k{i}"))
+        ham = term if ham is None else ham + term
     sim_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.simhash") <= F.col("b.simhash")),
+            & (F.col("a.sig") <= F.col("b.sig")),
         )
         .select(
-            F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2")
+            F.col("a.sig").alias("s1"),
+            F.col("b.sig").alias("s2"),
+            ham.alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("s1 ^ s2")))
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
     x, y = sim.alias("x"), sim.alias("y")
     return (
-        sim_pairs.join(x, F.col("x.simhash") == F.col("s1"))
+        sim_pairs.join(x, F.col("x.sig") == F.col("s1"))
         .join(
             y,
-            (F.col("y.simhash") == F.col("s2"))
+            (F.col("y.sig") == F.col("s2"))
             # equal-signature groups: emit each unordered pair once
             & ((F.col("s1") < F.col("s2"))
                | (F.col("x.doc_id") < F.col("y.doc_id"))),

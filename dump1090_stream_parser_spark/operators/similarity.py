@@ -182,6 +182,24 @@ def q_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine, same left-fold double accumulation as the
+    ``zip_with``/``aggregate`` and ``list_reduce`` expressions -- used
+    only on driver-sized inputs (a query vector vs N_CELLS centroids)."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
 def _unit_float_py(s: str) -> float:
     """Driver-side twin of functions.hashing.portable_unit_float --
     byte-identical IEEE ops, so plane components computed here equal the
@@ -249,6 +267,7 @@ def _bucket_sql(emb: str) -> str:
 # --------------------------------------------------------------------------
 
 N_CELLS = 8
+IVF_NPROBE = 2
 
 
 @query(
@@ -268,12 +287,19 @@ N_CELLS = 8
         FROM embeddings e, cents c
       ) t WHERE rn = 1
     ),
-    q AS (SELECT embedding AS qv, cell_id AS qcell FROM assign
-          WHERE vec_id = {QUERY_VEC_ID})
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    qcells AS (
+      SELECT c.cell_id
+      FROM cents c, q
+      ORDER BY ROUND({_cos_sql("q.qv", "c.cv")}, 6) DESC, c.cell_id
+      LIMIT {IVF_NPROBE}
+    )
     SELECT vec_id, label, cell_id,
            ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
     FROM assign, q
-    WHERE cell_id = qcell AND vec_id <> {QUERY_VEC_ID}
+    WHERE cell_id IN (SELECT cell_id FROM qcells)
+      AND vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
@@ -281,9 +307,11 @@ N_CELLS = 8
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (C3 scale path): assign every vector to its nearest seed
     centroid in one narrow pass (centroids broadcast -- N_CELLS rows at
-    any scale), then re-rank only the query's cell (~1/N_CELLS of the
-    data). The 100 TB layout writes ``cell_id`` as a partition column so
-    a probe is a partition-pruned scan; nprobe>1 = scan more cells."""
+    any scale), then re-rank only the IVF_NPROBE cells nearest the query
+    (~nprobe/N_CELLS of the data; nprobe is the recall/cost dial --
+    recall asserted against brute force in tests/test_approx.py). The
+    100 TB layout writes ``cell_id`` as a partition column so a probe is
+    a partition-pruned scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     # The trained quantizer is a driver-side artifact (N_CELLS vectors --
     # bytes, not data): inlining it as literals makes assignment a pure
@@ -314,13 +342,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).getField("cell_id")
     assign = emb.select("vec_id", "label", "embedding", cell.alias("cell_id"))
-    q = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("cell_id").alias("qcell")
-    )
+    # The probe list is a driver-side artifact, like the quantizer: rank
+    # the N_CELLS centroids against the one query vector in Python (same
+    # left-fold double arithmetic as the JVM/oracle expressions) and
+    # inline the winning cell ids -- the probe then compiles to a
+    # partition-prunable `cell_id IN (...)` filter, no join.
+    qv_vals = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    qcells = [
+        cid
+        for cid, _ in sorted(
+            (
+                (
+                    r["cell_id"],
+                    round(
+                        _cos_py(
+                            qv_vals, [float(v) for v in r["embedding"]]
+                        ),
+                        6,
+                    ),
+                )
+                for r in cent_rows
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:IVF_NPROBE]
+    ]
+    qv_lit = F.array(*[F.lit(v) for v in qv_vals])
     return (
-        assign.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("cell_id") == F.col("qcell"))
+        assign.filter(
+            F.col("cell_id").isin(qcells)
             & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .select(
@@ -328,12 +382,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "cell_id",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+                cosine_similarity(F.col("embedding"), qv_lit), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+LSH_PROBE_HAMMING = 2  # multi-probe width: buckets within this hamming
 
 
 @query(
@@ -349,17 +406,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label, bucket,
            ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
     FROM bucketed, q
-    WHERE bucket = qbucket AND vec_id <> {QUERY_VEC_ID}
+    WHERE bit_count(xor(bucket, qbucket)) <= {LSH_PROBE_HAMMING}
+      AND vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (C3 scale path): bucket every vector
-    by 8 hyperplane signs (narrow map), then re-rank only the query's
-    bucket -- candidate set is ~1/256 of the data. The 100 TB layout
-    writes `bucket` as a partition column so the search is one partition
-    scan."""
+    by 8 hyperplane signs (narrow map), then re-rank only buckets within
+    hamming LSH_PROBE_HAMMING of the query's bucket -- multi-probe LSH
+    (a sign bit near zero margin flips easily, so neighboring buckets
+    hold most of the missed neighbors; probing them buys recall without
+    more tables). Candidate set is a fixed 37/256 = 14% of the data
+    (1 + C(8,1) + C(8,2) buckets); recall vs brute force is
+    asserted in tests/test_approx.py. The 100 TB layout writes `bucket`
+    as a partition column so the probe is a 37-partition pruned scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     bucketed = emb.select(
@@ -374,7 +436,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed.crossJoin(F.broadcast(q))
         .filter(
-            (F.col("bucket") == F.col("qbucket"))
+            (
+                F.bit_count(F.expr("bucket ^ qbucket"))
+                <= LSH_PROBE_HAMMING
+            )
             & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .select(

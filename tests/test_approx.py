@@ -66,3 +66,27 @@ def test_approx_percentile_close_to_exact(spark):
         # l_quantity spans 1..50; accuracy=10000 keeps rank error tiny
         assert abs(a50 - p50) <= 1.0, (flag, a50, p50)
         assert abs(a90 - p90) <= 1.0, (flag, a90, p90)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Quality gate for the ANN paths beyond oracle equality: the oracle
+    proves the probe was executed faithfully, this proves the probe is
+    WORTH executing. Ground truth = brute-force top-10 (recall 1.0 by
+    construction). The corpus embeddings are near-uniform (top cosine
+    ~0.37), the hardest regime for ANN, so the floors are modest but
+    real: multi-probe LSH (hamming<=2, 14% scan) and IVF (nprobe=2,
+    ~25% scan) must both beat random candidate selection by a wide
+    margin (random 14% scan would recall ~0.14)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_ann_ivf,
+        q_ann_lsh,
+        q_knn_cosine,
+    )
+
+    brute = [r["vec_id"] for r in q_knn_cosine(spark, SF_DIR).collect()][:10]
+    truth = set(brute)
+    ivf = {r["vec_id"] for r in q_ann_ivf(spark, SF_DIR).collect()}
+    lsh = {r["vec_id"] for r in q_ann_lsh(spark, SF_DIR).collect()}
+    assert len(truth) == 10
+    assert len(ivf & truth) / 10 >= 0.5, sorted(ivf & truth)
+    assert len(lsh & truth) / 10 >= 0.3, sorted(lsh & truth)
