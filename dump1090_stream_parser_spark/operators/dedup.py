@@ -324,8 +324,8 @@ def _simhash_oracle() -> str:
         for b in range(N_SIM_BANDS)
     )
     band_selects = "\n      UNION ALL ".join(
-        f"SELECT sig, k0, k1, k2, k3, {b} AS band_idx, k{b} AS band_key"
-        " FROM u"
+        f"SELECT doc_id, k0, k1, k2, k3, {b} AS band_idx, k{b} AS band_key"
+        " FROM sim"
         for b in range(N_SIM_BANDS)
     )
     ham = " + ".join(
@@ -348,32 +348,20 @@ def _simhash_oracle() -> str:
       FROM hashed
       GROUP BY doc_id
     ),
-    keys AS (
+    sim AS (
       SELECT doc_id,
       {band_keys}
       FROM sums
     ),
-    sim AS (
-      SELECT doc_id, k0, k1, k2, k3, {_SIG_SQL} AS sig FROM keys
-    ),
-    u AS (SELECT DISTINCT sig, k0, k1, k2, k3 FROM sim),
     bands AS (
       {band_selects}
-    ),
-    cand AS (
-      SELECT DISTINCT a.sig AS s1, b.sig AS s2, {ham} AS hamming
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.sig <= b.sig
-      WHERE {ham} <= {HAMMING_MAX}
     )
-    SELECT least(x.doc_id, y.doc_id) AS doc_id_1,
-           greatest(x.doc_id, y.doc_id) AS doc_id_2,
-           hamming
-    FROM cand
-    JOIN sim x ON x.sig = cand.s1
-    JOIN sim y ON y.sig = cand.s2
-     AND (cand.s1 < cand.s2 OR x.doc_id < y.doc_id)
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           {ham} AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE {ham} <= {HAMMING_MAX}
     """
 
 
@@ -383,8 +371,14 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit votes; hamming<=3 pairs via 4 x 16-bit banding (pigeonhole: <=3
     flipped bits leave one band intact), so no all-pairs comparison.
 
-    Round 1 shipped 16 bits to keep the oracle tractable; this is the
-    full-width production form, still with a 1:1 DuckDB oracle."""
+    Round 1 shipped 16 bits with a distinct-signature rewrite (16-bit
+    signatures collide massively, so doc-level banding was output-bound).
+    At 64 bits distinct signatures ~= distinct docs, so banding runs at
+    DOC level: the band explode is a narrow 4x map off one aggregation,
+    the self-join's two sides are identical subtrees (one exchange,
+    reused -- the expensive vote aggregation runs ONCE), and no
+    expansion joins are needed afterwards. Each band join buckets on a
+    16-bit key: <= 65536 buckets regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     # Pre-aggregate to (doc, token, n) so md5 runs once per distinct
     # token per doc and the 64 bit-vote sums see ~2x fewer rows; votes
@@ -422,67 +416,47 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sim = sums.select(
         "doc_id", *[band_key(b).alias(f"k{b}") for b in range(N_SIM_BANDS)]
-    ).withColumn("sig", F.expr(_SIG_SQL))
+    )
 
-    # Banding, candidate join, dedup, and the hamming filter run at the
-    # DISTINCT-SIGNATURE level (exact duplicates and signature-colliding
-    # docs collapse to one row). Each of the 4 band joins buckets on a
-    # 16-bit key -- <= 65536 buckets, expected bucket size n/2^16 -- so
-    # candidate generation is a bucketed equi-join, never all-pairs.
-    # Semantics: a doc has exactly one signature, so each qualifying doc
-    # pair comes from exactly one (s1 <= s2) signature pair.
-    u = sim.select("sig", "k0", "k1", "k2", "k3").distinct()
-    band_frames = [
-        u.select(
-            "sig",
-            "k0",
-            "k1",
-            "k2",
-            "k3",
-            F.lit(b).alias("band_idx"),
-            F.col(f"k{b}").alias("band_key"),
-        )
-        for b in range(N_SIM_BANDS)
-    ]
-    ubands = band_frames[0]
-    for bf in band_frames[1:]:
-        ubands = ubands.unionAll(bf)
-
-    a, b = ubands.alias("a"), ubands.alias("b")
+    # One posexplode pass generates all 4 band rows -- a narrow map, so
+    # `sim` (and the vote aggregation above it) is a single subtree that
+    # both join sides share: Spark plans one exchange and reuses it.
+    bands = sim.select(
+        "doc_id",
+        "k0",
+        "k1",
+        "k2",
+        "k3",
+        F.posexplode(F.array(*[f"k{b}" for b in range(N_SIM_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    # shuffle_hash, not broadcast: broadcasting the small side would
+    # rebuild the whole vote-aggregation lineage for the build side,
+    # doubling the expensive stage; with both sides shuffled the two
+    # identical subtrees share one exchange (measured 2x faster here,
+    # and at 100 TB the bands relation is too big to broadcast anyway).
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     ham = None
     for i in range(N_SIM_BANDS):
         term = F.bit_count(F.expr(f"a.k{i} ^ b.k{i}"))
         ham = term if ham is None else ham + term
-    sim_pairs = (
+    # A pair matching in m bands appears m times -> DISTINCT after the
+    # hamming cut, when at most 4x the final pair count remains.
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.sig") <= F.col("b.sig")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.sig").alias("s1"),
-            F.col("b.sig").alias("s2"),
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
-    )
-    x, y = sim.alias("x"), sim.alias("y")
-    return (
-        sim_pairs.join(x, F.col("x.sig") == F.col("s1"))
-        .join(
-            y,
-            (F.col("y.sig") == F.col("s2"))
-            # equal-signature groups: emit each unordered pair once
-            & ((F.col("s1") < F.col("s2"))
-               | (F.col("x.doc_id") < F.col("y.doc_id"))),
-        )
-        .select(
-            F.least("x.doc_id", "y.doc_id").alias("doc_id_1"),
-            F.greatest("x.doc_id", "y.doc_id").alias("doc_id_2"),
-            "hamming",
-        )
     )
 
 

@@ -318,10 +318,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow projection -- no join, no shuffle of the embedding column.
     # Ties break toward the lowest cell id via the struct ordering,
     # matching the oracle's row_number ordering.
+    seed_rows = emb.filter(
+        F.col("vec_id").between(1, N_CELLS)
+        | (F.col("vec_id") == QUERY_VEC_ID)
+    ).select(F.col("vec_id").alias("cell_id"), "embedding").collect()
     cent_rows = sorted(
-        emb.filter(F.col("vec_id").between(1, N_CELLS))
-        .select(F.col("vec_id").alias("cell_id"), "embedding")
-        .collect(),
+        (r for r in seed_rows if r["cell_id"] != QUERY_VEC_ID),
         key=lambda r: r["cell_id"],
     )
     cell = F.least(
@@ -349,9 +351,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-prunable `cell_id IN (...)` filter, no join.
     qv_vals = [
         float(v)
-        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()[0]
+        for r in seed_rows
+        if r["cell_id"] == QUERY_VEC_ID
+        for v in r["embedding"]
     ]
     qcells = [
         cid
