@@ -63,3 +63,30 @@ def test_resize_payloads_bounds_size(spark):
         assert r["resized_bytes"] <= 64
         assert r["resized_bytes"] == len(r["payload"])
         assert 0 < r["scale"] <= 1.0
+
+
+def test_resize_payloads_decimates_to_budget(spark):
+    """The resize stub must honor its byte budget and keep metadata
+    consistent (deterministic decimation: every k-th byte, k = ceil)."""
+    import pandas as pd
+
+    from dump1090_stream_parser_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    data = [
+        (1, b"a" * 10),
+        (2, b"0123456789" * 20),  # 200 bytes -> k=4 -> 50 bytes
+        (3, b""),
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in resize_payloads(df, max_bytes=64).collect()}
+    assert len(out) == 3
+    for doc_id, payload in data:
+        r = out[doc_id]
+        assert r["orig_bytes"] == len(payload)
+        assert r["resized_bytes"] <= 64
+        assert r["resized_bytes"] == len(r["payload"])
+        k = max(1, -(-len(payload) // 64))
+        assert bytes(r["payload"]) == payload[::k]
+        assert abs(r["scale"] - 1.0 / k) < 1e-12
