@@ -1,0 +1,335 @@
+"""Training-data pipeline operators beyond the SURVEY §2 inventory:
+stratified sampling, token-budget shard packing, eval-set contamination
+detection, and repetition scoring (the Gopher-style quality rule).
+
+These register AFTER the driver's 50-entry evaluation window (positions
+51+; see ``operators/__init__.py``) -- the in-window slots belong to the
+SURVEY §2 inventory. Their correctness signal is the local pytest parity
+gate (``tests/test_parity.py`` runs every registry entry against its
+DuckDB oracle at sf0.001, ``tools/parity.py`` at sf0.01/sf0.1), using
+the same dtype-strict comparison the driver applies.
+
+Scale posture:
+- sampling / packing assignments are narrow maps off deterministic
+  hashes (reproducible across engines, runs, and cluster sizes);
+- shard packing runs its sequential cumulative sum INSIDE hash groups
+  (N_PACK_GROUPS-way parallel, bounded underfill at group tails) --
+  never a single global ordered window, which would funnel the corpus
+  through one reducer;
+- contamination hashes n-grams to 60-bit keys BEFORE the shuffle, so
+  the exchange carries 8-byte keys, not raw text fragments -- the same
+  discipline as q_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..tables import load_table
+from .registry import query
+from .text import SPLIT_PCT, tokens_col
+
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic per-stratum keep rates. The
+# canonical rebalancing move -- downsample the overrepresented language
+# -- with sample membership a pure function of the stable key, so the
+# sample never changes when the corpus grows or repartitions.
+# --------------------------------------------------------------------------
+
+#: Keep-rate percent per language stratum (pipeline config).
+SAMPLE_RATES = {"en": 10, "zh": 50}
+SAMPLE_RATE_DEFAULT = 30
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_RATE_DEFAULT} END"
+)
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH assign AS (
+      SELECT lang, n_chars,
+             ({portable_hash64_sql("'s:' || CAST(doc_id AS VARCHAR)")})
+               % 100 < ({_RATE_SQL}) AS keep
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+           CAST(COUNT(CASE WHEN keep THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS kept_pct,
+           CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM assign
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample with per-language keep rates.
+
+    The keep decision hashes a salted stable key ('s:' prefix keeps this
+    sample independent of the q_train_split buckets), so resampling a
+    grown corpus preserves every previously-kept doc -- the property
+    that makes downstream caches and experiment comparisons valid.
+    Narrow map + one aggregation; no shuffle carries text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash64(
+            F.concat(F.lit("s:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    keep = bucket < rate
+    return docs.select("lang", "n_chars", keep.alias("keep")).groupBy(
+        "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        (
+            F.count(F.when(F.col("keep"), 1)).cast("double") / F.count("*")
+        ).alias("kept_pct"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shard packing: assign docs to fixed-budget output shards. Sequential
+# packing needs an order; a single global ordered window is a one-reducer
+# bottleneck, so packing runs inside N_PACK_GROUPS deterministic hash
+# groups -- N-way parallel, at most one underfilled shard per group.
+# --------------------------------------------------------------------------
+
+N_PACK_GROUPS = 8
+SHARD_CHAR_BUDGET = 20000
+
+
+@query(
+    "q_pack_shards",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             ({portable_hash64_sql("doc_id")}) % {N_PACK_GROUPS}
+               AS pack_group
+      FROM documents
+    ),
+    packed AS (
+      SELECT pack_group, doc_id, n_chars,
+             CAST(floor(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {SHARD_CHAR_BUDGET}.0) AS BIGINT) AS shard_id
+      FROM g
+    )
+    SELECT pack_group, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+    FROM packed
+    GROUP BY pack_group, shard_id
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (the writer-side primitive: training
+    shards of ~equal size). A doc lands in the shard its group's
+    running char count (before the doc) falls in, so every shard except
+    a group's last holds >= SHARD_CHAR_BUDGET chars and order is
+    deterministic. The cumulative sum is per hash group, keeping the
+    sort N_PACK_GROUPS-way parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "n_chars",
+        (portable_hash64(F.col("doc_id")) % N_PACK_GROUPS).alias(
+            "pack_group"
+        ),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    packed = g.withColumn(
+        "shard_id",
+        F.floor(cum_before / float(SHARD_CHAR_BUDGET)).cast("bigint"),
+    )
+    return packed.groupBy("pack_group", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Eval-set contamination: training docs sharing a word CONTAM_K-gram
+# with any eval (test-split) doc -- the pre-training hygiene check.
+# Splits reuse q_train_split's buckets, so "train" and "test" here are
+# exactly the pipeline's own splits.
+# --------------------------------------------------------------------------
+
+CONTAM_K = 4
+_TRAIN_LT = SPLIT_PCT[0]  # bucket < 80 -> train
+_EVAL_GE = SPLIT_PCT[0] + SPLIT_PCT[1]  # bucket >= 90 -> test/eval
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             ({portable_hash64_sql("doc_id")}) % 100 AS bucket,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, bucket,
+             unnest(list_transform(
+               generate_series(1, len(t) - {CONTAM_K} + 1),
+               i -> {portable_hash64_sql(
+                   f"array_to_string(t[i:i+{CONTAM_K}-1], ' ')"
+               )})) AS gh
+      FROM toks
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gh FROM grams WHERE bucket >= {_EVAL_GE}
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, source, gh FROM grams
+      WHERE bucket < {_TRAIN_LT}
+    ),
+    hits AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_contaminated
+      FROM train WHERE gh IN (SELECT gh FROM eval_grams)
+      GROUP BY source
+    ),
+    base AS (
+      SELECT source, COUNT(*) AS n_train_docs
+      FROM toks WHERE bucket < {_TRAIN_LT}
+      GROUP BY source
+    )
+    SELECT base.source, n_train_docs,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_train_docs
+             AS contaminated_pct
+    FROM base LEFT JOIN hits ON base.source = hits.source
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination audit: which training docs share
+    a word 4-gram with the held-out split. Grams are hashed to 60 bits
+    in the same projection that explodes them, so the dedup/join
+    exchanges carry 8-byte keys, never text; the eval-gram side is
+    DISTINCT over a 10% split's grams (small) and Spark picks broadcast
+    for the semi-join when it fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id")) % 100
+    staged = docs.select(
+        "doc_id", "source", bucket.alias("bucket"), tokens_col().alias("_t")
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    grams_arr = F.when(
+        n >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), n - CONTAM_K + 1),
+            lambda i: portable_hash64(
+                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = staged.select(
+        "doc_id", "source", "bucket", F.explode(grams_arr).alias("gh")
+    )
+    eval_grams = (
+        grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
+    )
+    train = (
+        grams.filter(F.col("bucket") < _TRAIN_LT)
+        .select("doc_id", "source", "gh")
+        .distinct()
+    )
+    hits = (
+        train.join(eval_grams, "gh", "left_semi")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+    base = (
+        staged.filter(F.col("bucket") < _TRAIN_LT)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train_docs"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return base.join(hits, "source", "left").select(
+        "source",
+        "n_train_docs",
+        n_cont.alias("n_contaminated"),
+        (n_cont.cast("double") / F.col("n_train_docs")).alias(
+            "contaminated_pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition score: the Gopher-style "most common n-gram fraction"
+# quality rule -- a doc dominated by one repeated bigram is boilerplate
+# or degenerate generation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS rep_ratio
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition ratio: occurrences of the most frequent word
+    bigram over all bigram occurrences (docs with < 2 tokens have no
+    bigrams and are absent, same as the oracle). Two partial-agg-friendly
+    aggregations keyed by (doc, bigram) then doc; the known skew key --
+    a single degenerate doc -- is bounded by its own length."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens_col().alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    cnt = (
+        staged.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        (F.max("n").cast("double") / F.sum("n")).alias("rep_ratio"),
+    )

@@ -161,3 +161,16 @@ def test_dedup_shuffle_carries_fingerprint_not_text(spark):
     plan = formatted_plan(q_dedup(spark, SF_DIR))
     assert "hashpartitioning(fingerprint" in plan
     assert "hashpartitioning(text" not in plan
+
+
+def test_pack_shards_window_is_not_single_partition(spark):
+    """Sequential shard packing must run inside hash groups: a global
+    ordered window (SinglePartition exchange) funnels the corpus through
+    one reducer at 100 TB."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        q_pack_shards,
+    )
+
+    plan = formatted_plan(q_pack_shards(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(pack_group" in plan
