@@ -503,3 +503,314 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring (training-pipeline / retrieval primitive).
+# Conditional-aggregation shape: per-document term frequencies come from
+# array ops (size(filter(...))) -- a narrow, explode-free, shuffle-free
+# map -- and the three per-term partial scores are combined in a FIXED
+# textual order, so the double arithmetic is bit-reproducible across
+# engines (no order-dependent SUM over floats). Corpus stats (N, avgdl,
+# per-term df) are one 1-row aggregate broadcast back onto the scan.
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "hash", "table")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _eq_term(term: str):
+    return lambda x: x == term
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+             len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+               AS tf_spark,
+             len(list_filter(string_split(text, ' '), t -> t = 'hash'))
+               AS tf_hash,
+             len(list_filter(string_split(text, ' '), t -> t = 'table'))
+               AS tf_table
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table
+      FROM per_doc
+    )
+    SELECT doc_id, tf_spark, tf_hash, tf_table,
+           ROUND(
+             ln(1 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+               * (tf_spark * ({BM25_K1} + 1))
+               / (tf_spark + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+               * (tf_hash * ({BM25_K1} + 1))
+               / (tf_hash + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+               * (tf_table * ({BM25_K1} + 1))
+               / (tf_table + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+             6) AS bm25
+    FROM per_doc, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query (C4 retrieval/training-pipeline op).
+
+    Per-doc tf comes from array ops on the token array -- no explode, no
+    shuffle; the only exchange is the 1-row corpus-stats aggregate that
+    broadcasts back onto the scan. At 100 TB the scoring pass stays a
+    narrow map over the corpus + a TakeOrderedAndProject top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    per_doc = docs.select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        # NB: F.filter gives a 2-arg lambda the element index as the
+        # second argument, so the term must be bound via a factory.
+        *[
+            F.size(F.filter(t, _eq_term(term))).alias(f"tf_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)
+            ).alias(f"df_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+
+    def term_score(term: str) -> F.Column:
+        tf = F.col(f"tf_{term}").cast("double")
+        df = F.col(f"df_{term}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = tf + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * (BM25_K1 + 1)) / norm
+
+    score = term_score("spark") + term_score("hash") + term_score("table")
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tf_spark",
+            "tf_hash",
+            "tf_table",
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram frequency (n-gram analysis primitive). Bigrams are built
+# per-row from the token array (transform over an index sequence) -- a
+# narrow map with no positional self-join -- then one hash-agg + top-k.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_top",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM big
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+)
+def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams (C4). Adjacent-pair construction happens
+    inside the row via transform(sequence(...)) -- the classic
+    positional self-join (tok a JOIN tok b ON ord+1) would shuffle the
+    exploded corpus twice; this shape shuffles only (bigram, partial
+    count) pairs and finishes with TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(tokens_col().alias("t"))
+    # get() is 0-based; sequence(1, n-1) covers pairs (0,1)..(n-2,n-1).
+    # sequence() is descending when start > stop, so guard size < 2.
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(get(t, i - 1), ' ', get(t, i)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter cascade (training-pipeline gate): every doc gets a
+# keep/drop decision plus the FIRST failing rule, evaluated in a fixed
+# priority order. All per-doc features come from array ops -- the whole
+# cascade is a narrow map; the only shuffle is the tiny final
+# (lang, reason) rollup.
+# --------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 400
+QF_MIN_STOPWORD_RATIO = 0.05
+QF_MAX_TOP_TOKEN_SHARE = 0.20
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang, n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_SQL}))) AS n_stop,
+             list_max(list_transform(
+               list_distinct(list_filter(string_split(text, ' '),
+                                         t -> t <> '')),
+               x -> len(list_filter(string_split(text, ' '),
+                                    y -> y = x)))) AS top_tok
+      FROM documents
+    ),
+    decided AS (
+      SELECT lang, n_chars,
+             CASE
+               WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+               WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+               WHEN CAST(n_stop AS DOUBLE) / n_tokens
+                    < {QF_MIN_STOPWORD_RATIO} THEN 'low_stopword'
+               WHEN CAST(top_tok AS DOUBLE) / n_tokens
+                    > {QF_MAX_TOP_TOKEN_SHARE} THEN 'repetitive'
+               ELSE 'keep'
+             END AS reason
+      FROM feat
+    )
+    SELECT lang, reason, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM decided
+    GROUP BY lang, reason
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with per-(lang, reason) counts (C4
+    training-pipeline gate). The max-token-share feature is computed
+    inside the row (transform over distinct tokens), trading O(u*n)
+    per-row work for zero shuffles -- at 100 TB that beats the
+    two-level groupBy(doc_id, token) alternative, which would shuffle
+    the exploded corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    feat = docs.select(
+        "lang",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        F.size(
+            F.filter(t, lambda x: x.isin(*STOPWORDS))
+        ).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, _eq_col(x))),
+            )
+        ).alias("top_tok"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > QF_MAX_TOKENS, "too_long")
+        .when(
+            F.col("n_stop").cast("double") / F.col("n_tokens")
+            < QF_MIN_STOPWORD_RATIO,
+            "low_stopword",
+        )
+        .when(
+            F.col("top_tok").cast("double") / F.col("n_tokens")
+            > QF_MAX_TOP_TOKEN_SHARE,
+            "repetitive",
+        )
+        .otherwise("keep")
+    )
+    return (
+        feat.select("lang", "n_chars", reason.alias("reason"))
+        .groupBy("lang", "reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def _eq_col(target: F.Column):
+    return lambda y: y == target
+
+
+# --------------------------------------------------------------------------
+# Corpus length histogram (fixed-width integer bins -- no float binning,
+# so bin assignment is exact and engine-independent).
+# --------------------------------------------------------------------------
+
+HIST_BIN_CHARS = 50
+
+
+@query(
+    "q_length_hist",
+    oracle=f"""
+    SELECT lang,
+           (n_chars // {HIST_BIN_CHARS}) * {HIST_BIN_CHARS} AS bin_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, bin_lo
+    """,
+)
+def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram (C4 corpus-analysis op).
+    Integer-division binning is a narrow map; the aggregation is
+    partial-agg friendly on a bounded (lang, bin) key space, so at
+    100 TB the shuffle moves only |langs|*|bins| partial rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_lo = (
+        (F.col("n_chars") / HIST_BIN_CHARS).cast("bigint") * HIST_BIN_CHARS
+    )
+    return (
+        docs.select("lang", "n_chars", bin_lo.alias("bin_lo"))
+        .groupBy("lang", "bin_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
