@@ -575,8 +575,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map over the corpus + a TakeOrderedAndProject top-k.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens_col()
-    per_doc = docs.select(
+    # Token array staged once per row (see q_quality_filter): dl + the
+    # three tf columns reference one split, not four.
+    staged = docs.select("doc_id", tokens_col().alias("_t"))
+    t = F.col("_t")
+    per_doc = staged.select(
         "doc_id",
         F.size(t).alias("dl"),
         # NB: F.filter gives a 2-arg lambda the element index as the
@@ -730,8 +733,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level groupBy(doc_id, token) alternative, which would shuffle
     the exploded corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens_col()
-    feat = docs.select(
+    # Stage the token array in its own projection: the three features
+    # (and the per-distinct-token inner filter) then reference the
+    # already-split array instead of re-splitting text per reference
+    # (CollapseProject keeps a multiply-referenced non-cheap alias in
+    # its own project -- same trick as q_lang_id's char staging).
+    staged = docs.select("lang", "n_chars", tokens_col().alias("_t"))
+    t = F.col("_t")
+    feat = staged.select(
         "lang",
         "n_chars",
         F.size(t).alias("n_tokens"),

@@ -174,3 +174,44 @@ def test_pack_shards_window_is_not_single_partition(spark):
     plan = formatted_plan(q_pack_shards(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(pack_group" in plan
+
+
+def test_bm25_is_explode_free(spark):
+    """q_bm25's tf comes from array ops inside the row: no Generate
+    (explode) anywhere, the 1-row stats side joins as a broadcast, and
+    the top-k is TakeOrderedAndProject -- the narrow shape that keeps
+    the 100 TB scoring pass shuffle-free up to the final top-k."""
+    from dump1090_stream_parser_spark.operators.text import q_bm25
+
+    plan = formatted_plan(q_bm25(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    strats = join_strategies(q_bm25(spark, SF_DIR))
+    assert "SortMergeJoin" not in strats
+    assert "ShuffledHashJoin" not in strats
+
+
+def test_quality_filter_single_shuffle(spark):
+    """The whole cascade (features + decision) is a narrow map; the only
+    exchange is the final tiny (lang, reason) rollup."""
+    from dump1090_stream_parser_spark.operators.text import q_quality_filter
+
+    plan = formatted_plan(q_quality_filter(spark, SF_DIR))
+    # formatted mode renders each exchange as "(n) Exchange" with its
+    # partitioning on a separate Arguments line
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan  # no per-doc token-count self-join
+    # the token array is staged: exactly one split() of text in the plan
+    assert plan.count("split(text") == 1, plan
+
+
+def test_ngram_top_has_no_positional_self_join(spark):
+    """Bigrams are built per-row (transform over an index sequence); the
+    positional-self-join formulation would shuffle the exploded corpus
+    twice."""
+    from dump1090_stream_parser_spark.operators.text import q_ngram_top
+
+    plan = formatted_plan(q_ngram_top(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
