@@ -45,7 +45,9 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #   q_rolling_fingerprint - fingerprint capability held by q_doc_fingerprint
 #   q_near_dedup_ngram    - near-dup capability held by minhash/simhash/
 #                           embedding; ngram is the survivor-verify pass
+#   q_haversine           - math-fn row also held in-window by q_percentile
 _EVAL_TAIL = (
+    "q_haversine",
     "q_group_salted",
     "q_window_ntile",
     "q_knn_per_label",

@@ -163,3 +163,114 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(nw).alias("balance_prank"),
         F.cume_dist().over(nw).alias("balance_cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis over the events stream stand-in (window
+# capability applied to the product-analytics shape every event pipeline
+# needs). Strict ordered-subsequence semantics on first occurrences with
+# a per-stage conversion deadline: stage N counts users with an event of
+# type N inside (t_{N-1}, t_{N-1} + deadline]. Timestamps are exact
+# microseconds in both engines, so the deadline comparison has no float
+# boundary. Three stacked conditional window-mins share ONE partitioning
+# (user_id), so the whole funnel is a single exchange followed by a
+# per-user rollup that reuses the same partitioning.
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+#: Mirrored literally in the oracle SQL above -- keep in sync.
+FUNNEL_DEADLINE_HOURS = 24
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+                          AND ts <= t1 + INTERVAL 24 HOUR
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                          AND ts <= t2 + INTERVAL 24 HOUR
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t1) AS n_view,
+           COUNT(t2) AS n_click_after_view,
+           COUNT(t3) AS n_purchase_after_click
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage ordered funnel (view -> click -> purchase) on first
+    occurrences. Stage times are stacked conditional MIN windows over
+    the same user_id partitioning -- one shuffle for all three stages,
+    and the per-user rollup reuses that partitioning (no second
+    exchange). At 100 TB the funnel cost is one events-sized shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STAGES[1])
+                    & (F.col("ts") > F.col("t1"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t1")
+                        + F.expr(f"INTERVAL {FUNNEL_DEADLINE_HOURS} HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STAGES[2])
+                    & (F.col("ts") > F.col("t2"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t2")
+                        + F.expr(f"INTERVAL {FUNNEL_DEADLINE_HOURS} HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )

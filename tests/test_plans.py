@@ -215,3 +215,14 @@ def test_ngram_top_has_no_positional_self_join(spark):
     plan = formatted_plan(q_ngram_top(spark, SF_DIR))
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_exchange(spark):
+    """The three stacked stage windows and the per-user rollup must all
+    share the user_id partitioning: exactly one exchange in the funnel
+    up to the final 1-row aggregate."""
+    from dump1090_stream_parser_spark.operators.windows import q_funnel
+
+    plan = formatted_plan(q_funnel(spark, SF_DIR))
+    n_hash_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_hash_exchanges == 1, plan
