@@ -46,7 +46,9 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #   q_near_dedup_ngram    - near-dup capability held by minhash/simhash/
 #                           embedding; ngram is the survivor-verify pass
 #   q_haversine           - math-fn row also held in-window by q_percentile
+#   q_ngram_top           - explode->agg->top-k shape held by q_token_tf
 _EVAL_TAIL = (
+    "q_ngram_top",
     "q_haversine",
     "q_group_salted",
     "q_window_ntile",

@@ -455,3 +455,98 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroid + outlier detection (embedding-quality op for a
+# training-data pipeline: flag vectors far from their class centroid).
+# Determinism across engines: float SUMs are order-dependent, so the
+# centroid accumulates floor(component * 1e6) as exact int64 (identical
+# in any order) and divides once at the end. The cosine fold then runs
+# left-to-right in both engines (F.aggregate / list_reduce).
+# --------------------------------------------------------------------------
+
+CENTROID_SCALE = 1_000_000
+OUTLIER_K = 5
+
+
+@query(
+    "q_centroid_outliers",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS val,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {CENTROID_SCALE})
+                           AS BIGINT)) AS DOUBLE)
+               / ({CENTROID_SCALE}.0 * COUNT(*)) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_cos_sql("embedding", "cv")}, 6) AS cos_centroid
+      FROM embeddings e JOIN cvec USING (label)
+    )
+    SELECT label, vec_id, cos_centroid, rn FROM (
+      SELECT scored.*, row_number() OVER (
+               PARTITION BY label
+               ORDER BY cos_centroid ASC, vec_id) AS rn
+      FROM scored
+    ) t WHERE rn <= {OUTLIER_K}
+    """,
+)
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 outliers per label by cosine distance to the label centroid
+    (C3 embedding-quality op).
+
+    Centroid build: posexplode -> (label, pos) hash-agg over quantized
+    int64 components -- n*dim rows into the shuffle but partial
+    aggregation collapses each map task to |labels|*dim rows, and the
+    result (|labels| x dim) is tiny at any corpus size, so it
+    BROADCASTS back onto the embeddings scan; the scoring pass never
+    shuffles the vectors. Outlier top-k is a per-label window on the
+    scored (narrow) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos0")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * CENTROID_SCALE)
+                ).cast("double")
+                / (F.lit(float(CENTROID_SCALE)) * F.count("*"))
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    scored = emb.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("cv")), 6
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.select(
+            "label", "vec_id", "cos_centroid",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= OUTLIER_K)
+    )

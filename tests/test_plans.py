@@ -226,3 +226,15 @@ def test_funnel_single_exchange(spark):
     plan = formatted_plan(q_funnel(spark, SF_DIR))
     n_hash_exchanges = plan.count("Arguments: hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    """The |labels| x dim centroid table must broadcast back onto the
+    embeddings scan -- the scoring pass never shuffles the vectors."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_centroid_outliers,
+    )
+
+    plan = formatted_plan(q_centroid_outliers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
