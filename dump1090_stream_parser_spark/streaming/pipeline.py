@@ -233,3 +233,52 @@ def dedup_stream(silver_df: DataFrame, watermark: str = "10 minutes") -> DataFra
     return silver_df.withWatermark("parsed_time", watermark).dropDuplicatesWithinWatermark(
         ["hex_ident", "generated_ts", "transmission_type", "callsign", "altitude"]
     )
+
+
+def join_position_with_callsign(
+    silver_df: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 10,
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md §2.2 joins, streaming
+    form): position reports (transmission_type 3) pick up the callsign
+    from the most-recent-window identity messages (type 1) of the same
+    airframe. Both sides carry watermarks and the join predicate bounds
+    event-time distance, so Spark can expire state: per-key state holds
+    only `watermark + max_gap` worth of rows on either side -- the
+    property that keeps an unbounded 100 TB/day feed joinable. The join
+    shuffles both streams by hex_ident once; output is append-mode."""
+    pos = (
+        silver_df.filter(F.col("transmission_type") == 3)
+        .select(
+            "hex_ident",
+            F.col("parsed_time").alias("pos_time"),
+            "lat",
+            "lon",
+            "altitude",
+        )
+        .withWatermark("pos_time", watermark)
+    )
+    ident = (
+        silver_df.filter(F.col("transmission_type") == 1)
+        .select(
+            F.col("hex_ident").alias("cs_hex"),
+            F.col("callsign"),
+            F.col("parsed_time").alias("cs_time"),
+        )
+        .withWatermark("cs_time", watermark)
+    )
+    return pos.join(
+        ident,
+        F.expr(
+            f"""
+            hex_ident = cs_hex
+            AND cs_time BETWEEN pos_time - INTERVAL {max_gap_minutes} MINUTES
+                            AND pos_time
+            """
+        ),
+        "inner",
+    ).select(
+        "hex_ident", "pos_time", "lat", "lon", "altitude",
+        "callsign", "cs_time",
+    )

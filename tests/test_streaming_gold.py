@@ -186,3 +186,34 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     by_ac = {r["hex_ident"]: r for r in res}
     assert by_ac["AAA111"]["type_code"] == "B738"
     assert by_ac["BBB222"]["type_code"] is None  # left join keeps unknowns
+
+
+# MSG,1 identity messages + MSG,3 positions: AAA111 has a callsign 5 min
+# before each of its first two positions (within the 10-min join gap), a
+# THIRD position 2h later (outside any gap -> dropped by the interval
+# join), and BBB222 has a position but no identity message at all.
+SS_JOIN_LINES = [
+    "MSG,1,1,1,AAA111,1,2026/08/13,09:55:00.000,2026/08/13,09:55:00.000,JET42,,,,,,,,,,,",
+    "MSG,3,1,1,AAA111,1,2026/08/13,10:00:00.000,2026/08/13,10:00:00.000,,35000,,,51.1,-0.1,,,0,0,0,0",
+    "MSG,3,1,1,AAA111,1,2026/08/13,10:04:00.000,2026/08/13,10:04:00.000,,35100,,,51.2,-0.2,,,0,0,0,0",
+    "MSG,3,1,1,AAA111,1,2026/08/13,12:30:00.000,2026/08/13,12:30:00.000,,36000,,,52.0,-1.0,,,0,0,0,0",
+    "MSG,3,1,1,BBB222,1,2026/08/13,10:30:00.000,2026/08/13,10:30:00.000,,20000,,,48.0,2.0,,,0,0,0,0",
+]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        join_position_with_callsign,
+    )
+
+    out = _run_stream(
+        spark, tmp_path, SS_JOIN_LINES,
+        join_position_with_callsign, "enriched",
+    )
+    rows = {
+        (r.hex_ident, str(r.pos_time), r.callsign) for r in out.collect()
+    }
+    assert rows == {
+        ("AAA111", "2026-08-13 10:00:00", "JET42"),
+        ("AAA111", "2026-08-13 10:04:00", "JET42"),
+    }
