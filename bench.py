@@ -47,6 +47,11 @@ HEADLINE = [
     "q_ann_lsh",           # hyperplane-LSH bucketed ANN
     "q_ann_ivf",           # IVF coarse-quantized ANN
     "q_multimodal_features",  # Arrow mapInPandas codec path
+    "q_bm25",              # explode-free array-op scoring + 1-row broadcast
+    "q_quality_filter",    # narrow-map cascade, single tiny rollup
+    "q_funnel",            # stacked window stages, one exchange
+    "q_centroid_outliers",  # posexplode agg + broadcast + window top-k
+    "q_contamination",     # fact-fact gram-hash semi join
 ]
 
 
