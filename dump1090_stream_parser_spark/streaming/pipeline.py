@@ -239,6 +239,7 @@ def join_position_with_callsign(
     silver_df: DataFrame,
     watermark: str = "10 minutes",
     max_gap_minutes: int = 10,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY.md §2.2 joins, streaming
     form): position reports (transmission_type 3) pick up the callsign
@@ -247,7 +248,10 @@ def join_position_with_callsign(
     event-time distance, so Spark can expire state: per-key state holds
     only `watermark + max_gap` worth of rows on either side -- the
     property that keeps an unbounded 100 TB/day feed joinable. The join
-    shuffles both streams by hex_ident once; output is append-mode."""
+    shuffles both streams by hex_ident once; output is append-mode.
+    ``how="left_outer"`` emits unmatched positions with a NULL callsign
+    once the watermark passes their join window -- state eviction is
+    what makes the outer form safe on unbounded feeds."""
     pos = (
         silver_df.filter(F.col("transmission_type") == 3)
         .select(
@@ -277,7 +281,7 @@ def join_position_with_callsign(
                             AND pos_time
             """
         ),
-        "inner",
+        how,
     ).select(
         "hex_ident", "pos_time", "lat", "lon", "altitude",
         "callsign", "cs_time",

@@ -217,3 +217,64 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ("AAA111", "2026-08-13 10:00:00", "JET42"),
         ("AAA111", "2026-08-13 10:04:00", "JET42"),
     }
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Outer results only emit when the watermark passes a row's join
+    window, so the replay ships a second file whose late event advances
+    the watermark past every earlier position."""
+    import functools
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_file_replay,
+        join_position_with_callsign,
+    )
+    from dump1090_stream_parser_spark.sources.sbs1 import parse_lines, silver
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a_lines.txt").write_text("\n".join(SS_JOIN_LINES) + "\n")
+    # Watermark pushers: far-future positions (their own unmatched rows
+    # may legitimately stay in state when the stream ends). Two of them:
+    # the watermark computed from batch N only takes effect in batch
+    # N+1, and evicted outer rows only emit in a batch that runs AFTER
+    # the watermark passed them.
+    # NB: the global watermark is the MIN across both sides' columns,
+    # so each pusher must advance the position AND the callsign stream.
+    (src / "b_push.txt").write_text(
+        "MSG,3,1,1,CCC333,1,2026/08/14,12:00:00.000,2026/08/14,"
+        "12:00:00.000,,10000,,,40.0,3.0,,,0,0,0,0\n"
+        "MSG,1,1,1,CCC333,1,2026/08/14,12:00:00.000,2026/08/14,"
+        "12:00:00.000,CARGO1,,,,,,,,,,,\n"
+    )
+    (src / "c_push.txt").write_text(
+        "MSG,3,1,1,DDD444,1,2026/08/15,12:00:00.000,2026/08/15,"
+        "12:00:00.000,,10000,,,41.0,4.0,,,0,0,0,0\n"
+        "MSG,1,1,1,DDD444,1,2026/08/15,12:00:00.000,2026/08/15,"
+        "12:00:00.000,CARGO2,,,,,,,,,,,\n"
+    )
+    # one file per micro-batch: maxFilesPerTrigger is a SOURCE option
+    bronze = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    )
+    parsed = parse_lines(bronze, parsed_time=F.col("generated_ts"))
+    out = join_position_with_callsign(silver(parsed), how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.hex_ident, str(r.pos_time), r.callsign)
+        for r in spark.sql("SELECT * FROM ss_outer").collect()
+    }
+    # In-gap positions join; the 12:30 position and callsign-less
+    # BBB222 emit with NULL callsign once the watermark passes them.
+    assert ("AAA111", "2026-08-13 10:00:00", "JET42") in rows
+    assert ("AAA111", "2026-08-13 10:04:00", "JET42") in rows
+    assert ("AAA111", "2026-08-13 12:30:00", None) in rows
+    assert ("BBB222", "2026-08-13 10:30:00", None) in rows
