@@ -68,3 +68,32 @@ def bucketed_star_layout(
         "o_orderkey",
         n_buckets,
     )
+
+
+def date_partitioned_events_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """One-time layout job for the time-series table: events written to
+    ``event_date=YYYY-MM-DD/`` directories. A date-ranged query then
+    touches only the matching directories -- partition PRUNING happens
+    at file-listing time, before any IO, which at 100 TB (3 TB/day,
+    say) turns a full scan into a read of just the queried days.
+
+    Inside each date directory rows are sorted by (user_id, ts) so
+    per-user scans benefit from parquet row-group min/max skipping --
+    directory pruning for the coarse filter, zone-map skipping for the
+    fine one.
+    """
+    from pyspark.sql import functions as F
+
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )

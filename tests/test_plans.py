@@ -238,3 +238,45 @@ def test_centroid_outliers_broadcasts_centroids(spark):
     plan = formatted_plan(q_centroid_outliers(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_date_layout_prunes_partitions(spark, tmp_path):
+    """A date-range filter over the date-partitioned events layout must
+    prune at the directory level: the scan's PartitionFilters carry the
+    predicate and the file count drops to the matching days."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.layout import (
+        date_partitioned_events_layout,
+    )
+
+    out = str(tmp_path / "events_by_date")
+    date_partitioned_events_layout(spark, SF_DIR, out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == "2024-01-03")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = formatted_plan(df)
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[isnotnull\(event_date#\d+\), "
+        r"\(event_date#\d+ = 2024-01-03\)\]",
+        plan,
+    ), plan
+    # pruning is real, not cosmetic: exactly one day's rows survive
+    n_days = (
+        spark.read.parquet(out)
+        .select("event_date").distinct().count()
+    )
+    assert n_days > 1  # layout actually split days
+    rows = df.agg(F.sum("n").alias("s")).collect()[0]["s"]
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/events.parquet') "
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-03'"
+    ).fetchone()[0]
+    assert rows == expected
