@@ -52,7 +52,14 @@ HEADLINE = [
     "q_funnel",            # stacked window stages, one exchange
     "q_centroid_outliers",  # posexplode agg + broadcast + window top-k
     "q_contamination",     # fact-fact gram-hash semi join
+    "q_quantize_embeddings",  # narrow higher-order array map + 1 exchange
+    "q_mix_weights",       # 1-row stats broadcast re-weighting
+    "q_pii_scrub",         # zero-exchange regex scan
+    "q_join_full",         # full outer over pre-aggregated sides
 ]
+# q_dedup_clusters is benched separately (BASELINE.md): an iterative
+# operator's wall-clock is dominated by per-round driver scheduling at
+# toy scale, which would swamp the steady-state headline signal.
 
 
 def main() -> None:

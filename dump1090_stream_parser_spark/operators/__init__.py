@@ -47,7 +47,23 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           embedding; ngram is the survivor-verify pass
 #   q_haversine           - math-fn row also held in-window by q_percentile
 #   q_ngram_top           - explode->agg->top-k shape held by q_token_tf
+#   q_token_tf            - its explode->count pipeline is literally the
+#                           first CTE of in-window q_tfidf
+#   q_doc_fingerprint     - the same portable 60-bit hash is the groupBy
+#                           key of in-window q_dedup and q_contamination
+#   q_agg_conditional     - COUNT(CASE WHEN) shape held in-window by
+#                           q_stratified_sample / q_quality_filter
+#   q_array_explode       - explode + array fns held in-window by
+#                           q_tfidf/q_lang_id (explode) and
+#                           q_knn_cosine/q_bm25 (higher-order array ops)
+#   q_string_clean        - string-fn tier held in-window by q_pii_scrub
+#                           (regex) and the text-analysis suite
 _EVAL_TAIL = (
+    "q_token_tf",
+    "q_doc_fingerprint",
+    "q_agg_conditional",
+    "q_array_explode",
+    "q_string_clean",
     "q_ngram_top",
     "q_haversine",
     "q_group_salted",

@@ -255,3 +255,43 @@ def q_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH o AS (
+      SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT date_trunc('day', l_shipdate) AS d, COUNT(*) AS n_ships
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, s.d) AS d,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ships, 0) AS n_ships
+    FROM o FULL JOIN s ON o.d = s.d
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (completes the join-type surface): daily order
+    placements vs daily line-item shipments, keeping days that appear
+    on only one side (shipments trail orders by up to ~4 months, so
+    both tails are genuinely one-sided). Both inputs are pre-aggregated
+    to |days| rows BEFORE the join -- the full-outer exchange carries
+    two date-keyed count tables, never fact rows; at 100 TB the join
+    stays a few-thousand-row sort-merge regardless of fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count("*").alias("n_orders"))
+    s = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.count("*").alias("n_ships")
+    )
+    return o.join(s, "d", "full").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0).cast("long")).alias("n_ships"),
+    )

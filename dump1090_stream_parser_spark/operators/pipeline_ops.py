@@ -333,3 +333,80 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("top_bigram_n"),
         (F.max("n").cast("double") / F.sum("n")).alias("rep_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture re-weighting: per-source sampling weights toward a uniform
+# token budget. The "dataset mixing" step of a pretraining pipeline:
+# oversized sources get a keep-probability < 1 so every source
+# contributes at most its fair share of tokens.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mix_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      t -> t <> ''))) AS BIGINT) AS tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             COUNT(*) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           least(1.0, CAST(CAST(floor(CAST(total AS DOUBLE) / n_sources)
+                                AS BIGINT) AS DOUBLE)
+                        / CAST(tokens AS DOUBLE)) AS weight,
+           least(tokens, CAST(floor(CAST(total AS DOUBLE) / n_sources)
+                              AS BIGINT)) AS effective_tokens
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture re-weighting: per-source token totals and the
+    sampling weight that caps every source at a uniform share of the
+    corpus token budget (weight = min(1, target/tokens); undersized
+    sources keep everything).
+
+    Shape: one narrow map (token counts are array ops on the staged
+    split, no explode), one |sources|-key aggregation, then a 1-row
+    corpus-stats CROSS JOIN broadcast back onto the |sources|-row
+    result -- the same broadcast-scalar pattern as q_bm25. All token
+    arithmetic is integer; the two reported ratios are single final
+    divisions of exact ints, so results are engine- and
+    partitioning-independent at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens_col()).alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    target = F.floor(
+        F.col("total").cast("double") / F.col("n_sources")
+    ).cast("long")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        F.least(
+            F.lit(1.0),
+            target.cast("double") / F.col("tokens").cast("double"),
+        ).alias("weight"),
+        F.least(F.col("tokens"), target).alias("effective_tokens"),
+    )

@@ -550,3 +550,117 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= OUTLIER_K)
     )
+
+
+# --------------------------------------------------------------------------
+# C3/C5: int8 embedding quantization with reconstruction-error audit.
+# --------------------------------------------------------------------------
+
+#: Error quantum for cross-engine-exact error accounting (nanounits).
+QUANT_NANO = 1_000_000_000
+
+
+@query(
+    "q_quantize_embeddings",
+    oracle=f"""
+    WITH st AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS am
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS scale
+      FROM st
+    ),
+    ea AS (
+      SELECT vec_id, label, len(embedding) AS n_elems,
+             list_transform(embedding,
+               x -> CAST(floor(abs(
+                      floor(CAST(x AS DOUBLE) / scale + 0.5) * scale
+                      - CAST(x AS DOUBLE)) * {QUANT_NANO} + 0.5)
+                    AS BIGINT)) AS errs
+      FROM sc
+    ),
+    pv AS (
+      SELECT label, n_elems,
+             CAST(list_sum(errs) AS BIGINT) AS err_nano,
+             CAST(list_max(errs) AS BIGINT) AS mx_nano
+      FROM ea
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(err_nano) AS BIGINT) AS sum_err_nano,
+           CAST(SUM(err_nano) AS DOUBLE)
+             / ({QUANT_NANO}.0 * CAST(SUM(n_elems) AS DOUBLE))
+             AS avg_abs_err,
+           CAST(MAX(mx_nano) AS DOUBLE) / {QUANT_NANO}.0 AS max_abs_err
+    FROM pv
+    GROUP BY label
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    per-label reconstruction-error audit (the compression step a
+    training pipeline runs before shipping embeddings to storage:
+    4 bytes/dim -> 1 byte/dim + one float scale per vector).
+
+    Per vector: scale = max|x|/127, q_i = floor(x_i/scale + 0.5) -- the
+    explicit floor form, NOT round(), because round()'s half-even vs
+    half-away behavior differs across engines. The whole pass is a
+    narrow map (higher-order array ops, no explode); per-element
+    reconstruction errors are quantized to integer nanounits BEFORE any
+    summation, so the per-vector fold and the per-label SUM are exact
+    integer arithmetic -- order-independent and bit-identical across
+    engines and partitionings -- with single final divisions for the
+    reported averages. At 100 TB only (label, two int64, count) rows
+    cross the shuffle; partial aggregation collapses each map task to
+    |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    st = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(xd(x)))
+        ).alias("am"),
+    )
+    scale = F.when(F.col("am") == 0, F.lit(1.0)).otherwise(
+        F.col("am") / F.lit(127.0)
+    )
+    sc = st.select("vec_id", "label", "v", scale.alias("scale"))
+    errs = F.transform(
+        "v",
+        lambda x: F.floor(
+            F.abs(
+                F.floor(xd(x) / F.col("scale") + F.lit(0.5)) * F.col("scale")
+                - xd(x)
+            )
+            * F.lit(QUANT_NANO)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    ea = sc.select(
+        "label", F.size("v").alias("n_elems"), errs.alias("errs")
+    )
+    pv = ea.select(
+        "label",
+        "n_elems",
+        F.aggregate(
+            "errs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("err_nano"),
+        F.array_max("errs").alias("mx_nano"),
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("err_nano").alias("sum_err_nano"),
+        (
+            F.sum("err_nano").cast("double")
+            / (F.lit(float(QUANT_NANO)) * F.sum("n_elems").cast("double"))
+        ).alias("avg_abs_err"),
+        (F.max("mx_nano").cast("double") / F.lit(float(QUANT_NANO))).alias(
+            "max_abs_err"
+        ),
+    )

@@ -823,3 +823,88 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: regex redaction with audit counts. The corpus itself is
+# synthetic word salad with no PII, so the query plants one
+# deterministic email + phone per row (derived from doc_id) and then
+# scrubs them -- proving the redaction plumbing end-to-end with exact
+# per-row counts and a fingerprint of the scrubbed output. Patterns
+# stick to character classes + bounded repetition, the regex subset
+# where Java regex (Spark) and RE2 (DuckDB) agree.
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{PII_PHONE_RE}', '<PHONE>', 'g') AS s
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_phones,
+           len(s) AS n_chars_scrubbed,
+           {portable_hash64_sql("s")} AS scrub_fp
+    FROM scrubbed
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (C4): plant a deterministic synthetic email +
+    phone per document, scrub both with regexp_replace, and report
+    per-row redaction counts plus the 60-bit fingerprint of the
+    scrubbed text (the fingerprint makes the oracle comparison prove
+    byte-exact replacement without hauling full texts through the
+    harness).
+
+    Entirely a narrow map -- regex extraction, replacement, hashing are
+    all per-row JVM expressions; nothing shuffles. At 100 TB this is
+    the cheapest kind of operator: linear scan, perfectly parallel,
+    with the scrubbed column written straight back to parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("s"),
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("s").alias("n_chars_scrubbed"),
+        portable_hash64(F.col("s")).alias("scrub_fp"),
+    )

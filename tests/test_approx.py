@@ -90,3 +90,33 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(truth) == 10
     assert len(ivf & truth) / 10 >= 0.5, sorted(ivf & truth)
     assert len(lsh & truth) / 10 >= 0.3, sorted(lsh & truth)
+
+
+def test_dedup_clusters_agree_with_pair_graph(spark):
+    """Cluster assignment must be exactly the transitive closure of the
+    verified near-dup pairs: pair members share a cluster, cluster_id is
+    the component minimum, and sizes partition the corpus."""
+    from dump1090_stream_parser_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_near_dedup_ngram,
+    )
+
+    clusters = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in q_dedup_clusters(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r.doc_id_1, r.doc_id_2)
+        for r in q_near_dedup_ngram(spark, SF_DIR).collect()
+    ]
+    for a, b in pairs:
+        assert clusters[a][0] == clusters[b][0], (a, b)
+    # cluster_id is the min member; sizes are consistent and partition
+    # the document set
+    from collections import Counter
+
+    members = Counter(cid for cid, _ in clusters.values())
+    for doc_id, (cid, size) in clusters.items():
+        assert cid <= doc_id
+        assert members[cid] == size
+    assert sum(members.values()) == len(clusters)

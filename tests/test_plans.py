@@ -280,3 +280,51 @@ def test_date_layout_prunes_partitions(spark, tmp_path):
         "WHERE CAST(ts AS DATE) = DATE '2024-01-03'"
     ).fetchone()[0]
     assert rows == expected
+
+
+def test_pii_scrub_is_pure_narrow_map(spark):
+    """Regex plant/extract/replace/hash are all per-row expressions:
+    zero exchanges, zero joins -- the linear-scan shape."""
+    from dump1090_stream_parser_spark.operators.text import q_pii_scrub
+
+    plan = formatted_plan(q_pii_scrub(spark, SF_DIR))
+    assert plan.count(") Exchange") == 0, plan
+    assert "Join" not in plan
+
+
+def test_quantize_embeddings_single_exchange_no_explode(spark):
+    """The quantize + error pass is higher-order array ops inside the
+    row; only |labels|-key partial sums cross the one exchange."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_quantize_embeddings,
+    )
+
+    plan = formatted_plan(q_quantize_embeddings(spark, SF_DIR))
+    assert plan.count(") Exchange") == 1, plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
+def test_mix_weights_stats_join_is_broadcast(spark):
+    """The 1-row corpus-totals side must broadcast back onto the
+    per-source aggregate; no sort-merge/shuffle join, no explode."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        q_mix_weights,
+    )
+
+    df = q_mix_weights(spark, SF_DIR)
+    strats = join_strategies(df)
+    assert "SortMergeJoin" not in strats
+    assert "ShuffledHashJoin" not in strats
+    assert "Generate" not in formatted_plan(df)
+
+
+def test_join_full_prunes_to_date_columns(spark):
+    """Both full-outer inputs pre-aggregate to day counts, so each scan
+    must read exactly its date column -- fact columns never load."""
+    from dump1090_stream_parser_spark.operators.joins import q_join_full
+
+    schemas = read_schemas(q_join_full(spark, SF_DIR))
+    assert "o_orderdate" in schemas and "l_shipdate" in schemas
+    for col in ("o_totalprice", "l_quantity", "l_extendedprice"):
+        assert col not in schemas, schemas
