@@ -97,3 +97,70 @@ def date_partitioned_events_layout(
         .partitionBy("event_date")
         .parquet(out_dir)
     )
+
+
+def lsh_bucketed_embeddings_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """One-time ANN index layout: embeddings written to
+    ``bucket=N/`` directories keyed by the q_ann_lsh hyperplane bucket
+    (8 sign bits -> 256 directories). A multi-probe ANN search then
+    reads only the probed buckets -- partition pruning at file-listing
+    time turns the 14% candidate fraction (hamming<=2: 37/256 buckets)
+    into 14% of the IO, not a full scan plus filter. This is the
+    at-rest half of the q_ann_lsh design (its in-query form computes
+    the bucket on the fly)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _bucket_col
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    (
+        emb.withColumn("bucket", _bucket_col(F.col("embedding"), dim))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def ann_probe_pruned(
+    spark: SparkSession, layout_dir: str, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Top-k cosine ANN over the bucket-partitioned layout, reading
+    ONLY the buckets within hamming<=LSH_PROBE_HAMMING of the query's
+    bucket (the probe set is enumerated driver-side from the query's
+    bucket id -- 37 of 256 partitions -- and lands in the scan as a
+    partition ``IN`` filter; tests assert the PartitionFilters line).
+    Result matches q_ann_lsh exactly: same buckets, same re-rank."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.similarity import LSH_PROBE_HAMMING
+
+    emb = spark.read.parquet(layout_dir)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
+        "embedding", "bucket"
+    ).first()
+    qbucket = qrow["bucket"]
+    probe = [
+        b for b in range(256) if bin(b ^ qbucket).count("1") <= LSH_PROBE_HAMMING
+    ]
+    qv = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    return (
+        emb.filter(
+            F.col("bucket").isin(probe) & (F.col("vec_id") != query_vec_id)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -328,3 +328,34 @@ def test_join_full_prunes_to_date_columns(spark):
     assert "o_orderdate" in schemas and "l_shipdate" in schemas
     for col in ("o_totalprice", "l_quantity", "l_extendedprice"):
         assert col not in schemas, schemas
+
+
+def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
+    """The at-rest ANN layout: probing the bucket-partitioned
+    embeddings must (a) reach the scan as a partition filter -- pruned
+    at file-listing time, no full scan -- and (b) return exactly the
+    q_ann_lsh result (same buckets, same re-rank)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        q_ann_lsh,
+    )
+    from dump1090_stream_parser_spark.plans.layout import (
+        ann_probe_pruned,
+        lsh_bucketed_embeddings_layout,
+    )
+
+    out = str(tmp_path / "emb_by_bucket")
+    lsh_bucketed_embeddings_layout(spark, SF_DIR, out)
+    probe = ann_probe_pruned(spark, out, QUERY_VEC_ID)
+
+    plan = formatted_plan(probe)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_lines and any("bucket" in line for line in part_lines), plan
+
+    got = [(r.vec_id, r.cos_sim) for r in probe.collect()]
+    want = [
+        (r.vec_id, r.cos_sim) for r in q_ann_lsh(spark, SF_DIR).collect()
+    ]
+    assert got == want
