@@ -120,3 +120,35 @@ def test_dedup_clusters_agree_with_pair_graph(spark):
         assert cid <= doc_id
         assert members[cid] == size
     assert sum(members.values()) == len(clusters)
+
+
+def test_quantize_error_mathematically_bounded(spark):
+    """int8 symmetric quantization guarantees |reconstructed - x| <=
+    scale/2 per element (round-to-nearest of x/scale). Recompute the
+    per-vector bound in numpy and assert the operator's reported
+    errors respect it -- a mathematical property the oracle's
+    mirror-equality can't express."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        QUANT_NANO,
+        q_quantize_embeddings,
+    )
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    max_scale = 0.0
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        am = float(np.max(np.abs(v))) if len(v) else 0.0
+        scale = 1.0 if am == 0 else am / 127.0
+        max_scale = max(max_scale, scale)
+        q = np.floor(v / scale + 0.5)
+        err = np.abs(q * scale - v)
+        assert float(err.max()) <= scale / 2 * (1 + 1e-9) + 1e-12
+
+    out = q_quantize_embeddings(spark, SF_DIR).collect()
+    assert out
+    for row in out:
+        # reported max error can't exceed the worst admissible bound
+        assert row.max_abs_err <= max_scale / 2 + 1.0 / QUANT_NANO
+        assert 0.0 <= row.avg_abs_err <= row.max_abs_err

@@ -1,0 +1,75 @@
+"""CSV / JSON-lines interchange round trips (SURVEY.md §2.2
+"Sinks/formats"): schema and values must survive write -> read exactly,
+including the ''-vs-NULL distinction CSV usually destroys and the
+nested array types CSV cannot carry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dump1090_stream_parser_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _sorted_rows(df, key):
+    return [r.asDict() for r in df.orderBy(key).collect()]
+
+
+def test_csv_round_trip_preserves_schema_and_nulls(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="plain", x=1.5, flag=True),
+            Row(id=2, s="", x=None, flag=False),  # empty string, NULL num
+            Row(id=3, s=None, x=-0.25, flag=None),  # NULL string
+            Row(id=4, s="comma, quote\" nl", x=2.0, flag=True),
+        ],
+        schema,
+    )
+    out = str(tmp_path / "csv")
+    got = read_csv(spark, out, write_csv(df, out))
+    assert got.schema == schema
+    assert _sorted_rows(got, "id") == _sorted_rows(df, "id")
+
+
+def test_csv_rejects_nested_columns(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="nested column 'embedding'"):
+        write_csv(emb, str(tmp_path / "nope"))
+
+
+def test_jsonl_round_trip_nested_and_events(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "emb_jsonl")
+    got = read_jsonl(spark, out, write_jsonl(emb, out))
+    assert got.schema == emb.schema
+    assert got.count() == emb.count()
+    # value check incl. the float array: checksum both sides
+    chk = lambda df: df.select(  # noqa: E731
+        F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)),
+        F.sum("vec_id"),
+    ).first()
+    assert chk(got) == chk(emb)
+
+    events = load_table(spark, SF_DIR, "events")
+    out2 = str(tmp_path / "ev_jsonl")
+    got2 = read_jsonl(spark, out2, write_jsonl(events, out2))
+    assert got2.schema == events.schema  # timestamp type pinned by schema
+    assert _sorted_rows(got2, "event_id") == _sorted_rows(events, "event_id")
