@@ -195,14 +195,11 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("q_near_dedup_minhash", oracle=_minhash_oracle())
-def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH-banding near-dup (C2): bigram shingles and the
-    signature in a narrow map, candidates from a band-key self-join,
-    exact jaccard verify on survivors only."""
-    docs = load_table(spark, sf_dir, "documents")
-    # token array staged once (size + two slices reference it; staging
-    # keeps the split-and-filter to one evaluation per row)
+def minhash_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts: distinct bigram shingle array) -- narrow map.
+
+    The token array is staged once (size + two slices reference it;
+    staging keeps the split-and-filter to one evaluation per row)."""
     staged = docs.select("doc_id", tokens_col().alias("_t"))
     t = F.col("_t")
     n = F.size(t)
@@ -213,7 +210,16 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.concat_ws(" ", x, y),
         )
     )
-    toks = staged.select("doc_id", shingles.alias("ts"))
+    return staged.select("doc_id", shingles.alias("ts"))
+
+
+def minhash_bands(toks: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band rows from the shingle
+    table -- still a narrow map (signature via higher-order array ops,
+    band fan-out via union of projections). Works identically on batch
+    and streaming inputs, which is what lets the streaming near-dup
+    detector (streaming/near_dup.py) share the exact banding semantics
+    of q_near_dedup_minhash."""
     hashed = toks.select(
         "doc_id",
         F.transform("ts", lambda s: portable_hash64(s) % P).alias("hs"),
@@ -233,6 +239,17 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_frames[0]
     for bf in band_frames[1:]:
         bands = bands.unionAll(bf)
+    return bands
+
+
+@query("q_near_dedup_minhash", oracle=_minhash_oracle())
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH-banding near-dup (C2): bigram shingles and the
+    signature in a narrow map, candidates from a band-key self-join,
+    exact jaccard verify on survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = minhash_shingles(docs)
+    bands = minhash_bands(toks)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -49,10 +49,21 @@ def test_track_state_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = {
-        r["hex_ident"]: r for r in spark.sql("SELECT * FROM tracks").collect()
-    }
+    # Processing-time-timeout state keeps scheduling no-data batches
+    # (so TTLs can fire), defeating availableNow termination: poll the
+    # sink until both aircraft have landed, then stop the query.
+    import time
+
+    deadline = time.time() + 120
+    rows = {}
+    while time.time() < deadline and set(rows) != {"AAA111", "BBB222"}:
+        time.sleep(1)
+        rows = {
+            r["hex_ident"]: r
+            for r in spark.sql("SELECT * FROM tracks").collect()
+        }
+    q.stop()
+    q.awaitTermination(60)
     a = rows["AAA111"]
     assert a["n_msgs"] == 3
     assert a["last_alt"] == 12000
