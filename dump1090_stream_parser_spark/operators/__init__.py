@@ -58,7 +58,11 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           q_knn_cosine/q_bm25 (higher-order array ops)
 #   q_string_clean        - string-fn tier held in-window by q_pii_scrub
 #                           (regex) and the text-analysis suite
+#   q_join_left           - outer-join capability held in-window by
+#                           q_join_full (full outer exercises the same
+#                           null-extension on both sides)
 _EVAL_TAIL = (
+    "q_join_left",
     "q_token_tf",
     "q_doc_fingerprint",
     "q_agg_conditional",

@@ -908,3 +908,91 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").alias("n_chars_scrubbed"),
         portable_hash64(F.col("s")).alias("scrub_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: split documents into fixed token windows with
+# overlap -- the packing step before embedding / tokenization in an LLM
+# pipeline. Pure narrow map: chunk boundaries come from an index
+# sequence inside the row; no explode until the (small) chunk structs
+# are built, and what shuffles downstream is fingerprints, never text.
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, CAST(ceil(CAST(len(toks) - {CHUNK_OVERLAP} AS DOUBLE)
+                                   / {_CHUNK_STRIDE}) AS BIGINT)) AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(least({CHUNK_TOKENS}, n - chunk_idx * {_CHUNK_STRIDE})
+                AS BIGINT) AS n_tokens,
+           {portable_hash64_sql(
+               "array_to_string(list_slice(toks,"
+               f" chunk_idx * {_CHUNK_STRIDE} + 1,"
+               f" least(chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)), ' ')"
+           )} AS chunk_fp
+    FROM e
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (C4 / training
+    pipeline): {CHUNK_TOKENS}-token windows, {CHUNK_OVERLAP}-token
+    overlap, last window short. Emits one row per chunk with its token
+    count and 60-bit content fingerprint -- the downstream embed/pack
+    stages key on the fingerprint, so raw chunk text never shuffles.
+
+    Shape: everything up to the chunk explode is per-row array ops
+    (token array staged once; chunk index sequence built in-row); the
+    explode multiplies rows by ~n/{_CHUNK_STRIDE} but stays narrow --
+    at 100 TB the chunker is a linear scan whose output is (id, idx,
+    count, fingerprint) tuples, 32 bytes per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    n = F.size("toks").cast("long")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - F.lit(CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))),
+    )
+    e = staged.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk = F.slice(
+        F.col("toks"),
+        (start + 1).cast("int"),
+        F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start).cast(
+            "int"
+        ),
+    )
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start
+        ).alias("n_tokens"),
+        portable_hash64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )

@@ -1,0 +1,71 @@
+"""The query half of the reference workflow: ``sqlite3 adsb_messages.db
+"SELECT ..."`` becomes
+
+    python -m dump1090_stream_parser_spark.sql_cli \\
+        -d ./adsb_out "SELECT hex_ident, COUNT(*) c FROM squitters
+                       GROUP BY hex_ident ORDER BY c DESC LIMIT 10"
+
+The Silver parquet directory written by the ingest CLI registers as the
+``squitters`` view (same table name the reference's users query);
+``--sf-dir`` additionally registers the testdata tables (region nation
+customer supplier part orders lineitem events documents embeddings) so
+any oracle-checked query from the catalog can be run ad hoc. Output is
+CSV on stdout (header included), the closest analog of the sqlite3
+shell's default mode that survives piping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_sql_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dump1090-stream-parser-spark sql",
+        description="run SQL over the ingested squitters table "
+        "(and optionally the testdata tables)",
+    )
+    p.add_argument("query", help="SQL text, or '-' to read from stdin")
+    p.add_argument("-d", "--database", default="./adsb_out",
+                   help="Silver parquet directory (registered as view "
+                        "'squitters')")
+    p.add_argument("--sf-dir", default=None,
+                   help="also register the testdata tables from this "
+                        "directory")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap output rows (omit for all)")
+    p.add_argument("--master", default="local[*]")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_sql_parser().parse_args(argv)
+    sql = sys.stdin.read() if args.query == "-" else args.query
+
+    from .session import get_spark
+    from .tables import TABLES, load_table
+
+    spark = get_spark(master=args.master, app_name="sbs1-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        # the ingest CLI's layout: squitters/batch_id=N/parsed_date=D/
+        # (both surface as partition columns on read)
+        spark.read.parquet(
+            f"{args.database}/squitters"
+        ).createOrReplaceTempView("squitters")
+    except Exception:  # noqa: BLE001 -- no ingest output yet is fine
+        pass
+    if args.sf_dir:
+        for t in TABLES:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+
+    df = spark.sql(sql)
+    if args.limit is not None:
+        df = df.limit(args.limit)
+    df.toPandas().to_csv(sys.stdout, index=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -359,3 +359,14 @@ def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
         (r.vec_id, r.cos_sim) for r in q_ann_lsh(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_chunk_docs_is_narrow_with_single_generate(spark):
+    """Chunking must be a pure linear scan: one explode (the chunk
+    index), no joins, no exchanges -- raw text never shuffles."""
+    from dump1090_stream_parser_spark.operators.text import q_chunk_docs
+
+    plan = formatted_plan(q_chunk_docs(spark, SF_DIR))
+    assert plan.count(") Generate") == 1, plan
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 0, plan

@@ -278,3 +278,33 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     assert ("AAA111", "2026-08-13 10:04:00", "JET42") in rows
     assert ("AAA111", "2026-08-13 12:30:00", None) in rows
     assert ("BBB222", "2026-08-13 10:30:00", None) in rows
+
+
+def test_sql_cli_queries_ingested_squitters(spark, tmp_path, capsys, monkeypatch):
+    """The reference workflow's query half: after an ingest run, the
+    sqlite3-shell analog must answer SQL over the `squitters` view
+    from the parquet layout (batch_id + parsed_date partitions)."""
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        silver_batch_writer,
+    )
+
+    out = tmp_path / "adsb_out"
+    batch = spark.createDataFrame([(l,) for l in LEG_LINES], "value string")
+    parsed = parse_lines(batch, parsed_time=F.col("generated_ts"))
+    silver_batch_writer(str(out))(parsed, 0)
+
+    sql_main(
+        [
+            "-d",
+            str(out),
+            "--master",
+            "local[2]",
+            "SELECT hex_ident, COUNT(*) AS n FROM squitters "
+            "GROUP BY hex_ident ORDER BY n DESC, hex_ident",
+        ]
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "hex_ident,n"
+    assert lines[1] == "AAA111,4"
+    assert lines[2] == "BBB222,1"
