@@ -664,3 +664,96 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF quantizer training: distributed spherical k-means (Lloyd's).
+# q_ann_ivf ships with deterministic seed centroids so its oracle is
+# reproducible; this trainer is how the quantizer gets GOOD on a real
+# corpus -- same plan shape per iteration as the assignment pass the
+# query itself runs.
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = N_CELLS, iters: int = 5
+) -> list[list[float]]:
+    """Spherical k-means for the IVF coarse quantizer.
+
+    Per iteration: (1) assign -- nearest centroid by cosine via the
+    same inlined-literal ``least(struct(...))`` expression q_ann_ivf
+    uses, a NARROW projection (no join, the embedding column never
+    shuffles); (2) update -- posexplode to (cell, pos) partial sums,
+    k*dim rows out of the exchange, collected driver-side (bytes: the
+    quantizer is a driver artifact by design) and L2-normalized.
+    Empty cells keep their previous centroid. At 100 TB you run the
+    same loop on a uniform sample (quantizer quality needs samples,
+    not the corpus); the assignment pass stays full-scale and narrow.
+    """
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, k))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+
+    def _norm(v: list[float]) -> list[float]:
+        import math
+
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for _ in range(iters):
+        cell = F.least(
+            *[
+                F.struct(
+                    (
+                        -cosine_similarity(
+                            F.col("embedding"),
+                            F.array(*[F.lit(v) for v in cvec]),
+                        )
+                    ).alias("nc"),
+                    F.lit(ci).alias("cell_id"),
+                )
+                for ci, cvec in enumerate(cents)
+            ]
+        ).getField("cell_id")
+        # two selects: mixing the struct-field extraction with the
+        # posexplode generator in one projection trips the analyzer
+        # (struct aliases resolve to col1/col2 under Generate)
+        sums = (
+            emb.select(cell.alias("cell"), "embedding")
+            .select("cell", F.posexplode("embedding"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("col").cast("double")).alias("s"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        new_cents = []
+        for ci, old in enumerate(cents):
+            comp = by_cell.get(ci)
+            if not comp:
+                new_cents.append(old)  # empty cell: keep previous
+                continue
+            new_cents.append(_norm([comp[p] for p in sorted(comp)]))
+        cents = new_cents
+    return cents
+
+
+def quantizer_quality(emb: DataFrame, cents: list[list[float]]) -> float:
+    """Mean best-cosine over the corpus for a centroid set -- the
+    spherical-k-means objective; higher is better."""
+    best = F.greatest(
+        *[
+            cosine_similarity(
+                F.col("embedding"), F.array(*[F.lit(v) for v in cvec])
+            )
+            for cvec in cents
+        ]
+    )
+    return emb.agg(F.avg(best)).first()[0]

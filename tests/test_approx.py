@@ -152,3 +152,62 @@ def test_quantize_error_mathematically_bounded(spark):
         # reported max error can't exceed the worst admissible bound
         assert row.max_abs_err <= max_scale / 2 + 1.0 / QUANT_NANO
         assert 0.0 <= row.avg_abs_err <= row.max_abs_err
+
+
+def test_chunk_docs_covers_every_token_exactly(spark):
+    """Chunking invariants, independent of the oracle mirror: chunks
+    tile the document with stride coverage (every token lands in >= 1
+    chunk), overlap accounting holds (sum of chunk sizes = n +
+    overlap*(n_chunks-1)), and the final chunk is never empty."""
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        q_chunk_docs,
+    )
+    from dump1090_stream_parser_spark.operators.text import (
+        _CHUNK_STRIDE as STRIDE,
+    )
+
+    doc_tokens = {
+        r.doc_id: len([t for t in r.text.split(" ") if t])
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    chunks = defaultdict(list)
+    for r in q_chunk_docs(spark, SF_DIR).collect():
+        chunks[r.doc_id].append((r.chunk_idx, r.n_tokens))
+
+    assert set(chunks) == set(doc_tokens)
+    for doc_id, cs in chunks.items():
+        n = doc_tokens[doc_id]
+        cs.sort()
+        idxs = [i for i, _ in cs]
+        assert idxs == list(range(len(cs)))  # dense chunk indices
+        sizes = [s for _, s in cs]
+        assert all(1 <= s <= CHUNK_TOKENS for s in sizes)
+        # coverage: chunk i spans [i*STRIDE, i*STRIDE + size); the last
+        # chunk must reach the end of the document
+        last_idx, last_size = cs[-1]
+        assert last_idx * STRIDE + last_size == n
+        # all but the last chunk are full-width
+        assert all(s == CHUNK_TOKENS for s in sizes[:-1])
+        # overlap accounting
+        assert sum(sizes) == n + CHUNK_OVERLAP * (len(cs) - 1) or len(cs) == 1
+
+
+def test_ivf_training_improves_quantizer(spark):
+    """Lloyd's iterations must not worsen the spherical-k-means
+    objective (mean best-cosine to the centroid set), and should
+    strictly improve it over the raw seed centroids on this corpus."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        quantizer_quality,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = train_ivf_centroids(emb, iters=0)
+    trained = train_ivf_centroids(emb, iters=4)
+    q0 = quantizer_quality(emb, seeds)
+    q4 = quantizer_quality(emb, trained)
+    assert q4 > q0, (q0, q4)
