@@ -56,6 +56,7 @@ HEADLINE = [
     "q_mix_weights",       # 1-row stats broadcast re-weighting
     "q_pii_scrub",         # zero-exchange regex scan
     "q_join_full",         # full outer over pre-aggregated sides
+    "q_chunk_docs",        # context-window chunking (narrow explode)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -164,3 +164,40 @@ def ann_probe_pruned(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files; returns the output file count.
+
+    Streaming sinks (one file per micro-batch per partition) and
+    over-parallel writes accumulate small files, and at scale the
+    scheduler/name-node cost of listing+opening them dominates scans
+    long before IO does. Sizing = input bytes / target, measured from
+    the filesystem (works for any Hadoop-compatible FS, not just
+    local). `coalesce`, not `repartition`: compaction must not shuffle
+    the data, only merge splits -- at 100 TB the difference is a full
+    network pass. Run per partition directory (e.g. per event_date) so
+    directory-level pruning survives compaction."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_out = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
+
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    out_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    it = fs.listFiles(out_path, False)
+    n_files = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n_files += 1
+    return n_files

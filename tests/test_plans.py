@@ -370,3 +370,22 @@ def test_chunk_docs_is_narrow_with_single_generate(spark):
     assert plan.count(") Generate") == 1, plan
     assert "Join" not in plan
     assert plan.count(") Exchange") == 0, plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """20 tiny files -> 1 compacted file, same rows, no shuffle (the
+    compaction plan must contain no Exchange: coalesce only)."""
+    from dump1090_stream_parser_spark.plans.layout import compact_parquet
+    from dump1090_stream_parser_spark.tables import load_table
+
+    src = str(tmp_path / "small")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(20).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 20
+
+    out = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, src, out)
+    assert n_files == 1
+    assert spark.read.parquet(out).count() == events.count()
