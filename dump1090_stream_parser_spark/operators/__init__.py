@@ -61,7 +61,13 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #   q_join_left           - outer-join capability held in-window by
 #                           q_join_full (full outer exercises the same
 #                           null-extension on both sides)
+#   q_profile             - composite of aggregate capabilities held
+#                           in-window (count/distinct by
+#                           q_distinct_aircraft, min/max by the stats
+#                           tier); the multi-distinct expand plan is
+#                           its only novel shape
 _EVAL_TAIL = (
+    "q_profile",
     "q_join_left",
     "q_token_tf",
     "q_doc_fingerprint",

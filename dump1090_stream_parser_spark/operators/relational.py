@@ -747,3 +747,53 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data profiling: the ingest-gate summary every pipeline runs before
+# trusting a new delivery (null rates, cardinalities, ranges per
+# column). One pass, partial-agg friendly.
+# --------------------------------------------------------------------------
+
+#: Columns profiled on the events table (pipeline config).
+PROFILE_COLS = ("user_id", "event_type", "value")
+
+
+@query(
+    "q_profile",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      {", ".join(
+          f"CAST(COUNT({c}) AS BIGINT) AS {c}_filled, "
+          f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_distinct"
+          for c in PROFILE_COLS
+      )},
+      CAST(MIN(user_id) AS BIGINT) AS user_id_min,
+      CAST(MAX(user_id) AS BIGINT) AS user_id_max,
+      MIN(value) AS value_min,
+      MAX(value) AS value_max
+    FROM events
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the events delivery: fill
+    counts (COUNT(col) skips NULLs), distinct cardinalities, and
+    numeric ranges per profiled column -- the gate a pipeline checks
+    before promoting a delivery. All aggregates are partial+final, so
+    at 100 TB one scan produces the whole profile; the multiple
+    COUNT(DISTINCT) columns expand to one aggregation with multiple
+    distinct groups, which Spark plans as an expand + two-level agg
+    (the standard multi-distinct plan)."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}_filled"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    aggs += [
+        F.min("user_id").alias("user_id_min"),
+        F.max("user_id").alias("user_id_max"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    ]
+    return events.agg(*aggs)
