@@ -98,3 +98,79 @@ def test_stream_candidates_match_batch_across_microbatches(spark, tmp_path):
     assert all(r.n_dropped == 0 for r in rows)  # no bucket overflowed
     # cross-boundary coverage: at least one pair spans the two batches
     assert any(a < half <= b for a, b in got)
+
+
+def test_stream_state_survives_query_restart(spark, tmp_path):
+    """The bucket membership must live in the checkpoint, not the JVM:
+    stop the query after the first delivery, start a NEW query on the
+    same checkpoint for the second delivery, and the cross-delivery
+    pairs must still be found."""
+    import shutil
+    import time
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    expected = _batch_candidate_pairs(docs)
+    half = docs.count() // 2
+
+    src = tmp_path / "docs_restart"
+    stage = tmp_path / "stage"
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        str(stage / "a.parquet")
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        str(stage / "b.parquet")
+    )
+    src.mkdir()
+    shutil.copytree(stage / "a.parquet", src / "a.parquet")
+
+    out = str(tmp_path / "pairs_out")
+
+    def pairs_out():
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:  # noqa: BLE001 -- sink dir not created yet
+            return set()
+        return {
+            (r.doc_id_1, r.doc_id_2)
+            for r in rows
+            if r.doc_id_1 is not None
+        }
+
+    def run_until(pred):
+        # the file sink (unlike memory) supports checkpoint recovery --
+        # which is the thing under test
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            near_dup_candidates_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_restart"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and not pred():
+            time.sleep(1)
+        assert pred(), "expected sink state never arrived"
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001 -- stop() interrupts the
+            pass  # in-flight no-data batch; the sink assertions decide
+
+    expected_a = {(a, b) for a, b in expected if a < half and b < half}
+    run_until(lambda: pairs_out() == expected_a)
+    pairs_after_first = pairs_out()
+    # second delivery arrives AFTER the first query is gone
+    shutil.copytree(stage / "b.parquet", src / "b.parquet")
+    run_until(lambda: pairs_out() == expected)
+
+    # the second run must have produced cross-delivery pairs from
+    # restored state (doc_1 from delivery A, doc_2 from delivery B)
+    run2 = pairs_out() - pairs_after_first
+    assert any(a < half <= b for a, b in run2)
