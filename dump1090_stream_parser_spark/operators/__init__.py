@@ -66,8 +66,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           q_distinct_aircraft, min/max by the stats
 #                           tier); the multi-distinct expand plan is
 #                           its only novel shape
+#   q_subquery_scalar     - subquery capability held in-window by
+#                           q_subquery_in; adds correlated-scalar
+#                           decorrelation depth, pytest-verified
+#   q_window_trailing     - framed-window capability held in-window by
+#                           q_window_running; adds the time-RANGE frame
+#                           variant, pytest-verified
 _EVAL_TAIL = (
     "q_profile",
+    "q_subquery_scalar",
+    "q_window_trailing",
     "q_join_left",
     "q_token_tf",
     "q_doc_fingerprint",

@@ -797,3 +797,56 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("value_max"),
     ]
     return events.agg(*aggs)
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(floor(CAST((SELECT SUM(CAST(round(o2.o_totalprice * 100, 0)
+                                       AS BIGINT))
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM orders o4
+                         WHERE o4.o_custkey = o.o_custkey)) AS BIGINT)
+             AS cust_avg_cents
+    FROM orders o
+    WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+          * (SELECT COUNT(*) FROM orders o5
+             WHERE o5.o_custkey = o.o_custkey)
+          > 2 * (SELECT SUM(CAST(round(o3.o_totalprice * 100, 0) AS BIGINT))
+                 FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subqueries (SURVEY.md §2.2 "Subqueries"):
+    orders costing more than twice their customer's average. Catalyst
+    decorrelates every correlated aggregate into one
+    aggregate-then-join of per-customer sums/counts -- the rewrite
+    SQLite would run as a nested loop per row.
+
+    Cross-engine exactness: the comparison is n*cents > 2*sum_cents --
+    pure integer arithmetic (prices quantized to exact cents before
+    any aggregation), so no float SUM order or rounding-at-half can
+    flip a row; the exported average is an exact integer floor."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sc")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(floor(CAST((SELECT SUM(CAST(round(o2.o_totalprice * 100,
+                                               0) AS BIGINT))
+                                FROM v_orders_sc o2
+                                WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM v_orders_sc o4
+                             WHERE o4.o_custkey = o.o_custkey)) AS BIGINT)
+                 AS cust_avg_cents
+        FROM v_orders_sc o
+        WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              * (SELECT COUNT(*) FROM v_orders_sc o5
+                 WHERE o5.o_custkey = o.o_custkey)
+              > 2 * (SELECT SUM(CAST(round(o3.o_totalprice * 100, 0)
+                                     AS BIGINT))
+                     FROM v_orders_sc o3
+                     WHERE o3.o_custkey = o.o_custkey)
+        """
+    )

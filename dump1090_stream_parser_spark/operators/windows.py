@@ -274,3 +274,44 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_click_after_view"),
         F.count("t3").alias("n_purchase_after_click"),
     )
+
+
+@query(
+    "q_window_trailing",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(1) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS trailing_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (SURVEY.md §2.2 "Window: aggregate +
+    frame"): per-user trailing-1-hour event count and value sum -- the
+    sliding-metric shape (rate limiting, rolling spend) that
+    rowsBetween cannot express when events are irregularly spaced.
+    Spark's rangeBetween needs a numeric ordering column, so both
+    engines order by exact epoch MICROseconds with a 3.6e9-us lower
+    bound -- identical to INTERVAL 1 HOUR with no truncation (ordering
+    by unix_timestamp seconds would silently widen the frame for rows
+    a fraction of a second past the hour). One shuffle on user_id
+    serves both window aggregates; values are exact integer cents so
+    the trailing sums hash identically."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(cast(ts as timestamp))"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .over(w)
+        .alias("trailing_cents"),
+    )
