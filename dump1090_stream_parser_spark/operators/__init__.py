@@ -72,10 +72,14 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #   q_window_trailing     - framed-window capability held in-window by
 #                           q_window_running; adds the time-RANGE frame
 #                           variant, pytest-verified
+#   q_unpivot             - reshape capability held in-window by
+#                           q_pivot (its exact inverse); stack() is a
+#                           Generate like the in-window explodes
 _EVAL_TAIL = (
     "q_profile",
     "q_subquery_scalar",
     "q_window_trailing",
+    "q_unpivot",
     "q_join_left",
     "q_token_tf",
     "q_doc_fingerprint",

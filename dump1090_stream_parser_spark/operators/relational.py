@@ -850,3 +850,44 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE o3.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity' AS metric,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+      UNION ALL
+      SELECT 'price', CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(round(l_discount * 100, 0) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM m GROUP BY metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of q_pivot): three measure columns
+    become (metric, value) rows via ``stack`` -- a Generate inside the
+    row, so the wide-to-long reshape is narrow and the only exchange is
+    the 3-key rollup. Values quantize to integer cents pre-aggregation
+    for cross-engine-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(3, "
+            " 'quantity', CAST(round(l_quantity * 100, 0) AS BIGINT),"
+            " 'price',    CAST(round(l_extendedprice * 100, 0) AS BIGINT),"
+            " 'discount', CAST(round(l_discount * 100, 0) AS BIGINT)"
+            ") AS (metric, cents)"
+        )
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
