@@ -31,14 +31,27 @@ from pyspark.sql import types as T
 #: The ``emptyValue`` knob is WRITE-side only -- setting it on the
 #: reader would turn the quoted-empty field into the literal two-char
 #: string ``""``.
+#: The writer trims leading/trailing whitespace by DEFAULT (the reader
+#: does not) -- silent data mangling for values like "\n\nx\n"; pin
+#: both off on both sides.
 _CSV_WRITE_OPTS = {
     "header": "true",
     "nullValue": "\\N",
     "emptyValue": '""',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
+#: ``multiLine``: embedded newlines inside quoted fields are legal CSV
+#: and the writer emits them; without this the reader splits such rows
+#: mid-field (found by test_csv_round_trip_embedded_newlines). The cost
+#: is per-FILE instead of per-line input splits -- acceptable for an
+#: interchange format; keep files modest or use JSONL/parquet for bulk.
 _CSV_READ_OPTS = {
     "header": "true",
     "nullValue": "\\N",
+    "multiLine": "true",
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
 
 

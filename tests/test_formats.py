@@ -73,3 +73,26 @@ def test_jsonl_round_trip_nested_and_events(spark, tmp_path):
     got2 = read_jsonl(spark, out2, write_jsonl(events, out2))
     assert got2.schema == events.schema  # timestamp type pinned by schema
     assert _sorted_rows(got2, "event_id") == _sorted_rows(events, "event_id")
+
+
+def test_csv_round_trip_embedded_newlines(spark, tmp_path):
+    """Quoted embedded newlines/CRs/tabs are legal CSV the writer
+    emits; the reader must reassemble them (multiLine), not split rows
+    mid-field."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="line1\nline2"),
+            Row(id=2, s="tab\tand\rcr"),
+            Row(id=3, s="\n\nleading and trailing\n"),
+        ],
+        schema,
+    )
+    out = str(tmp_path / "csv_nl")
+    got = read_csv(spark, out, write_csv(df, out))
+    assert _sorted_rows(got, "id") == _sorted_rows(df, "id")
