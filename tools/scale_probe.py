@@ -75,7 +75,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    factors = [f for f in (1, 4, 16) if f <= max_factor]
+    factors = [f for f in (1, 4, 16, 64) if f <= max_factor]
     results: dict[str, dict[int, float]] = {q: {} for q in PROBE}
     for factor in factors:
         sf_dir = SRC if factor == 1 else f"{scratch}/x{factor}"
