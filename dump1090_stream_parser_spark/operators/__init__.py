@@ -75,11 +75,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #   q_unpivot             - reshape capability held in-window by
 #                           q_pivot (its exact inverse); stack() is a
 #                           Generate like the in-window explodes
+#   q_multimodal_energy   - mapInPandas multimodal capability held
+#                           in-window by q_multimodal_frames
+#                           (row-expanding) and q_multimodal_features
+#                           (vectorized codec); adds the overlapped-
+#                           window audio shape, full-oracle
+#                           pytest-verified at all three SFs
 _EVAL_TAIL = (
     "q_profile",
     "q_subquery_scalar",
     "q_window_trailing",
     "q_unpivot",
+    "q_multimodal_energy",
     "q_join_left",
     "q_token_tf",
     "q_doc_fingerprint",

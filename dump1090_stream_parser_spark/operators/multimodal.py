@@ -272,3 +272,100 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return payloads.mapInPandas(extract_features, FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio-shaped windowing: overlapped fixed-rate windows over a PCM-ish
+# sample stream (the audio twin of the video frame sampler). Integer
+# energy per window makes the whole operator ORACLE-EXACT even though
+# it runs as a vectorized Arrow batch op.
+# --------------------------------------------------------------------------
+
+WIN_BYTES = 64
+HOP_BYTES = 32
+_ENERGY_CENTER = 96  # ~lowercase-ASCII midpoint; any constant works
+
+ENERGY_SCHEMA = "doc_id bigint, window_idx int, win_len int, energy bigint"
+
+
+def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Overlapped window energies for a whole Arrow batch at once: one
+    prefix-sum over the concatenated sample buffer, then every window
+    of every row is a two-point gather (css[end]-css[start]) -- no
+    per-row Python, no per-window loop. This is the shape of real
+    audio feature stages (frame energy, VAD gates) at scale."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        lens = np.fromiter(
+            (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+        )
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        sq = (buf.astype(np.int64) - _ENERGY_CENTER) ** 2
+        css = np.concatenate(([0], np.cumsum(sq)))
+        row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n_wins = np.where(lens > 0, (lens - 1) // HOP_BYTES + 1, 0)
+
+        doc_ids = np.repeat(pdf["doc_id"].values, n_wins)
+        row_start_rep = np.repeat(row_starts, n_wins)
+        row_len_rep = np.repeat(lens, n_wins)
+        # window index within each row: global arange minus each row's
+        # first global window position
+        first_win = np.concatenate(([0], np.cumsum(n_wins)[:-1]))
+        k = np.arange(int(n_wins.sum())) - np.repeat(first_win, n_wins)
+
+        starts = row_start_rep + k * HOP_BYTES
+        ends = np.minimum(starts + WIN_BYTES, row_start_rep + row_len_rep)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "window_idx": k.astype("int32"),
+                "win_len": (ends - starts).astype("int32"),
+                "energy": css[ends] - css[starts],
+            }
+        )
+
+
+@query(
+    "q_multimodal_energy",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text, length(text) AS n,
+             (length(text) - 1) // {HOP_BYTES} + 1 AS n_wins
+      FROM documents WHERE length(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, n_wins - 1)) AS window_idx
+      FROM n
+    )
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+           CAST(least(window_idx * {HOP_BYTES} + {WIN_BYTES}, n)
+                - window_idx * {HOP_BYTES} AS INT) AS win_len,
+           CAST(list_sum(list_transform(
+                  generate_series(window_idx * {HOP_BYTES} + 1,
+                                  least(window_idx * {HOP_BYTES}
+                                        + {WIN_BYTES}, n)),
+                  i -> (ascii(substr(text, CAST(i AS INT), 1))
+                        - {_ENERGY_CENTER})
+                       * (ascii(substr(text, CAST(i AS INT), 1))
+                          - {_ENERGY_CENTER})))
+                AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def q_multimodal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal op: overlapped {WIN_BYTES}-byte windows
+    at a {HOP_BYTES}-byte hop over the payload treated as 8-bit
+    samples, integer energy per window. Row-expanding Arrow batch op
+    like the frame sampler, but with OVERLAP (windows share samples),
+    prefix-sum-vectorized across the whole batch -- and because the
+    energy is exact integer arithmetic, this mapInPandas operator has
+    a FULL value oracle (integer division for the window count, char
+    codes standing in for sample values on this ASCII corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(window_energy, ENERGY_SCHEMA)
