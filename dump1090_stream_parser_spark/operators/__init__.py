@@ -81,7 +81,12 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           (vectorized codec); adds the overlapped-
 #                           window audio shape, full-oracle
 #                           pytest-verified at all three SFs
+#   q_gapfill             - time-bucketing capability held in-window by
+#                           q_time_bucket; adds spine generation
+#                           (sequence+explode) + zero-fill join,
+#                           full-oracle pytest-verified
 _EVAL_TAIL = (
+    "q_gapfill",
     "q_profile",
     "q_subquery_scalar",
     "q_window_trailing",

@@ -891,3 +891,63 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour,
+           COALESCE(n, 0) AS n_events,
+           COALESCE(sum_cents, 0) AS sum_cents
+    FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the resample primitive): an hour SPINE
+    generated from the data's own bounds (sequence + explode -- no
+    table of hours needs to exist), left-joined with hourly aggregates
+    so silent gaps become explicit zero rows. A groupBy alone cannot
+    produce a row for an hour with no events; monitoring, rate
+    calculations, and windowed models all need the zeros.
+
+    Scale shape: the spine is |hours| rows (tiny at any corpus size --
+    a year is 8,760 rows) built from a 1-row bounds aggregate, so the
+    join broadcasts the spine side or the hourly side, never the raw
+    events; values are exact integer cents."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+    return spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0).cast("long")).alias("sum_cents"),
+    )
