@@ -85,7 +85,12 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           q_time_bucket; adds spine generation
 #                           (sequence+explode) + zero-fill join,
 #                           full-oracle pytest-verified
+#   q_locf                - last-obs-carried-forward resample; spine +
+#                           zero-fill held by q_gapfill, the
+#                           last(ignorenulls) window by q_asof_lastval
+#                           (in-window); full-oracle pytest-verified
 _EVAL_TAIL = (
+    "q_locf",
     "q_gapfill",
     "q_profile",
     "q_subquery_scalar",

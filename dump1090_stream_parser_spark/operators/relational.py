@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.exact import scaled_int
 from ..functions.geo import haversine_km, haversine_sql
@@ -950,4 +951,103 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
         F.coalesce("sum_cents", F.lit(0).cast("long")).alias("sum_cents"),
+    )
+
+
+#: Entity cap for the LOCF demo query: bounds the per-user spine so the
+#: oracle comparison stays small; the plan shape is cap-independent.
+LOCF_MAX_USER = 16
+
+
+@query(
+    "q_locf",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < {LOCF_MAX_USER}
+    ),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(round(max_by(value, ts) * 100, 0) AS BIGINT)
+               AS last_cents_in_hour
+      FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour, h.last_cents_in_hour,
+             h.hour IS NULL AS is_gap
+      FROM spine s
+      LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    )
+    SELECT user_id, hour, is_gap,
+           last_value(last_cents_in_hour IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_cents
+    FROM joined
+    """,
+)
+def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward resampling: per-user hourly
+    spine (bounded by each user's own activity window), hours with no
+    events flagged as gaps and filled with the most recent observed
+    value -- the fill primitive behind sensor/state dashboards, here
+    over a capped user set so the demo output stays small (the plan
+    shape is cap-independent).
+
+    Shape: per-user spine via sequence+explode off a |users|-row
+    bounds aggregate; ONE shuffle by user_id serves the spine join and
+    the last(ignorenulls) ordered window (the same union+last trick as
+    the as-of join). In-hour ties resolve by max_by(value, ts) --
+    latest event wins, deterministic because (user, ts) is unique in
+    this data; values are exact integer cents."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < LOCF_MAX_USER)
+        .select("user_id", "ts", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(F.max_by("value", "ts") * 100, 0)
+        .cast("long")
+        .alias("last_cents_in_hour")
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.col("last_cents_in_hour"),
+        F.col("last_cents_in_hour").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        "is_gap",
+        F.last("last_cents_in_hour", ignorenulls=True)
+        .over(w)
+        .alias("carried_cents"),
     )
