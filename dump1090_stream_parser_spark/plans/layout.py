@@ -201,3 +201,24 @@ def compact_parquet(
         if f.getPath().getName().endswith(".parquet"):
             n_files += 1
     return n_files
+
+
+def range_sorted_layout(
+    df: DataFrame, sort_col: str, out_dir: str, n_files: int = 8
+) -> None:
+    """Globally range-sorted parquet: ``repartitionByRange`` assigns
+    each output file a disjoint key range, ``sortWithinPartitions``
+    orders rows inside it -- together a total order across the layout.
+    A range predicate then touches only the files whose parquet
+    min/max statistics overlap the range (file- and row-group-level
+    skipping), the same effect a clustered index gives a B-tree store,
+    at rest and for free on every subsequent scan. Use for the one key
+    the table is most often range-filtered by (time, usually); the
+    date-directory layout above is the coarse version of the same
+    idea when the key is low-cardinality."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

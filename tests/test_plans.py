@@ -389,3 +389,35 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_files = compact_parquet(spark, src, out)
     assert n_files == 1
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_range_sorted_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions must yield files with
+    NON-OVERLAPPING key ranges (that disjointness is what lets a range
+    scan skip whole files on parquet min/max stats)."""
+    import glob
+
+    from dump1090_stream_parser_spark.plans.layout import range_sorted_layout
+    from dump1090_stream_parser_spark.tables import load_table
+
+    out = str(tmp_path / "orders_by_date")
+    orders = load_table(spark, SF_DIR, "orders")
+    range_sorted_layout(orders, "o_orderdate", out, n_files=4)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        row = (
+            spark.read.parquet(f)
+            .agg({"o_orderdate": "min"})
+            .collect()[0][0],
+            spark.read.parquet(f)
+            .agg({"o_orderdate": "max"})
+            .collect()[0][0],
+        )
+        ranges.append(row)
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+    # and the full table round-trips
+    assert spark.read.parquet(out).count() == orders.count()
