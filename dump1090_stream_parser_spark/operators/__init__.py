@@ -81,17 +81,25 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #                           (vectorized codec); adds the overlapped-
 #                           window audio shape, full-oracle
 #                           pytest-verified at all three SFs
-#   q_gapfill             - time-bucketing capability held in-window by
-#                           q_time_bucket; adds spine generation
-#                           (sequence+explode) + zero-fill join,
-#                           full-oracle pytest-verified
-#   q_locf                - last-obs-carried-forward resample; spine +
-#                           zero-fill held by q_gapfill, the
-#                           last(ignorenulls) window by q_asof_lastval
-#                           (in-window); full-oracle pytest-verified
+#   q_token_count         - rotated OUT round 4 (green driver rows r1+r3;
+#                           long-proven): its whitespace+BPE-ish tokenize
+#                           -> count pipeline is the first stage of
+#                           in-window q_tfidf and q_bm25, and token
+#                           statistics are also exercised in-window by
+#                           q_quality_score / q_repetition_score
+#   q_length_hist         - rotated OUT round 4 (green driver rows r1+r3;
+#                           long-proven): width-bucket histogram = narrow
+#                           bucketize + hash agg, both held in-window by
+#                           q_group_topk (hash agg/top-k) and q_time_bucket
+#                           (bucketize-then-agg); percentile tier by
+#                           q_percentile
+# Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
+# q_gapfill -- the newest full-oracle queries (spine generation +
+# zero-fill join; last-obs-carried-forward resample) which had never had
+# a driver row.
 _EVAL_TAIL = (
-    "q_locf",
-    "q_gapfill",
+    "q_token_count",
+    "q_length_hist",
     "q_profile",
     "q_subquery_scalar",
     "q_window_trailing",

@@ -260,9 +260,46 @@ def resize_payloads(
     )
 
 
-@query("q_multimodal_features", oracle=None)  # codec stub: rows-only check
+# The registered query projects the histogram array to 16 scalar columns
+# (h0..h15): the driver's canonicalizer hashes cell values and cannot
+# hash array cells (the same contract constraint that shaped
+# q_rolling_fingerprint / q_approx_percentile in round 2). Library
+# consumers who want the array form call extract_features directly.
+# Because the stub codec is deterministic integer arithmetic over bytes
+# (== ascii codes on this corpus, as q_multimodal_energy's oracle
+# already relies on), the scalar form is fully SQL-expressible, so this
+# mapInPandas operator gets a FULL value oracle rather than rows-only.
+_H_COLS = ",\n           ".join(
+    f"CAST(len(list_filter(cs, c -> c = {b})) AS DOUBLE)"
+    f" / greatest(n, 1) AS h{b}"
+    for b in range(N_HISTOGRAM_BINS)
+)
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id, length(text) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             list_transform(generate_series(1, length(text)),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))
+                      % {N_HISTOGRAM_BINS}) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_bytes,
+           CAST(b0 + 1 AS INT) AS fake_width,
+           CAST(b1 + 1 AS INT) AS fake_height,
+           {_H_COLS}
+    FROM codes
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary -> feature-vector pipeline over mapInPandas (stub codec).
+    """Binary -> feature-vector pipeline over mapInPandas (stub codec),
+    histogram projected to scalar columns h0..h15 for the driver
+    contract (array cells are unhashable by the canonicalizer).
 
     Partitioning note: repartition by a key BEFORE the codec when batch
     skew matters; here the narrow map inherits scan partitions, which is
@@ -271,7 +308,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return payloads.mapInPandas(extract_features, FEATURES_SCHEMA)
+    feats = payloads.mapInPandas(extract_features, FEATURES_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "fake_width",
+        "fake_height",
+        *[
+            F.col("byte_histogram")[b].alias(f"h{b}")
+            for b in range(N_HISTOGRAM_BINS)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -356,8 +403,8 @@ def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def q_multimodal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-shaped multimodal op: overlapped {WIN_BYTES}-byte windows
-    at a {HOP_BYTES}-byte hop over the payload treated as 8-bit
+    """Audio-shaped multimodal op: overlapped 64-byte (WIN_BYTES)
+    windows at a 32-byte (HOP_BYTES) hop over the payload treated as 8-bit
     samples, integer energy per window. Row-expanding Arrow batch op
     like the frame sampler, but with OVERLAP (windows share samples),
     prefix-sum-vectorized across the whole batch -- and because the

@@ -1030,13 +1030,18 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(F.max_by("value", "ts") * 100, 0)
         .cast("long")
-        .alias("last_cents_in_hour")
+        .alias("last_cents_in_hour"),
+        # join-miss marker: is_gap must mean "no hourly row", NOT
+        # "last_cents_in_hour IS NULL" -- the two diverge if value is
+        # ever NULL (an hour of only-NULL values is present, not a gap),
+        # and the oracle's `h.hour IS NULL` tests presence
+        F.lit(True).alias("_present"),
     )
     joined = spine.join(hourly, ["user_id", "hour"], "left").select(
         "user_id",
         "hour",
         F.col("last_cents_in_hour"),
-        F.col("last_cents_in_hour").isNull().alias("is_gap"),
+        F.col("_present").isNull().alias("is_gap"),
     )
     w = (
         Window.partitionBy("user_id")

@@ -955,14 +955,14 @@ _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking with overlap (C4 / training
-    pipeline): {CHUNK_TOKENS}-token windows, {CHUNK_OVERLAP}-token
+    pipeline): 64-token (CHUNK_TOKENS) windows, 16-token (CHUNK_OVERLAP)
     overlap, last window short. Emits one row per chunk with its token
     count and 60-bit content fingerprint -- the downstream embed/pack
     stages key on the fingerprint, so raw chunk text never shuffles.
 
     Shape: everything up to the chunk explode is per-row array ops
     (token array staged once; chunk index sequence built in-row); the
-    explode multiplies rows by ~n/{_CHUNK_STRIDE} but stays narrow --
+    explode multiplies rows by ~n/48 (the chunk stride) but stays narrow --
     at 100 TB the chunker is a linear scan whose output is (id, idx,
     count, fingerprint) tuples, 32 bytes per chunk."""
     docs = load_table(spark, sf_dir, "documents")

@@ -144,6 +144,10 @@ def ann_probe_pruned(
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
         "embedding", "bucket"
     ).first()
+    if qrow is None:
+        raise ValueError(
+            f"vec_id {query_vec_id} not found in layout {layout_dir}"
+        )
     qbucket = qrow["bucket"]
     probe = [
         b for b in range(256) if bin(b ^ qbucket).count("1") <= LSH_PROBE_HAMMING
@@ -188,6 +192,17 @@ def compact_parquet(
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src_dir)
     fs = path.getFileSystem(conf)
+    # mode('overwrite') onto the directory being lazily read would
+    # delete the input mid-scan (data loss on some filesystems) --
+    # compare fully-qualified paths so relative/absolute spellings of
+    # the same directory are caught too
+    src_q = fs.makeQualified(path).toString()
+    out_q = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(out_dir)).toString()
+    if src_q.rstrip("/") == out_q.rstrip("/"):
+        raise ValueError(
+            f"compact_parquet: out_dir must differ from src_dir ({src_q}); "
+            "write to a sibling directory and rename"
+        )
     total = fs.getContentSummary(path).getLength()
     n_out = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
 

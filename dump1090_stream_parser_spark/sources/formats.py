@@ -11,6 +11,16 @@ is SCHEMA FIDELITY on re-read:
   vs NULL must round-trip distinguishably (the same ''-vs-NULL landmine
   as the SBS-1 Silver boundary, SURVEY.md §7.4). Nested columns
   (arrays/structs) are rejected loudly rather than silently stringified.
+
+  KNOWN SENTINEL COLLISION (pinned by test_csv_null_sentinel_collision):
+  a string value equal to the NULL sentinel itself -- the literal two
+  chars ``\\N`` -- reads back as NULL. This is unfixable within Spark's
+  CSV reader: the ``nullValue`` comparison happens AFTER unquoting and
+  unescaping, so even ``quoteAll=true`` (measured: the writer emits
+  ``"\\\\N"``) round-trips to NULL; no choice of sentinel escapes the
+  same trap, it only moves it. ``\\N`` is kept because it is the
+  PostgreSQL/Hive convention and is vanishingly rare as real data; use
+  JSON-lines or parquet when payloads may contain it.
 - JSON-lines carries nested types but not timestamp precision or
   int-width distinctions by itself; re-reading with the writer's schema
   (not inference) restores the exact DataFrame type surface.

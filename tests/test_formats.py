@@ -96,3 +96,25 @@ def test_csv_round_trip_embedded_newlines(spark, tmp_path):
     out = str(tmp_path / "csv_nl")
     got = read_csv(spark, out, write_csv(df, out))
     assert _sorted_rows(got, "id") == _sorted_rows(df, "id")
+
+
+def test_csv_null_sentinel_collision(spark, tmp_path):
+    """Pin the documented CSV limitation: a string value equal to the
+    NULL sentinel (the literal two chars ``\\N``) reads back as NULL --
+    the reader compares tokens after unquoting/unescaping, so no write
+    option can protect it (formats.py module docstring). JSON-lines
+    round-trips the same value exactly; use it for such payloads."""
+    df = spark.createDataFrame(
+        [(1, "\\N"), (2, None), (3, "x")], "id int, s string"
+    )
+    path = str(tmp_path / "collide_csv")
+    schema = write_csv(df, path)
+    back = {r["id"]: r["s"] for r in read_csv(spark, path, schema).collect()}
+    assert back == {1: None, 2: None, 3: "x"}  # documented collision
+
+    jpath = str(tmp_path / "collide_jsonl")
+    jschema = write_jsonl(df, jpath)
+    jback = {
+        r["id"]: r["s"] for r in read_jsonl(spark, jpath, jschema).collect()
+    }
+    assert jback == {1: "\\N", 2: None, 3: "x"}  # JSONL is exact

@@ -17,9 +17,12 @@ from .conftest import SF_DIR
 
 def test_feature_schema_and_determinism(spark):
     df = q_multimodal_features(spark, SF_DIR)
+    # scalar h0..h15 (driver canonicalizer cannot hash array cells);
+    # the array form stays available via extract_features directly
+    hist_cols = ",".join(f"h{b}:double" for b in range(N_HISTOGRAM_BINS))
     assert df.schema.simpleString() == (
         "struct<doc_id:bigint,n_bytes:int,fake_width:int,"
-        "fake_height:int,byte_histogram:array<double>>"
+        f"fake_height:int,{hist_cols}>"
     )
     rows = {r["doc_id"]: r for r in df.collect()}
     rows2 = {r["doc_id"]: r for r in q_multimodal_features(spark, SF_DIR).collect()}
@@ -42,7 +45,10 @@ def test_feature_values_match_python_reference(spark):
             hist[byte % N_HISTOGRAM_BINS] += 1
         expect = [h / len(payload) for h in hist]
         assert got[doc_id]["n_bytes"] == len(payload)
-        assert got[doc_id]["byte_histogram"] == pytest.approx(expect, abs=0)
+        got_hist = [
+            got[doc_id][f"h{b}"] for b in range(N_HISTOGRAM_BINS)
+        ]
+        assert got_hist == pytest.approx(expect, abs=0)
         assert got[doc_id]["fake_width"] == payload[0] + 1
 
 
