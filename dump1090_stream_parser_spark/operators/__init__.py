@@ -97,9 +97,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # q_gapfill -- the newest full-oracle queries (spine generation +
 # zero-fill join; last-obs-carried-forward resample) which had never had
 # a driver row.
+#   q_dedup_clusters_lsh  - CC-clustering capability held in-window by
+#                           q_dedup_clusters (same dedup_clusters_from
+#                           core); this is the scale composition over
+#                           minhash/LSH survivor edges, full-oracle
+#                           (recursive-CTE closure of the same graph)
+#                           pytest-verified
 _EVAL_TAIL = (
     "q_token_count",
     "q_length_hist",
+    "q_dedup_clusters_lsh",
     "q_profile",
     "q_subquery_scalar",
     "q_window_trailing",

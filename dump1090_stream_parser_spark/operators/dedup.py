@@ -137,7 +137,11 @@ def _minhash_sig_cols() -> list[F.Column]:
     ]
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_id_1, doc_id_2, jaccard)`` -- the
+    verified minhash/LSH survivor set. Shared by the q_near_dedup_minhash
+    oracle and the q_dedup_clusters_lsh oracle so both engines close the
+    SAME graph."""
     h = portable_hash64_sql("s")
     sig_exprs = ",\n      ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS m{j}"
@@ -151,8 +155,7 @@ def _minhash_oracle() -> str:
         + ") AS band_key FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, len(string_split(text, ' ')) - 1),
@@ -186,12 +189,20 @@ def _minhash_oracle() -> str:
       FROM cand c
       JOIN toks t1 ON t1.doc_id = c.doc_id_1
       JOIN toks t2 ON t2.doc_id = c.doc_id_2
-    )
-    SELECT doc_id_1, doc_id_2,
-           CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter) AS jaccard
-    FROM verified
-    WHERE CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter)
-          >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+      SELECT doc_id_1, doc_id_2,
+             CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter) AS jaccard
+      FROM verified
+      WHERE CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT doc_id_1, doc_id_2, jaccard FROM pairs
     """
 
 
@@ -596,59 +607,29 @@ def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
-    edges AS (
-      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
-      UNION ALL
-      SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
-    ),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
-    ),
-    clusters AS (
-      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
-    )
-    SELECT doc_id, cluster_id,
-           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-             AS cluster_size
-    FROM clusters
-    """,
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment (C2): connected components over the
-    verified bigram-Jaccard pair graph. Every document gets
-    ``cluster_id`` = the smallest doc_id reachable through near-dup
-    edges (singletons cluster with themselves), which is exactly what a
-    training pipeline needs to keep one canonical representative per
-    duplicate family instead of dropping pairs one at a time.
+def dedup_clusters_from(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected-components cluster assignment over an ARBITRARY verified
+    near-dup pair set -- the composition point that makes clustering
+    scale-safe: feed it the survivors of any blocking pass
+    (``q_near_dedup_minhash`` / ``_simhash`` / ``_embedding``) instead of
+    an exact all-pairs join. ``pairs`` needs columns (doc_id_1,
+    doc_id_2); ``docs`` supplies the node universe so edge-less
+    documents come back as singleton clusters.
 
-    Spark shape: iterative min-label propagation with POINTER JUMPING
-    (label <- min of own label, neighbors' labels, and label's label),
-    the classic O(log V)-round MapReduce CC recipe -- plain propagation
-    needs diameter rounds (12 measured here; 5 with jumps). Each round
-    is two equi-joins + one groupBy over (node, label) pairs -- 16-byte
-    rows regardless of document size, hash-partitioned on node id; the
-    driver only ever sees a per-round changed-row COUNT, never data.
+    Iterative min-label propagation with POINTER JUMPING (label <- min
+    of own label, neighbors' labels, and label's label), the classic
+    O(log V)-round MapReduce CC recipe -- plain propagation needs
+    diameter rounds (12 measured here; 5 with jumps). Each round is two
+    equi-joins + one groupBy over (node, label) pairs -- 16-byte rows
+    regardless of document size, hash-partitioned on node id; the
+    driver only ever sees a per-round label-sum scalar, never data.
     ``localCheckpoint`` truncates the growing lineage each round (on a
     cluster: ``checkpoint`` to HDFS); the loop is how GraphX/GraphFrames
-    run the same algorithm. The one heavy stage is the edge build
-    (bigram-blocked Jaccard join), which runs once and is the same
-    verified-pair plan as q_near_dedup_ngram; the oracle closes the
-    graph with a recursive CTE over the identical pair set."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The heavy stage: materialize the verified pair set ONCE -- the
-    # symmetric edge union below references it twice, and without the
-    # checkpoint each branch would re-run the bigram-blocked join.
-    pairs = (
-        ngram_jaccard_pairs(docs)
-        .select("doc_id_1", "doc_id_2")
-        .localCheckpoint(eager=True)
-    )
+    run the same algorithm."""
+    # Materialize the verified pair set ONCE -- the symmetric edge union
+    # below references it twice, and without the checkpoint each branch
+    # would re-run the (potentially expensive) pair build.
+    pairs = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     ).union(
@@ -718,3 +699,82 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.col("cluster_size"),
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM clusters
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (C2): connected components over the
+    verified bigram-Jaccard pair graph. Every document gets
+    ``cluster_id`` = the smallest doc_id reachable through near-dup
+    edges (singletons cluster with themselves), which is exactly what a
+    training pipeline needs to keep one canonical representative per
+    duplicate family instead of dropping pairs one at a time.
+
+    This is the VERIFICATION-GRADE variant: the edge build is the exact
+    bigram-blocked Jaccard join (same plan as q_near_dedup_ngram), whose
+    cost is the co-gram pair count -- at corpus scale use
+    q_dedup_clusters_lsh, the same CC core over LSH survivors. The CC
+    loop itself lives in :func:`dedup_clusters_from` (see its docstring
+    for the pointer-jumping shape); the oracle closes the graph with a
+    recursive CTE over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters_from(docs, ngram_jaccard_pairs(docs))
+
+
+@query(
+    "q_dedup_clusters_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM clusters
+    """,
+)
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering at SCALE (C2): the same connected-components
+    core as q_dedup_clusters, but the edge set is the verified
+    MinHash+LSH survivor pairs (q_near_dedup_minhash) instead of the
+    exact all-co-gram join -- the composition a 100 TB pipeline actually
+    runs. Edge-build cost is the LSH candidate count (band-key
+    collisions), not the corpus pair count; everything downstream of
+    the pair set is (node, label) propagation, document-size-free.
+    The oracle closes the same survivor graph with a recursive CTE, so
+    cluster assignments are value-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters_from(docs, q_near_dedup_minhash(spark, sf_dir))

@@ -122,6 +122,36 @@ def test_dedup_clusters_agree_with_pair_graph(spark):
     assert sum(members.values()) == len(clusters)
 
 
+def test_dedup_clusters_lsh_closes_survivor_graph(spark):
+    """The scale composition (CC over MinHash+LSH survivor edges) must
+    be exactly the transitive closure of q_near_dedup_minhash's verified
+    pairs: same invariants as the exact variant, but over the edge set a
+    100 TB pipeline would actually build."""
+    from collections import Counter
+
+    from dump1090_stream_parser_spark.operators.dedup import (
+        q_dedup_clusters_lsh,
+        q_near_dedup_minhash,
+    )
+
+    clusters = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in q_dedup_clusters_lsh(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r.doc_id_1, r.doc_id_2)
+        for r in q_near_dedup_minhash(spark, SF_DIR).collect()
+    ]
+    assert pairs, "fixture corpus must contain minhash survivors"
+    for a, b in pairs:
+        assert clusters[a][0] == clusters[b][0], (a, b)
+    members = Counter(cid for cid, _ in clusters.values())
+    for doc_id, (cid, size) in clusters.items():
+        assert cid <= doc_id
+        assert members[cid] == size
+    assert sum(members.values()) == len(clusters)
+
+
 def test_quantize_error_mathematically_bounded(spark):
     """int8 symmetric quantization guarantees |reconstructed - x| <=
     scale/2 per element (round-to-nearest of x/scale). Recompute the

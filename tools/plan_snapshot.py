@@ -27,7 +27,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries whose plan depends on driver-side iteration state; their
 #: shape is covered by dedicated tests instead.
-SKIP = {"q_dedup_clusters"}
+SKIP = {"q_dedup_clusters", "q_dedup_clusters_lsh"}
 
 
 def signature(plan: str) -> dict:
