@@ -4,12 +4,22 @@ Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>}
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "reps": <n>, "value_mean": ..., "queries_mean": {...}}
 
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver), matching how a production job consumes these
-operators. BASELINE.md discipline: the first recorded run is the
-baseline; later changes must stay within 2x.
+operators.
+
+VARIANCE DISCIPLINE (round 4): each query runs $SPARK_GRAFT_BENCH_REPS
+times (default 3) and the comparable number is the per-query MIN --
+round-over-round comparisons kept being confounded by +/-15% box
+variance (BASELINE.md's own four same-code runs span 34.3-38.5 s), and
+min-of-n is the standard way to strip scheduler/GC noise from a
+steady-state plan-cost signal. The mean is emitted alongside so both
+views stay visible; compare min to min across rounds (BASELINE.md
+"compare min-of-n" line). BASELINE.md discipline: the first recorded
+run is the baseline; later changes must stay within 2x.
 """
 
 from __future__ import annotations
@@ -83,16 +93,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Rep loop OUTER (whole set per rep, not n back-to-back runs of one
+    # query): successive reps of the same query would share a hot page
+    # cache + JIT state that round-robin execution, like the driver's
+    # own per-round single pass, does not enjoy.
+    samples: dict[str, list[float]] = {}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
 
+    per_query = {n: round(min(v), 3) for n, v in samples.items()}
+    per_query_mean = {
+        n: round(sum(v) / len(v), 3) for n, v in samples.items()
+    }
     total = round(sum(per_query.values()), 3)
+    total_mean = round(sum(per_query_mean.values()), 3)
     print(
         json.dumps(
             {
@@ -101,6 +122,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "reps": reps,
+                "value_mean": total_mean,
+                "queries_mean": per_query_mean,
             }
         )
     )

@@ -27,9 +27,24 @@ def test_bench_emits_driver_contract_json():
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "reps",
+        "value_mean",
+        "queries_mean",
+    }
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) >= 20
     assert all(v >= 0 for v in payload["queries"].values())
+    # min-of-n discipline: value is the min total, mean emitted alongside
+    assert payload["reps"] >= 1
+    assert payload["value"] <= payload["value_mean"] + 1e-9
+    assert payload["queries"].keys() == payload["queries_mean"].keys()
+    for name, vmin in payload["queries"].items():
+        assert vmin <= payload["queries_mean"][name] + 1e-9
