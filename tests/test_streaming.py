@@ -336,3 +336,53 @@ def test_sbs1_source_survives_server_kill(spark, tmp_path):
             q.stop()
         server.shutdown()
         server.server_close()
+
+
+def test_sbs1_reader_replay_protocol():
+    """The offset/replay contract that exactly-once delivery rests on,
+    driven directly on the reader object: a re-read of an already-read
+    offset range (micro-batch retry) returns the identical rows, and
+    commit(end) prunes the replay cache below the checkpointed offset."""
+    from dump1090_stream_parser_spark.sources.sbs1_source import (
+        Sbs1StreamReader,
+    )
+
+    class _Serve(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(("\n".join(GOLDEN) + "\n").encode())
+            time.sleep(10)
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Serve)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        reader = Sbs1StreamReader(
+            {"location": "127.0.0.1", "port": str(port)}
+        )
+        rows: list = []
+        start = reader.initialOffset()
+        deadline = time.time() + 30
+        end = start
+        while len(rows) < len(GOLDEN) and time.time() < deadline:
+            it, end = reader.read(end)
+            rows.extend(it)
+            time.sleep(0.1)
+        assert [r[0] for r in rows] == GOLDEN
+        assert end == {"line": len(GOLDEN)}
+
+        # retry of the full range -> identical rows, same order
+        replay = list(reader.readBetweenOffsets(start, end))
+        assert replay == rows
+        # partial range
+        mid = {"line": 2}
+        assert list(reader.readBetweenOffsets(start, mid)) == rows[:2]
+
+        # checkpoint commit prunes the cache below the offset...
+        reader.commit(mid)
+        assert list(reader.readBetweenOffsets(start, end)) == rows[2:]
+        # ...and the still-uncommitted suffix remains retryable
+        assert list(reader.readBetweenOffsets(mid, end)) == rows[2:]
+    finally:
+        server.shutdown()
+        server.server_close()
