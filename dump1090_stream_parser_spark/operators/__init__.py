@@ -21,117 +21,114 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # (round-1 lesson: q_ann_lsh + the three q_multimodal_* queries sat at
 # positions 51-54 and never got a CORRECTNESS row). Registration order is
 # therefore part of the verification contract: every capability's primary
-# query must sit inside the window. Past the window sits this tail of
-# queries whose CAPABILITY is also proven by an earlier in-window query
-# (the window slots freed up go to the training-pipeline extensions and
-# the round-2 text ops, which have no other driver signal); ALL entries,
-# windowed or not, are verified by the local pytest parity gate
-# (tests/test_parity.py) at sf0.001 and swept at sf0.01/0.1 by
-# tools/parity.py:
-#   q_group_salted        - GROUP BY semantics held by q_group_topk
-#   q_window_ntile        - ranking-window capability held by q_window_latest
-#   q_knn_per_label       - brute-force kNN capability held by q_knn_cosine
-#   q_dedup_events        - exact-dedup capability held by q_dedup
-#   q_cube                - grouping-sets capability held by q_rollup
-#   q_stats               - stats-fn tier held with q_percentile/q_haversine
-#   q_approx_percentile   - percentile tier held by q_percentile; its
-#                           bounded-error contract is tests/test_approx.py
-#   q_approx_distinct     - distinct capability held by q_distinct_aircraft;
-#                           rows-only in the driver anyway (no oracle);
-#                           bounded-error contract is tests/test_approx.py
-#   q_sliding_window      - time-bucketing held by q_time_bucket; the
-#                           streaming sliding window is tests-verified
-#   q_join_snowflake      - inner-equi-join capability held by q_join_star
-#   q_rolling_fingerprint - fingerprint capability held by q_doc_fingerprint
-#   q_near_dedup_ngram    - near-dup capability held by minhash/simhash/
-#                           embedding; ngram is the survivor-verify pass
-#   q_haversine           - math-fn row also held in-window by q_percentile
-#   q_ngram_top           - explode->agg->top-k shape held by q_token_tf
-#   q_token_tf            - its explode->count pipeline is literally the
-#                           first CTE of in-window q_tfidf
-#   q_doc_fingerprint     - the same portable 60-bit hash is the groupBy
-#                           key of in-window q_dedup and q_contamination
-#   q_agg_conditional     - COUNT(CASE WHEN) shape held in-window by
-#                           q_stratified_sample / q_quality_filter
-#   q_array_explode       - explode + array fns held in-window by
-#                           q_tfidf/q_lang_id (explode) and
-#                           q_knn_cosine/q_bm25 (higher-order array ops)
-#   q_string_clean        - string-fn tier held in-window by q_pii_scrub
-#                           (regex) and the text-analysis suite
-#   q_join_left           - outer-join capability held in-window by
-#                           q_join_full (full outer exercises the same
-#                           null-extension on both sides)
-#   q_profile             - composite of aggregate capabilities held
-#                           in-window (count/distinct by
-#                           q_distinct_aircraft, min/max by the stats
-#                           tier); the multi-distinct expand plan is
-#                           its only novel shape
-#   q_subquery_scalar     - subquery capability held in-window by
-#                           q_subquery_in; adds correlated-scalar
-#                           decorrelation depth, pytest-verified
-#   q_window_trailing     - framed-window capability held in-window by
-#                           q_window_running; adds the time-RANGE frame
-#                           variant, pytest-verified
-#   q_unpivot             - reshape capability held in-window by
-#                           q_pivot (its exact inverse); stack() is a
-#                           Generate like the in-window explodes
-#   q_multimodal_energy   - mapInPandas multimodal capability held
-#                           in-window by q_multimodal_frames
-#                           (row-expanding) and q_multimodal_features
-#                           (vectorized codec); adds the overlapped-
-#                           window audio shape, full-oracle
-#                           pytest-verified at all three SFs
-#   q_token_count         - rotated OUT round 4 (green driver rows r1+r3;
-#                           long-proven): its whitespace+BPE-ish tokenize
-#                           -> count pipeline is the first stage of
-#                           in-window q_tfidf and q_bm25, and token
-#                           statistics are also exercised in-window by
-#                           q_quality_score / q_repetition_score
-#   q_length_hist         - rotated OUT round 4 (green driver rows r1+r3;
-#                           long-proven): width-bucket histogram = narrow
-#                           bucketize + hash agg, both held in-window by
-#                           q_group_topk (hash agg/top-k) and q_time_bucket
-#                           (bucketize-then-agg); percentile tier by
-#                           q_percentile
+# query must sit inside the window. Past the window sits a tail of
+# queries whose CAPABILITY is also proven by an earlier in-window query;
+# ALL entries, windowed or not, are verified by the local pytest parity
+# gate (tests/test_parity.py) at sf0.001 and swept at sf0.01/0.1 by
+# tools/parity.py. The per-query rationale below is DATA so the generated
+# user-facing catalog (tools/make_catalog.py -> docs/QUERIES.md) carries
+# the same capability map; tail order is the rotation order (newest
+# candidates for a future window swap first).
+EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_token_count": (
+        "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
+        " count pipeline is the first stage of in-window q_tfidf/q_bm25;"
+        " token statistics also held by q_quality_score/q_repetition_score"
+    ),
+    "q_length_hist": (
+        "rotated OUT round 4 (green driver rows r1+r3): width-bucket"
+        " histogram = narrow bucketize + hash agg, held in-window by"
+        " q_group_topk and q_time_bucket; percentile tier by q_percentile"
+    ),
+    "q_dedup_clusters_lsh": (
+        "CC-clustering capability held in-window by q_dedup_clusters (same"
+        " dedup_clusters_from core); this is the scale composition over"
+        " minhash/LSH survivor edges, full-oracle (recursive-CTE closure"
+        " of the same graph) pytest-verified"
+    ),
+    "q_profile": (
+        "composite of aggregate capabilities held in-window"
+        " (count/distinct by q_distinct_aircraft, min/max by the stats"
+        " tier); the multi-distinct expand plan is its only novel shape"
+    ),
+    "q_subquery_scalar": (
+        "subquery capability held in-window by q_subquery_in; adds"
+        " correlated-scalar decorrelation depth, pytest-verified"
+    ),
+    "q_window_trailing": (
+        "framed-window capability held in-window by q_window_running; adds"
+        " the time-RANGE frame variant, pytest-verified"
+    ),
+    "q_unpivot": (
+        "reshape capability held in-window by q_pivot (its exact inverse);"
+        " stack() is a Generate like the in-window explodes"
+    ),
+    "q_multimodal_energy": (
+        "mapInPandas multimodal capability held in-window by"
+        " q_multimodal_frames (row-expanding) and q_multimodal_features"
+        " (vectorized codec); adds the overlapped-window audio shape,"
+        " full-oracle pytest-verified at all three SFs"
+    ),
+    "q_join_left": (
+        "outer-join capability held in-window by q_join_full (full outer"
+        " exercises the same null-extension on both sides)"
+    ),
+    "q_token_tf": (
+        "its explode -> count pipeline is literally the first CTE of"
+        " in-window q_tfidf"
+    ),
+    "q_doc_fingerprint": (
+        "the same portable 60-bit hash is the groupBy key of in-window"
+        " q_dedup and q_contamination"
+    ),
+    "q_agg_conditional": (
+        "COUNT(CASE WHEN) shape held in-window by q_stratified_sample /"
+        " q_quality_filter"
+    ),
+    "q_array_explode": (
+        "explode + array fns held in-window by q_tfidf/q_lang_id (explode)"
+        " and q_knn_cosine/q_bm25 (higher-order array ops)"
+    ),
+    "q_string_clean": (
+        "string-fn tier held in-window by q_pii_scrub (regex) and the"
+        " text-analysis suite"
+    ),
+    "q_ngram_top": "explode -> agg -> top-k shape held by q_token_tf",
+    "q_haversine": "math-fn row also held in-window by q_percentile",
+    "q_group_salted": "GROUP BY semantics held by q_group_topk",
+    "q_window_ntile": (
+        "ranking-window capability held by q_window_latest"
+    ),
+    "q_knn_per_label": "brute-force kNN capability held by q_knn_cosine",
+    "q_dedup_events": "exact-dedup capability held by q_dedup",
+    "q_cube": "grouping-sets capability held by q_rollup",
+    "q_stats": "stats-fn tier held with q_percentile/q_haversine",
+    "q_approx_percentile": (
+        "percentile tier held by q_percentile; its bounded-error contract"
+        " is tests/test_approx.py"
+    ),
+    "q_approx_distinct": (
+        "distinct capability held by q_distinct_aircraft; rows-only in the"
+        " driver anyway (no oracle); bounded-error contract is"
+        " tests/test_approx.py"
+    ),
+    "q_sliding_window": (
+        "time-bucketing held by q_time_bucket; the streaming sliding"
+        " window is tests-verified"
+    ),
+    "q_join_snowflake": "inner-equi-join capability held by q_join_star",
+    "q_rolling_fingerprint": (
+        "fingerprint capability held by q_doc_fingerprint"
+    ),
+    "q_near_dedup_ngram": (
+        "near-dup capability held by minhash/simhash/embedding; ngram is"
+        " the survivor-verify pass"
+    ),
+}
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
 # q_gapfill -- the newest full-oracle queries (spine generation +
 # zero-fill join; last-obs-carried-forward resample) which had never had
 # a driver row.
-#   q_dedup_clusters_lsh  - CC-clustering capability held in-window by
-#                           q_dedup_clusters (same dedup_clusters_from
-#                           core); this is the scale composition over
-#                           minhash/LSH survivor edges, full-oracle
-#                           (recursive-CTE closure of the same graph)
-#                           pytest-verified
-_EVAL_TAIL = (
-    "q_token_count",
-    "q_length_hist",
-    "q_dedup_clusters_lsh",
-    "q_profile",
-    "q_subquery_scalar",
-    "q_window_trailing",
-    "q_unpivot",
-    "q_multimodal_energy",
-    "q_join_left",
-    "q_token_tf",
-    "q_doc_fingerprint",
-    "q_agg_conditional",
-    "q_array_explode",
-    "q_string_clean",
-    "q_ngram_top",
-    "q_haversine",
-    "q_group_salted",
-    "q_window_ntile",
-    "q_knn_per_label",
-    "q_dedup_events",
-    "q_cube",
-    "q_stats",
-    "q_approx_percentile",
-    "q_approx_distinct",
-    "q_sliding_window",
-    "q_join_snowflake",
-    "q_rolling_fingerprint",
-    "q_near_dedup_ngram",
-)
+_EVAL_TAIL = tuple(EVAL_TAIL_RATIONALE)
 for _name in _EVAL_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)
