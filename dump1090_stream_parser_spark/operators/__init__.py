@@ -30,6 +30,12 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_contamination_bloom": (
+        "exact-contamination capability held in-window by q_contamination"
+        " (bit-identical result, shared oracle); this is the 100 TB scale"
+        " path -- Bloom-bitmap broadcast prefilter so only surviving"
+        " grams reach the wide operators -- full-oracle pytest-verified"
+    ),
     "q_token_count": (
         "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
         " count pipeline is the first stage of in-window q_tfidf/q_bm25;"

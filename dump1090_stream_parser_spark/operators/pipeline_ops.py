@@ -181,9 +181,38 @@ _TRAIN_LT = SPLIT_PCT[0]  # bucket < 80 -> train
 _EVAL_GE = SPLIT_PCT[0] + SPLIT_PCT[1]  # bucket >= 90 -> test/eval
 
 
-@query(
-    "q_contamination",
-    oracle=f"""
+def _contam_grams(spark: SparkSession, sf_dir: str):
+    """Shared front end of both contamination audits: tokenized docs
+    with split bucket (``staged``) and the exploded 60-bit-hashed
+    word-CONTAM_K-gram stream (``grams``). Hashing happens in the same
+    projection that explodes, so every downstream exchange carries
+    8-byte keys, never text fragments."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id")) % 100
+    staged = docs.select(
+        "doc_id", "source", bucket.alias("bucket"), tokens_col().alias("_t")
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    grams_arr = F.when(
+        n >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), n - CONTAM_K + 1),
+            lambda i: portable_hash64(
+                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = staged.select(
+        "doc_id", "source", "bucket", F.explode(grams_arr).alias("gh")
+    )
+    return staged, grams
+
+
+#: Both contamination audits compute the SAME exact answer (the Bloom
+#: variant's prefilter admits false positives only, and the exact
+#: verify join removes them), so they share one oracle.
+_CONTAM_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, source,
              ({portable_hash64_sql("doc_id")}) % 100 AS bucket,
@@ -221,8 +250,10 @@ _EVAL_GE = SPLIT_PCT[0] + SPLIT_PCT[1]  # bucket >= 90 -> test/eval
            CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_train_docs
              AS contaminated_pct
     FROM base LEFT JOIN hits ON base.source = hits.source
-    """,
-)
+    """
+
+
+@query("q_contamination", oracle=_CONTAM_ORACLE)
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram contamination audit: which training docs share
     a word 4-gram with the held-out split. Grams are hashed to 60 bits
@@ -230,25 +261,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges carry 8-byte keys, never text; the eval-gram side is
     DISTINCT over a 10% split's grams (small) and Spark picks broadcast
     for the semi-join when it fits."""
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash64(F.col("doc_id")) % 100
-    staged = docs.select(
-        "doc_id", "source", bucket.alias("bucket"), tokens_col().alias("_t")
-    )
-    t = F.col("_t")
-    n = F.size(t)
-    grams_arr = F.when(
-        n >= CONTAM_K,
-        F.transform(
-            F.sequence(F.lit(1), n - CONTAM_K + 1),
-            lambda i: portable_hash64(
-                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = staged.select(
-        "doc_id", "source", "bucket", F.explode(grams_arr).alias("gh")
-    )
+    staged, grams = _contam_grams(spark, sf_dir)
     eval_grams = (
         grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
     )
@@ -409,4 +422,88 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             target.cast("double") / F.col("tokens").cast("double"),
         ).alias("weight"),
         F.least(F.col("tokens"), target).alias("effective_tokens"),
+    )
+
+
+#: Bloom filter geometry: BLOOM_WORDS 64-bit words. 2^16 words = 4 Mi
+#: bits (512 KiB broadcast) -- sized so the sf0.1 eval-gram set
+#: (~hundreds of thousands of distinct grams) sees a single-hash false
+#: positive rate of roughly n/m, a few percent. At 100 TB, scale
+#: BLOOM_WORDS with the eval split (the broadcast stays MiB-sized up to
+#: billions of grams; 2^27 words = 1 GiB is the practical ceiling --
+#: beyond that, shard the filter by gh range and union the probes).
+BLOOM_WORDS = 1 << 16
+
+
+def _bloom_word_bit(gh):
+    """(word index, single-bit mask) for a 60-bit non-negative hash.
+
+    Word index uses the LOW bits (pmod by BLOOM_WORDS); the bit-in-word
+    draws from DISJOINT higher bits (>> 20) so the two coordinates stay
+    independent for any BLOOM_WORDS <= 2^20."""
+    w = F.pmod(gh, F.lit(BLOOM_WORDS)).cast("int")
+    mask = F.expr("shiftleft(1L, CAST(pmod(shiftright(gh, 20), 64) AS INT))")
+    return w, mask
+
+
+@query("q_contamination_bloom", oracle=_CONTAM_ORACLE)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit with a Bloom-prefiltered probe side -- the
+    100 TB form of q_contamination, same exact answer (shared oracle).
+
+    Why it exists: q_contamination's exact plan must get every distinct
+    (doc_id, gh) of the TRAIN gram explosion through a shuffle before
+    the semi-join can drop the ~99% of grams that never touch the eval
+    split. At 100 TB that exchange IS the job. This variant compresses
+    the eval-gram set into a fixed-size Bloom bitmap (BLOOM_WORDS
+    64-bit words, built by one bit_or aggregation), broadcast-joins the
+    train gram stream against it on the word index, and bit-tests BEFORE
+    any wide operation -- so the distinct + verify semi-join downstream
+    shuffle only the survivors (true hits + the few-percent false
+    positives). Bloom filters have no false negatives, and the exact
+    semi-join against the true eval-gram set removes the false
+    positives, so the result is bit-identical to q_contamination.
+
+    Plan shape: eval side -> distinct -> ONE <=BLOOM_WORDS-row agg
+    (broadcast); train side -> narrow explode -> broadcast hash join +
+    bit test (no exchange) -> distinct/semi-join over survivors only.
+    This is the same runtime-filter idea as Spark's AQE bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.*), materialized manually
+    so it applies across the explode and under our own hash family."""
+    staged, grams = _contam_grams(spark, sf_dir)
+    eval_grams = (
+        grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
+    )
+    w, mask = _bloom_word_bit(F.col("gh"))
+    bloom = (
+        eval_grams.select(w.alias("w"), mask.alias("mask"))
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probe = grams.filter(F.col("bucket") < _TRAIN_LT).select(
+        "doc_id", "source", "gh", w.alias("w"), mask.alias("mask")
+    )
+    survivors = (
+        probe.join(F.broadcast(bloom), "w")
+        .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+        .select("doc_id", "source", "gh")
+    )
+    hits = (
+        survivors.join(eval_grams, "gh", "left_semi")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+    base = (
+        staged.filter(F.col("bucket") < _TRAIN_LT)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train_docs"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return base.join(hits, "source", "left").select(
+        "source",
+        "n_train_docs",
+        n_cont.alias("n_contaminated"),
+        (n_cont.cast("double") / F.col("n_train_docs")).alias(
+            "contaminated_pct"
+        ),
     )

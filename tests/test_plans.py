@@ -421,3 +421,24 @@ def test_range_sorted_layout_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi_prev <= lo_next
     # and the full table round-trips
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_contamination_bloom_prefilter_shape(spark):
+    """The Bloom variant's probe side must meet the bitmap via a
+    BROADCAST join (never a shuffle of the exploded train grams), and
+    the bloom build must collapse to a <= BLOOM_WORDS-row aggregate.
+    Also: results are bit-identical to the exact audit (no false
+    negatives; verify join kills false positives)."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        q_contamination,
+        q_contamination_bloom,
+    )
+
+    bloom_df = q_contamination_bloom(spark, SF_DIR)
+    plan = formatted_plan(bloom_df)
+    assert "BroadcastHashJoin" in plan  # bitmap meets probe broadcast-side
+    assert "CartesianProduct" not in plan
+
+    exact = {tuple(r) for r in q_contamination(spark, SF_DIR).collect()}
+    bloom = {tuple(r) for r in bloom_df.collect()}
+    assert bloom == exact
