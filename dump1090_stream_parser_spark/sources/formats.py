@@ -109,3 +109,27 @@ def read_jsonl(
     """Typed JSON-lines read: the writer's schema pins int widths,
     float vs double, and timestamp types that inference would widen."""
     return spark.read.options(**_JSON_OPTS).schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> T.StructType:
+    """Write ``df`` as ORC -- the second self-describing columnar
+    format Spark ships a vectorized reader for. Full nested-type and
+    timestamp fidelity like parquet (no option pinning needed); use it
+    when the downstream consumer is Hive/Trino-centric where ORC's
+    stripe statistics and bloom indexes are the native skipping unit.
+    Returns the schema for symmetry with the other writers (ORC is
+    self-describing, so :func:`read_orc` can also run schemaless)."""
+    df.write.mode("overwrite").orc(path)
+    return df.schema
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC read; pass the writer's schema to pin column order and get
+    the same pruning-friendly explicit ReadSchema as the parquet path
+    (schemaless read is fine for ad-hoc use -- ORC files carry types)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -118,3 +118,23 @@ def test_csv_null_sentinel_collision(spark, tmp_path):
         r["id"]: r["s"] for r in read_jsonl(spark, jpath, jschema).collect()
     }
     assert jback == {1: "\\N", 2: None, 3: "x"}  # JSONL is exact
+
+
+def test_orc_round_trip_nested_and_predicate_pushdown(spark, tmp_path):
+    from dump1090_stream_parser_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")  # nested array column
+    out = str(tmp_path / "orc")
+    got = read_orc(spark, out, write_orc(emb, out))
+    assert got.schema == emb.schema
+    assert got.count() == emb.count()
+    # value spot check incl. the nested column
+    a = emb.orderBy("vec_id").limit(5).collect()
+    b = got.orderBy("vec_id").limit(5).collect()
+    assert a == b
+    # ORC scans take pushed filters like parquet scans do
+    plan = got.filter(F.col("vec_id") < 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "vec_id" in plan
