@@ -30,6 +30,13 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_heavy_hitters": (
+        "exact top-k-by-frequency capability held in-window by"
+        " q_group_topk; this is the bounded-shuffle Misra-Gries sketch"
+        " form (<= cap rows per partition reach the exchange) -- exact"
+        " at test SFs (full oracle); truncation bounds pinned in"
+        " tests/test_approx.py"
+    ),
     "q_contamination_bloom": (
         "exact-contamination capability held in-window by q_contamination"
         " (bit-identical result, shared oracle); this is the 100 TB scale"

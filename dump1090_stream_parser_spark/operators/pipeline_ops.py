@@ -507,3 +507,132 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: frequent-items over a key column with BOUNDED shuffle.
+# The exact plan (groupBy + top-k) shuffles one row per DISTINCT key --
+# fine for languages, fatal for URLs/domains/user-ids at 100 TB. The
+# sketch caps the exchange at <= HH_CAP rows per input partition.
+# --------------------------------------------------------------------------
+
+#: Per-partition Misra-Gries capacity. At the test SFs every partition
+#: holds fewer distinct user_ids than this, so the sketch is EXACT and
+#: the full oracle applies; the truncating/decrement path is exercised
+#: by tests/test_approx.py with a tiny capacity on adversarial data.
+HH_CAP = 4096
+HH_TOPK = 10
+
+
+def heavy_hitters_summary(
+    df: DataFrame, key: str, cap: int = HH_CAP
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``df[key]`` frequencies.
+
+    Classic mergeable-summaries construction (Agarwal et al., TODS'13):
+    inside each partition, batch counts merge into a running summary;
+    whenever it exceeds ``cap`` keys, the (cap+1)-th largest count d is
+    subtracted from EVERY counter and non-positive counters drop -- the
+    batched Misra-Gries decrement. Each partition therefore emits
+    <= cap (key, cnt) rows (cnt is a LOWER bound on the partition-local
+    frequency) plus one null-key ledger row carrying its total
+    decrement. Summing ledgers gives E with the global guarantee:
+
+        est <= true <= est + E      for every key, and
+        every key with true > E appears in the summary union.
+
+    Arrow-batched mapInPandas; vectorized pandas value_counts per
+    batch; memory is O(cap + batch-distinct), never partition-distinct.
+    NULL keys are excluded (frequency of NULL is not a heavy-hitter
+    question)."""
+    ktype = df.schema[key].dataType.simpleString()
+    out_schema = f"`{key}` {ktype}, cnt bigint, dec bigint"
+
+    def mg(batches):
+        import pandas as pd
+
+        summary = None
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf[key].value_counts()  # dropna: NULLs excluded
+            summary = vc if summary is None else summary.add(
+                vc, fill_value=0
+            )
+            if len(summary) > cap:
+                summary = summary.sort_values(ascending=False)
+                d = int(summary.iloc[cap])
+                dec_total += d
+                summary = summary - d
+                summary = summary[summary > 0]
+        out = []
+        if summary is not None and len(summary):
+            out.append(
+                pd.DataFrame(
+                    {
+                        key: summary.index,
+                        "cnt": summary.values.astype("int64"),
+                        "dec": 0,
+                    }
+                )
+            )
+        if dec_total:
+            out.append(
+                pd.DataFrame({key: [None], "cnt": [0], "dec": [dec_total]})
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return df.select(key).mapInPandas(mg, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, k: int = HH_TOPK, cap: int = HH_CAP
+) -> DataFrame:
+    """Top-k frequent keys from the merged Misra-Gries summaries:
+    ``est_count`` is the guaranteed lower bound, ``count_ub`` the
+    guaranteed upper bound (est + summed decrement ledger). The only
+    exchange after the narrow sketch pass carries <= cap rows per input
+    partition -- the whole point at URL/domain cardinalities."""
+    summ = heavy_hitters_summary(df, key, cap)
+    est = (
+        summ.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    err = summ.agg(F.sum("dec").alias("_err"))  # 1 row
+    return (
+        est.join(F.broadcast(err))
+        .select(
+            key,
+            "est_count",
+            (F.col("est_count") + F.coalesce(F.col("_err"), F.lit(0))).alias(
+                "count_ub"
+            ),
+        )
+        .orderBy(F.desc("est_count"), F.asc(key))
+        .limit(k)
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS est_count,
+           COUNT(*) AS count_ub
+    FROM events
+    GROUP BY user_id
+    ORDER BY est_count DESC, user_id
+    LIMIT {HH_TOPK}
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users by event count via the Misra-Gries
+    sketch. At the test SFs HH_CAP exceeds every partition's distinct
+    user count, so est == count_ub == the exact COUNT(*) and the full
+    oracle applies bit-for-bit; the approximation contract (bounds +
+    no-missed-heavy-hitter) is pinned separately on adversarial data in
+    tests/test_approx.py."""
+    return heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id", HH_TOPK, HH_CAP
+    )

@@ -241,3 +241,48 @@ def test_ivf_training_improves_quantizer(spark):
     q0 = quantizer_quality(emb, seeds)
     q4 = quantizer_quality(emb, trained)
     assert q4 > q0, (q0, q4)
+
+
+def test_heavy_hitters_mg_bounds_under_truncation(spark):
+    """Force the Misra-Gries decrement path (capacity far below the
+    key cardinality) and pin the mergeable-summary guarantees against
+    exact counts: est <= true <= est + E for every reported key, and
+    no key whose true count exceeds E is missing from the summary."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        heavy_hitters,
+        heavy_hitters_summary,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").repartition(8)
+    cap = 8  # events has ~dozens of distinct user_ids -> truncation
+
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    summ = heavy_hitters_summary(ev, "user_id", cap)
+    E = (
+        summ.agg(F.sum("dec").alias("e")).collect()[0]["e"] or 0
+    )
+    assert E > 0, "capacity must force truncation for this test"
+
+    top = heavy_hitters(ev, "user_id", k=5, cap=cap).collect()
+    assert len(top) == 5
+    for r in top:
+        true = exact[r["user_id"]]
+        assert r["est_count"] <= true <= r["count_ub"], (
+            r["user_id"], r["est_count"], true, r["count_ub"],
+        )
+        assert r["count_ub"] == r["est_count"] + E
+
+    reported = {
+        r["user_id"]
+        for r in summ.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for uid, true in exact.items():
+        if true > E:
+            assert uid in reported, (uid, true, E)
