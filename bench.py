@@ -67,6 +67,8 @@ HEADLINE = [
     "q_pii_scrub",         # zero-exchange regex scan
     "q_join_full",         # full outer over pre-aggregated sides
     "q_chunk_docs",        # context-window chunking (narrow explode)
+    "q_contamination_bloom",  # Bloom-prefiltered gram semi join (scale twin)
+    "q_heavy_hitters",     # Misra-Gries sketch (bounded-shuffle top-k)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at
