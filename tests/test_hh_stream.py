@@ -1,0 +1,135 @@
+"""Streaming heavy hitters (streaming/heavy_hitters.py): the current
+sketch (max-ver rows per bucket) must match exact batch counts when
+capacity is ample, keep the Misra-Gries bounds under truncation, and
+carry its summaries across a query restart via the checkpoint."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.streaming.heavy_hitters import (
+    heavy_hitters_stream,
+    latest_summary,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+_SCHEMA = "event_id long, user_id long"
+
+
+def _split_two_files(spark, out_dir):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    half_id = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") < half_id).coalesce(1).write.parquet(
+        str(out_dir / "a.parquet")
+    )
+    ev.filter(F.col("event_id") >= half_id).coalesce(1).write.parquet(
+        str(out_dir / "b.parquet")
+    )
+
+
+def _exact_counts(spark):
+    return {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _run(spark, src, out, ckpt, cap, n_buckets=None):
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        heavy_hitters_stream(
+            stream,
+            "user_id",
+            cap=cap,
+            **({"n_buckets": n_buckets} if n_buckets else {}),
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_hh_exact_when_capacity_ample(spark, tmp_path):
+    src = tmp_path / "ev_in"
+    _split_two_files(spark, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, src, out, ckpt, cap=4096)
+
+    summ = latest_summary(spark.read.parquet(out)).collect()
+    assert all(r["dec"] == 0 for r in summ)
+    got = {r["key"]: r["cnt"] for r in summ}
+    assert got == _exact_counts(spark)
+    # keys spread over multiple state buckets (the parallelism claim)
+    assert len({r["bucket"] for r in summ}) > 1
+
+
+def test_stream_hh_bounds_under_truncation(spark, tmp_path):
+    src = tmp_path / "ev_in"
+    _split_two_files(spark, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # 2 buckets x capacity 1: far below per-bucket distinct keys
+    _run(spark, src, out, ckpt, cap=1, n_buckets=2)
+
+    exact = _exact_counts(spark)
+    summ = latest_summary(spark.read.parquet(out)).collect()
+    assert any(r["dec"] > 0 for r in summ), "must force truncation"
+    dec_by_bucket = {r["bucket"]: r["dec"] for r in summ}
+    reported_by_bucket: dict[int, set] = {}
+    for r in summ:
+        assert r["cnt"] <= exact[r["key"]] <= r["cnt"] + r["dec"], (
+            r["key"], r["cnt"], exact[r["key"]], r["dec"],
+        )
+        reported_by_bucket.setdefault(r["bucket"], set()).add(r["key"])
+    # no bucket misses a key whose true count exceeds its decrement;
+    # recompute each key's bucket exactly as the operator does
+    from dump1090_stream_parser_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    ev = spark.createDataFrame(
+        [(k,) for k in exact], "user_id long"
+    ).select(
+        "user_id",
+        F.pmod(portable_hash64(F.col("user_id")), F.lit(2))
+        .cast("int")
+        .alias("bucket"),
+    )
+    bucket_of = {r["user_id"]: r["bucket"] for r in ev.collect()}
+    for k, true in exact.items():
+        b = bucket_of[k]
+        if b in dec_by_bucket and true > dec_by_bucket[b]:
+            assert k in reported_by_bucket.get(b, set()), (k, true, b)
+
+
+def test_stream_hh_state_survives_query_restart(spark, tmp_path):
+    stage = tmp_path / "stage"
+    _split_two_files(spark, stage)
+    src = tmp_path / "ev_restart"
+    src.mkdir()
+    shutil.copytree(stage / "a.parquet", src / "a.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _run(spark, src, out, ckpt, cap=4096)
+    shutil.copytree(stage / "b.parquet", src / "b.parquet")
+    _run(spark, src, out, ckpt, cap=4096)
+
+    summ = latest_summary(spark.read.parquet(out)).collect()
+    got = {r["key"]: r["cnt"] for r in summ}
+    # counts from the first run's file must still be in the totals --
+    # only state carried across the restart can supply them
+    assert got == _exact_counts(spark)
