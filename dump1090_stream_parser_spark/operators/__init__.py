@@ -14,6 +14,7 @@ from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import pipeline_ops  # noqa: F401  (registers past the window)
+from . import inference  # noqa: F401  (registers past the window)
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -30,6 +31,20 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_model_score": (
+        "model-based filtering plumbing (mapInPandas batch inference"
+        " with a rational-squash stand-in model, full oracle); the"
+        " Arrow-batched UDF tier is held in-window by"
+        " q_multimodal_frames/q_multimodal_features; quality gating by"
+        " q_quality_filter"
+    ),
+    "q_label_pca": (
+        "per-group dense linear algebra via applyInPandas (grouped-map"
+        " tier; rows-only -- no SQL oracle for eigensolving, numpy"
+        " recomputation contract in tests/test_approx.py); the Pandas"
+        " UDF capability itself is held in-window by the multimodal"
+        " queries"
+    ),
     "q_heavy_hitters": (
         "exact top-k-by-frequency capability held in-window by"
         " q_group_topk; this is the bounded-shuffle Misra-Gries sketch"

@@ -286,3 +286,42 @@ def test_heavy_hitters_mg_bounds_under_truncation(spark):
     for uid, true in exact.items():
         if true > E:
             assert uid in reported, (uid, true, E)
+
+
+def test_label_pca_aligns_with_numpy_eigh(spark):
+    """Power iteration per label (applyInPandas) must agree with
+    numpy's dense eigendecomposition on the same data: top-eigenvector
+    alignment |cos| ~ 1 and matching variance share."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.inference import q_label_pca
+    from dump1090_stream_parser_spark.operators.inference import _label_pca
+    import pandas as pd
+
+    got = {r["label"]: r for r in q_label_pca(spark, SF_DIR).collect()}
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(list(r["embedding"]))
+
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.array(vecs, dtype="float64")
+        Xc = X - X.mean(axis=0)
+        cov = Xc.T @ Xc / max(len(X) - 1, 1)
+        w, V = np.linalg.eigh(cov)
+        v_np, lam_np = V[:, -1], w[-1]
+        r = got[label]
+        assert r["n_vecs"] == len(vecs)
+        ref_ratio = lam_np / np.trace(cov)
+        assert abs(r["var_explained"] - ref_ratio) < 1e-6, (
+            label, r["var_explained"], ref_ratio,
+        )
+        # reconstruct the operator's vector to compare directions
+        pdf = pd.DataFrame(
+            {"label": [label] * len(vecs), "embedding": vecs}
+        )
+        full = _label_pca(pdf)
+        assert full["top_dim"].iloc[0] == r["top_dim"]
+        assert int(np.argmax(np.abs(v_np))) == r["top_dim"]
+        assert abs(abs(v_np[r["top_dim"]]) - abs(r["top_loading"])) < 1e-6
