@@ -551,19 +551,14 @@ def heavy_hitters_summary(
     def mg(batches):
         import pandas as pd
 
+        from ..functions.sketches import mg_merge
+
         summary = None
         dec_total = 0
         for pdf in batches:
             vc = pdf[key].value_counts()  # dropna: NULLs excluded
-            summary = vc if summary is None else summary.add(
-                vc, fill_value=0
-            )
-            if len(summary) > cap:
-                summary = summary.sort_values(ascending=False)
-                d = int(summary.iloc[cap])
-                dec_total += d
-                summary = summary - d
-                summary = summary[summary > 0]
+            summary, d = mg_merge(summary, vc, cap)
+            dec_total += d
         out = []
         if summary is not None and len(summary):
             out.append(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.hashing import portable_hash64
+from ..functions.sketches import mg_merge
 
 #: Key-space parallelism: buckets are the stateful-stage partitioning
 #: unit, so throughput scales to min(N_HH_BUCKETS, cores).
@@ -79,14 +80,8 @@ def _make_update(cap: int):
 
         (bucket,) = key
         for pdf in pdfs:
-            vc = pdf["key"].value_counts()
-            summary = vc if summary.empty else summary.add(vc, fill_value=0)
-            if len(summary) > cap:
-                summary = summary.sort_values(ascending=False)
-                d = int(summary.iloc[cap])
-                dec += d
-                summary = summary - d
-                summary = summary[summary > 0]
+            summary, d = mg_merge(summary, pdf["key"].value_counts(), cap)
+            dec += d
 
         ver += 1
         keys = [int(k) for k in summary.index]

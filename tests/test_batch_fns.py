@@ -72,3 +72,44 @@ def test_frame_sampler_matches_formula(ts):
                 hashlib.md5(frame.encode()).hexdigest()[:15], 16
             )
     assert len(out) == expected_rows
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries core (functions/sketches.py): the guarantees must hold for
+# ANY key sequence, ANY batching of it, and ANY capacity.
+# ---------------------------------------------------------------------------
+
+key_batches = st.lists(
+    st.lists(st.integers(min_value=-50, max_value=50), max_size=60),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(batches=key_batches, cap=st.integers(min_value=1, max_value=12))
+def test_mg_merge_guarantees_any_batching(batches, cap):
+    from collections import Counter
+
+    from dump1090_stream_parser_spark.functions.sketches import mg_merge
+
+    summary, dec = None, 0
+    for b in batches:
+        vc = pd.Series(b, dtype="int64").value_counts()
+        summary, d = mg_merge(summary, vc, cap)
+        dec += d
+
+    true = Counter(k for b in batches for k in b)
+    reported = {} if summary is None else summary.to_dict()
+    # size bound
+    assert len(reported) <= cap
+    # lower/upper bound for every reported key
+    for k, est in reported.items():
+        assert 0 < est <= true[k] <= est + dec, (k, est, true[k], dec)
+    # no key above the decrement is missing
+    for k, t in true.items():
+        if t > dec:
+            assert k in reported, (k, t, dec)
+    # decrement never exceeds the analytic bound n/(cap+1)
+    n = sum(true.values())
+    assert dec <= n // (cap + 1)
