@@ -31,12 +31,24 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
-    "q_model_score": (
-        "model-based filtering plumbing (mapInPandas batch inference"
-        " with a rational-squash stand-in model, full oracle); the"
-        " Arrow-batched UDF tier is held in-window by"
-        " q_multimodal_frames/q_multimodal_features; quality gating by"
-        " q_quality_filter"
+    "q_window_lag_delta": (
+        "rotated OUT round 4 (green driver rows r1+r3): lag/lead"
+        " analytic-window capability held in-window by q_sessionize"
+        " (lag-gap detection IS its core) and the funnel's stacked"
+        " window stages; frames by q_window_running, ranking by"
+        " q_window_latest"
+    ),
+    "q_quality_score": (
+        "rotated OUT round 4 (green driver rows r1+r3): quality-feature"
+        " arithmetic held in-window by q_quality_filter (same feature"
+        " family, gating form) and now q_model_score (same features"
+        " feeding the classifier pass)"
+    ),
+    "q_multimodal_meta": (
+        "rotated OUT round 4 (green driver rows r1+r3): the binary-"
+        "column metadata projection is the trivial first stage of"
+        " in-window q_multimodal_frames / q_multimodal_features (same"
+        " payload schema, same typed-metadata contract)"
     ),
     "q_label_pca": (
         "per-group dense linear algebra via applyInPandas (grouped-map"
@@ -45,23 +57,10 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " UDF capability itself is held in-window by the multimodal"
         " queries"
     ),
-    "q_heavy_hitters": (
-        "exact top-k-by-frequency capability held in-window by"
-        " q_group_topk; this is the bounded-shuffle Misra-Gries sketch"
-        " form (<= cap rows per partition reach the exchange) -- exact"
-        " at test SFs (full oracle); truncation bounds pinned in"
-        " tests/test_approx.py"
-    ),
-    "q_contamination_bloom": (
-        "exact-contamination capability held in-window by q_contamination"
-        " (bit-identical result, shared oracle); this is the 100 TB scale"
-        " path -- Bloom-bitmap broadcast prefilter so only surviving"
-        " grams reach the wide operators -- full-oracle pytest-verified"
-    ),
     "q_token_count": (
         "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
         " count pipeline is the first stage of in-window q_tfidf/q_bm25;"
-        " token statistics also held by q_quality_score/q_repetition_score"
+        " token statistics also held by q_quality_filter/q_repetition_score"
     ),
     "q_length_hist": (
         "rotated OUT round 4 (green driver rows r1+r3): width-bucket"
@@ -156,7 +155,10 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
 # q_gapfill -- the newest full-oracle queries (spine generation +
 # zero-fill join; last-obs-carried-forward resample) which had never had
-# a driver row.
+# a driver row. Second round-4 rotation: q_contamination_bloom,
+# q_heavy_hitters, q_model_score (the round-4 full-oracle additions)
+# enter the window for their first driver rows; q_window_lag_delta,
+# q_quality_score, q_multimodal_meta park with green r1+r3 history.
 _EVAL_TAIL = tuple(EVAL_TAIL_RATIONALE)
 for _name in _EVAL_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)

@@ -39,6 +39,10 @@ PROBE = [
     "q_quantize_embeddings",
     "q_token_tf",
     "q_mix_weights",
+    "q_model_score",
+    "q_contamination",
+    "q_contamination_bloom",
+    "q_heavy_hitters",
 ]
 
 
@@ -48,7 +52,13 @@ def replicate(spark, factor: int, out_dir: str) -> None:
     from dump1090_stream_parser_spark.tables import load_table
 
     os.makedirs(out_dir, exist_ok=True)
-    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for name, key in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        # events: ids offset, user_ids kept -- replication multiplies
+        # per-key frequency, the right stress for the frequency sketch
+        ("events", "event_id"),
+    ):
         base = load_table(spark, SRC, name)
         n = base.count()
         parts = [
