@@ -237,3 +237,65 @@ def range_sorted_layout(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    part_col: str,
+    key_col: str,
+) -> list:
+    """Copy-on-write upsert into a directory-partitioned parquet layout:
+    rows in ``updates`` replace same-``key_col`` rows (or append) inside
+    ONLY the ``part_col`` partitions the updates touch; every other
+    partition's files are left physically untouched. Returns the list
+    of partition values rewritten.
+
+    This is the patch-a-shard primitive (re-scored documents, late
+    corrections) without a table format: at 100 TB the thing that
+    matters is that the rewrite is proportional to the TOUCHED
+    partitions, not the table --
+
+    - the touched-partition list is a driver artifact (distinct of the
+      update batch's partition column, a small collect by definition of
+      a patch);
+    - the base side reads ONLY those partitions (partition-pruned scan;
+      directory pruning at file-listing time);
+    - the merge is a left-anti join (updates win on key collision) +
+      union, shuffling only touched-partition data;
+    - the write uses Spark's dynamic partition overwrite so exactly the
+      touched ``part_col=value`` directories are replaced.
+
+    The merged frame is localCheckpoint()-ed before the overwrite: the
+    write targets directories the plan reads, so lineage must be cut
+    first (same self-overwrite hazard compact_parquet guards against;
+    on a cluster use checkpoint() to HDFS instead). NULL partition
+    values in updates are rejected -- Spark writes them to the
+    __HIVE_DEFAULT_PARTITION__ directory, which is almost never what a
+    patch intends."""
+    from pyspark.sql import functions as F
+
+    if updates.filter(F.col(part_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"upsert_partitioned: updates contain NULL {part_col!r}"
+        )
+    parts = [
+        r[0] for r in updates.select(part_col).distinct().collect()
+    ]
+    if not parts:
+        return []
+    base = spark.read.parquet(base_dir).filter(
+        F.col(part_col).isin(parts)
+    )
+    merged = base.join(
+        updates.select(key_col), key_col, "left_anti"
+    ).unionByName(updates)
+    merged = merged.localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(base_dir)
+    )
+    return parts

@@ -442,3 +442,77 @@ def test_contamination_bloom_prefilter_shape(spark):
     exact = {tuple(r) for r in q_contamination(spark, SF_DIR).collect()}
     bloom = {tuple(r) for r in bloom_df.collect()}
     assert bloom == exact
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """Copy-on-write upsert: updated keys replaced, new keys appended,
+    untouched date partitions byte-identical (same files, same mtimes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.layout import upsert_partitioned
+    from dump1090_stream_parser_spark.tables import load_table
+
+    base_dir = str(tmp_path / "events_by_date")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(base_dir)
+
+    dates = sorted(
+        r[0] for r in ev.select("event_date").distinct().collect()
+    )
+    touched, untouched = dates[0], dates[1:]
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{base_dir}/*/*.parquet")
+    }
+
+    victim = (
+        ev.filter(F.col("event_date") == touched)
+        .orderBy("event_id")
+        .limit(3)
+    )
+    updates = victim.withColumn("value", F.lit(9999.0)).union(
+        victim.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        ).select(ev.columns)  # new keys, same partition
+    )
+
+    rewritten = upsert_partitioned(
+        spark, base_dir, updates, "event_date", "event_id"
+    )
+    assert rewritten == [touched]
+
+    got = spark.read.parquet(base_dir)
+    # updated rows carry the new value
+    upd_ids = [r["event_id"] for r in victim.collect()]
+    assert {
+        r["value"]
+        for r in got.filter(F.col("event_id").isin(upd_ids)).collect()
+    } == {9999.0}
+    # new keys appended; totals consistent
+    assert got.count() == ev.count() + 3
+    # untouched partitions: identical files, untouched mtimes
+    for f, mt in before.items():
+        if any(f"event_date={d}" in f for d in untouched):
+            assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+    # key uniqueness preserved
+    assert got.select("event_id").distinct().count() == got.count()
+
+    # NULL partition values are rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_partitioned(
+            spark,
+            base_dir,
+            updates.withColumn("event_date", F.lit(None).cast("date")),
+            "event_date",
+            "event_id",
+        )
