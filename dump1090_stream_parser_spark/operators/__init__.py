@@ -128,6 +128,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_knn_per_label": "brute-force kNN capability held by q_knn_cosine",
     "q_dedup_events": "exact-dedup capability held by q_dedup",
+    "q_dedup_best": (
+        "exact-dedup capability held by q_dedup (same fingerprint-keyed"
+        " shuffle); adds keep-best representative selection via one"
+        " integer arg-max, full-oracle pytest-verified"
+    ),
     "q_cube": "grouping-sets capability held by q_rollup",
     "q_stats": "stats-fn tier held with q_percentile/q_haversine",
     "q_approx_percentile": (

@@ -82,6 +82,54 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Tiebreak packing for keep-BEST dedup: score = n_chars * 2^40 - doc_id
+#: (n_chars < 2^20 and doc_id < 2^40 in any realistic corpus), so one
+#: integer arg-max means "longest doc, then lowest doc_id" -- exact in
+#: both engines, no float comparator.
+_BEST_PACK = 1 << 40
+
+
+@query(
+    "q_dedup_best",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             {portable_hash64_sql("text")} AS fingerprint
+      FROM documents
+    )
+    SELECT arg_max(doc_id, n_chars * {_BEST_PACK} - doc_id) AS doc_id,
+           COUNT(*) AS n_copies,
+           MAX(n_chars) AS kept_chars
+    FROM fp
+    GROUP BY fingerprint
+    """,
+)
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-BEST semantics: per duplicate family keep the
+    highest-value representative (longest doc, deterministic doc_id
+    tiebreak) instead of q_dedup's keep-first -- what production
+    pipelines actually do when copies differ in truncation/mojibake.
+    Same fingerprint-keyed 8-byte shuffle as q_dedup; the selection is
+    a single integer arg-max, no second pass over text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            portable_hash64(F.col("text")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                "doc_id", F.col("n_chars") * _BEST_PACK - F.col("doc_id")
+            ).alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.max("n_chars").alias("kept_chars"),
+        )
+        .drop("fingerprint")
+    )
+
+
 @query(
     "q_dedup_events",
     oracle="""
