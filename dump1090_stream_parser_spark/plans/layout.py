@@ -299,3 +299,67 @@ def upsert_partitioned(
         .parquet(base_dir)
     )
     return parts
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: tuple,
+    out_dir: str,
+    n_files: int = 16,
+    bits: int = 6,
+) -> None:
+    """Two-column Z-order (Morton) layout: files cluster on BOTH
+    columns at once, so a predicate on EITHER column (or a box on
+    both) skips files via parquet min/max stats -- under a 1-D sort
+    the trailing column spans every file and can never skip
+    (test-pinned: a narrow trailing-dimension band touches <=8/16
+    z-files vs 16/16 sorted files). The trade: leading-column-only
+    scans touch more files than the 1-D sort; z-order is for tables
+    queried through more than one selective column.
+
+    Mechanics (all narrow except the final range exchange):
+    - per column, 2^bits rank buckets from approxQuantile boundaries
+      (a driver artifact: 2^bits-1 doubles per column; quantile ranks,
+      not widths, so skew cannot collapse buckets);
+    - bucket ids bit-interleave into the Morton code z -- an
+      expression-level shift/or chain, no UDF;
+    - ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` give
+      files disjoint z ranges, i.e. locality in both columns.
+
+    Curve choice: Z-order over Hilbert -- the Morton code is a pure
+    closed-form expression (JVM-codegen-able), and its worst-case seam
+    overhead vs Hilbert is irrelevant at file granularity."""
+    from pyspark.sql import functions as F
+
+    c1, c2 = cols
+    n_buckets = 1 << bits
+    spark_df = df
+
+    def bucket_col(name: str) -> "F.Column":
+        qs = spark_df.approxQuantile(
+            name, [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        bounds = F.array(*[F.lit(float(q)) for q in qs])
+        # rank bucket = #boundaries <= value  (0 .. n_buckets-1)
+        return F.size(
+            F.filter(bounds, lambda b: F.col(name).cast("double") >= b)
+        )
+
+    b1, b2 = bucket_col(c1), bucket_col(c2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit1 = F.shiftright(b1, i).bitwiseAND(F.lit(1)).cast("long")
+        bit2 = F.shiftright(b2, i).bitwiseAND(F.lit(1)).cast("long")
+        z = (
+            z
+            + bit1 * F.lit(1 << (2 * i + 1)).cast("long")
+            + bit2 * F.lit(1 << (2 * i)).cast("long")
+        )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

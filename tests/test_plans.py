@@ -516,3 +516,56 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(
             "event_date",
             "event_id",
         )
+
+
+def test_zorder_layout_skips_files_on_the_trailing_dimension(spark, tmp_path):
+    """The claim that justifies Z-order: a predicate selective on the
+    TRAILING dimension skips files under the Z layout, while under a
+    1-D x-sorted layout every file spans the full y range so nothing
+    can be skipped. Uses a deterministic synthetic frame -- the
+    sf0.001 tables are too small for file-granularity geometry."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.layout import (
+        range_sorted_layout,
+        zorder_layout,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+    )
+    z_dir, s_dir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_layout(df, ("x", "y"), z_dir, n_files=16)
+    range_sorted_layout(df, "x", s_dir, n_files=16)
+
+    y_lo, y_hi = 400.0, 430.0  # narrow band on the trailing dimension
+
+    def files_overlapping(d):
+        n = 0
+        for f in glob.glob(d + "/*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min("y"), F.max("y"))
+                .collect()[0]
+            )
+            if r[0] <= y_hi and r[1] >= y_lo:
+                n += 1
+        return n
+
+    z_touch, s_touch = files_overlapping(z_dir), files_overlapping(s_dir)
+    # the sorted layout cannot skip at all on y
+    assert s_touch == 16
+    # the z layout must skip at least half the files
+    assert z_touch <= 8, z_touch
+    # both layouts hold the full table, and band rows survive intact
+    assert spark.read.parquet(z_dir).count() == df.count()
+    band = df.filter(F.col("y").between(y_lo, y_hi)).count()
+    got = (
+        spark.read.parquet(z_dir)
+        .filter(F.col("y").between(y_lo, y_hi))
+        .count()
+    )
+    assert got == band
