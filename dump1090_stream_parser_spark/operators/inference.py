@@ -91,6 +91,27 @@ def model_score(feats: DataFrame) -> DataFrame:
     return feats.mapInPandas(infer, schema=_MODEL_OUT_SCHEMA)
 
 
+def featurize_docs(docs: DataFrame) -> DataFrame:
+    """JVM-side featurization for the classifier: exact integer counts
+    and single divisions over any frame with (doc_id, text). Works
+    identically on batch AND streaming inputs (narrow expressions only)
+    -- the whole inference pipeline is mode-agnostic, pinned by
+    tests/test_inference_stream.py."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-z0-9 ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        (F.least(n_tokens, F.lit(100)) / 100.0).alias("len_prior"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+    )
+
+
+
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
@@ -132,20 +153,7 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational-squash stand-in keeps the full cross-engine oracle; the
     plumbing (batch shape, schema, narrow plan) is exactly what a real
     model checkpoint drops into."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace("text", "[^a-z0-9 ]", "")
-    )
-    feats = docs.select(
-        "doc_id",
-        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
-        (F.least(n_tokens, F.lit(100)) / 100.0).alias("len_prior"),
-        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
-    )
-    return model_score(feats)
+    return model_score(featurize_docs(load_table(spark, sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------
