@@ -69,6 +69,7 @@ HEADLINE = [
     "q_chunk_docs",        # context-window chunking (narrow explode)
     "q_contamination_bloom",  # Bloom-prefiltered gram semi join (scale twin)
     "q_heavy_hitters",     # Misra-Gries sketch (bounded-shuffle top-k)
+    "q_model_score",       # Arrow-batched classifier inference pass
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -1,0 +1,108 @@
+"""Parallel SQLite batch source (sources/sqlite_source.py): rowid-range
+partitioned scans must reproduce the table exactly, split work across
+the requested partitions, infer the affinity schema, and apply the
+NULL-on-garbage policy to dynamically-typed values."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.sources.sqlite_source import (
+    register_sqlite_source,
+)
+
+
+def _make_db(path, n=1000):
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE squitters ("
+        "message_type TEXT, hex_ident TEXT, altitude INTEGER,"
+        "ground_speed REAL, parsed_time TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO squitters VALUES (?,?,?,?,?)",
+        [
+            (
+                "MSG",
+                f"A{i % 37:05X}",
+                i * 25 if i % 3 else None,
+                i * 0.5,
+                f"2026-08-14 12:{i % 60:02d}:00",
+            )
+            for i in range(n)
+        ],
+    )
+    con.commit()
+    con.close()
+
+
+def test_sqlite_source_parallel_scan_round_trip(spark, tmp_path):
+    db = str(tmp_path / "adsb.db")
+    _make_db(db, n=1000)
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "squitters")
+        .option("numPartitions", "8")
+        .load()
+    )
+    # inferred affinity schema
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "bigint", "double", "string",
+    ]
+    # genuine scan parallelism
+    assert df.rdd.getNumPartitions() == 8
+    # exact round trip
+    assert df.count() == 1000
+    got = df.agg(
+        F.sum("altitude"), F.count("altitude"), F.sum("ground_speed")
+    ).collect()[0]
+    con = sqlite3.connect(db)
+    exp = con.execute(
+        "SELECT SUM(altitude), COUNT(altitude), SUM(ground_speed)"
+        " FROM squitters"
+    ).fetchone()
+    con.close()
+    assert (got[0], got[1]) == (exp[0], exp[1])
+    assert abs(got[2] - exp[2]) < 1e-9
+    # spot-check row content incl. NULLs
+    r = df.filter(F.col("hex_ident") == "A00000").orderBy("parsed_time")
+    assert r.count() == 1000 // 37 + 1
+    assert df.filter(F.col("altitude").isNull()).count() == 1000 // 3 + 1
+
+
+def test_sqlite_source_null_on_garbage_and_empty(spark, tmp_path):
+    db = str(tmp_path / "messy.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (a INTEGER, b REAL)")
+    # SQLite happily stores TEXT in INTEGER columns; the source must
+    # NULL it, not die
+    con.execute("INSERT INTO t VALUES ('not-a-number', 'nope')")
+    con.execute("INSERT INTO t VALUES (42, 1.5)")
+    con.commit()
+    con.close()
+    register_sqlite_source(spark)
+
+    def read(table, path=db):
+        return (
+            spark.read.format("sqlite")
+            .option("path", path)
+            .option("table", table)
+            .load()
+        )
+
+    rows = sorted(
+        read("t").collect(), key=lambda r: (r["a"] is None, r["a"])
+    )
+    assert (rows[0]["a"], rows[0]["b"]) == (42, 1.5)
+    assert (rows[1]["a"], rows[1]["b"]) == (None, None)
+
+    # empty table: zero rows, not an error
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE empty (x INTEGER)")
+    con.commit()
+    con.close()
+    assert read("empty").count() == 0
