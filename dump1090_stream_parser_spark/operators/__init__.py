@@ -50,6 +50,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " in-window q_multimodal_frames / q_multimodal_features (same"
         " payload schema, same typed-metadata contract)"
     ),
+    "q_hybrid_search": (
+        "two-leg retrieval fusion: its lexical leg IS in-window q_bm25"
+        " and its vector leg IS in-window q_knn_cosine, cut to"
+        " candidate lists and fused with reciprocal-rank fusion"
+        " (rational arithmetic, full oracle incl. the FULL OUTER rank"
+        " join); no corpus-sized window anywhere"
+    ),
     "q_label_pca": (
         "per-group dense linear algebra via applyInPandas (grouped-map"
         " tier; rows-only -- no SQL oracle for eigensolving, numpy"

@@ -218,3 +218,165 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_pca(load_table(spark, sf_dir, "embeddings")).orderBy(
         "label"
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# vector (cosine) candidate lists -- the standard two-leg search stack.
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_CAND_K = 50
+HYBRID_TOP_K = 10
+
+from .similarity import QUERY_VEC_ID as _QVID  # noqa: E402
+from .similarity import _cos_sql  # noqa: E402
+from .text import BM25_B as _B  # noqa: E402
+from .text import BM25_K1 as _K1  # noqa: E402
+
+_HYBRID_ORACLE = f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+             len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+               AS tf_spark,
+             len(list_filter(string_split(text, ' '), t -> t = 'hash'))
+               AS tf_hash,
+             len(list_filter(string_split(text, ' '), t -> t = 'table'))
+               AS tf_table
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table
+      FROM per_doc
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROUND(
+               ln(1 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+                 * (tf_spark * ({_K1} + 1))
+                 / (tf_spark + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+               + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                 * (tf_hash * ({_K1} + 1))
+                 / (tf_hash + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+               + ln(1 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+                 * (tf_table * ({_K1} + 1))
+                 / (tf_table + {_K1} * (1 - {_B} + {_B} * dl / avgdl)),
+               6) AS bm25
+      FROM per_doc, stats
+      ORDER BY bm25 DESC, doc_id
+      LIMIT {{CAND_K}}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QVID}),
+    vec AS (
+      SELECT vec_id,
+             ROUND({_cos_sql("embedding", "qv")}, 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> {_QVID}
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT {{CAND_K}}
+    ),
+    lexr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS rank_lex
+      FROM lex
+    ),
+    vecr AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                  AS INTEGER) AS rank_vec
+      FROM vec
+    )
+    SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
+           rank_lex, rank_vec,
+           ROUND(COALESCE(1.0 / ({{RRF_K}} + rank_lex), 0)
+                 + COALESCE(1.0 / ({{RRF_K}} + rank_vec), 0), 6) AS rrf
+    FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.vec_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {{TOP_K}}
+""".replace("{CAND_K}", str(HYBRID_CAND_K)).replace(
+    "{RRF_K}", str(RRF_K)
+).replace("{TOP_K}", str(HYBRID_TOP_K))
+
+
+@query("q_hybrid_search", oracle=_HYBRID_ORACLE)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search for a standing query: BM25 leg over documents +
+    cosine leg over embeddings (doc_id == vec_id), fused with
+    reciprocal-rank fusion score(d) = sum over legs of
+    1/(RRF_K + rank_leg(d)), missing-from-a-leg contributing 0.
+
+    Scale shape: each leg is its own already-proven scale plan (narrow
+    BM25 map + TakeOrderedAndProject; broadcast query vector + the same
+    top-k) cut to HYBRID_CAND_K candidates BEFORE any ranking window --
+    the rank assignment and full-outer fusion then run on two <=K-row
+    frames (driver-artifact sized), so no global single-partition
+    window ever sees the corpus. Cross-engine determinism: both legs
+    rank on ROUND(score, 6) with id tiebreaks, and the RRF arithmetic
+    is rational (exact IEEE division/sum of two terms)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import QUERY_VEC_ID
+    from ..functions.vector import cosine_similarity
+    from .text import bm25_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        bm25_scored(docs)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(HYBRID_CAND_K)
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(HYBRID_CAND_K)
+    )
+    # rank WITHIN the K-row candidate frames (tiny; the single-partition
+    # window is over <=K rows by construction, never the corpus)
+    lexr = lex.withColumn(
+        "rank_lex",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    vecr = vec.withColumn(
+        "rank_vec",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        ),
+    )
+    fused = lexr.join(
+        vecr, lexr["doc_id"] == vecr["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        "rank_lex",
+        "rank_vec",
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    ).limit(HYBRID_TOP_K)

@@ -524,6 +524,52 @@ def _eq_term(term: str):
     return lambda x: x == term
 
 
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, tf_<term>..., bm25) for the fixed BM25_TERMS query --
+    the scoring core shared by q_bm25 and the hybrid-retrieval fusion
+    (operators/inference.py). Narrow tf map + 1-row stats broadcast;
+    bm25 is rounded to 6 decimals, which is what makes downstream
+    ORDERING on it engine-portable despite ln()."""
+    staged = docs.select("doc_id", tokens_col().alias("_t"))
+    t = F.col("_t")
+    per_doc = staged.select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        # NB: F.filter gives a 2-arg lambda the element index as the
+        # second argument, so the term must be bound via a factory.
+        *[
+            F.size(F.filter(t, _eq_term(term))).alias(f"tf_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)
+            ).alias(f"df_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+
+    def term_score(term: str) -> F.Column:
+        tf = F.col(f"tf_{term}").cast("double")
+        df = F.col(f"df_{term}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = tf + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * (BM25_K1 + 1)) / norm
+
+    score = term_score("spark") + term_score("hash") + term_score("table")
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *[f"tf_{term}" for term in BM25_TERMS],
+        F.round(score, 6).alias("bm25"),
+    )
+
+
 @query(
     "q_bm25",
     oracle=f"""
@@ -575,50 +621,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map over the corpus + a TakeOrderedAndProject top-k.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Token array staged once per row (see q_quality_filter): dl + the
-    # three tf columns reference one split, not four.
-    staged = docs.select("doc_id", tokens_col().alias("_t"))
-    t = F.col("_t")
-    per_doc = staged.select(
-        "doc_id",
-        F.size(t).alias("dl"),
-        # NB: F.filter gives a 2-arg lambda the element index as the
-        # second argument, so the term must be bound via a factory.
-        *[
-            F.size(F.filter(t, _eq_term(term))).alias(f"tf_{term}")
-            for term in BM25_TERMS
-        ],
-    )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(
-                F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)
-            ).alias(f"df_{term}")
-            for term in BM25_TERMS
-        ],
-    )
-
-    def term_score(term: str) -> F.Column:
-        tf = F.col(f"tf_{term}").cast("double")
-        df = F.col(f"df_{term}").cast("double")
-        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        norm = tf + BM25_K1 * (
-            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-        )
-        return idf * (tf * (BM25_K1 + 1)) / norm
-
-    score = term_score("spark") + term_score("hash") + term_score("table")
     return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tf_spark",
-            "tf_hash",
-            "tf_table",
-            F.round(score, 6).alias("bm25"),
-        )
+        bm25_scored(docs)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
