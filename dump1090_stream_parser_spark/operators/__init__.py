@@ -50,6 +50,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " in-window q_multimodal_frames / q_multimodal_features (same"
         " payload schema, same typed-metadata contract)"
     ),
+    "q_retention_cohorts": (
+        "composite of in-window capabilities (user-keyed aggregates:"
+        " q_group_topk tier; time bucketing: q_time_bucket; funnel-free"
+        " activity join: q_funnel's domain) -- the classic cohort"
+        " retention matrix, never joining fact to fact; full-oracle"
+        " pytest-verified"
+    ),
     "q_hybrid_search": (
         "two-leg retrieval fusion: its lexical leg IS in-window q_bm25"
         " and its vector leg IS in-window q_knn_cosine, cut to"

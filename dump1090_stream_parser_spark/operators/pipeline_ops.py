@@ -631,3 +631,91 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         load_table(spark, sf_dir, "events"), "user_id", HH_TOPK, HH_CAP
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: the classic activity matrix (cohort week x age) --
+# a composite of hash aggregates and one broadcast-able join; no window
+# functions, no self-join over the fact table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_n
+      FROM firsts GROUP BY cohort_week
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', ts) AS active_week
+      FROM events
+    ),
+    aged AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+                  AS BIGINT) AS age_weeks,
+             COUNT(*) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, age_weeks, n_active, cohort_n,
+           CAST(n_active AS DOUBLE) / cohort_n AS retention
+    FROM aged JOIN cohort_sizes USING (cohort_week)
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users grouped by
+    first-seen week, retention = share of the cohort active N weeks
+    later.
+
+    Scale shape: one user-keyed aggregate for cohorts, one DISTINCT
+    over (user, week) for activity (both partial-aggregated map-side),
+    then a user-keyed join that shares the activity distinct's hash
+    partitioning; cohort sizes are a |weeks|-row broadcast. The naive
+    formulation self-joins events-to-events -- this one never joins
+    fact to fact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_n")
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("active_week"),
+    ).distinct()
+    aged = (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        aged.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_n",
+            (F.col("n_active").cast("double") / F.col("cohort_n")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
