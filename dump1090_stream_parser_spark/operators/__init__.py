@@ -134,7 +134,10 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "string-fn tier held in-window by q_pii_scrub (regex) and the"
         " text-analysis suite"
     ),
-    "q_ngram_top": "explode -> agg -> top-k shape held by q_token_tf",
+    "q_ngram_top": (
+        "explode -> agg -> top-k shape held in-window by q_tfidf"
+        " (explode+agg) and q_group_topk (agg+top-k)"
+    ),
     "q_haversine": "math-fn row also held in-window by q_percentile",
     "q_group_salted": "GROUP BY semantics held by q_group_topk",
     "q_window_ntile": (
@@ -144,8 +147,9 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_dedup_events": "exact-dedup capability held by q_dedup",
     "q_dedup_best": (
         "exact-dedup capability held by q_dedup (same fingerprint-keyed"
-        " shuffle); adds keep-best representative selection via one"
-        " integer arg-max, full-oracle pytest-verified"
+        " shuffle); adds normalized-fingerprint families with keep-best"
+        " representative selection via one integer arg-max, full-oracle"
+        " pytest-verified"
     ),
     "q_cube": "grouping-sets capability held by q_rollup",
     "q_stats": "stats-fn tier held with q_percentile/q_haversine",
@@ -164,7 +168,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_join_snowflake": "inner-equi-join capability held by q_join_star",
     "q_rolling_fingerprint": (
-        "fingerprint capability held by q_doc_fingerprint"
+        "fingerprint capability held in-window by q_dedup /"
+        " q_contamination (the same portable 60-bit hash family)"
     ),
     "q_near_dedup_ngram": (
         "near-dup capability held by minhash/simhash/embedding; ngram is"

@@ -82,11 +82,17 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Tiebreak packing for keep-BEST dedup: score = n_chars * 2^40 - doc_id
-#: (n_chars < 2^20 and doc_id < 2^40 in any realistic corpus), so one
-#: integer arg-max means "longest doc, then lowest doc_id" -- exact in
-#: both engines, no float comparator.
-_BEST_PACK = 1 << 40
+#: Keep-BEST selection is one integer arg-max: score packs
+#: (clamped n_chars, -doc_id) as n_chars*2^41 - doc_id. n_chars is
+#: clamped to 2^22-1 (4 Mi chars) so the product cannot overflow int64;
+#: ties among longer-than-clamp docs fall through to the doc_id
+#: tiebreak (documented bound). REQUIRES doc_id < 2^41 (~2.2e12) --
+#: snowflake-style 64-bit ids must be densely re-mapped first, or the
+#: -doc_id term dominates and selection is silently wrong.
+_BEST_CLAMP = (1 << 22) - 1
+_BEST_PACK = 1 << 41
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM_FP_SQL = portable_hash64_sql(_NORM_SQL)
 
 
 @query(
@@ -94,10 +100,12 @@ _BEST_PACK = 1 << 40
     oracle=f"""
     WITH fp AS (
       SELECT doc_id, n_chars,
-             {portable_hash64_sql("text")} AS fingerprint
+             {_NORM_FP_SQL} AS fingerprint
       FROM documents
     )
-    SELECT arg_max(doc_id, n_chars * {_BEST_PACK} - doc_id) AS doc_id,
+    SELECT arg_max(doc_id,
+                   least(n_chars, {_BEST_CLAMP}) * {_BEST_PACK} - doc_id)
+             AS doc_id,
            COUNT(*) AS n_copies,
            MAX(n_chars) AS kept_chars
     FROM fp
@@ -105,24 +113,34 @@ _BEST_PACK = 1 << 40
     """,
 )
 def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, keep-BEST semantics: per duplicate family keep the
-    highest-value representative (longest doc, deterministic doc_id
-    tiebreak) instead of q_dedup's keep-first -- what production
-    pipelines actually do when copies differ in truncation/mojibake.
-    Same fingerprint-keyed 8-byte shuffle as q_dedup; the selection is
-    a single integer arg-max, no second pass over text."""
+    """Exact dedup, keep-BEST semantics over a NORMALIZED fingerprint
+    (lowercased, whitespace-collapsed text): families group docs that
+    differ only in case/spacing, and the kept representative is the
+    longest raw doc (most formatting preserved), doc_id tiebreak --
+    what production pipelines do when copies differ in mojibake or
+    truncation. Raw-text fingerprints would make n_chars constant per
+    family and reduce this to keep-first; normalization is what makes
+    "best" a real choice. Same 8-byte fingerprint-keyed shuffle as
+    q_dedup; selection is a single integer arg-max (see _BEST_PACK
+    bounds), no second pass over text."""
     docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    )
+    score = (
+        F.least(F.col("n_chars"), F.lit(_BEST_CLAMP)) * _BEST_PACK
+        - F.col("doc_id")
+    )
     return (
         docs.select(
             "doc_id",
             "n_chars",
-            portable_hash64(F.col("text")).alias("fingerprint"),
+            portable_hash64(norm).alias("fingerprint"),
+            score.alias("_score"),
         )
         .groupBy("fingerprint")
         .agg(
-            F.max_by(
-                "doc_id", F.col("n_chars") * _BEST_PACK - F.col("doc_id")
-            ).alias("doc_id"),
+            F.max_by("doc_id", F.col("_score")).alias("doc_id"),
             F.count("*").alias("n_copies"),
             F.max("n_chars").alias("kept_chars"),
         )

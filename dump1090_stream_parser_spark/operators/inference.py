@@ -1,10 +1,13 @@
 """Model-adjacent pipeline operators: batched classifier inference over
 documents and per-group PCA over embeddings.
 
-Registration note: this module is imported AFTER ``pipeline_ops`` in
-``operators/__init__.py``, so its queries land past the driver's
-50-entry evaluation window (the in-window slots are a frozen contract;
-see the registry comment there).
+Registration note: window membership is decided by
+``EVAL_TAIL_RATIONALE`` in ``operators/__init__.py`` (rationale-listed
+queries are moved to the tail; everything else competes for the first
+50 driver-evaluated slots in registration order). q_model_score was
+rotated INTO the window in round 4; q_label_pca and q_hybrid_search
+are tail. A new query added here without a rationale entry WILL enter
+the evaluated window -- see the registry comment before adding one.
 
 Both operators are the Spark-side PLUMBING for steps that in production
 wrap a real model:
@@ -103,11 +106,19 @@ def featurize_docs(docs: DataFrame) -> DataFrame:
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", "[^a-z0-9 ]", "")
     )
+    # 0-token / empty-text guards: 0/0 is engine-dependent (Spark NULL,
+    # DuckDB NaN) and NULL features would poison the forward pass --
+    # define both ratios as 0.0 on the degenerate inputs, mirrored in
+    # the oracle SQL.
     return docs.select(
         "doc_id",
-        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(n_stop.cast("double") / n_tokens)
+        .alias("stop_ratio"),
         (F.least(n_tokens, F.lit(100)) / 100.0).alias("len_prior"),
-        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(n_punct.cast("double") / F.length("text"))
+        .alias("punct_ratio"),
     )
 
 
@@ -120,15 +131,20 @@ _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
     oracle=f"""
     WITH feats AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '),
-                      t -> t IN ({_STOP_IN}))) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), t -> t <> ''))
-               AS stop_ratio,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          t -> t <> '')) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                             t -> t <> ''))
+             END AS stop_ratio,
              least(len(list_filter(string_split(text, ' '),
                        t -> t <> '')), 100) / 100.0 AS len_prior,
-             CAST(length(text) - length(regexp_replace(text,
-                      '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
-               AS punct_ratio
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text,
+                           '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+             END AS punct_ratio
       FROM documents
     ),
     scored AS (

@@ -181,6 +181,22 @@ _TRAIN_LT = SPLIT_PCT[0]  # bucket < 80 -> train
 _EVAL_GE = SPLIT_PCT[0] + SPLIT_PCT[1]  # bucket >= 90 -> test/eval
 
 
+def _train_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source train-doc counts WITHOUT the tokenize stage: the base
+    denominator needs only (source, bucket), so deriving it from the
+    raw table saves a full tokenize+split pass in both audit variants
+    (the oracle's equivalent CTE prunes the token column the same
+    way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id")) % 100
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < _TRAIN_LT)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train_docs"))
+    )
+
+
 def _contam_grams(spark: SparkSession, sf_dir: str):
     """Shared front end of both contamination audits: tokenized docs
     with split bucket (``staged``) and the exploded 60-bit-hashed
@@ -275,11 +291,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))
     )
-    base = (
-        staged.filter(F.col("bucket") < _TRAIN_LT)
-        .groupBy("source")
-        .agg(F.count("*").alias("n_train_docs"))
-    )
+    base = _train_base(spark, sf_dir)
     n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
     return base.join(hits, "source", "left").select(
         "source",
@@ -435,14 +447,20 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_WORDS = 1 << 16
 
 
-def _bloom_word_bit(gh):
-    """(word index, single-bit mask) for a 60-bit non-negative hash.
+def _bloom_word_bit(col_name: str):
+    """(word index, single-bit mask) columns for the named 60-bit
+    non-negative hash column. Takes a NAME, not a Column: the mask's
+    shift-by-a-column has no Column-API form, so it is built via
+    F.expr and must reference the column by name -- taking the name
+    makes that contract explicit instead of silently capturing 'gh'.
 
     Word index uses the LOW bits (pmod by BLOOM_WORDS); the bit-in-word
     draws from DISJOINT higher bits (>> 20) so the two coordinates stay
     independent for any BLOOM_WORDS <= 2^20."""
-    w = F.pmod(gh, F.lit(BLOOM_WORDS)).cast("int")
-    mask = F.expr("shiftleft(1L, CAST(pmod(shiftright(gh, 20), 64) AS INT))")
+    w = F.pmod(F.col(col_name), F.lit(BLOOM_WORDS)).cast("int")
+    mask = F.expr(
+        f"shiftleft(1L, CAST(pmod(shiftright({col_name}, 20), 64) AS INT))"
+    )
     return w, mask
 
 
@@ -474,11 +492,16 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (
         grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
     )
-    w, mask = _bloom_word_bit(F.col("gh"))
+    w, mask = _bloom_word_bit("gh")
+    # localCheckpoint: the bitmap is <= BLOOM_WORDS rows BY CONSTRUCTION
+    # and is read by the broadcast join while eval_grams is read again
+    # by the verify semi-join -- materializing it saves a full re-run of
+    # the eval-side tokenize + explode lineage under the broadcast.
     bloom = (
         eval_grams.select(w.alias("w"), mask.alias("mask"))
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
+        .localCheckpoint()
     )
     probe = grams.filter(F.col("bucket") < _TRAIN_LT).select(
         "doc_id", "source", "gh", w.alias("w"), mask.alias("mask")
@@ -493,11 +516,7 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))
     )
-    base = (
-        staged.filter(F.col("bucket") < _TRAIN_LT)
-        .groupBy("source")
-        .agg(F.count("*").alias("n_train_docs"))
-    )
+    base = _train_base(spark, sf_dir)
     n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
     return base.join(hits, "source", "left").select(
         "source",
@@ -587,8 +606,15 @@ def heavy_hitters(
     ``est_count`` is the guaranteed lower bound, ``count_ub`` the
     guaranteed upper bound (est + summed decrement ledger). The only
     exchange after the narrow sketch pass carries <= cap rows per input
-    partition -- the whole point at URL/domain cardinalities."""
-    summ = heavy_hitters_summary(df, key, cap)
+    partition -- the whole point at URL/domain cardinalities.
+
+    The summary is localCheckpoint-ed before fan-out: est and err both
+    read it, and without materialization each would re-run the full
+    input scan + sketch pass (Spark reuses no uncached subtrees). The
+    materialized frame is <= cap+1 rows per partition BY CONSTRUCTION,
+    so this is always executor-memory-cheap; on a cluster prefer
+    reliable checkpoint() if executors are preemptible."""
+    summ = heavy_hitters_summary(df, key, cap).localCheckpoint()
     est = (
         summ.filter(F.col(key).isNotNull())
         .groupBy(key)

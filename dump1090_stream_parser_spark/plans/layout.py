@@ -333,19 +333,21 @@ def zorder_layout(
 
     c1, c2 = cols
     n_buckets = 1 << bits
-    spark_df = df
+    # ONE approxQuantile driver job for both columns (the list form
+    # computes all boundary sets in a single input scan) -- per-column
+    # calls would double the planning cost on exactly the large tables
+    # z-ordering targets.
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs1, qs2 = df.approxQuantile([c1, c2], probs, 0.001)
 
-    def bucket_col(name: str) -> "F.Column":
-        qs = spark_df.approxQuantile(
-            name, [i / n_buckets for i in range(1, n_buckets)], 0.001
-        )
+    def bucket_col(name: str, qs: list) -> "F.Column":
         bounds = F.array(*[F.lit(float(q)) for q in qs])
         # rank bucket = #boundaries <= value  (0 .. n_buckets-1)
         return F.size(
             F.filter(bounds, lambda b: F.col(name).cast("double") >= b)
         )
 
-    b1, b2 = bucket_col(c1), bucket_col(c2)
+    b1, b2 = bucket_col(c1, qs1), bucket_col(c2, qs2)
     z = F.lit(0).cast("long")
     for i in range(bits):
         bit1 = F.shiftright(b1, i).bitwiseAND(F.lit(1)).cast("long")

@@ -40,6 +40,7 @@ Usage::
 from __future__ import annotations
 
 import sqlite3
+from contextlib import closing
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -67,10 +68,13 @@ _AFFINITY = {
 }
 
 
-def _ro_connect(path: str) -> sqlite3.Connection:
-    """Read-only open: scans must never take write locks or create the
-    file if the path is wrong."""
-    return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+def _ro_connect(path: str):
+    """Read-only open, wrapped for ``with``-closing: sqlite3's native
+    context manager only ends a TRANSACTION -- it leaves the connection
+    (and its file handle) open, which in Spark's long-lived reused
+    Python workers accumulates handles across tasks. ``closing`` makes
+    ``with`` actually close."""
+    return closing(sqlite3.connect(f"file:{path}?mode=ro", uri=True))
 
 
 def _infer_schema(path: str, table: str) -> StructType:

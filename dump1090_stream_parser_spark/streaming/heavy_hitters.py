@@ -87,16 +87,22 @@ def _make_update(cap: int):
         keys = [int(k) for k in summary.index]
         cnts = [int(c) for c in summary.values]
         state.update((keys, cnts, dec, ver))
-        if keys:
-            yield pd.DataFrame(
-                {
-                    "bucket": [bucket] * len(keys),
-                    "key": keys,
-                    "cnt": cnts,
-                    "dec": [dec] * len(keys),
-                    "ver": [ver] * len(keys),
-                }
-            )
+        # ALWAYS emit on a processed batch -- a decrement can empty the
+        # summary entirely (cap+1 equal counts), and suppressing that
+        # emission would leave max-ver consumers holding a stale summary
+        # whose dec no longer covers the dropped keys. An empty summary
+        # emits one NULL-key ledger row carrying (dec, ver).
+        out_keys = keys if keys else [None]
+        out_cnts = cnts if keys else [0]
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(out_keys),
+                "key": pd.array(out_keys, dtype="Int64"),
+                "cnt": out_cnts,
+                "dec": [dec] * len(out_keys),
+                "ver": [ver] * len(out_keys),
+            }
+        )
 
     return _update
 
@@ -133,6 +139,10 @@ def heavy_hitters_stream(
 
 def latest_summary(rows: DataFrame) -> DataFrame:
     """Batch helper over an emitted-rows sink: reduce to each bucket's
-    max-``ver`` summary (the current global sketch)."""
+    max-``ver`` summary (the current global sketch). NULL-key rows are
+    empty-summary ledger markers (dec/ver only) and are dropped -- the
+    dec they carry applies to a summary with no reportable keys."""
     latest = rows.groupBy("bucket").agg(F.max("ver").alias("ver"))
-    return rows.join(latest, ["bucket", "ver"])
+    return rows.join(latest, ["bucket", "ver"]).filter(
+        F.col("key").isNotNull()
+    )

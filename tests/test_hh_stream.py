@@ -133,3 +133,32 @@ def test_stream_hh_state_survives_query_restart(spark, tmp_path):
     # counts from the first run's file must still be in the totals --
     # only state carried across the restart can supply them
     assert got == _exact_counts(spark)
+
+
+def test_stream_hh_decrement_emptying_summary_is_not_stale(spark, tmp_path):
+    """A decrement can empty a bucket's summary (cap+1 equal counts).
+    The bucket must still emit a new-version ledger row, so max-ver
+    consumers see the (correctly empty) current summary -- never the
+    stale previous one whose dec doesn't cover the dropped keys."""
+    src = tmp_path / "seq"
+    src.mkdir()
+    spark.createDataFrame([(1, 100)], _SCHEMA).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    spark.createDataFrame(
+        [(2, 200), (3, 300), (4, 400)], _SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, src, out, ckpt, cap=1, n_buckets=1)
+
+    raw = spark.read.parquet(out)
+    # batch 2 merged {100:1,200:1,300:1,400:1} with cap=1: the
+    # decrement (=1) zeroes everything -> summary empty, dec rises
+    latest_ver = raw.agg(F.max("ver")).collect()[0][0]
+    last = raw.filter(F.col("ver") == latest_ver).collect()
+    assert len(last) == 1 and last[0]["key"] is None
+    assert last[0]["dec"] > 0
+    # and the user-facing helper returns an EMPTY current summary,
+    # not the stale ver-1 row for key 100
+    assert latest_summary(raw).count() == 0

@@ -56,3 +56,29 @@ def test_stream_scores_equal_batch_scores(spark, tmp_path):
         for r in q_model_score(spark, SF_DIR).collect()
     }
     assert got == expected  # bit-identical, both halves present
+
+
+def test_model_score_degenerate_docs_get_defined_scores(spark):
+    """Zero-token and empty-text documents must score deterministically
+    (ratios defined as 0.0), never NULL/NaN -- 0/0 is engine-dependent
+    and a NaN score would make `keep` silently false."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.inference import (
+        MODEL_W,
+        featurize_docs,
+        model_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "...!!!"), (4, "the data table")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in model_score(featurize_docs(docs)).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert r["score"] is not None and not math.isnan(r["score"])
+        assert r["keep"] is not None
+    # empty text: all ratios 0 -> score = squash(bias + w2*0) = squash(-1)
+    b = MODEL_W[0]
+    assert abs(rows[1]["score"] - b / (1 + abs(b))) < 1e-12
