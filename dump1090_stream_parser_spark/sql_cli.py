@@ -33,6 +33,10 @@ def build_sql_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default=None,
                    help="also register the testdata tables from this "
                         "directory")
+    p.add_argument("--sqlite-db", default=None,
+                   help="register a reference-written SQLite file's "
+                        "squitters table as view 'squitters_db' "
+                        "(parallel rowid-range scans)")
     p.add_argument("--limit", type=int, default=None,
                    help="cap output rows (omit for all)")
     p.add_argument("--master", default="local[*]")
@@ -60,6 +64,19 @@ def main(argv: list[str] | None = None) -> None:
     if args.sf_dir:
         for t in TABLES:
             load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    if args.sqlite_db:
+        # the migration bridge: query years of reference history and
+        # the new Silver table side by side (e.g. UNION/anti-join them)
+        from .sources.sqlite_source import register_sqlite_source
+
+        register_sqlite_source(spark)
+        (
+            spark.read.format("sqlite")
+            .option("path", args.sqlite_db)
+            .option("table", "squitters")
+            .load()
+            .createOrReplaceTempView("squitters_db")
+        )
 
     df = spark.sql(sql)
     if args.limit is not None:

@@ -82,3 +82,48 @@ def write_sqlite_batch(
     finally:
         conn.close()
     return len(pdf)
+
+
+def upsert_batch_writer(base_dir: str, part_col: str, key_col: str, ts_col: str):
+    """foreachBatch sink maintaining a materialized latest-state table:
+    each micro-batch reduces to its newest row per key (max_by over
+    ``ts_col``), then patches the partitioned parquet layout via
+    :func:`...plans.layout.upsert_partitioned` -- only the partitions
+    the batch touches get rewritten, so sink cost tracks batch size,
+    not table size.
+
+    Exactly-once via idempotence: replaying a micro-batch upserts the
+    SAME (key, latest-row) set again, replacing rows with identical
+    content -- the table is a pure function of the prefix of processed
+    batches, so the offsets-then-sink commit race is harmless (same
+    argument as the batch_id=N overwrite sink in pipeline.py, without
+    needing batch ids in the layout).
+
+    First delivery bootstraps the layout with a plain partitioned
+    write."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.layout import upsert_partitioned
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        others = [
+            c for c in batch_df.columns if c not in (key_col, ts_col)
+        ]
+        latest = batch_df.groupBy(key_col).agg(
+            F.max(ts_col).alias(ts_col),
+            *[
+                F.max_by(c, F.col(ts_col)).alias(c)
+                for c in others
+            ],
+        ).select(batch_df.columns)
+        spark = batch_df.sparkSession
+        if not os.path.isdir(base_dir):
+            latest.write.partitionBy(part_col).parquet(base_dir)
+            return
+        upsert_partitioned(spark, base_dir, latest, part_col, key_col)
+
+    return write

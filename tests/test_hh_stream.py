@@ -162,3 +162,66 @@ def test_stream_hh_decrement_emptying_summary_is_not_stale(spark, tmp_path):
     # and the user-facing helper returns an EMPTY current summary,
     # not the stale ver-1 row for key 100
     assert latest_summary(raw).count() == 0
+
+
+def test_upsert_sink_maintains_latest_state_table(spark, tmp_path):
+    """foreachBatch upsert sink: after two deliveries the parquet table
+    holds exactly the newest row per user, partitions not touched by a
+    batch keep their files, and replaying a batch changes nothing
+    (exactly-once via idempotence)."""
+    import glob
+    import os
+
+    from dump1090_stream_parser_spark.streaming.sinks import (
+        upsert_batch_writer,
+    )
+
+    schema = "user_id long, part long, ts string, value double"
+    rows1 = [
+        (1, 1, "2026-01-01 10:00:00", 1.0),
+        (2, 0, "2026-01-01 10:00:00", 2.0),
+        (3, 1, "2026-01-01 10:05:00", 3.0),
+    ]
+    rows2 = [
+        (1, 1, "2026-01-01 11:00:00", 10.0),  # update user 1
+        (4, 1, "2026-01-01 11:01:00", 4.0),   # new user, part 1
+        # part 0 untouched in batch 2
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(u, p, ts, v) for u, p, ts, v in rows], schema
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    base = str(tmp_path / "latest_state")
+    write = upsert_batch_writer(base, "part", "user_id", "ts")
+    write(df(rows1), 0)
+    part0_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{base}/part=0/*.parquet")
+    }
+    write(df(rows2), 1)
+
+    got = {
+        r["user_id"]: (r["value"], r["part"])
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got == {1: (10.0, 1), 2: (2.0, 0), 3: (3.0, 1), 4: (4.0, 1)}
+    # untouched partition kept its files
+    for f, mt in part0_files.items():
+        assert os.path.getmtime(f) == mt
+    # replay batch 2: idempotent
+    write(df(rows2), 1)
+    got2 = {
+        r["user_id"]: (r["value"], r["part"])
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got2 == got
+    # in-batch dedup: two rows for one key keep the newer
+    write(
+        df([(5, 0, "2026-01-01 12:00:00", 50.0),
+            (5, 0, "2026-01-01 12:30:00", 55.0)]),
+        2,
+    )
+    r5 = spark.read.parquet(base).filter(F.col("user_id") == 5).collect()
+    assert len(r5) == 1 and r5[0]["value"] == 55.0

@@ -106,3 +106,28 @@ def test_sqlite_source_null_on_garbage_and_empty(spark, tmp_path):
     con.commit()
     con.close()
     assert read("empty").count() == 0
+
+
+def test_sql_cli_joins_sqlite_history_with_silver(spark, tmp_path, capsys):
+    """Migration workflow: the SQL CLI can query a reference-written
+    .db (as squitters_db) -- e.g. to count history rows -- through the
+    parallel sqlite source."""
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+
+    db = str(tmp_path / "history.db")
+    _make_db(db, n=200)
+    sql_main(
+        [
+            "-d",
+            str(tmp_path / "no_silver_yet"),
+            "--sqlite-db",
+            db,
+            "--master",
+            "local[2]",
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT hex_ident) AS aircraft "
+            "FROM squitters_db",
+        ]
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "n,aircraft"
+    assert lines[1] == "200,37"
