@@ -91,7 +91,10 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: -doc_id term dominates and selection is silently wrong.
 _BEST_CLAMP = (1 << 22) - 1
 _BEST_PACK = 1 << 41
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+#: Explicit whitespace class, NOT \s: Java regex counts \x0B in \s,
+#: DuckDB's RE2 does not -- the explicit class is identical in both.
+_WS_CLASS = "[ \\t\\n\\f\\r]+"
+_NORM_SQL = f"lower(trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))"
 _NORM_FP_SQL = portable_hash64_sql(_NORM_SQL)
 
 
@@ -125,7 +128,7 @@ def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds), no second pass over text."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(
-        F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+        F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\f\\r]+", " "))
     )
     score = (
         F.least(F.col("n_chars"), F.lit(_BEST_CLAMP)) * _BEST_PACK

@@ -492,16 +492,19 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (
         grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
     )
+    # Lazy localCheckpoint on the frame BOTH downstream consumers read
+    # (the bitmap agg and the verify semi-join): it materializes at the
+    # first action and is reused by the second, cutting the duplicate
+    # eval-side tokenize+explode+distinct pass; lazy (not eager) so
+    # explain-only tooling never triggers execution. Size = distinct
+    # eval grams (8-byte keys) -- the semi-join side that must exist
+    # anyway; at cluster scale prefer reliable checkpoint().
+    eval_grams = eval_grams.localCheckpoint(eager=False)
     w, mask = _bloom_word_bit("gh")
-    # localCheckpoint: the bitmap is <= BLOOM_WORDS rows BY CONSTRUCTION
-    # and is read by the broadcast join while eval_grams is read again
-    # by the verify semi-join -- materializing it saves a full re-run of
-    # the eval-side tokenize + explode lineage under the broadcast.
     bloom = (
         eval_grams.select(w.alias("w"), mask.alias("mask"))
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
-        .localCheckpoint()
     )
     probe = grams.filter(F.col("bucket") < _TRAIN_LT).select(
         "doc_id", "source", "gh", w.alias("w"), mask.alias("mask")
@@ -608,13 +611,15 @@ def heavy_hitters(
     exchange after the narrow sketch pass carries <= cap rows per input
     partition -- the whole point at URL/domain cardinalities.
 
-    The summary is localCheckpoint-ed before fan-out: est and err both
-    read it, and without materialization each would re-run the full
-    input scan + sketch pass (Spark reuses no uncached subtrees). The
-    materialized frame is <= cap+1 rows per partition BY CONSTRUCTION,
-    so this is always executor-memory-cheap; on a cluster prefer
-    reliable checkpoint() if executors are preemptible."""
-    summ = heavy_hitters_summary(df, key, cap).localCheckpoint()
+    The summary is lazily localCheckpoint-ed before fan-out: est and
+    err both read it, and without materialization each would re-run
+    the full input scan + sketch pass (Spark reuses no uncached
+    subtrees); lazy so explain-only tooling never triggers execution.
+    The materialized frame is <= cap+1 rows per partition BY
+    CONSTRUCTION, so this is always executor-memory-cheap; on a
+    cluster prefer reliable checkpoint() if executors are
+    preemptible."""
+    summ = heavy_hitters_summary(df, key, cap).localCheckpoint(eager=False)
     est = (
         summ.filter(F.col(key).isNotNull())
         .groupBy(key)

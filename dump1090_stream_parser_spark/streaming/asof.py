@@ -58,19 +58,32 @@ def _update(
 
     (k,) = key
     batch = pd.concat(list(pdfs), ignore_index=True)
-    # one per-key ordering for the whole micro-batch: event time, then
-    # reference-before-event on ties (a quote AT the trade's timestamp
-    # counts), then id for determinism
+    # One per-key ordering for the whole micro-batch: event time, then
+    # ID (matching the batch as-of join's tie rule -- a same-timestamp
+    # reference counts only if its id <= the event's id; ids are unique
+    # so the _side key never actually decides).
     batch = batch.sort_values(
-        ["ts", "_side", "event_id"], kind="mergesort"
+        ["ts", "event_id", "_side"], kind="mergesort"
     )
 
     out_id, out_ts, out_val = [], [], []
     for _side, event_id, ts, value in zip(
         batch["_side"], batch["event_id"], batch["ts"], batch["value"]
     ):
-        if _side == 0:  # reference observation: advance state
-            last_ts, last_value = ts.timestamp(), float(value)
+        if _side == 0:
+            # Reference observation. Two guards, both mirroring the
+            # batch formulation:
+            # - NULL values are skipped (last(..., ignorenulls) carries
+            #   the prior value; overwriting with NaN would lose it);
+            # - state only advances FORWARD in event time, so a
+            #   reference arriving in a later batch with an older
+            #   timestamp (allowed by the delivery contract when it
+            #   would have enriched nothing) cannot regress state.
+            if pd.isna(value):
+                continue
+            t = ts.timestamp()
+            if last_ts is None or t >= last_ts:
+                last_ts, last_value = t, float(value)
         else:  # event: emit with the prevailing reference value
             out_id.append(int(event_id))
             out_ts.append(ts)

@@ -86,42 +86,66 @@ def write_sqlite_batch(
 
 def upsert_batch_writer(base_dir: str, part_col: str, key_col: str, ts_col: str):
     """foreachBatch sink maintaining a materialized latest-state table:
-    each micro-batch reduces to its newest row per key (max_by over
-    ``ts_col``), then patches the partitioned parquet layout via
+    each micro-batch reduces to its newest row per key (ordered by
+    ``ts_col`` with a deterministic whole-row hash tiebreak), then
+    patches the partitioned parquet layout via
     :func:`...plans.layout.upsert_partitioned` -- only the partitions
     the batch touches get rewritten, so sink cost tracks batch size,
     not table size.
 
-    Exactly-once via idempotence: replaying a micro-batch upserts the
-    SAME (key, latest-row) set again, replacing rows with identical
-    content -- the table is a pure function of the prefix of processed
-    batches, so the offsets-then-sink commit race is harmless (same
-    argument as the batch_id=N overwrite sink in pipeline.py, without
-    needing batch ids in the layout).
+    CONTRACT: ``part_col`` must be a pure function of ``key_col``
+    (e.g. ``key % N`` or a hash bucket). If a key could move between
+    partitions, its stale row in the old partition would survive the
+    partition-scoped rewrite; the writer validates the batch side of
+    this (one partition per key per batch) and raises on violation.
+
+    Exactly-once via idempotence: the per-batch reduction is
+    deterministic (ties on ``ts_col`` resolve by an xxhash64 over the
+    whole row, not partial-aggregation merge order), so replaying a
+    micro-batch upserts the SAME (key, latest-row) set again -- the
+    table is a pure function of the prefix of processed batches and
+    the offsets-then-sink commit race is harmless (same argument as
+    the batch_id=N overwrite sink in pipeline.py, without needing
+    batch ids in the layout).
 
     First delivery bootstraps the layout with a plain partitioned
-    write."""
-    import os
-
+    write; existence is checked through the Hadoop FileSystem of
+    ``base_dir`` (not the driver's local os.path), so hdfs:///s3a://
+    destinations bootstrap correctly."""
     from pyspark.sql import functions as F
 
     from ..plans.layout import upsert_partitioned
 
+    def _exists(spark) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(base_dir)
+        return path.getFileSystem(conf).exists(path)
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        others = [
-            c for c in batch_df.columns if c not in (key_col, ts_col)
-        ]
+        moved = (
+            batch_df.groupBy(key_col)
+            .agg(F.countDistinct(part_col).alias("_np"))
+            .filter(F.col("_np") > 1)
+            .limit(1)
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"upsert_batch_writer: a {key_col} maps to multiple "
+                f"{part_col} values in one batch -- part_col must be a "
+                "pure function of the key"
+            )
+        order = F.struct(
+            F.col(ts_col), F.xxhash64(*batch_df.columns).alias("_h")
+        )
         latest = batch_df.groupBy(key_col).agg(
-            F.max(ts_col).alias(ts_col),
-            *[
-                F.max_by(c, F.col(ts_col)).alias(c)
-                for c in others
-            ],
-        ).select(batch_df.columns)
+            F.max_by(F.struct(*batch_df.columns), order).alias("_row")
+        ).select([F.col(f"_row.{c}").alias(c) for c in batch_df.columns])
         spark = batch_df.sparkSession
-        if not os.path.isdir(base_dir):
+        if not _exists(spark):
             latest.write.partitionBy(part_col).parquet(base_dir)
             return
         upsert_partitioned(spark, base_dir, latest, part_col, key_col)

@@ -225,3 +225,25 @@ def test_upsert_sink_maintains_latest_state_table(spark, tmp_path):
     )
     r5 = spark.read.parquet(base).filter(F.col("user_id") == 5).collect()
     assert len(r5) == 1 and r5[0]["value"] == 55.0
+
+
+def test_upsert_sink_rejects_partition_moving_keys(spark, tmp_path):
+    """part_col must be a pure function of the key: a batch where one
+    key maps to two partitions would leave a stale row behind, so the
+    writer refuses it loudly."""
+    import pytest
+
+    from dump1090_stream_parser_spark.streaming.sinks import (
+        upsert_batch_writer,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 0, "2026-01-01 10:00:00", 1.0),
+         (1, 2, "2026-01-01 11:00:00", 2.0)],
+        "user_id long, part long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    write = upsert_batch_writer(
+        str(tmp_path / "t"), "part", "user_id", "ts"
+    )
+    with pytest.raises(ValueError, match="pure function"):
+        write(bad, 0)
