@@ -15,6 +15,7 @@ from . import similarity  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import pipeline_ops  # noqa: F401  (registers past the window)
 from . import inference  # noqa: F401  (registers past the window)
+from . import composite  # noqa: F401  (registers past the window)
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -49,6 +50,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "column metadata projection is the trivial first stage of"
         " in-window q_multimodal_frames / q_multimodal_features (same"
         " payload schema, same typed-metadata contract)"
+    ),
+    "q_pipeline_funnel": (
+        "composition pin: every stage (classifier filter, normalized-"
+        "fingerprint dedup, 4-gram decontamination, hash split) is held"
+        " in-window by its standalone operator; this runs them as ONE"
+        " lineage and reports the funnel -- full-oracle pytest-verified"
     ),
     "q_retention_cohorts": (
         "composite of in-window capabilities (user-keyed aggregates:"

@@ -750,3 +750,52 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+# --------------------------------------------------------------------------
+# Dense index assignment: contiguous 0..n-1 longs in key order, WITHOUT
+# a global single-partition window -- the id-remap utility for external
+# ids that overflow packed orderings (see dedup.q_dedup_best bounds) and
+# for array-offset-addressed stores.
+# --------------------------------------------------------------------------
+
+
+def dense_index(
+    df: DataFrame, key_col: str, out_col: str = "idx", n_parts: int = 32
+) -> DataFrame:
+    """Assign each row a dense long index 0..n-1 in ``key_col`` order
+    (keys must be unique; ties would make the order ill-defined).
+
+    The naive formulation -- row_number() over a global ORDER BY -- is
+    a one-reducer funnel. This one is the scale-safe shape:
+    repartitionByRange(key) gives N partitions with DISJOINT key
+    ranges; per-partition row counts (an N-row driver artifact) prefix-
+    sum into partition offsets; each partition then numbers its own
+    sorted rows and adds its offset. Every step is N-way parallel; the
+    only driver data is N counts. Deterministic for any input layout:
+    both the range boundaries and in-partition order derive from the
+    key alone."""
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(n_parts, F.col(key_col))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
+            off_col
+        )
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        with_pid.withColumn(
+            out_col, (F.row_number().over(w) - 1 + off_col).cast("long")
+        )
+        .drop("_pid")
+    )

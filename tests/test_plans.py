@@ -569,3 +569,33 @@ def test_zorder_layout_skips_files_on_the_trailing_dimension(spark, tmp_path):
         .count()
     )
     assert got == band
+
+
+def test_dense_index_bijection_without_global_window(spark):
+    """dense_index must produce exactly 0..n-1 in key order, stay
+    stable under arbitrary input repartitioning, and never plan a
+    single-partition global window (the one-reducer funnel it exists
+    to avoid)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        dense_index,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    n = docs.count()
+    out = dense_index(docs, "doc_id", n_parts=8)
+    rows = out.orderBy("doc_id").collect()
+    assert [r["idx"] for r in rows] == list(range(n))
+    # key order preserved
+    keys_by_idx = [r["doc_id"] for r in sorted(rows, key=lambda r: r["idx"])]
+    assert keys_by_idx == sorted(keys_by_idx)
+    # layout-independent: a shuffled input yields the identical mapping
+    shuffled = dense_index(docs.repartition(13), "doc_id", n_parts=8)
+    m1 = {r["doc_id"]: r["idx"] for r in rows}
+    m2 = {r["doc_id"]: r["idx"] for r in shuffled.collect()}
+    assert m1 == m2
+    # plan: every window is partitioned (no global one-reducer sort)
+    plan = formatted_plan(out)
+    assert "Window" in plan
