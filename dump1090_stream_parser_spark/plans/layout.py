@@ -308,37 +308,43 @@ def zorder_layout(
     n_files: int = 16,
     bits: int = 6,
 ) -> None:
-    """Two-column Z-order (Morton) layout: files cluster on BOTH
-    columns at once, so a predicate on EITHER column (or a box on
-    both) skips files via parquet min/max stats -- under a 1-D sort
-    the trailing column spans every file and can never skip
+    """N-column Z-order (Morton) layout: files cluster on ALL the given
+    columns at once, so a predicate on ANY of them (or a box over
+    several) skips files via parquet min/max stats -- under a 1-D sort
+    every trailing column spans every file and can never skip
     (test-pinned: a narrow trailing-dimension band touches <=8/16
     z-files vs 16/16 sorted files). The trade: leading-column-only
-    scans touch more files than the 1-D sort; z-order is for tables
-    queried through more than one selective column.
+    scans touch more files than the 1-D sort, and per-dimension
+    selectivity dilutes as dimensions are added (bits*len(cols) must
+    stay <= 63) -- 2-4 columns is the useful range.
 
     Mechanics (all narrow except the final range exchange):
     - per column, 2^bits rank buckets from approxQuantile boundaries
-      (a driver artifact: 2^bits-1 doubles per column; quantile ranks,
-      not widths, so skew cannot collapse buckets);
+      (a driver artifact: 2^bits-1 doubles per column, ALL columns in
+      ONE quantile job; quantile ranks, not widths, so skew cannot
+      collapse buckets);
     - bucket ids bit-interleave into the Morton code z -- an
       expression-level shift/or chain, no UDF;
     - ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` give
-      files disjoint z ranges, i.e. locality in both columns.
+      files disjoint z ranges, i.e. locality in every dimension.
 
     Curve choice: Z-order over Hilbert -- the Morton code is a pure
     closed-form expression (JVM-codegen-able), and its worst-case seam
     overhead vs Hilbert is irrelevant at file granularity."""
     from pyspark.sql import functions as F
 
-    c1, c2 = cols
+    cols = tuple(cols)
+    ndim = len(cols)
+    if ndim < 2:
+        raise ValueError("zorder_layout needs >= 2 columns")
+    if bits * ndim > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * ndim} exceeds the 63-bit Morton "
+            "budget; lower bits or drop columns"
+        )
     n_buckets = 1 << bits
-    # ONE approxQuantile driver job for both columns (the list form
-    # computes all boundary sets in a single input scan) -- per-column
-    # calls would double the planning cost on exactly the large tables
-    # z-ordering targets.
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    qs1, qs2 = df.approxQuantile([c1, c2], probs, 0.001)
+    all_qs = df.approxQuantile(list(cols), probs, 0.001)
 
     def bucket_col(name: str, qs: list) -> "F.Column":
         bounds = F.array(*[F.lit(float(q)) for q in qs])
@@ -347,16 +353,18 @@ def zorder_layout(
             F.filter(bounds, lambda b: F.col(name).cast("double") >= b)
         )
 
-    b1, b2 = bucket_col(c1, qs1), bucket_col(c2, qs2)
+    buckets = [bucket_col(c, qs) for c, qs in zip(cols, all_qs)]
+    # interleave: bit i of dimension d lands at position i*ndim + d',
+    # where d' reverses dimension order so the FIRST column owns the
+    # most significant bit of each group (leading-column affinity)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        bit1 = F.shiftright(b1, i).bitwiseAND(F.lit(1)).cast("long")
-        bit2 = F.shiftright(b2, i).bitwiseAND(F.lit(1)).cast("long")
-        z = (
-            z
-            + bit1 * F.lit(1 << (2 * i + 1)).cast("long")
-            + bit2 * F.lit(1 << (2 * i)).cast("long")
-        )
+        for d, b in enumerate(buckets):
+            pos = i * ndim + (ndim - 1 - d)
+            z = z + (
+                F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << pos).cast("long")
+            )
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")

@@ -599,3 +599,48 @@ def test_dense_index_bijection_without_global_window(spark):
     # plan: every window is partitioned (no global one-reducer sort)
     plan = formatted_plan(out)
     assert "Window" in plan
+
+
+def test_zorder_three_columns_skips_on_every_dimension(spark, tmp_path):
+    """The N-column generalization: with three clustered columns, a
+    narrow band on EACH dimension alone must skip files (a 1-D sort
+    can only ever skip on its leading column), and the bit-budget
+    guard rejects impossible configurations."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.layout import zorder_layout
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000))
+        .cast("double")
+        .alias("w"),
+    )
+    z_dir = str(tmp_path / "z3")
+    zorder_layout(df, ("x", "y", "w"), z_dir, n_files=16, bits=4)
+
+    def files_overlapping(col):
+        nn = 0
+        for f in glob.glob(z_dir + "/*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .collect()[0]
+            )
+            # band inside one top-bit half: 16 files resolve ~1-2
+            # bits per dimension, so a boundary-straddling band would
+            # legitimately touch everything
+            if r[0] <= 300.0 and r[1] >= 200.0:
+                nn += 1
+        return nn
+
+    for col in ("x", "y", "w"):
+        assert files_overlapping(col) < 16, col
+    assert spark.read.parquet(z_dir).count() == df.count()
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_layout(df, ("x", "y", "w"), z_dir + "_bad", bits=22)
