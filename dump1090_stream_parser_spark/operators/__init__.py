@@ -51,6 +51,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " in-window q_multimodal_frames / q_multimodal_features (same"
         " payload schema, same typed-metadata contract)"
     ),
+    "q_dense_index": (
+        "global-ordering capability held in-window by the top-k /"
+        " window queries; this is the scale-safe dense row-number"
+        " (range partitions + offsets, never a one-reducer global"
+        " window), full-oracle pytest-verified"
+    ),
     "q_pipeline_funnel": (
         "composition pin: every stage (classifier filter, normalized-"
         "fingerprint dedup, 4-gram decontamination, hash split) is held"

@@ -799,3 +799,22 @@ def dense_index(
         )
         .drop("_pid")
     )
+
+
+@query(
+    "q_dense_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+)
+def q_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..n-1 index in doc_id order via :func:`dense_index` --
+    semantically a global row_number, physically range partitions +
+    per-partition numbering + an N-row offset artifact (the oracle IS
+    the one-reducer formulation this operator exists to avoid; the
+    results are identical, the plans are not -- pinned in
+    tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dense_index(docs, "doc_id", n_parts=8)
