@@ -33,10 +33,15 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..tables import load_table
 from .dedup import _NORM_FP_SQL
-from .inference import MODEL_KEEP_THRESHOLD, MODEL_W, _STOP_IN
-from .pipeline_ops import _EVAL_GE, _TRAIN_LT, CONTAM_K
+from .inference import (
+    MODEL_KEEP_THRESHOLD,
+    MODEL_W,
+    _STOP_IN,
+    model_score_expr,
+)
+from .pipeline_ops import _EVAL_GE, _TRAIN_LT, CONTAM_K, contam_grams_array
 from .registry import query
-from .text import SPLIT_PCT, STOPWORDS, tokens_col
+from .text import SPLIT_PCT, tokens_col
 
 _W0, _W1, _W2, _W3 = MODEL_W
 
@@ -131,26 +136,8 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel rows themselves are 1-row aggregates unioned -- a
     driver-artifact-sized result at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace("text", "[^a-z0-9 ]", "")
-    )
-    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        n_stop.cast("double") / n_tok
-    )
-    len_prior = F.least(n_tok, F.lit(100)) / 100.0
-    punct_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
-        n_punct.cast("double") / F.length("text")
-    )
-    z = (
-        F.lit(_W0)
-        + F.lit(_W1) * stop_ratio
-        + F.lit(_W2) * len_prior
-        + F.lit(_W3) * punct_ratio
-    )
-    score = z / (1 + F.abs(z))
+    # every stage column comes from its standalone operator's shared
+    # builder, so the composite cannot drift from the stages it pins
     norm = F.lower(
         F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\f\\r]+", " "))
     )
@@ -158,8 +145,8 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (portable_hash64(F.col("doc_id")) % 100).alias("bucket"),
         portable_hash64(norm).alias("fingerprint"),
-        toks.alias("_t"),
-        score.alias("score"),
+        tokens_col().alias("_t"),
+        model_score_expr().alias("score"),
     )
     kept = staged.filter(F.col("score") >= MODEL_KEEP_THRESHOLD)
     min_ids = kept.groupBy("fingerprint").agg(
@@ -167,17 +154,7 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = kept.join(min_ids.select("doc_id"), "doc_id", "left_semi")
 
-    t = F.col("_t")
-    n = F.size(t)
-    grams_arr = F.when(
-        n >= CONTAM_K,
-        F.transform(
-            F.sequence(F.lit(1), n - CONTAM_K + 1),
-            lambda i: portable_hash64(
-                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    grams_arr = contam_grams_array(F.col("_t"))
     eval_grams = (
         staged.filter(F.col("bucket") >= _EVAL_GE)
         .select(F.explode(grams_arr).alias("gh"))

@@ -94,31 +94,55 @@ def model_score(feats: DataFrame) -> DataFrame:
     return feats.mapInPandas(infer, schema=_MODEL_OUT_SCHEMA)
 
 
-def featurize_docs(docs: DataFrame) -> DataFrame:
-    """JVM-side featurization for the classifier: exact integer counts
-    and single divisions over any frame with (doc_id, text). Works
-    identically on batch AND streaming inputs (narrow expressions only)
-    -- the whole inference pipeline is mode-agnostic, pinned by
-    tests/test_inference_stream.py."""
+def model_feature_cols() -> tuple:
+    """(stop_ratio, len_prior, punct_ratio) Columns over a ``text``
+    column -- THE feature definitions, shared by featurize_docs and the
+    composite funnel (operators/composite.py) so the stages cannot
+    drift. 0-token / empty-text guards: 0/0 is engine-dependent (Spark
+    NULL, DuckDB NaN) and NULL features would poison the forward pass
+    -- both ratios are defined as 0.0 on the degenerate inputs,
+    mirrored in the oracle SQL."""
     toks = tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", "[^a-z0-9 ]", "")
     )
-    # 0-token / empty-text guards: 0/0 is engine-dependent (Spark NULL,
-    # DuckDB NaN) and NULL features would poison the forward pass --
-    # define both ratios as 0.0 on the degenerate inputs, mirrored in
-    # the oracle SQL.
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_tokens
+    )
+    len_prior = F.least(n_tokens, F.lit(100)) / 100.0
+    punct_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length("text")
+    )
+    return stop_ratio, len_prior, punct_ratio
+
+
+def model_score_expr():
+    """Expression-level twin of the Pandas forward pass (same weights,
+    same rational squash) for consumers that stay JVM-side, e.g. the
+    composite funnel's filter stage."""
+    sr, lp, pr = model_feature_cols()
+    z = (
+        F.lit(MODEL_W[0])
+        + F.lit(MODEL_W[1]) * sr
+        + F.lit(MODEL_W[2]) * lp
+        + F.lit(MODEL_W[3]) * pr
+    )
+    return z / (1 + F.abs(z))
+
+
+def featurize_docs(docs: DataFrame) -> DataFrame:
+    """JVM-side featurization for the classifier over any frame with
+    (doc_id, text). Works identically on batch AND streaming inputs
+    (narrow expressions only) -- the whole inference pipeline is
+    mode-agnostic, pinned by tests/test_inference_stream.py."""
+    sr, lp, pr = model_feature_cols()
     return docs.select(
         "doc_id",
-        F.when(n_tokens == 0, F.lit(0.0))
-        .otherwise(n_stop.cast("double") / n_tokens)
-        .alias("stop_ratio"),
-        (F.least(n_tokens, F.lit(100)) / 100.0).alias("len_prior"),
-        F.when(F.length("text") == 0, F.lit(0.0))
-        .otherwise(n_punct.cast("double") / F.length("text"))
-        .alias("punct_ratio"),
+        sr.alias("stop_ratio"),
+        lp.alias("len_prior"),
+        pr.alias("punct_ratio"),
     )
 
 

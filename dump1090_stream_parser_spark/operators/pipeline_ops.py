@@ -197,6 +197,23 @@ def _train_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contam_grams_array(t):
+    """The word-CONTAM_K-gram 60-bit hash array for a token-array
+    column -- THE gram definition, shared by both contamination audits
+    and the composite funnel (operators/composite.py) so the stages
+    cannot drift."""
+    n = F.size(t)
+    return F.when(
+        n >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), n - CONTAM_K + 1),
+            lambda i: portable_hash64(
+                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _contam_grams(spark: SparkSession, sf_dir: str):
     """Shared front end of both contamination audits: tokenized docs
     with split bucket (``staged``) and the exploded 60-bit-hashed
@@ -208,19 +225,11 @@ def _contam_grams(spark: SparkSession, sf_dir: str):
     staged = docs.select(
         "doc_id", "source", bucket.alias("bucket"), tokens_col().alias("_t")
     )
-    t = F.col("_t")
-    n = F.size(t)
-    grams_arr = F.when(
-        n >= CONTAM_K,
-        F.transform(
-            F.sequence(F.lit(1), n - CONTAM_K + 1),
-            lambda i: portable_hash64(
-                F.concat_ws(" ", F.slice(t, i, CONTAM_K))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     grams = staged.select(
-        "doc_id", "source", "bucket", F.explode(grams_arr).alias("gh")
+        "doc_id",
+        "source",
+        "bucket",
+        F.explode(contam_grams_array(F.col("_t"))).alias("gh"),
     )
     return staged, grams
 
@@ -769,35 +778,44 @@ def dense_index(
     The naive formulation -- row_number() over a global ORDER BY -- is
     a one-reducer funnel. This one is the scale-safe shape:
     repartitionByRange(key) gives N partitions with DISJOINT key
-    ranges; per-partition row counts (an N-row driver artifact) prefix-
-    sum into partition offsets; each partition then numbers its own
-    sorted rows and adds its offset. Every step is N-way parallel; the
-    only driver data is N counts. Deterministic for any input layout:
-    both the range boundaries and in-partition order derive from the
-    key alone."""
+    ranges; per-partition counts prefix-sum into partition offsets (an
+    N-row frame, broadcast back); each partition numbers its own
+    sorted rows and adds its offset. Every step is N-way parallel and
+    LAZY -- no driver collect, no job at construction.
+
+    Correctness subtlety (found the hard way): repartitionByRange
+    samples its boundaries PER EXECUTION, so the counts subtree and
+    the output subtree would each re-run the exchange and could split
+    rows differently -- offsets applied to the wrong partitions. The
+    lazy localCheckpoint pins ONE materialized partitioning that both
+    subtrees read; determinism then holds for any input layout."""
     from pyspark.sql.window import Window
 
-    ranged = df.repartitionByRange(n_parts, F.col(key_col))
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["n"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
-            off_col
-        )
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # offsets: exclusive prefix sum of partition counts in pid order --
+    # an n_parts-row frame, so the unpartitioned window is bounded
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
     w = Window.partitionBy("_pid").orderBy(key_col)
     return (
-        with_pid.withColumn(
-            out_col, (F.row_number().over(w) - 1 + off_col).cast("long")
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
         )
-        .drop("_pid")
+        .drop("_pid", "_off")
     )
 
 

@@ -596,9 +596,20 @@ def test_dense_index_bijection_without_global_window(spark):
     m1 = {r["doc_id"]: r["idx"] for r in rows}
     m2 = {r["doc_id"]: r["idx"] for r in shuffled.collect()}
     assert m1 == m2
-    # plan: every window is partitioned (no global one-reducer sort)
+    # bijection at a size where range-boundary sampling is NOT exact:
+    # the regression that caught offsets applied to re-sampled
+    # partitions (duplicate/missing indices at 200k rows)
+    big = spark.range(200_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("k")
+    ).distinct()
+    nb = big.count()
+    got = dense_index(big, "k", n_parts=16).select("idx")
+    assert got.distinct().count() == nb
+    assert got.agg(F.min("idx"), F.max("idx")).collect()[0] == (0, nb - 1)
+    # plan: the row-number window is PARTITIONED (by _pid), never the
+    # one-reducer global sort this utility exists to avoid
     plan = formatted_plan(out)
-    assert "Window" in plan
+    assert "Window" in plan and "_pid" in plan
 
 
 def test_zorder_three_columns_skips_on_every_dimension(spark, tmp_path):
