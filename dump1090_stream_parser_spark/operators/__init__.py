@@ -32,6 +32,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_tfidf": (
+        "rotated OUT round 4 (green driver rows r1+r3): text-scoring"
+        " capability held in-window by q_bm25 (same corpus-stats +"
+        " per-term scoring tier) and q_lang_id (the explode-join-agg"
+        " shape); its first CTE is literally tail q_token_tf"
+    ),
+    "q_funnel": (
+        "rotated OUT round 4 (green driver rows r2+r3): stacked-window"
+        " staging held in-window by q_window_latest/q_window_running"
+        " (same user-keyed window partitioning) and q_sessionize;"
+        " ordered-conversion semantics re-proven every round by the"
+        " local parity gate"
+    ),
     "q_window_lag_delta": (
         "rotated OUT round 4 (green driver rows r1+r3): lag/lead"
         " analytic-window capability held in-window by q_sessionize"
@@ -62,20 +75,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "fingerprint dedup, 4-gram decontamination, hash split) is held"
         " in-window by its standalone operator; this runs them as ONE"
         " lineage and reports the funnel -- full-oracle pytest-verified"
-    ),
-    "q_retention_cohorts": (
-        "composite of in-window capabilities (user-keyed aggregates:"
-        " q_group_topk tier; time bucketing: q_time_bucket; funnel-free"
-        " activity join: q_funnel's domain) -- the classic cohort"
-        " retention matrix, never joining fact to fact; full-oracle"
-        " pytest-verified"
-    ),
-    "q_hybrid_search": (
-        "two-leg retrieval fusion: its lexical leg IS in-window q_bm25"
-        " and its vector leg IS in-window q_knn_cosine, cut to"
-        " candidate lists and fused with reciprocal-rank fusion"
-        " (rational arithmetic, full oracle incl. the FULL OUTER rank"
-        " join); no corpus-sized window anywhere"
     ),
     "q_label_pca": (
         "per-group dense linear algebra via applyInPandas (grouped-map"
@@ -128,8 +127,9 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " exercises the same null-extension on both sides)"
     ),
     "q_token_tf": (
-        "its explode -> count pipeline is literally the first CTE of"
-        " in-window q_tfidf"
+        "its explode -> count pipeline is the first stage of the text"
+        " tier held in-window by q_lang_id (explode-join-agg) and"
+        " q_bm25 (term scoring)"
     ),
     "q_doc_fingerprint": (
         "the same portable 60-bit hash is the groupBy key of in-window"
@@ -140,15 +140,15 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_quality_filter"
     ),
     "q_array_explode": (
-        "explode + array fns held in-window by q_tfidf/q_lang_id (explode)"
-        " and q_knn_cosine/q_bm25 (higher-order array ops)"
+        "explode + array fns held in-window by q_lang_id (explode) and"
+        " q_knn_cosine/q_bm25 (higher-order array ops)"
     ),
     "q_string_clean": (
         "string-fn tier held in-window by q_pii_scrub (regex) and the"
         " text-analysis suite"
     ),
     "q_ngram_top": (
-        "explode -> agg -> top-k shape held in-window by q_tfidf"
+        "explode -> agg -> top-k shape held in-window by q_lang_id"
         " (explode+agg) and q_group_topk (agg+top-k)"
     ),
     "q_haversine": "math-fn row also held in-window by q_percentile",
@@ -196,6 +196,10 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # q_heavy_hitters, q_model_score (the round-4 full-oracle additions)
 # enter the window for their first driver rows; q_window_lag_delta,
 # q_quality_score, q_multimodal_meta park with green r1+r3 history.
+# Third round-4 rotation (same VERDICT-r3 principle -- newest
+# full-oracle queries get driver rows, long-proven incumbents park):
+# q_hybrid_search and q_retention_cohorts enter; q_tfidf (r1+r3 green)
+# and q_funnel (r2+r3 green) park.
 _EVAL_TAIL = tuple(EVAL_TAIL_RATIONALE)
 for _name in _EVAL_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)
