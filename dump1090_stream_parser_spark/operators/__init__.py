@@ -32,6 +32,53 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_rollup": (
+        "rotated OUT round 5 (green driver rows r3+r4): grouping-sets"
+        " capability held in-window by q_cube (the superset -- cube emits"
+        " every grouping set, rollup the hierarchical prefix subset; same"
+        " Expand physical plan, same BIGINT-cast oracle fix)"
+    ),
+    "q_join_star": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): inner-equi"
+        " star-join capability held in-window by q_join_snowflake (the"
+        " same broadcast-dim star core extended one normalization hop)"
+    ),
+    "q_percentile": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): percentile"
+        " capability held in-window by q_approx_percentile (same column"
+        " set; its bounded-error contract vs this exact query is"
+        " tests/test_approx.py, re-proven every round by the local gate)"
+    ),
+    "q_dedup": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): the"
+        " fingerprint-keyed exact-dedup shuffle is held in-window by"
+        " q_contamination (same 60-bit gram-hash family),"
+        " q_rolling_fingerprint (same hash chain), and"
+        " q_dedup_clusters_lsh (dedup over the survivor graph)"
+    ),
+    "q_near_dedup_minhash": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): the minhash"
+        " signature + band-key self-join is contained verbatim inside"
+        " in-window q_dedup_clusters_lsh (its edge-generation stage);"
+        " simhash/embedding near-dup remain in-window"
+    ),
+    "q_dedup_clusters": (
+        "rotated OUT round 5 (green driver rows r3+r4): the"
+        " dedup_clusters_from pointer-jumping CC core is exercised"
+        " in-window by q_dedup_clusters_lsh over the LSH survivor graph"
+        " (the 100 TB composition of the same code path)"
+    ),
+    "q_project_cast": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): projection +"
+        " cast is the first stage of every in-window query; the"
+        " ReadSchema/column-pruning evidence it pinned is held by the"
+        " plan-snapshot suite (tests/test_plan_snapshot.py)"
+    ),
+    "q_time_bucket": (
+        "rotated OUT round 5 (green driver rows r1+r3+r4): the"
+        " date_trunc bucket agg is contained verbatim in in-window"
+        " q_gapfill (same bucketing plus the spine join) and q_locf"
+    ),
     "q_tfidf": (
         "rotated OUT round 4 (green driver rows r1+r3): text-scoring"
         " capability held in-window by q_bm25 (same corpus-stats +"
@@ -64,18 +111,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " in-window q_multimodal_frames / q_multimodal_features (same"
         " payload schema, same typed-metadata contract)"
     ),
-    "q_dense_index": (
-        "global-ordering capability held in-window by the top-k /"
-        " window queries; this is the scale-safe dense row-number"
-        " (range partitions + offsets, never a one-reducer global"
-        " window), full-oracle pytest-verified"
-    ),
-    "q_pipeline_funnel": (
-        "composition pin: every stage (classifier filter, normalized-"
-        "fingerprint dedup, 4-gram decontamination, hash split) is held"
-        " in-window by its standalone operator; this runs them as ONE"
-        " lineage and reports the funnel -- full-oracle pytest-verified"
-    ),
     "q_label_pca": (
         "per-group dense linear algebra via applyInPandas (grouped-map"
         " tier; rows-only -- no SQL oracle for eigensolving, numpy"
@@ -93,12 +128,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " histogram = narrow bucketize + hash agg, held in-window by"
         " q_group_topk and q_time_bucket; percentile tier by q_percentile"
     ),
-    "q_dedup_clusters_lsh": (
-        "CC-clustering capability held in-window by q_dedup_clusters (same"
-        " dedup_clusters_from core); this is the scale composition over"
-        " minhash/LSH survivor edges, full-oracle (recursive-CTE closure"
-        " of the same graph) pytest-verified"
-    ),
     "q_profile": (
         "composite of aggregate capabilities held in-window"
         " (count/distinct by q_distinct_aircraft, min/max by the stats"
@@ -115,12 +144,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_unpivot": (
         "reshape capability held in-window by q_pivot (its exact inverse);"
         " stack() is a Generate like the in-window explodes"
-    ),
-    "q_multimodal_energy": (
-        "mapInPandas multimodal capability held in-window by"
-        " q_multimodal_frames (row-expanding) and q_multimodal_features"
-        " (vectorized codec); adds the overlapped-window audio shape,"
-        " full-oracle pytest-verified at all three SFs"
     ),
     "q_join_left": (
         "outer-join capability held in-window by q_join_full (full outer"
@@ -164,12 +187,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " representative selection via one integer arg-max, full-oracle"
         " pytest-verified"
     ),
-    "q_cube": "grouping-sets capability held by q_rollup",
-    "q_stats": "stats-fn tier held with q_percentile/q_haversine",
-    "q_approx_percentile": (
-        "percentile tier held by q_percentile; its bounded-error contract"
-        " is tests/test_approx.py"
-    ),
+    "q_stats": "stats-fn tier held with q_approx_percentile/q_haversine",
     "q_approx_distinct": (
         "distinct capability held by q_distinct_aircraft; rows-only in the"
         " driver anyway (no oracle); bounded-error contract is"
@@ -178,11 +196,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_sliding_window": (
         "time-bucketing held by q_time_bucket; the streaming sliding"
         " window is tests-verified"
-    ),
-    "q_join_snowflake": "inner-equi-join capability held by q_join_star",
-    "q_rolling_fingerprint": (
-        "fingerprint capability held in-window by q_dedup /"
-        " q_contamination (the same portable 60-bit hash family)"
     ),
     "q_near_dedup_ngram": (
         "near-dup capability held by minhash/simhash/embedding; ngram is"
@@ -200,6 +213,16 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # full-oracle queries get driver rows, long-proven incumbents park):
 # q_hybrid_search and q_retention_cohorts enter; q_tfidf (r1+r3 green)
 # and q_funnel (r2+r3 green) park.
+# Round-5 rotation (per VERDICT r4 asks #1+#2): the four queries whose
+# only driver record was an r1 FAIL predating their round-2 fixes
+# (q_cube, q_join_snowflake, q_approx_percentile, q_rolling_fingerprint)
+# enter so the driver finally records the fixed implementations, plus
+# the four strongest never-evaluated full-oracle queries
+# (q_pipeline_funnel, q_dedup_clusters_lsh, q_dense_index,
+# q_multimodal_energy). Eight incumbents park, every one with >=2 green
+# driver rows on its CURRENT implementation (the rotation invariant:
+# nothing rotates out without a green driver row on the code as it
+# stands today).
 _EVAL_TAIL = tuple(EVAL_TAIL_RATIONALE)
 for _name in _EVAL_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)
