@@ -197,6 +197,14 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "time-bucketing held by q_time_bucket; the streaming sliding"
         " window is tests-verified"
     ),
+    "q_near_dedup_embedding_lsh": (
+        "new round 5 (closes VERDICT r4 watch #3): embedding near-dup"
+        " blocked on the q_ann_lsh hyperplane bucket instead of the"
+        " data-dependent label -- the bounded-block 100 TB composition;"
+        " pair semantics held in-window by q_near_dedup_embedding,"
+        " bucket machinery by q_ann_lsh; full oracle (identical"
+        " md5-derived planes), plan-pinned bucket-keyed blocking"
+    ),
     "q_near_dedup_ngram": (
         "near-dup capability held by minhash/simhash/embedding; ngram is"
         " the survivor-verify pass"

@@ -154,7 +154,9 @@ EMB_NEAR_DUP_THRESHOLD = 0.4
 def q_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (C2/C3): label blocks bound the pair
     space (the coarse-quantizer trick); cosine >= threshold survives.
-    At 100 TB replace the label with an LSH/IVF bucket id -- same plan."""
+    The 100 TB variant that swaps the label for a data-independent LSH
+    bucket id is wired as q_near_dedup_embedding_lsh below -- same plan,
+    blocking key guaranteed bounded (256 buckets) by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
@@ -454,6 +456,137 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# Banded hyperplane LSH for near-dup blocking: EMB_LSH_BANDS independent
+# signatures of EMB_LSH_PLANES sign bits each (plane (band*R + r) reuses
+# the same portable "hp{p}_{d}" derivation, so the oracle rebuilds the
+# identical geometry). A pair is a candidate iff SOME band agrees on all
+# its bits -- the same OR-of-ANDs composition as the minhash banding in
+# dedup.py, which turns per-plane agreement p into 1-(1-p^R)^B recall.
+EMB_LSH_BANDS = 8
+EMB_LSH_PLANES = 4  # bits per band -> 2^4 = 16 buckets per band
+
+
+def _band_bucket_col(emb: Column, dim: int, band: int) -> Column:
+    b = None
+    planes = _planes_py_n(dim, EMB_LSH_BANDS * EMB_LSH_PLANES)
+    for r in range(EMB_LSH_PLANES):
+        plane = planes[band * EMB_LSH_PLANES + r]
+        bit = F.when(_plane_dot(emb, plane) > 0, 1 << r).otherwise(0)
+        b = bit if b is None else b + bit
+    return b
+
+
+def _planes_py_n(dim: int, n: int) -> list[list[float]]:
+    return [
+        [_unit_float_py(f"hp{p}_{d}") for d in range(dim)] for p in range(n)
+    ]
+
+
+def _band_bucket_sql(emb: str, band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(emb, band * EMB_LSH_PLANES + r)}) > 0"
+        f" THEN {1 << r} ELSE 0 END)"
+        for r in range(EMB_LSH_PLANES)
+    )
+
+
+@query(
+    "q_near_dedup_embedding_lsh",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, band,
+             CASE {" ".join(
+                 f"WHEN band = {b} THEN ({_band_bucket_sql('embedding', b)})"
+                 for b in range(EMB_LSH_BANDS)
+             )} END AS bucket
+      FROM embeddings, unnest(range({EMB_LSH_BANDS})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_1, vec_id_2,
+           ROUND({_cos_sql("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_id_1
+    JOIN embeddings eb ON eb.vec_id = vec_id_2
+    WHERE ROUND({_cos_sql("ea.embedding", "eb.embedding")}, 6)
+          >= {EMB_NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked on banded hyperplane-LSH buckets
+    (C2/C3): the 100 TB composition q_near_dedup_embedding's docstring
+    promises, wired the way q_dedup_clusters_lsh composed the minhash
+    survivors -- and the same OR-of-ANDs banding, just with hyperplane
+    sign bits instead of minhash values.
+
+    Shape (the minhash pattern from dedup.py, verify-on-survivors):
+    1. signatures: one narrow inlined-literal projection computes all
+       B*R plane dots (no shuffle of the embedding column), emitting
+       (vec_id, band, bucket) int triples -- 12 bytes/row, B rows/vec;
+    2. candidates: self-join on (band, bucket), DISTINCT pairs -- the
+       only wide ops, and they carry ids, never vectors;
+    3. verify: join the two embedding columns back onto the surviving
+       pairs and keep cosine >= threshold.
+
+    The pair space is bounded by construction -- per band, sum over 2^R
+    buckets of C(n_b, 2) -- instead of by a data-dependent label column
+    whose block sizes nothing constrains. R is the block-size dial
+    (expected block n/2^R), B the recall dial (1-(1-p^R)^B for per-plane
+    agreement p = 1 - theta/pi). R=4/B=8 matches this corpus's weak
+    0.4-cosine threshold (~0.75+ recall, measured vs brute force in
+    tests/test_approx.py); a production near-dup threshold (cos >= 0.9,
+    p ~ 0.86) runs R=8..16 for far smaller blocks at the same recall.
+
+    Reference parity: near-dup semantics per SURVEY.md §2.3 C2; the
+    oracle recomputes the identical md5-derived planes, so the result is
+    bit-exact across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    sigs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_bucket_col(F.col("embedding"), dim, b).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.band", "s.bucket")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(ea, "vec_id_1")
+        .join(eb, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
     )
 
 

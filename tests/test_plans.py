@@ -655,3 +655,26 @@ def test_zorder_three_columns_skips_on_every_dimension(spark, tmp_path):
 
     with pytest.raises(ValueError, match="63-bit"):
         zorder_layout(df, ("x", "y", "w"), z_dir + "_bad", bits=22)
+
+
+def test_embedding_lsh_near_dup_blocks_on_bucket(spark):
+    """q_near_dedup_embedding_lsh's pair join must block on the LSH
+    bucket (an equi-join on `bucket`), never degrade to a cartesian or a
+    pure-inequality nested loop -- the bounded-block property is the
+    whole point of the variant (VERDICT r4 watch #3)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_near_dedup_embedding_lsh,
+    )
+
+    plan = formatted_plan(q_near_dedup_embedding_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join's hash equi-keys are (band, bucket);
+    # vec_id ordering stays in the residual condition
+    keys = [
+        ln for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    assert any("bucket" in ln and "band" in ln for ln in keys), keys
+    # the embedding column never enters a join key (ids/buckets only)
+    assert not any("embedding" in ln for ln in keys), keys
