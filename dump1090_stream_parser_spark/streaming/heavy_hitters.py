@@ -128,6 +128,14 @@ def heavy_hitters_stream(
             F.col(key_col).cast("long").alias("key"),
         )
     )
+    # NoTimeout is deliberate and safe HERE (contrast near_dup.py, whose
+    # band-key space is unbounded and therefore TTL-evicts): the key
+    # space is the fixed n_buckets hash partitions and Misra-Gries holds
+    # at most `cap` counters per bucket BY CONSTRUCTION, so total state
+    # is a small constant -- O(n_buckets * cap) -- independent of stream
+    # length and of the number of distinct keys. Evicting a bucket would
+    # silently reset its decrement ledger and void the sketch's
+    # (count - dec*) error bound.
     return keyed.groupBy("bucket").applyInPandasWithState(
         _make_update(cap),
         outputStructType=HH_OUTPUT_SCHEMA,

@@ -143,6 +143,13 @@ def topk_stream(
             cosine_similarity(F.col("embedding"), _query_lit(query_vec)), 6
         ).alias("cos_sim"),
     )
+    # NoTimeout is deliberate and safe HERE (contrast near_dup.py, whose
+    # band-key space is unbounded and therefore TTL-evicts): the key
+    # space is the fixed 2^N_PLANES = 256 LSH buckets and each bucket's
+    # state is exactly k (id, score) pairs, so total state is a small
+    # CONSTANT -- O(256 * k) -- independent of stream length. Evicting
+    # would discard the standing query's running top-k (a correctness
+    # loss), and buys back no memory worth having.
     return scored.groupBy("bucket").applyInPandasWithState(
         _make_update(k),
         outputStructType=TOPK_OUTPUT_SCHEMA,

@@ -174,3 +174,91 @@ def test_stream_state_survives_query_restart(spark, tmp_path):
     # restored state (doc_1 from delivery A, doc_2 from delivery B)
     run2 = pairs_out() - pairs_after_first
     assert any(a < half <= b for a, b in run2)
+
+
+def test_idle_bucket_evicts_after_ttl(spark, tmp_path):
+    """Cold-bucket eviction (VERDICT r4 ask #4): a bucket idle past the
+    processing-time TTL must drop its state, so a near-dup of an EVICTED
+    document produces NO pair (the recency trade documented in
+    near_dup.py), while post-eviction members pair normally again.
+
+    Three checkpointed runs with wall-clock TTL expiry between them;
+    every condition is CUMULATIVE SINK CONTENT (never a transient state
+    metric), with each delivery shipping a same-text pair so its own
+    emission is the batch-completion signal:
+
+      run 1: docs 0,1 share text T -> pair (0,1); buckets seeded.
+      sleep past TTL.
+      run 2: docs 12,13 share text U -> pair (12,13); the batch also
+             fires doc 0/1's expired timers (eviction).
+      run 3: docs 20,21 share text T -> pair (20,21) MUST appear and
+             no (0,20)/(0,21)/(1,20)/(1,21) may EVER appear: the T
+             bucket forgot docs 0/1 but re-seeds cleanly."""
+    import time
+
+    ttl_ms = 2_000
+    t_text = "the quick brown fox jumps over the lazy dog again and again"
+    u_text = "completely unrelated content about spark shuffle partitions"
+
+    src = tmp_path / "ttl_in"
+    src.mkdir()
+    out = str(tmp_path / "ttl_pairs")
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def deliver(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def pairs_out():
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:  # noqa: BLE001 -- sink dir not created yet
+            return set()
+        return {
+            (r.doc_id_1, r.doc_id_2)
+            for r in rows
+            if r.doc_id_1 is not None
+        }
+
+    def run_until(expected, timeout=120):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            near_dup_candidates_stream(stream, bucket_ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + timeout
+        while time.time() < deadline and pairs_out() != expected:
+            time.sleep(0.5)
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001 -- stop() interrupts the
+            pass  # in-flight no-data batch; the sink assertions decide
+        assert pairs_out() == expected
+
+    deliver("a.parquet", [(0, t_text), (1, t_text)])
+    run_until({(0, 1)})
+
+    time.sleep(ttl_ms / 1000 + 1.5)  # let the doc-0/1 bucket timers expire
+
+    deliver("b.parquet", [(12, u_text), (13, u_text)])
+    run_until({(0, 1), (12, 13)})
+
+    deliver("c.parquet", [(20, t_text), (21, t_text)])
+    run_until({(0, 1), (12, 13), (20, 21)})
+    # the decisive absence: docs 20/21 re-entered the same T bucket and
+    # paired only with each other -- never with the evicted docs 0/1
+    assert not any(
+        a in (0, 1) or b in (0, 1)
+        for a, b in pairs_out() - {(0, 1)}
+    )
