@@ -4,9 +4,9 @@ documents and per-group PCA over embeddings.
 Registration note: window membership is decided by
 ``EVAL_TAIL_RATIONALE`` in ``operators/__init__.py`` (rationale-listed
 queries are moved to the tail; everything else competes for the first
-50 driver-evaluated slots in registration order). q_model_score was
-rotated INTO the window in round 4; q_label_pca and q_hybrid_search
-are tail. A new query added here without a rationale entry WILL enter
+50 driver-evaluated slots in registration order). q_model_score and
+q_hybrid_search were rotated INTO the window in round 4; q_label_pca
+is tail. A new query added here without a rationale entry WILL enter
 the evaluated window -- see the registry comment before adding one.
 
 Both operators are the Spark-side PLUMBING for steps that in production

@@ -456,19 +456,23 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_WORDS = 1 << 16
 
 
-def _bloom_word_bit(col_name: str):
+def _bloom_word_bit(col_name: str, bloom_words: int = BLOOM_WORDS):
     """(word index, single-bit mask) columns for the named 60-bit
     non-negative hash column. Takes a NAME, not a Column: the mask's
     shift-by-a-column has no Column-API form, so it is built via
     F.expr and must reference the column by name -- taking the name
     makes that contract explicit instead of silently capturing 'gh'.
 
-    Word index uses the LOW bits (pmod by BLOOM_WORDS); the bit-in-word
-    draws from DISJOINT higher bits (>> 20) so the two coordinates stay
-    independent for any BLOOM_WORDS <= 2^20."""
-    w = F.pmod(F.col(col_name), F.lit(BLOOM_WORDS)).cast("int")
+    Word index uses the LOW bits (pmod by bloom_words); the bit-in-word
+    draws from bits 27-32 (>> 27), DISJOINT from the word index for any
+    bloom_words <= 2^27 -- i.e. the coordinates stay independent over
+    the documented geometry range all the way to the 1 GiB sharding
+    ceiling, so the n/m false-positive model holds as BLOOM_WORDS
+    scales. (Correctness never depended on this -- the exact semi-join
+    scrubs false positives -- only the fp-rate model does.)"""
+    w = F.pmod(F.col(col_name), F.lit(bloom_words)).cast("int")
     mask = F.expr(
-        f"shiftleft(1L, CAST(pmod(shiftright({col_name}, 20), 64) AS INT))"
+        f"shiftleft(1L, CAST(pmod(shiftright({col_name}, 27), 64) AS INT))"
     )
     return w, mask
 
@@ -497,6 +501,16 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the same runtime-filter idea as Spark's AQE bloom pushdown
     (spark.sql.optimizer.runtime.bloomFilter.*), materialized manually
     so it applies across the explode and under our own hash family."""
+    return contamination_bloom_from(spark, sf_dir)
+
+
+def contamination_bloom_from(
+    spark: SparkSession, sf_dir: str, bloom_words: int = BLOOM_WORDS
+) -> DataFrame:
+    """q_contamination_bloom's body with the filter geometry as a
+    parameter: the registered query runs the BLOOM_WORDS default; the
+    scaling probe (tools/scale_probe.py) grows ``bloom_words`` with a
+    widened synthetic eval split, per the documented n/m sizing rule."""
     staged, grams = _contam_grams(spark, sf_dir)
     eval_grams = (
         grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
@@ -509,7 +523,7 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval grams (8-byte keys) -- the semi-join side that must exist
     # anyway; at cluster scale prefer reliable checkpoint().
     eval_grams = eval_grams.localCheckpoint(eager=False)
-    w, mask = _bloom_word_bit("gh")
+    w, mask = _bloom_word_bit("gh", bloom_words)
     bloom = (
         eval_grams.select(w.alias("w"), mask.alias("mask"))
         .groupBy("w")

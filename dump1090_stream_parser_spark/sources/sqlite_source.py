@@ -11,7 +11,13 @@ a Spark DataFrame with REAL scan parallelism:
   into N contiguous ranges (one cheap ``MIN/MAX(rowid)`` probe at plan
   time), so each task opens the file read-only and scans only
   ``rowid BETWEEN lo AND hi`` -- an indexed range scan in SQLite, not a
-  full-table pass per task;
+  full-table pass per task. Tables with no usable implicit rowid
+  (``WITHOUT ROWID``, or a declared column literally named rowid that
+  would shadow it) are detected at plan time and fall back to a single
+  full-scan partition -- correct, just not parallel;
+- table and column names are always double-quoted (``_qident``), so
+  identifiers containing spaces/quotes/metacharacters work and option
+  values cannot splice SQL;
 - the file must be reachable from every executor (local mode trivially;
   on a cluster: shared FS, or ship per-node copies) -- the same
   contract every file-based source has;
@@ -57,6 +63,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _qident(name: str) -> str:
+    """Double-quote a SQLite identifier (table/column name) so names
+    containing spaces, quotes, or SQL metacharacters scan correctly and
+    a hostile option value cannot splice SQL."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 _AFFINITY = {
     "INT": LongType(),
     "INTEGER": LongType(),
@@ -79,7 +92,7 @@ def _ro_connect(path: str):
 
 def _infer_schema(path: str, table: str) -> StructType:
     with _ro_connect(path) as con:
-        cols = con.execute(f"PRAGMA table_info({table})").fetchall()
+        cols = con.execute(f"PRAGMA table_info({_qident(table)})").fetchall()
     if not cols:
         raise ValueError(f"sqlite source: table {table!r} not found in {path}")
     fields = []
@@ -87,6 +100,23 @@ def _infer_schema(path: str, table: str) -> StructType:
         typ = _AFFINITY.get((decl or "").split("(")[0].upper(), StringType())
         fields.append(StructField(name, typ))
     return StructType(fields)
+
+
+def _has_implicit_rowid(path: str, table: str) -> bool:
+    """Partition planning keys on SQLite's implicit ``rowid``; that key
+    does not exist for ``WITHOUT ROWID`` tables and is shadowed (refers
+    to user data) when a declared column is literally named rowid. Both
+    cases are detected at plan time and degrade to one full-scan
+    partition instead of failing or mis-partitioning."""
+    with _ro_connect(path) as con:
+        row = con.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table' AND name=?",
+            (table,),
+        ).fetchone()
+        if row and row[0] and "without rowid" in " ".join(row[0].split()).lower():
+            return False
+        cols = con.execute(f"PRAGMA table_info({_qident(table)})").fetchall()
+    return not any((c[1] or "").lower() == "rowid" for c in cols)
 
 
 class _RowidRange(InputPartition):
@@ -102,9 +132,13 @@ class SqliteReader(DataSourceReader):
         self.schema = schema
 
     def partitions(self):
+        if not _has_implicit_rowid(self.path, self.table):
+            # WITHOUT ROWID table, or a user column shadowing rowid:
+            # no usable implicit key -- one sequential full scan
+            return [_RowidRange(None, None)]
         with _ro_connect(self.path) as con:
             lo, hi = con.execute(
-                f"SELECT MIN(rowid), MAX(rowid) FROM {self.table}"
+                f"SELECT MIN(rowid), MAX(rowid) FROM {_qident(self.table)}"
             ).fetchone()
         if lo is None:  # empty table: one no-op partition
             return [_RowidRange(0, -1)]
@@ -126,13 +160,14 @@ class SqliteReader(DataSourceReader):
                 casts.append(_to_bytes)
             else:
                 casts.append(_to_str)
-        cols = ", ".join(f.name for f in self.schema.fields)
+        cols = ", ".join(_qident(f.name) for f in self.schema.fields)
+        sql = f"SELECT {cols} FROM {_qident(self.table)}"
+        args: tuple = ()
+        if part.lo is not None:  # rowid-range partition (the usual path)
+            sql += " WHERE rowid BETWEEN ? AND ?"
+            args = (part.lo, part.hi)
         with _ro_connect(self.path) as con:
-            cur = con.execute(
-                f"SELECT {cols} FROM {self.table} "
-                f"WHERE rowid BETWEEN ? AND ?",
-                (part.lo, part.hi),
-            )
+            cur = con.execute(sql, args)
             for row in cur:
                 yield tuple(c(v) for c, v in zip(casts, row))
 

@@ -131,3 +131,70 @@ def test_sql_cli_joins_sqlite_history_with_silver(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0] == "n,aircraft"
     assert lines[1] == "200,37"
+
+
+def test_sqlite_source_without_rowid_and_quoted_identifiers(
+    spark, tmp_path
+):
+    """Hardening (ADVICE r4): WITHOUT ROWID tables have no implicit
+    partition key -- the source must degrade to one correct full-scan
+    partition, not fail; and identifiers containing spaces/quotes must
+    be quoted, not interpolated raw."""
+    db = str(tmp_path / "odd.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        'CREATE TABLE "flight log" '
+        '("hex ident" TEXT, "alt ""ft""" INTEGER, PRIMARY KEY ("hex ident"))'
+        " WITHOUT ROWID"
+    )
+    con.executemany(
+        'INSERT INTO "flight log" VALUES (?,?)',
+        [(f"A{i:05X}", i * 25) for i in range(100)],
+    )
+    con.commit()
+    con.close()
+
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "flight log")
+        .option("numPartitions", "8")
+        .load()
+    )
+    assert df.columns == ["hex ident", 'alt "ft"']
+    assert df.rdd.getNumPartitions() == 1  # fallback: no implicit rowid
+    assert df.count() == 100
+    assert df.agg(F.sum(F.col('`alt "ft"`'))).first()[0] == sum(
+        i * 25 for i in range(100)
+    )
+
+
+def test_sqlite_source_user_rowid_column_falls_back(spark, tmp_path):
+    """A declared column literally named rowid shadows the implicit key;
+    range-partitioning on it would partition user data -- the source
+    must detect the shadowing and fall back to a single full scan."""
+    db = str(tmp_path / "shadow.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (rowid INTEGER, val TEXT)")
+    # user 'rowid' values deliberately NOT contiguous from 1
+    con.executemany(
+        "INSERT INTO t VALUES (?,?)",
+        [(i * 1000, f"v{i}") for i in range(50)],
+    )
+    con.commit()
+    con.close()
+
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "t")
+        .option("numPartitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 50
+    assert df.agg(F.sum("rowid")).first()[0] == sum(
+        i * 1000 for i in range(50)
+    )

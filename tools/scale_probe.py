@@ -109,5 +109,119 @@ def main() -> None:
     spark.stop()
 
 
+def fork_main() -> None:
+    """Measure the exact-vs-Bloom contamination fork (VERDICT r4 #5).
+
+    docs/SCALE.md argues q_contamination_bloom separates from the exact
+    audit once the eval-gram set outgrows the probe-side exchange; at
+    sf0.1 the two bench level because the 10% eval split is broadcast-
+    sized. This probe synthesizes the regime the argument is about:
+
+    - a WIDENED eval split: equal train/eval doc counts (the split
+      buckets stay the operators' own hash buckets -- train ids are
+      drawn from [0, K), eval ids from the 8x-wider [0, 8K) range, so
+      the 80%/10% bucket shares land equal populations);
+    - DISJOINT gram content (every token embeds its doc_id), so
+      survivors are Bloom false positives only -- the audit's common
+      case (little true contamination), where the prefilter's win is
+      maximal and honest;
+    - Bloom geometry scaled with the eval-gram count per the documented
+      n/m rule (BLOOM_WORDS comment in pipeline_ops.py), via the
+      parameterized contamination_bloom_from core.
+
+        python tools/scale_probe.py fork [max_factor]
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.functions.hashing import portable_hash64
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        _EVAL_GE,
+        _TRAIN_LT,
+        contamination_bloom_from,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/contam_fork"
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="contam_fork_probe",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    exact = e.queries()["q_contamination"]
+
+    def synth(factor: int, out_dir: str) -> None:
+        k = 12_500 * factor  # -> 10k*factor docs per split (80% / 10%)
+        ids = spark.range(8 * k).select(F.col("id").alias("doc_id"))
+        bucket = portable_hash64(F.col("doc_id")) % 100
+        picked = ids.filter(
+            ((bucket < _TRAIN_LT) & (F.col("doc_id") < k))
+            | (bucket >= _EVAL_GE)
+        )
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(54)),
+                lambda i: F.concat(
+                    F.lit("w"), F.col("doc_id"), F.lit("x"), i.cast("string")
+                ),
+            ),
+        )
+        picked.select(
+            "doc_id",
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("s"), F.pmod("doc_id", F.lit(4))).alias("source"),
+            F.length(text).alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    factors = [f for f in (4, 16, 64) if f <= max_factor]
+    out: dict[str, dict] = {}
+    for factor in factors:
+        sf_dir = f"{scratch}/x{factor}"
+        synth(factor, sf_dir)
+        # n_eval_grams ~ 51 * 10k * factor; keep n/m ~ 0.1 per the
+        # documented geometry rule
+        bloom_words = 1 << (20 if factor <= 16 else 22)
+        row = {"bloom_words": bloom_words}
+        for label, fn in (
+            ("exact", lambda: exact(spark, sf_dir)),
+            (
+                "bloom",
+                lambda: contamination_bloom_from(
+                    spark, sf_dir, bloom_words=bloom_words
+                ),
+            ),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            row[label] = round(min(times), 3)
+        # both variants must agree (same oracle); cheap cross-check
+        a = {tuple(r) for r in exact(spark, sf_dir).collect()}
+        b = {
+            tuple(r)
+            for r in contamination_bloom_from(
+                spark, sf_dir, bloom_words=bloom_words
+            ).collect()
+        }
+        row["agree"] = a == b
+        out[f"x{factor}"] = row
+        print(json.dumps({f"x{factor}": row}))
+
+    print(json.dumps({"contamination_fork": out}, indent=1))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fork":
+        fork_main()
+    else:
+        main()
