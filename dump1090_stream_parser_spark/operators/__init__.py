@@ -16,6 +16,7 @@ from . import multimodal  # noqa: F401
 from . import pipeline_ops  # noqa: F401  (registers past the window)
 from . import inference  # noqa: F401  (registers past the window)
 from . import composite  # noqa: F401  (registers past the window)
+from . import sbs1_gold  # noqa: F401  (registers past the window)
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -32,6 +33,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_sbs1_gold_latest": (
+        "new round 5 (VERDICT r4 ask #7): the reference's #1 workflow"
+        " end-to-end -- deterministic wire-line replay through the"
+        " PRODUCTION parse_lines into the latest-position gold agg,"
+        " full oracle (hash match certifies the CSV round trip field"
+        " by field); agg capability held in-window by q_group_topk /"
+        " q_window_latest, parser by the Tier A pytest suite; first in"
+        " rotation order for an r6 driver row"
+    ),
     "q_rollup": (
         "rotated OUT round 5 (green driver rows r3+r4): grouping-sets"
         " capability held in-window by q_cube (the superset -- cube emits"

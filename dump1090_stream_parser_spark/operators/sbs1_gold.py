@@ -1,0 +1,137 @@
+"""The reference's #1 workflow, driver-visible end to end: ingest SBS-1
+wire lines through the PRODUCTION parser, then answer "latest position +
+message count per aircraft" over the resulting Silver rows.
+
+Every other registered query reads the testdata tables directly; this
+one exercises the actual ingest surface (sources/sbs1.py) inside a
+full-oracle query. The driver gate can only compare queries over the
+pre-registered parquet tables, so the wire lines are synthesized
+DETERMINISTICALLY from ``events`` (a value-faithful mapping: integer
+fields stay integer arithmetic, doubles round-trip through Java's
+shortest-repr formatting, timestamps through the exact SBS-1
+``yyyy/MM/dd HH:mm:ss.SSS`` format) and fed through ``parse_lines`` --
+the same narrow expression set the streaming pipeline runs. The DuckDB
+oracle computes the same gold directly from ``events``; if the
+parse path corrupted ANY value on its way through the 22-field CSV
+round trip, the value hash would mismatch, which makes this a
+cross-engine pin of the parser itself, not just of the aggregation.
+
+Reference parity: SURVEY.md §1.1-1.2 (wire format), §2 Tier A (parse /
+type coercion) and the per-aircraft latest/count gold workflow the
+reference delegates to SQLite (Appendix A usage examples).
+
+Scale: synthesis + parse is one narrow whole-stage-codegen'd map (no
+shuffle); the gold agg shuffles (hex_ident, 28-byte struct) rows with
+map-side partial aggregation -- the same shape as q_group_topk. On a
+real deployment the synthesis stage is replaced by the TCP/file Bronze
+source; everything downstream is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sbs1 import parse_lines, silver
+from ..tables import load_table
+from .registry import query
+
+#: Synthesis constants (shared by the Spark builder and the oracle SQL).
+ALT_MOD = 40_000
+
+
+def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic SBS-1 MSG,3 (airborne position) lines from events:
+    user_id -> hex_ident, ts -> generated date/time (ms precision),
+    event_id -> altitude, user_id -> lat/lon. One narrow projection."""
+    gen_date = F.date_format("ts", "yyyy/MM/dd")
+    gen_time = F.date_format("ts", "HH:mm:ss.SSS")
+    line = F.concat_ws(
+        ",",
+        F.lit("MSG"),  # message_type
+        F.lit("3"),  # transmission_type: airborne position
+        F.lit("1"),  # session_id
+        F.lit("1"),  # aircraft_id
+        F.format_string("%06X", F.col("user_id")),  # hex_ident
+        F.lit("1"),  # flight_id
+        gen_date,
+        gen_time,
+        gen_date,  # logged = generated (deterministic replay)
+        gen_time,
+        F.lit(""),  # callsign (not populated by MSG,3)
+        (F.col("event_id") % ALT_MOD).cast("int").cast("string"),  # altitude
+        F.lit(""),  # ground_speed
+        F.lit(""),  # track
+        (F.lit(40.0) + F.col("user_id").cast("double") / F.lit(10.0)).cast(
+            "string"
+        ),  # lat
+        (F.col("user_id").cast("double") / F.lit(7.0) - F.lit(20.0)).cast(
+            "string"
+        ),  # lon
+        F.lit(""),  # vertical_rate
+        F.lit(""),  # squawk
+        F.lit("0"),  # alert
+        F.lit("0"),  # emergency
+        F.lit("0"),  # spi
+        (F.col("event_id") % 2).cast("int").cast("string"),  # is_on_ground
+    )
+    return events.select(line.alias("value"))
+
+
+@query(
+    "q_sbs1_gold_latest",
+    oracle=f"""
+    WITH silver AS (
+      SELECT printf('%06X', user_id) AS hex_ident,
+             epoch_ms(date_trunc('milliseconds', ts)) AS t,
+             CAST(event_id % {ALT_MOD} AS INT) AS altitude,
+             40.0 + CAST(user_id AS DOUBLE) / 10.0 AS lat,
+             CAST(user_id AS DOUBLE) / 7.0 - 20.0 AS lon
+      FROM events
+    ),
+    ranked AS (
+      SELECT silver.*,
+             row_number() OVER (
+               PARTITION BY hex_ident
+               ORDER BY t DESC, altitude DESC, lat DESC, lon DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY hex_ident) AS n_msgs
+      FROM silver
+    )
+    SELECT hex_ident, n_msgs, t AS last_ts_ms, altitude AS last_altitude,
+           lat AS last_lat, lon AS last_lon
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_sbs1_gold_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest position + message count per aircraft, computed over
+    Silver rows produced by the PRODUCTION SBS-1 parse path (synthesized
+    wire lines -> parse_lines -> silver -> gold agg). The oracle derives
+    the same gold straight from events, so a hash match certifies the
+    whole CSV round trip field by field."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_lines(
+        sbs1_lines_from_events(events),
+        parsed_time=F.col("generated_ts"),  # deterministic replay stamp
+    )
+    sq = silver(parsed)
+    # arg-max via one max(struct) aggregation -- no per-aircraft window
+    # sort; tuple comparison is lexicographic in both engines and the
+    # (t, altitude, lat, lon) tuple ordering matches the oracle's
+    # ORDER BY ... DESC chain.
+    last = F.max(
+        F.struct(
+            F.unix_millis("generated_ts").alias("t"),
+            F.col("altitude"),
+            F.col("lat"),
+            F.col("lon"),
+        )
+    ).alias("last")
+    agg = sq.groupBy("hex_ident").agg(F.count("*").alias("n_msgs"), last)
+    return agg.select(
+        "hex_ident",
+        "n_msgs",
+        F.col("last.t").alias("last_ts_ms"),
+        F.col("last.altitude").alias("last_altitude"),
+        F.col("last.lat").alias("last_lat"),
+        F.col("last.lon").alias("last_lon"),
+    )

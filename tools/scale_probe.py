@@ -203,6 +203,14 @@ def fork_main() -> None:
                 fn().write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             row[label] = round(min(times), 3)
+            # measured exchange volume (plans/metrics.py): wall-clock at
+            # local[32] is md5-scan-bound, but the exchange volume is
+            # the term that rules at cluster scale -- report it
+            from dump1090_stream_parser_spark.plans.metrics import (
+                exchange_totals,
+            )
+
+            row[f"{label}_exchange"] = exchange_totals(fn())
         # both variants must agree (same oracle); cheap cross-check
         a = {tuple(r) for r in exact(spark, sf_dir).collect()}
         b = {
