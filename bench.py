@@ -70,6 +70,8 @@ HEADLINE = [
     "q_contamination_bloom",  # Bloom-prefiltered gram semi join (scale twin)
     "q_heavy_hitters",     # Misra-Gries sketch (bounded-shuffle top-k)
     "q_model_score",       # Arrow-batched classifier inference pass
+    "q_near_dedup_embedding_lsh",  # banded hyperplane-LSH pair blocking
+    "q_sbs1_gold_latest",  # wire-line synth -> production parse -> gold agg
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -537,8 +537,20 @@ def contamination_bloom_from(
         .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
         .select("doc_id", "source", "gh")
     )
+    # Verify join: INNER against the distinct eval grams, NOT left_semi.
+    # Semantically identical here (eval_grams is DISTINCT on gh, so the
+    # inner join multiplies each survivor by exactly 0 or 1, and the
+    # countDistinct(doc_id) downstream is duplicate-proof) -- but
+    # left_semi would be destroyed by PushDownLeftSemiAntiJoin the
+    # moment eval outgrows the broadcast threshold: Catalyst pushes the
+    # semi BELOW the bloom join/filter (its key gh comes from the probe
+    # side alone), resurrecting the full-train-stream shuffle the bitmap
+    # exists to remove (measured on the x16 fork probe: 8.2M train rows
+    # back through the semi exchange). Inner-join chains keep input
+    # order (no CBO), so the bit-test stays upstream of the only wide
+    # train-side op at every scale.
     hits = (
-        survivors.join(eval_grams, "gh", "left_semi")
+        survivors.join(eval_grams, "gh")
         .groupBy("source")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))
     )

@@ -438,6 +438,12 @@ def test_contamination_bloom_prefilter_shape(spark):
     plan = formatted_plan(bloom_df)
     assert "BroadcastHashJoin" in plan  # bitmap meets probe broadcast-side
     assert "CartesianProduct" not in plan
+    # The verify join must stay INNER: a LeftSemi here would be pushed
+    # below the bloom prefilter by PushDownLeftSemiAntiJoin as soon as
+    # eval outgrows the broadcast threshold, resurrecting the full
+    # train-stream shuffle the bitmap removes (measured on the x16 fork
+    # probe; see contamination_bloom_from).
+    assert "LeftSemi" not in plan
 
     exact = {tuple(r) for r in q_contamination(spark, SF_DIR).collect()}
     bloom = {tuple(r) for r in bloom_df.collect()}
