@@ -49,7 +49,16 @@ def exchange_totals(df: DataFrame) -> dict[str, int]:
     Returns shuffle_records / shuffle_bytes summed over every shuffle
     Exchange in the AQE-final plan, broadcast_bytes over every
     BroadcastExchange, and the node counts. ``Reused*`` nodes are
-    skipped entirely (their work was counted at the original node)."""
+    skipped entirely (their work was counted at the original node).
+
+    CAVEAT: this reads the final plan TREE, so work AQE surgically
+    removed after executing it is invisible -- e.g. a join branch that
+    turned out empty (AQEPropagateEmptyRelation rewrites the join away,
+    leaving its already-materialized stages unreachable) or a subtree
+    behind a localCheckpoint. For run-level accounting that survives
+    those rewrites, use :func:`stage_shuffle_snapshot` /
+    :func:`stage_shuffle_delta` (REST status store: every executed
+    stage counts, reachable from the final plan or not)."""
     df.collect()
     totals = {
         "shuffle_records": 0,
@@ -77,3 +86,43 @@ def exchange_totals(df: DataFrame) -> dict[str, int]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return totals
+
+
+def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
+    """Per-stage (shuffle write records, bytes) from the UI status
+    store, keyed by stageId -- a cumulative snapshot. Diff two
+    snapshots around a run with :func:`stage_shuffle_delta` to get that
+    run's TOTAL exchange volume, robust to AQE plan surgery (empty-
+    relation join elimination, reuse, checkpoint lineage cuts) that
+    makes the final plan tree under-report."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = (
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        "/stages?status=complete"
+    )
+    with urllib.request.urlopen(url) as resp:
+        stages = _json.load(resp)
+    return {
+        s["stageId"]: (
+            s.get("shuffleWriteRecords", 0),
+            s.get("shuffleWriteBytes", 0),
+        )
+        for s in stages
+    }
+
+
+def stage_shuffle_delta(
+    before: dict[int, tuple[int, int]],
+    after: dict[int, tuple[int, int]],
+) -> dict[str, int]:
+    """Total shuffle volume of the stages that completed between two
+    :func:`stage_shuffle_snapshot` calls."""
+    new = set(after) - set(before)
+    return {
+        "shuffle_records": sum(after[s][0] for s in new),
+        "shuffle_bytes": sum(after[s][1] for s in new),
+        "n_stages": len(new),
+    }

@@ -115,19 +115,27 @@ def fork_main() -> None:
     docs/SCALE.md argues q_contamination_bloom separates from the exact
     audit once the eval-gram set outgrows the probe-side exchange; at
     sf0.1 the two bench level because the 10% eval split is broadcast-
-    sized. This probe synthesizes the regime the argument is about:
+    sized. This probe synthesizes the regime the argument is about --
+    the production asymmetry TRAIN >> EVAL > broadcast budget:
 
-    - a WIDENED eval split: equal train/eval doc counts (the split
-      buckets stay the operators' own hash buckets -- train ids are
-      drawn from [0, K), eval ids from the 8x-wider [0, 8K) range, so
-      the 80%/10% bucket shares land equal populations);
+    - a FIXED eval split too big to broadcast (50k docs -> ~2.5M
+      distinct grams, ~20+ MB estimated -- over the 10 MB broadcast
+      threshold, so the exact semi-join cannot take the toy-scale
+      broadcast shortcut and must shuffle the TRAIN gram stream on gh);
+    - a train split that scales with the factor (Catalyst pushes the
+      left-semi below the distinct, so the exact plan's exchange grows
+      linearly with train grams -- the term the Bloom bitmap removes);
     - DISJOINT gram content (every token embeds its doc_id), so
       survivors are Bloom false positives only -- the audit's common
       case (little true contamination), where the prefilter's win is
       maximal and honest;
-    - Bloom geometry scaled with the eval-gram count per the documented
-      n/m rule (BLOOM_WORDS comment in pipeline_ops.py), via the
-      parameterized contamination_bloom_from core.
+    - Bloom geometry per the documented n/m rule: eval is fixed at
+      ~2.5M grams, so 2^20 words (64 Mi bits, 8 MiB broadcast) holds
+      the false-positive rate at ~4% across all factors.
+
+    Reports min-of-2 wall-clock AND stage-level shuffle volume
+    (plans/metrics.py): local wall-clock is md5-scan-bound, so the
+    exchange volume is the honest scale signal.
 
         python tools/scale_probe.py fork [max_factor]
     """
@@ -149,17 +157,23 @@ def fork_main() -> None:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         app_name="contam_fork_probe",
         shuffle_partitions=32,
+        # stage-level shuffle accounting reads the UI REST status store
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     exact = e.queries()["q_contamination"]
 
     def synth(factor: int, out_dir: str) -> None:
-        k = 12_500 * factor  # -> 10k*factor docs per split (80% / 10%)
-        ids = spark.range(8 * k).select(F.col("id").alias("doc_id"))
+        k = 12_500 * factor  # -> ~10k*factor train docs (80% bucket)
+        eval_base = 1 << 40  # disjoint id space for the fixed eval split
+        eval_span = 500_000  # ~50k eval docs (10% bucket share)
+        ids = spark.range(k).union(
+            spark.range(eval_base, eval_base + eval_span)
+        ).select(F.col("id").alias("doc_id"))
         bucket = portable_hash64(F.col("doc_id")) % 100
         picked = ids.filter(
             ((bucket < _TRAIN_LT) & (F.col("doc_id") < k))
-            | (bucket >= _EVAL_GE)
+            | ((bucket >= _EVAL_GE) & (F.col("doc_id") >= eval_base))
         )
         text = F.concat_ws(
             " ",
@@ -183,9 +197,8 @@ def fork_main() -> None:
     for factor in factors:
         sf_dir = f"{scratch}/x{factor}"
         synth(factor, sf_dir)
-        # n_eval_grams ~ 51 * 10k * factor; keep n/m ~ 0.1 per the
-        # documented geometry rule
-        bloom_words = 1 << (20 if factor <= 16 else 22)
+        # eval is FIXED (~2.5M grams): 2^20 words -> n/m ~ 0.04 fp rate
+        bloom_words = 1 << 20
         row = {"bloom_words": bloom_words}
         for label, fn in (
             ("exact", lambda: exact(spark, sf_dir)),
@@ -196,21 +209,29 @@ def fork_main() -> None:
                 ),
             ),
         ):
+            # measured exchange volume (plans/metrics.py stage-level
+            # accounting -- robust to AQE empty-relation surgery and
+            # checkpoint lineage cuts): wall-clock at local[32] is
+            # md5-scan-bound, but exchange volume is the term that
+            # rules at cluster scale, so report both
+            from dump1090_stream_parser_spark.plans.metrics import (
+                stage_shuffle_delta,
+                stage_shuffle_snapshot,
+            )
+
             fn().write.format("noop").mode("overwrite").save()  # warm
             times = []
+            snap0 = stage_shuffle_snapshot(spark)
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn().write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(snap0, stage_shuffle_snapshot(spark))
             row[label] = round(min(times), 3)
-            # measured exchange volume (plans/metrics.py): wall-clock at
-            # local[32] is md5-scan-bound, but the exchange volume is
-            # the term that rules at cluster scale -- report it
-            from dump1090_stream_parser_spark.plans.metrics import (
-                exchange_totals,
-            )
-
-            row[f"{label}_exchange"] = exchange_totals(fn())
+            row[f"{label}_shuffle"] = {
+                "records": delta["shuffle_records"] // 2,
+                "bytes": delta["shuffle_bytes"] // 2,
+            }
         # both variants must agree (same oracle); cheap cross-check
         a = {tuple(r) for r in exact(spark, sf_dir).collect()}
         b = {
