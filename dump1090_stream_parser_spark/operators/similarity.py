@@ -540,7 +540,8 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose block sizes nothing constrains. R is the block-size dial
     (expected block n/2^R), B the recall dial (1-(1-p^R)^B for per-plane
     agreement p = 1 - theta/pi). R=4/B=8 matches this corpus's weak
-    0.4-cosine threshold (~0.75+ recall, measured vs brute force in
+    0.4-cosine threshold (predicted ~0.75 recall at the boundary;
+    measured 0.667 vs brute force, floored at 0.6 in
     tests/test_approx.py); a production near-dup threshold (cos >= 0.9,
     p ~ 0.86) runs R=8..16 for far smaller blocks at the same recall.
 
