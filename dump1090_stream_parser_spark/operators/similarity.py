@@ -158,14 +158,22 @@ def q_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id is wired as q_near_dedup_embedding_lsh below -- same plan,
     blocking key guaranteed bounded (256 buckets) by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+    # Per-vector norm hoisted out of the per-PAIR expression (same
+    # rationale + bit-identical argument as q_near_dedup_embedding_lsh's
+    # verify join below).
+    sides = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nn")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nn") * F.col("b.nn")),
+        6,
     )
     return pairs.select(
         F.col("a.vec_id").alias("vec_id_1"),
