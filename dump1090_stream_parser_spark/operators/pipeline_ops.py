@@ -469,7 +469,17 @@ def _bloom_word_bit(col_name: str, bloom_words: int = BLOOM_WORDS):
     the documented geometry range all the way to the 1 GiB sharding
     ceiling, so the n/m false-positive model holds as BLOOM_WORDS
     scales. (Correctness never depended on this -- the exact semi-join
-    scrubs false positives -- only the fp-rate model does.)"""
+    scrubs false positives -- only the fp-rate model does.)
+
+    ``bloom_words`` must be a power of two: the disjointness argument
+    reads pmod-by-bloom_words as "take the low lg2(bloom_words) bits",
+    which is only true for powers of two -- a non-power modulus folds
+    ALL bits of gh (including 27-32) into the word index and correlates
+    the two coordinates."""
+    if bloom_words & (bloom_words - 1) or bloom_words <= 0:
+        raise ValueError(
+            f"bloom_words must be a power of two, got {bloom_words}"
+        )
     w = F.pmod(F.col(col_name), F.lit(bloom_words)).cast("int")
     mask = F.expr(
         f"shiftleft(1L, CAST(pmod(shiftright({col_name}, 27), 64) AS INT))"

@@ -39,11 +39,35 @@ from .registry import query
 #: Synthesis constants (shared by the Spark builder and the oracle SQL).
 ALT_MOD = 40_000
 
+#: Columns the line synthesis maps; NULL in any of them cannot round-trip
+#: through the 22-field CSV line (see sbs1_lines_from_events docstring).
+_MAPPED_COLS = ("ts", "user_id", "event_id")
+_MAPPED_NOT_NULL_SQL = " AND ".join(
+    f"{c} IS NOT NULL" for c in _MAPPED_COLS
+)
+
+
+def _mapped_not_null(events: DataFrame) -> DataFrame:
+    cond = None
+    for c in _MAPPED_COLS:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    return events.filter(cond)
+
 
 def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
     """Deterministic SBS-1 MSG,3 (airborne position) lines from events:
     user_id -> hex_ident, ts -> generated date/time (ms precision),
-    event_id -> altitude, user_id -> lat/lon. One narrow projection."""
+    event_id -> altitude, user_id -> lat/lon. One narrow projection.
+
+    Rows with a NULL in any mapped column are excluded HERE, explicitly
+    (``_mapped_not_null``, same predicate the oracle applies): a NULL
+    field would otherwise vanish inside ``concat_ws`` -- which skips
+    NULLs rather than emitting an empty slot -- producing an arity!=22
+    line that ``parse_lines`` dead-letters while the oracle, computing
+    straight from events, would still count the row. The testdata has
+    no such NULLs today; the filter pins the contract instead of
+    depending on that."""
     gen_date = F.date_format("ts", "yyyy/MM/dd")
     gen_time = F.date_format("ts", "HH:mm:ss.SSS")
     line = F.concat_ws(
@@ -75,7 +99,7 @@ def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
         F.lit("0"),  # spi
         (F.col("event_id") % 2).cast("int").cast("string"),  # is_on_ground
     )
-    return events.select(line.alias("value"))
+    return _mapped_not_null(events).select(line.alias("value"))
 
 
 @query(
@@ -88,6 +112,7 @@ def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
              40.0 + CAST(user_id AS DOUBLE) / 10.0 AS lat,
              CAST(user_id AS DOUBLE) / 7.0 - 20.0 AS lon
       FROM events
+      WHERE {_MAPPED_NOT_NULL_SQL}
     ),
     ranked AS (
       SELECT silver.*,

@@ -223,17 +223,17 @@ def _unit_float_py(s: str) -> float:
 
 
 def _planes_py(dim: int) -> list[list[float]]:
-    return [
-        [_unit_float_py(f"hp{p}_{d}") for d in range(dim)]
-        for p in range(N_PLANES)
-    ]
+    return _planes_py_n(dim, N_PLANES)
 
 
 #: sf_dir -> embedding dimensionality. The dimension is a TABLE
 #: property (constant per dataset), not per-row data; in production it
 #: comes from the catalog/config. Caching the one-row probe job here
 #: keeps repeated query builds (bench reps, driver correctness +
-#: parity runs) from paying a Spark job each call.
+#: parity runs) from paying a Spark job each call. Process-lifetime
+#: cache, no invalidation: rewriting a table IN PLACE with a different
+#: dim needs a new process (consistent with the catalog-property
+#: framing -- a dim change is a schema change, not an append).
 _DIM_CACHE: dict[str, int] = {}
 
 
@@ -491,9 +491,13 @@ EMB_LSH_BANDS = 8
 EMB_LSH_PLANES = 4  # bits per band -> 2^4 = 16 buckets per band
 
 
-def _band_bucket_col(emb: Column, dim: int, band: int) -> Column:
+def _band_bucket_col(
+    emb: Column, planes: list[list[float]], band: int
+) -> Column:
+    """``planes`` is the full B*R plane list, derived ONCE by the caller
+    (each md5-derived component costs a hash at plan-build time; deriving
+    inside the per-band loop would redo all 32*dim of them 8x)."""
     b = None
-    planes = _planes_py_n(dim, EMB_LSH_BANDS * EMB_LSH_PLANES)
     for r in range(EMB_LSH_PLANES):
         plane = planes[band * EMB_LSH_PLANES + r]
         bit = F.when(_plane_dot(emb, plane) > 0, 1 << r).otherwise(0)
@@ -572,6 +576,7 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
+    planes = _planes_py_n(dim, EMB_LSH_BANDS * EMB_LSH_PLANES)
     sigs = emb.select(
         "vec_id",
         F.explode(
@@ -579,9 +584,9 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _band_bucket_col(F.col("embedding"), dim, b).alias(
-                            "bucket"
-                        ),
+                        _band_bucket_col(
+                            F.col("embedding"), planes, b
+                        ).alias("bucket"),
                     )
                     for b in range(EMB_LSH_BANDS)
                 ]

@@ -206,8 +206,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("lang") == lang, F.lit(1)).otherwise(F.lit(0))
             ).alias(f"_p{i}")
-            for i in range(len(langs))
-            for lang in [langs[i]]
+            for i, lang in enumerate(langs)
         ]
     )
     # Scoring: every bigram OCCURRENCE picks up its profile row from

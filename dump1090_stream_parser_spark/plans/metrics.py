@@ -1,104 +1,50 @@
-"""Executed-plan metric extraction: measured shuffle/broadcast volume.
+"""Executed-stage metric extraction: measured shuffle volume.
 
 Wall-clock at local[32] understates exchange costs -- an in-memory
 shuffle of a few million 8-byte rows is nearly free locally, while on a
 1000-executor cluster the same exchange is network + spill and often IS
-the job. These helpers read the ACTUAL SQLMetrics off the executed
-(AQE-final) plan after an action, so scale arguments ("variant A moves
-10x fewer bytes through the exchange") can be measured, not asserted.
+the job. These helpers read the per-stage shuffle-write metrics from
+the UI status store so scale arguments ("variant A moves 10x fewer
+bytes through the exchange") can be measured, not asserted.
+
+Stage-level accounting is used deliberately INSTEAD of walking the
+AQE-final plan tree for SQLMetrics: the tree under-reports, because
+work AQE surgically removed after executing it is unreachable from the
+final plan -- e.g. a join branch that turned out empty
+(AQEPropagateEmptyRelation rewrites the join away, leaving its
+already-materialized stages dangling) or a subtree behind a
+localCheckpoint. Every executed stage reaches the status store whether
+or not the final plan still references it. (A plan-tree walker existed
+here through round 5 and was removed for exactly that caveat.)
 
 Used by tools/scale_probe.py's contamination-fork probe and available
-for any plan-volume comparison.
+for any plan-volume comparison. Requires ``spark.ui.enabled=true``
+(the REST endpoint is served by the UI).
 """
 
 from __future__ import annotations
-
-from pyspark.sql import DataFrame
-
-
-def _metric_map(node) -> dict[str, int]:
-    out: dict[str, int] = {}
-    it = node.metrics().iterator()
-    while it.hasNext():
-        kv = it.next()
-        out[kv._1()] = kv._2().value()
-    return out
-
-
-def _children(node):
-    kids = []
-    ch = node.children()
-    for i in range(ch.size()):
-        kids.append(ch.apply(i))
-    if not kids:
-        # AQE wrappers (AdaptiveSparkPlan, *QueryStage) hide their
-        # subtree behind executedPlan()/plan() instead of children()
-        for meth in ("executedPlan", "plan"):
-            if hasattr(node, meth):
-                try:
-                    kids.append(getattr(node, meth)())
-                    break
-                except Exception:  # noqa: BLE001 -- not that wrapper
-                    continue
-    return kids
-
-
-def exchange_totals(df: DataFrame) -> dict[str, int]:
-    """Run ``df`` (collect) and total its exchange metrics.
-
-    Returns shuffle_records / shuffle_bytes summed over every shuffle
-    Exchange in the AQE-final plan, broadcast_bytes over every
-    BroadcastExchange, and the node counts. ``Reused*`` nodes are
-    skipped entirely (their work was counted at the original node).
-
-    CAVEAT: this reads the final plan TREE, so work AQE surgically
-    removed after executing it is invisible -- e.g. a join branch that
-    turned out empty (AQEPropagateEmptyRelation rewrites the join away,
-    leaving its already-materialized stages unreachable) or a subtree
-    behind a localCheckpoint. For run-level accounting that survives
-    those rewrites, use :func:`stage_shuffle_snapshot` /
-    :func:`stage_shuffle_delta` (REST status store: every executed
-    stage counts, reachable from the final plan or not)."""
-    df.collect()
-    totals = {
-        "shuffle_records": 0,
-        "shuffle_bytes": 0,
-        "broadcast_bytes": 0,
-        "n_shuffles": 0,
-        "n_broadcasts": 0,
-    }
-
-    def walk(node):
-        name = node.nodeName()
-        if name.startswith("Reused"):
-            return
-        if name == "Exchange":
-            m = _metric_map(node)
-            totals["shuffle_records"] += m.get("shuffleRecordsWritten", 0)
-            totals["shuffle_bytes"] += m.get("shuffleBytesWritten", 0)
-            totals["n_shuffles"] += 1
-        elif name == "BroadcastExchange":
-            m = _metric_map(node)
-            totals["broadcast_bytes"] += m.get("dataSize", 0)
-            totals["n_broadcasts"] += 1
-        for c in _children(node):
-            walk(c)
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return totals
 
 
 def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
     """Per-stage (shuffle write records, bytes) from the UI status
     store, keyed by stageId -- a cumulative snapshot. Diff two
     snapshots around a run with :func:`stage_shuffle_delta` to get that
-    run's TOTAL exchange volume, robust to AQE plan surgery (empty-
-    relation join elimination, reuse, checkpoint lineage cuts) that
-    makes the final plan tree under-report."""
+    run's TOTAL exchange volume.
+
+    The status store is fed by AppStatusListener on the ASYNC listener
+    bus, so a just-finished job's last stage-completed events can still
+    be in flight when the action returns; drain the bus first so a
+    snapshot taken "after run A / before run B" doesn't misattribute
+    A's stragglers to B."""
     import json as _json
     import urllib.request
 
     sc = spark.sparkContext
+    bus = sc._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:  # noqa: BLE001 -- older signature takes a timeout
+        bus.waitUntilEmpty(10_000)
     url = (
         f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
         "/stages?status=complete"

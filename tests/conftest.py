@@ -17,7 +17,12 @@ def spark():
         master="local[4]",
         app_name="tests",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "1MB"},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "1MB",
+            # the stage-level shuffle meter (plans/metrics.py) reads the
+            # UI REST status store; get_spark disables the UI by default
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

@@ -684,3 +684,36 @@ def test_embedding_lsh_near_dup_blocks_on_bucket(spark):
     assert any("bucket" in ln and "band" in ln for ln in keys), keys
     # the embedding column never enters a join key (ids/buckets only)
     assert not any("embedding" in ln for ln in keys), keys
+
+
+def test_stage_shuffle_meter_counts_a_known_exchange(spark):
+    """The stage-level shuffle meter (plans/metrics.py) must attribute a
+    run's exchange volume to the delta taken around it: a groupBy over N
+    distinct keys shuffles >= N records through its map-side-combined
+    exchange, and a drained snapshot taken AFTER the action must be
+    stable (no straggling listener events counted against the next
+    run)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+
+    snap0 = stage_shuffle_snapshot(spark)
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") % 97).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    df.write.format("noop").mode("overwrite").save()
+    snap1 = stage_shuffle_snapshot(spark)
+    delta = stage_shuffle_delta(snap0, snap1)
+    assert delta["n_stages"] >= 2  # map side + reduce side
+    # partial aggregation caps the exchange at partitions * 97 rows and
+    # floors it at the 97 distinct keys
+    assert 97 <= delta["shuffle_records"] <= 97 * 8
+    # drained snapshots are stable: nothing new without new work
+    again = stage_shuffle_delta(snap1, stage_shuffle_snapshot(spark))
+    assert again["n_stages"] == 0
