@@ -43,6 +43,17 @@ PROBE = [
     "q_contamination",
     "q_contamination_bloom",
     "q_heavy_hitters",
+    # round 5: wire-line synthesis -> production parse -> gold agg over
+    # events (narrow map + one keyed agg; replication multiplies
+    # messages per aircraft, the agg keyset stays fixed)
+    "q_sbs1_gold_latest",
+    # q_near_dedup_embedding_lsh is deliberately NOT probed: replicas
+    # are exact duplicates, so every copy family lands in identical
+    # buckets in every band and candidate pairs grow quadratically in
+    # the copy count -- the same effect the round-3 table documents for
+    # simhash (9.4x at the 64x step), with the same resolution (exact
+    # dedup runs first; band geometry R bounds expected block size on
+    # deduped input).
 ]
 
 
