@@ -480,6 +480,12 @@ def _bloom_word_bit(col_name: str, bloom_words: int = BLOOM_WORDS):
         raise ValueError(
             f"bloom_words must be a power of two, got {bloom_words}"
         )
+    if bloom_words > 1 << 27:
+        raise ValueError(
+            f"bloom_words above 2^27 overlaps the bit-in-word field"
+            f" (bits 27-32), correlating the bloom coordinates; shard"
+            f" the filter by gh range instead (got {bloom_words})"
+        )
     w = F.pmod(F.col(col_name), F.lit(bloom_words)).cast("int")
     mask = F.expr(
         f"shiftleft(1L, CAST(pmod(shiftright({col_name}, 27), 64) AS INT))"

@@ -42,17 +42,12 @@ ALT_MOD = 40_000
 #: Columns the line synthesis maps; NULL in any of them cannot round-trip
 #: through the 22-field CSV line (see sbs1_lines_from_events docstring).
 _MAPPED_COLS = ("ts", "user_id", "event_id")
+#: One shared predicate string: DataFrame.filter accepts SQL text, so
+#: the Spark side and the oracle consume the SAME definition and cannot
+#: drift.
 _MAPPED_NOT_NULL_SQL = " AND ".join(
     f"{c} IS NOT NULL" for c in _MAPPED_COLS
 )
-
-
-def _mapped_not_null(events: DataFrame) -> DataFrame:
-    cond = None
-    for c in _MAPPED_COLS:
-        nn = F.col(c).isNotNull()
-        cond = nn if cond is None else cond & nn
-    return events.filter(cond)
 
 
 def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
@@ -61,7 +56,8 @@ def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
     event_id -> altitude, user_id -> lat/lon. One narrow projection.
 
     Rows with a NULL in any mapped column are excluded HERE, explicitly
-    (``_mapped_not_null``, same predicate the oracle applies): a NULL
+    (``_MAPPED_NOT_NULL_SQL``, the literal predicate string the oracle
+    also embeds): a NULL
     field would otherwise vanish inside ``concat_ws`` -- which skips
     NULLs rather than emitting an empty slot -- producing an arity!=22
     line that ``parse_lines`` dead-letters while the oracle, computing
@@ -99,7 +95,7 @@ def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
         F.lit("0"),  # spi
         (F.col("event_id") % 2).cast("int").cast("string"),  # is_on_ground
     )
-    return _mapped_not_null(events).select(line.alias("value"))
+    return events.filter(_MAPPED_NOT_NULL_SQL).select(line.alias("value"))
 
 
 @query(

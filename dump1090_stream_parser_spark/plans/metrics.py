@@ -40,10 +40,23 @@ def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
     import urllib.request
 
     sc = spark.sparkContext
+    if sc.uiWebUrl is None:
+        raise RuntimeError(
+            "stage_shuffle_snapshot needs the UI status store: start the"
+            " session with spark.ui.enabled=true (get_spark disables it"
+            " by default; pass extra_conf={'spark.ui.enabled': 'true'})"
+        )
+    from py4j.protocol import Py4JError, Py4JJavaError
+
     bus = sc._jsc.sc().listenerBus()
     try:
         bus.waitUntilEmpty()
-    except Exception:  # noqa: BLE001 -- older signature takes a timeout
+    except Py4JJavaError:
+        # genuine JVM failure (e.g. drain TimeoutException on a busy
+        # bus) -- surface it; a silent partial drain would quietly
+        # corrupt the delta attribution
+        raise
+    except (TypeError, Py4JError):  # no-arg signature absent: retry
         bus.waitUntilEmpty(10_000)
     url = (
         f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"

@@ -711,9 +711,11 @@ def test_stage_shuffle_meter_counts_a_known_exchange(spark):
     snap1 = stage_shuffle_snapshot(spark)
     delta = stage_shuffle_delta(snap0, snap1)
     assert delta["n_stages"] >= 2  # map side + reduce side
-    # partial aggregation caps the exchange at partitions * 97 rows and
-    # floors it at the 97 distinct keys
-    assert 97 <= delta["shuffle_records"] <= 97 * 8
+    # partial aggregation caps the exchange at (map tasks) * 97 rows --
+    # spark.range parallelism is defaultParallelism, NOT
+    # shuffle_partitions -- and floors it at the 97 distinct keys
+    n_map = spark.sparkContext.defaultParallelism
+    assert 97 <= delta["shuffle_records"] <= 97 * n_map
     # drained snapshots are stable: nothing new without new work
     again = stage_shuffle_delta(snap1, stage_shuffle_snapshot(spark))
     assert again["n_stages"] == 0

@@ -146,3 +146,42 @@ def test_non_msg_lines_dead_letter(spark):
     parsed = _parse(spark, non_msg).collect()
     assert all(r["_corrupt_record"] is not None for r in parsed)
     assert [r["_corrupt_record"] for r in parsed] == non_msg
+
+
+def test_gold_synthesis_excludes_null_mapped_rows(spark):
+    """The gold query's line synthesis must EXCLUDE events rows with a
+    NULL in any mapped column (ts/user_id/event_id): concat_ws SKIPS
+    NULL fields rather than emitting an empty slot, so without the
+    filter such a row would produce an arity!=22 line that parse_lines
+    dead-letters while the DuckDB oracle (computing straight from
+    events) would still count it -- a silent row-loss divergence. Pins
+    the _MAPPED_NOT_NULL_SQL contract with data the testdata doesn't
+    contain."""
+    from dump1090_stream_parser_spark.operators.sbs1_gold import (
+        sbs1_lines_from_events,
+    )
+
+    ts = datetime.datetime(2010, 2, 19, 18, 6, 7, 710000)
+    rows = [
+        (ts, 7, 1),  # clean
+        (ts, 8, 2),  # clean
+        (None, 9, 3),  # NULL ts
+        (ts, None, 4),  # NULL user_id
+        (ts, 10, None),  # NULL event_id
+    ]
+    events = spark.createDataFrame(
+        rows, "ts timestamp, user_id bigint, event_id bigint"
+    )
+    lines = sbs1_lines_from_events(events)
+    vals = [r["value"] for r in lines.collect()]
+    assert len(vals) == 2  # only the clean rows synthesize lines
+    assert all(v.count(",") == 21 for v in vals)  # 22 fields each
+    parsed = parse_lines(lines).collect()
+    assert len(parsed) == 2
+    assert all(r["_corrupt_record"] is None for r in parsed)
+    # the mechanism the filter guards against is real: concat_ws SKIPS
+    # a NULL field entirely (no empty slot), shifting the arity
+    short = spark.createDataFrame(
+        [("a", None, "c")], "x string, y string, z string"
+    ).select(F.concat_ws(",", "x", "y", "z").alias("v"))
+    assert short.first()["v"] == "a,c"  # NULL field vanished
