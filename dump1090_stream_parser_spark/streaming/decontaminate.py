@@ -101,6 +101,37 @@ def gate_docs(
     )
 
 
+def adjudicate_suspects(
+    suspects: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """The exact offline verdict over the quarantine: input columns
+    plus ``contaminated`` (true iff the doc exactly shares a word
+    CONTAM_K-gram with the eval corpus). This is the batch audit's
+    verify semantics applied to the suspect sink -- the quarantine is
+    Bloom-fp-plus-true-hit sized, so the distinct-eval-gram join that
+    was too expensive for the stream is cheap here. gate + adjudicate
+    together equal the exact batch audit: the gate admits no false
+    negatives and this join removes the false positives."""
+    eval_grams = (
+        eval_docs.select(
+            F.explode(contam_grams_array(tokens_col())).alias("gh")
+        )
+        .distinct()
+    )
+    hits = (
+        suspects.select(
+            "doc_id", F.explode(contam_grams_array(tokens_col())).alias("gh")
+        )
+        .join(eval_grams, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return suspects.join(hits, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
 def gate_batch_writer(
     out_dir: str, bitmap: DataFrame, bloom_words: int = BLOOM_WORDS
 ):

@@ -130,3 +130,40 @@ def test_gate_batch_replay_overwrites_its_own_output(spark, tmp_path):
         assert sorted(os.listdir(f"{out}/clean")) == ["batch_id=7"]
     finally:
         bitmap.unpersist()
+
+
+def test_gate_plus_adjudication_equals_exact_audit(spark, tmp_path):
+    """gate (no false negatives) + adjudicate (removes false
+    positives) must reproduce the exact audit's per-doc verdict: the
+    adjudicated-contaminated set over the quarantine EQUALS the
+    ground-truth gram-overlap set over the whole stream."""
+    from dump1090_stream_parser_spark.streaming.decontaminate import (
+        adjudicate_suspects,
+    )
+
+    eval_docs, stream_docs = _splits(spark)
+    bitmap = eval_bloom_bitmap(eval_docs).persist()
+    try:
+        gated = gate_docs(stream_docs, bitmap)
+        verdicts = adjudicate_suspects(
+            gated.filter(F.col("suspect")), eval_docs
+        )
+        contaminated = {
+            r["doc_id"]
+            for r in verdicts.filter(F.col("contaminated")).collect()
+        }
+        truly = {
+            r["doc_id"]
+            for r in _gram_set(stream_docs)
+            .join(
+                _gram_set(eval_docs).select("gh").distinct(),
+                "gh",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert contaminated == truly
+    finally:
+        bitmap.unpersist()
