@@ -42,6 +42,14 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_window_latest, parser by the Tier A pytest suite; first in"
         " rotation order for an r6 driver row"
     ),
+    "q_multimodal_resize": (
+        "new round 5: the C5 mandate's 'resize' verb as a registered"
+        " full-oracle query (deterministic byte decimation +"
+        " fingerprint over mapInPandas; the library fn existed, now"
+        " driver-verifiable); the Arrow batch plumbing capability is"
+        " held in-window by q_multimodal_frames / q_multimodal_features"
+        " / q_multimodal_energy"
+    ),
     "q_rollup": (
         "rotated OUT round 5 (green driver rows r3+r4): grouping-sets"
         " capability held in-window by q_cube (the superset -- cube emits"

@@ -260,6 +260,59 @@ def resize_payloads(
     )
 
 
+#: Resize target for the registered query (bytes).
+RESIZE_MAX_BYTES = 64
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(1, (length(text) + {RESIZE_MAX_BYTES} - 1)
+                          // {RESIZE_MAX_BYTES}) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS orig_bytes,
+           CAST((n + k - 1) // k AS INT) AS resized_bytes,
+           1.0 / k AS scale,
+           CAST('0x' || substring(md5(array_to_string(
+               list_transform(generate_series(0,
+                   CAST((n + k - 1) // k AS INT) - 1),
+                 i -> substr(text, CAST(1 + i * k AS INT), 1)), '')),
+             1, 15) AS BIGINT) AS resized_fp
+    FROM r
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize over mapInPandas (C5, the mandate's "resize"
+    verb): deterministic every-k-th-byte decimation to
+    <= RESIZE_MAX_BYTES, fingerprint of the resized payload as the
+    value pin. Decimation is engine-neutral byte arithmetic (payloads
+    are utf-8 of single-byte text, the same bytes==codes premise
+    q_multimodal_energy's oracle already rests on), so this Python
+    batch op gets a FULL oracle: the SQL recomputes the decimated
+    string positionally and must md5 to the identical 60-bit
+    fingerprint. A real deployment swaps the decimation for decode +
+    reencode behind the same schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    resized = resize_payloads(payloads, max_bytes=RESIZE_MAX_BYTES)
+    # md5 over the RAW resized bytes == the oracle's md5 over the
+    # decimated string (single-byte chars)
+    fp = F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long")
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        "scale",
+        fp.alias("resized_fp"),
+    )
+
+
 # The registered query projects the histogram array to 16 scalar columns
 # (h0..h15): the driver's canonicalizer hashes cell values and cannot
 # hash array cells (the same contract constraint that shaped
