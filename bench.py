@@ -72,6 +72,7 @@ HEADLINE = [
     "q_model_score",       # Arrow-batched classifier inference pass
     "q_near_dedup_embedding_lsh",  # banded hyperplane-LSH pair blocking
     "q_sbs1_gold_latest",  # wire-line synth -> production parse -> gold agg
+    "q_multimodal_resize",  # mapInPandas byte decimation + fingerprint
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at
