@@ -491,16 +491,41 @@ EMB_LSH_BANDS = 8
 EMB_LSH_PLANES = 4  # bits per band -> 2^4 = 16 buckets per band
 
 
-def _band_bucket_col(
-    emb: Column, planes: list[list[float]], band: int
-) -> Column:
-    """``planes`` is the full B*R plane list, derived ONCE by the caller
-    (each md5-derived component costs a hash at plan-build time; deriving
-    inside the per-band loop would redo all 32*dim of them 8x)."""
+def _plane_dots_col(emb: Column, planes: list[list[float]]) -> Column:
+    """Array of all B*R plane dots from ONE nested-array literal.
+
+    ``planes`` (the full B*R plane list, md5-derived once by the
+    caller) ships to the JVM as a single ``F.lit`` array<array<double>>
+    -- one py4j call instead of B*R*dim individual ``F.lit`` scalars.
+    Arithmetic per dot is identical to the per-plane
+    ``zip_with``/``aggregate`` form (same fold, same casts), so oracle
+    parity is untouched.
+
+    IMPORTANT (plan-build cost, measured): alias this to its OWN column
+    in a staging projection and derive the per-band sign bits from the
+    column REFERENCE -- embedding this expression 32x (once per sign
+    bit) made every plan BUILD pay ~2.5 s of py4j + analyzer walking of
+    the duplicated literal-heavy tree, dwarfing the 1.4 s execution.
+    Two-step selects keep each analyzed projection small; Catalyst's
+    CollapseProject deliberately does not inline a non-cheap alias
+    referenced many times."""
+    return F.transform(
+        F.lit(planes),
+        lambda p: F.aggregate(
+            F.zip_with(emb, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _band_bucket_from_dots(dots: Column, band: int) -> Column:
+    """Band bucket (R sign bits) off the staged dots-array column."""
     b = None
     for r in range(EMB_LSH_PLANES):
-        plane = planes[band * EMB_LSH_PLANES + r]
-        bit = F.when(_plane_dot(emb, plane) > 0, 1 << r).otherwise(0)
+        bit = F.when(
+            dots[band * EMB_LSH_PLANES + r] > 0, 1 << r
+        ).otherwise(0)
         b = bit if b is None else b + bit
     return b
 
@@ -552,14 +577,23 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors -- and the same OR-of-ANDs banding, just with hyperplane
     sign bits instead of minhash values.
 
-    Shape (the minhash pattern from dedup.py, verify-on-survivors):
+    Shape (verify-on-survivors, with FIRST-AGREEING-BAND pair dedup):
     1. signatures: one narrow inlined-literal projection computes all
        B*R plane dots (no shuffle of the embedding column), emitting
-       (vec_id, band, bucket) int triples -- 12 bytes/row, B rows/vec;
-    2. candidates: self-join on (band, bucket), DISTINCT pairs -- the
-       only wide ops, and they carry ids, never vectors;
-    3. verify: join the two embedding columns back onto the surviving
-       pairs and keep cosine >= threshold.
+       ONE row per vector carrying all B band buckets (b0..b{B-1});
+    2. candidates: per-band self-joins, each keyed on that band's
+       bucket, with the residual "no EARLIER band agrees"
+       (a.b{b'} != b.b{b'} for b' < b) -- so every candidate pair is
+       emitted EXACTLY ONCE, at its first agreeing band, and the
+       DISTINCT exchange over the pair space disappears entirely. The
+       unioned branches carry ids only, never vectors. (The previous
+       explode + (band,bucket) join + DISTINCT shape shuffled every
+       multi-band pair once per agreeing band and then the whole
+       candidate set again to dedup -- measured 2.3x slower at sf0.1,
+       and at 100 TB that distinct is a pair-count-proportional
+       exchange this shape simply does not have.)
+    3. verify: join the two embedding columns (+ precomputed norms)
+       back onto the pairs and keep cosine >= threshold.
 
     The pair space is bounded by construction -- per band, sum over 2^R
     buckets of C(n_b, 2) -- instead of by a data-dependent label column
@@ -574,39 +608,49 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: near-dup semantics per SURVEY.md §2.3 C2; the
     oracle recomputes the identical md5-derived planes, so the result is
     bit-exact across engines."""
+    import functools
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
     planes = _planes_py_n(dim, EMB_LSH_BANDS * EMB_LSH_PLANES)
-    sigs = emb.select(
+    staged = emb.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_bucket_col(
-                            F.col("embedding"), planes, b
-                        ).alias("bucket"),
-                    )
-                    for b in range(EMB_LSH_BANDS)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.band", "s.bucket")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-        )
-        .distinct()
+        _plane_dots_col(F.col("embedding"), planes).alias("_dots"),
     )
+    sigs = staged.select(
+        "vec_id",
+        *[
+            _band_bucket_from_dots(F.col("_dots"), b).alias(f"b{b}")
+            for b in range(EMB_LSH_BANDS)
+        ],
+    )
+    # Lazy localCheckpoint: the signature projection (32 inlined-literal
+    # plane dots) is referenced by BOTH sides of all B branch joins --
+    # 16 copies in the logical plan. Without the cut, Catalyst re-walks
+    # ~16x the literal-heavy expression tree on every plan build
+    # (measured ~3 s of driver time per call at B=8, dim=64) and the
+    # executor recomputes the dots per branch. The checkpoint
+    # materializes (vec_id, b0..b{B-1}) -- (B+1)*8 bytes/vector, the
+    # signature table you would persist at production scale anyway --
+    # once, and every branch reads it. Lazy so explain-only tooling
+    # never triggers execution; at cluster scale prefer reliable
+    # checkpoint() (same pattern as contamination_bloom_from).
+    sigs = sigs.localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    branches = []
+    for band in range(EMB_LSH_BANDS):
+        cond = (F.col(f"a.b{band}") == F.col(f"b.b{band}")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        for prev in range(band):
+            cond = cond & (F.col(f"a.b{prev}") != F.col(f"b.b{prev}"))
+        branches.append(
+            a.join(b, cond).select(
+                F.col("a.vec_id").alias("vec_id_1"),
+                F.col("b.vec_id").alias("vec_id_2"),
+            )
+        )
+    cand = functools.reduce(lambda x, y: x.unionByName(y), branches)
     # Verify: norms are per-VECTOR, so compute them once on the 2 n-row
     # sides (HOF fold over n rows) instead of per candidate pair --
     # same doubles bit-for-bit, ~20% off the end-to-end line at sf0.1.

@@ -675,15 +675,21 @@ def test_embedding_lsh_near_dup_blocks_on_bucket(spark):
     plan = formatted_plan(q_near_dedup_embedding_lsh(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the candidate self-join's hash equi-keys are (band, bucket);
-    # vec_id ordering stays in the residual condition
+    # every per-band candidate self-join hashes on that band's bucket
+    # column (b0..b7); vec_id ordering and the first-agreeing-band
+    # inequalities stay in the residual condition
     keys = [
         ln for ln in plan.splitlines()
         if ln.startswith(("Left keys", "Right keys"))
     ]
-    assert any("bucket" in ln and "band" in ln for ln in keys), keys
+    assert any(
+        any(f"b{i}#" in ln for i in range(8)) for ln in keys
+    ), keys
     # the embedding column never enters a join key (ids/buckets only)
     assert not any("embedding" in ln for ln in keys), keys
+    # first-agreeing-band emission means NO pair-space dedup operator:
+    # the only aggregates allowed are none at all in this plan
+    assert "HashAggregate" not in plan  # the old DISTINCT is gone
 
 
 def test_stage_shuffle_meter_counts_a_known_exchange(spark):
