@@ -725,3 +725,44 @@ def test_stage_shuffle_meter_counts_a_known_exchange(spark):
     # drained snapshots are stable: nothing new without new work
     again = stage_shuffle_delta(snap1, stage_shuffle_snapshot(spark))
     assert again["n_stages"] == 0
+
+
+def test_bloom_geometry_guards_reject_bad_word_counts(spark):
+    """The documented bloom geometry contract is enforced, not just
+    described: non-power-of-two word counts fold high gh bits into the
+    word index (correlating the two coordinates), and counts above
+    2^27 overlap the bit-in-word field -- both must raise instead of
+    silently degrading the n/m false-positive model."""
+    import pytest
+
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        _bloom_word_bit,
+    )
+
+    _bloom_word_bit("gh", 1 << 20)  # in-contract geometry is fine
+    with pytest.raises(ValueError, match="power of two"):
+        _bloom_word_bit("gh", 1_000_000)
+    with pytest.raises(ValueError, match="2\\^27"):
+        _bloom_word_bit("gh", 1 << 28)
+    with pytest.raises(ValueError, match="power of two"):
+        _bloom_word_bit("gh", 0)
+
+
+def test_stage_meter_demands_the_ui_status_store():
+    """stage_shuffle_snapshot on a UI-disabled session must fail with
+    the actionable error, not a cryptic urlopen crash (get_spark
+    disables the UI by default, so this is the likely misuse)."""
+    import pytest
+
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_snapshot,
+    )
+
+    class _FakeSC:
+        uiWebUrl = None
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    with pytest.raises(RuntimeError, match="spark.ui.enabled"):
+        stage_shuffle_snapshot(_FakeSpark())
