@@ -520,6 +520,23 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_bloom_from(spark, sf_dir)
 
 
+def bloom_bitmap_from_grams(
+    grams: DataFrame, bloom_words: int = BLOOM_WORDS
+) -> DataFrame:
+    """``(w, word)`` bitmap rows from a distinct ``gh`` frame: at most
+    ``bloom_words`` rows, MiB-class broadcast at any gram count under
+    the documented geometry rule. ONE definition shared by the batch
+    audit below and the streaming decontamination gate
+    (streaming/decontaminate.py), so the two sides' bit layout cannot
+    drift."""
+    w, mask = _bloom_word_bit("gh", bloom_words)
+    return (
+        grams.select(w.alias("w"), mask.alias("mask"))
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
 def contamination_bloom_from(
     spark: SparkSession, sf_dir: str, bloom_words: int = BLOOM_WORDS
 ) -> DataFrame:
@@ -540,11 +557,7 @@ def contamination_bloom_from(
     # anyway; at cluster scale prefer reliable checkpoint().
     eval_grams = eval_grams.localCheckpoint(eager=False)
     w, mask = _bloom_word_bit("gh", bloom_words)
-    bloom = (
-        eval_grams.select(w.alias("w"), mask.alias("mask"))
-        .groupBy("w")
-        .agg(F.bit_or("mask").alias("word"))
-    )
+    bloom = bloom_bitmap_from_grams(eval_grams, bloom_words)
     probe = grams.filter(F.col("bucket") < _TRAIN_LT).select(
         "doc_id", "source", "gh", w.alias("w"), mask.alias("mask")
     )

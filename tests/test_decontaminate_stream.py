@@ -7,8 +7,10 @@
   Bloom guarantee the clean/ route's finality rests on;
 - the false-positive quarantine stays small at the documented
   geometry (n/m-class);
-- a re-delivered micro-batch overwrites its own output (exactly-once
-  on replay).
+- a re-delivered micro-batch overwrites BOTH of its routes (a skipped
+  empty suspect write would leave stale quarantine rows on replay);
+- gate + exact adjudication over the quarantine equals the exact
+  audit.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from dump1090_stream_parser_spark.operators.pipeline_ops import (
 )
 from dump1090_stream_parser_spark.operators.text import tokens_col
 from dump1090_stream_parser_spark.streaming.decontaminate import (
+    adjudicate_suspects,
     decontaminate_gate,
     eval_bloom_bitmap,
     gate_batch_writer,
@@ -50,6 +53,19 @@ def _gram_set(df):
     )
 
 
+def _truly_contaminated(stream_docs, eval_docs):
+    return {
+        r["doc_id"]
+        for r in _gram_set(stream_docs)
+        .join(
+            _gram_set(eval_docs).select("gh").distinct(), "gh", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+
 def test_gate_stream_matches_batch_and_has_no_false_negatives(
     spark, tmp_path
 ):
@@ -75,7 +91,7 @@ def test_gate_stream_matches_batch_and_has_no_false_negatives(
             stream, bitmap, out, str(tmp_path / "ckpt"),
             trigger={"availableNow": True},
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "gate stream timed out"
 
         clean = spark.read.parquet(f"{out}/clean")
         suspect = spark.read.parquet(f"{out}/suspect")
@@ -89,19 +105,7 @@ def test_gate_stream_matches_batch_and_has_no_false_negatives(
         }
         assert routed == batch  # stream == batch, every doc, bit-equal
 
-        # exact ground truth: stream docs sharing >= 1 gram with eval
-        truly = {
-            r["doc_id"]
-            for r in _gram_set(stream_docs)
-            .join(
-                _gram_set(eval_docs).select("gh").distinct(),
-                "gh",
-                "left_semi",
-            )
-            .select("doc_id")
-            .distinct()
-            .collect()
-        }
+        truly = _truly_contaminated(stream_docs, eval_docs)
         suspects = {r["doc_id"] for r in suspect.select("doc_id").collect()}
         cleans = {r["doc_id"] for r in clean.select("doc_id").collect()}
         assert truly, "testdata should contain real overlap"
@@ -114,7 +118,7 @@ def test_gate_stream_matches_batch_and_has_no_false_negatives(
         bitmap.unpersist()
 
 
-def test_gate_batch_replay_overwrites_its_own_output(spark, tmp_path):
+def test_gate_batch_replay_overwrites_both_routes(spark, tmp_path):
     eval_docs, stream_docs = _splits(spark)
     bitmap = eval_bloom_bitmap(eval_docs).persist()
     try:
@@ -122,12 +126,24 @@ def test_gate_batch_replay_overwrites_its_own_output(spark, tmp_path):
         writer = gate_batch_writer(out, bitmap)
         batch = stream_docs.limit(100)
         writer(batch, 7)
-        first = spark.read.parquet(f"{out}/clean").count()
-        assert first > 0
+        first_clean = spark.read.parquet(f"{out}/clean").count()
+        first_susp = spark.read.parquet(f"{out}/suspect").count()
+        assert first_clean > 0
         writer(batch, 7)  # re-delivery of the SAME batch id
-        again = spark.read.parquet(f"{out}/clean").count()
-        assert again == first  # overwrote, not double-appended
+        assert spark.read.parquet(f"{out}/clean").count() == first_clean
+        assert spark.read.parquet(f"{out}/suspect").count() == first_susp
         assert sorted(os.listdir(f"{out}/clean")) == ["batch_id=7"]
+        # a replay whose suspects VANISH (e.g. corrected bitmap) must
+        # not leave the prior delivery's quarantine rows behind --
+        # rewrite batch 7 as its clean subset only
+        all_clean = gate_docs(batch, bitmap).filter(~F.col("suspect")).drop(
+            "n_suspect_grams", "suspect"
+        )
+        writer(all_clean, 7)
+        assert spark.read.parquet(f"{out}/suspect").count() == 0
+        # and the suspect dir stays readable on an all-clean stream
+        writer(all_clean, 8)
+        assert spark.read.parquet(f"{out}/suspect").count() == 0
     finally:
         bitmap.unpersist()
 
@@ -137,10 +153,6 @@ def test_gate_plus_adjudication_equals_exact_audit(spark, tmp_path):
     positives) must reproduce the exact audit's per-doc verdict: the
     adjudicated-contaminated set over the quarantine EQUALS the
     ground-truth gram-overlap set over the whole stream."""
-    from dump1090_stream_parser_spark.streaming.decontaminate import (
-        adjudicate_suspects,
-    )
-
     eval_docs, stream_docs = _splits(spark)
     bitmap = eval_bloom_bitmap(eval_docs).persist()
     try:
@@ -152,18 +164,26 @@ def test_gate_plus_adjudication_equals_exact_audit(spark, tmp_path):
             r["doc_id"]
             for r in verdicts.filter(F.col("contaminated")).collect()
         }
-        truly = {
-            r["doc_id"]
-            for r in _gram_set(stream_docs)
-            .join(
-                _gram_set(eval_docs).select("gh").distinct(),
-                "gh",
-                "left_semi",
-            )
-            .select("doc_id")
-            .distinct()
-            .collect()
-        }
-        assert contaminated == truly
+        assert contaminated == _truly_contaminated(stream_docs, eval_docs)
     finally:
         bitmap.unpersist()
+
+
+def test_gate_bitmap_carries_its_geometry(spark):
+    """The EvalBitmap bundles bloom_words with the rows: building at a
+    scaled geometry and probing through the SAME object must keep the
+    no-false-negative guarantee (the hazard this API exists to close is
+    a caller building at 2^20 and probing at the 2^16 default)."""
+    eval_docs, stream_docs = _splits(spark)
+    scaled = eval_bloom_bitmap(eval_docs, bloom_words=1 << 20).persist()
+    try:
+        assert scaled.bloom_words == 1 << 20
+        suspects = {
+            r["doc_id"]
+            for r in gate_docs(stream_docs, scaled)
+            .filter(F.col("suspect"))
+            .collect()
+        }
+        assert _truly_contaminated(stream_docs, eval_docs) <= suspects
+    finally:
+        scaled.unpersist()
