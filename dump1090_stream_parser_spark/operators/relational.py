@@ -155,18 +155,60 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None)  # HLL estimate: no exact SQL twin
+#: HLL++ relative standard deviation requested by q_approx_distinct.
+APPROX_DISTINCT_RSD = 0.02
+#: Certification band: 5x the requested rsd (a ~5-sigma envelope), with
+#: an absolute floor of 16 for tiny groups where integer-granularity
+#: estimates dominate the relative bound. HLL++ is deterministic for a
+#: given input, so a pass at a given SF is stable round over round.
+APPROX_DISTINCT_TOL = 5.0
+
+
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_msgs,
+           TRUE AS hll_within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) -- the 100 TB tier of
-    q_distinct_aircraft (SURVEY.md §2.2 "Aggregation: distinct"): the
-    sketch merges map-side, so the shuffle carries kilobytes per
-    partition where exact COUNT(DISTINCT) shuffles every key once.
-    Estimates are engine-specific, hence no DuckDB oracle (driver runs
-    the rows-only check); accuracy is asserted in tests instead."""
+    """approx_count_distinct (HLL++), SELF-CERTIFYING (SURVEY.md §2.2
+    "Aggregation: distinct"; VERDICT r5 #2): the 100 TB story is the
+    sketch -- it merges map-side, so the shuffle carries kilobytes per
+    partition where exact COUNT(DISTINCT) shuffles every key once. The
+    estimate itself is engine-specific, so instead of exporting it
+    (the r1-red rows-only shape) this query exports the EXACT distinct
+    count plus ``hll_within_bounds``: |estimate - exact| must sit
+    inside a 5x-rsd envelope (absolute floor 16 for tiny groups; HLL++
+    is exact in its sparse regime anyway). The oracle recomputes the
+    exact counts and emits literal TRUE -- full value-hash coverage of
+    both the exact math and the sketch's accuracy contract. The exact
+    twin exists here as the certification harness; a production run at
+    100 TB keeps only the sketch aggregation (and the exact-distinct
+    cost tier is pinned separately by q_distinct_aircraft)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD).alias("_est"),
         F.count("*").alias("n_msgs"),
+    )
+    band = F.greatest(
+        F.lit(16.0),
+        F.lit(APPROX_DISTINCT_TOL * APPROX_DISTINCT_RSD)
+        * F.col("n_users").cast("double"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_msgs",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("n_users"))
+            <= band
+        ).alias("hll_within_bounds"),
     )
 
 
@@ -722,31 +764,109 @@ def q_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile", oracle=None)  # sketch estimate: no SQL twin
-def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile -- the 100 TB tier of q_percentile
-    (SURVEY.md §2.2 math-fns tier): a mergeable quantile sketch replaces
-    the per-group sort, so map-side state is bounded and the shuffle
-    carries sketches, not values. Estimates are engine-specific, hence
-    the rows-only driver check; bounded error is asserted in tests.
+#: GK-sketch accuracy for q_approx_percentile: guaranteed rank error
+#: <= n / accuracy (Spark approx_percentile contract).
+APPROX_PCT_ACCURACY = 10_000
 
-    Scalar output columns (not the raw quantile ARRAY): the driver's
-    canonicalizer sorts cell values and dies on list cells."""
+
+@query(
+    "q_approx_percentile",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    vc AS (
+      SELECT l_returnflag, cents, COUNT(*) AS cnt
+      FROM c GROUP BY l_returnflag, cents
+    ),
+    w AS (
+      SELECT l_returnflag, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                                 ORDER BY cents) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS n_items
+      FROM vc
+    )
+    SELECT l_returnflag,
+           MAX(n_items) AS n_items,
+           MIN(CASE WHEN cum >= (n_items + 1) // 2 THEN cents END)
+             AS p50_cents,
+           MIN(CASE WHEN cum >= (9 * n_items + 9) // 10 THEN cents END)
+             AS p90_cents,
+           TRUE AS p50_within_bounds,
+           TRUE AS p90_within_bounds
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile, SELF-CERTIFYING (SURVEY.md §2.2 math-fns tier;
+    VERDICT r5 #1): the 100 TB story is the mergeable GK quantile sketch
+    -- bounded map-side state, the shuffle carries sketches, not values.
+    A sketch estimate is engine-specific, so instead of exporting it
+    (rows-only, no driver signal) this query exports the EXACT discrete
+    percentiles plus a ``within_bounds`` boolean that pins the sketch's
+    documented error contract: the GK value's rank must lie within
+    n/accuracy of the target rank. The oracle recomputes the exact
+    percentiles and emits literal TRUE -- a full value-hash row that
+    fails if either the exact math or the sketch guarantee breaks.
+
+    Exactness across engines: quantities quantize to integer cents and
+    the discrete percentile is "smallest value whose cumulative count
+    reaches ceil(q*n)", with ceil done in integer arithmetic
+    ((n+1) DIV 2, (9n+9) DIV 10) -- no float rank formula to disagree
+    on. The exact side runs on per-VALUE counts (l_quantity has ~100
+    distinct cent values per flag), so its window sort is over a
+    value-histogram, not rows: at 100 TB the heavy pass is the
+    (flag, cents) partial-agg -- same shape as q_group_topk -- and the
+    cumulative scan is driver-trivial. The sketch side is the plain
+    one-pass approx_percentile a production run would keep on its own."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile(
-                "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000
-            ).alias("qty_quantiles"),
-            F.count("*").alias("n_items"),
-        )
-        .select(
-            "l_returnflag",
-            F.element_at("qty_quantiles", 1).alias("p50_qty"),
-            F.element_at("qty_quantiles", 2).alias("p90_qty"),
-            "n_items",
-        )
+    cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    c = li.select("l_returnflag", cents.alias("cents"))
+    vc = c.groupBy("l_returnflag", "cents").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+    wall = Window.partitionBy("l_returnflag")
+    w = vc.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_items"),
+    )
+    rank50 = F.expr("(n_items + 1) DIV 2")
+    rank90 = F.expr("(9 * n_items + 9) DIV 10")
+    # GK rank-error budget (+1 slack for the ceil boundary itself)
+    err = F.expr(f"n_items DIV {APPROX_PCT_ACCURACY} + 1")
+
+    def value_at(rank: F.Column) -> F.Column:
+        return F.min(F.when(F.col("cum") >= rank, F.col("cents")))
+
+    exact = w.groupBy("l_returnflag").agg(
+        F.max("n_items").alias("n_items"),
+        value_at(rank50).alias("p50_cents"),
+        value_at(rank90).alias("p90_cents"),
+        value_at(F.greatest(rank50 - err, F.lit(1))).alias("_p50_lo"),
+        value_at(F.least(rank50 + err, F.col("n_items"))).alias("_p50_hi"),
+        value_at(F.greatest(rank90 - err, F.lit(1))).alias("_p90_lo"),
+        value_at(F.least(rank90 + err, F.col("n_items"))).alias("_p90_hi"),
+    )
+    sketch = c.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "cents", F.array(F.lit(0.5), F.lit(0.9)), APPROX_PCT_ACCURACY
+        ).alias("qq")
+    )
+    return exact.join(F.broadcast(sketch), "l_returnflag").select(
+        "l_returnflag",
+        "n_items",
+        "p50_cents",
+        "p90_cents",
+        F.element_at("qq", 1)
+        .between(F.col("_p50_lo"), F.col("_p50_hi"))
+        .alias("p50_within_bounds"),
+        F.element_at("qq", 2)
+        .between(F.col("_p90_lo"), F.col("_p90_hi"))
+        .alias("p90_within_bounds"),
     )
 
 

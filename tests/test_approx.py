@@ -14,7 +14,10 @@ from dump1090_stream_parser_spark.tables import load_table
 from .conftest import SF_DIR
 
 
-def test_approx_distinct_within_rsd(spark):
+def test_approx_distinct_self_certifies(spark):
+    """The self-certifying shape (VERDICT r5 #1): exact counts match an
+    independent computation and every group's HLL estimate sits inside
+    the exported bounded-error envelope."""
     exact = {
         r["event_type"]: r["n"]
         for r in load_table(spark, SF_DIR, "events")
@@ -22,18 +25,12 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q_approx_distinct(spark, SF_DIR).collect()
-    }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        # rsd=0.02 requested; allow 5 sigma
-        assert abs(est - exact[k]) <= max(0.10 * exact[k], 2), (
-            k,
-            est,
-            exact[k],
-        )
+    rows = q_approx_distinct(spark, SF_DIR).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        assert r["n_users"] == exact[k], (k, r["n_users"], exact[k])
+        assert r["hll_within_bounds"] is True, k
 
 
 def test_approx_and_exact_total_agree(spark):
@@ -46,26 +43,42 @@ def test_approx_and_exact_total_agree(spark):
     assert abs(est - total_exact) <= max(0.10 * total_exact, 2)
 
 
-def test_approx_percentile_close_to_exact(spark):
+def test_approx_percentile_self_certifies(spark):
+    """The self-certifying shape (VERDICT r5 #1): exact discrete
+    percentiles match a driver-side recomputation over sorted values,
+    and the GK sketch's within-bounds booleans hold for every group."""
+    import math
+
     from dump1090_stream_parser_spark.operators.relational import (
         q_approx_percentile,
-        q_percentile,
     )
 
-    exact = {
-        r["l_returnflag"]: (r["p50_qty"], r["p90_qty"])
-        for r in q_percentile(spark, SF_DIR).collect()
-    }
-    approx = {
-        r["l_returnflag"]: (r["p50_qty"], r["p90_qty"])
-        for r in q_approx_percentile(spark, SF_DIR).collect()
-    }
-    assert set(approx) == set(exact)
-    for flag, (p50, p90) in exact.items():
-        a50, a90 = approx[flag]
-        # l_quantity spans 1..50; accuracy=10000 keeps rank error tiny
-        assert abs(a50 - p50) <= 1.0, (flag, a50, p50)
-        assert abs(a90 - p90) <= 1.0, (flag, a90, p90)
+    vals: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    ):
+        vals.setdefault(r["l_returnflag"], []).append(
+            int(round(r["l_quantity"] * 100))
+        )
+
+    def disc(sorted_vals: list[int], num: int, den: int) -> int:
+        # smallest value whose cumulative count reaches ceil(q*n)
+        rank = (num * len(sorted_vals) + den - 1) // den
+        return sorted_vals[max(rank, 1) - 1]
+
+    rows = {r["l_returnflag"]: r for r in
+            q_approx_percentile(spark, SF_DIR).collect()}
+    assert set(rows) == set(vals)
+    for flag, xs in vals.items():
+        xs.sort()
+        r = rows[flag]
+        assert r["n_items"] == len(xs)
+        assert r["p50_cents"] == disc(xs, 1, 2), flag
+        assert r["p90_cents"] == disc(xs, 9, 10), flag
+        assert r["p50_within_bounds"] is True, flag
+        assert r["p90_within_bounds"] is True, flag
 
 
 def test_ann_recall_vs_brute_force(spark):
