@@ -307,11 +307,16 @@ def test_label_pca_aligns_with_numpy_eigh(spark):
     alignment |cos| ~ 1 and matching variance share."""
     import numpy as np
 
-    from dump1090_stream_parser_spark.operators.inference import q_label_pca
+    from dump1090_stream_parser_spark.operators.inference import label_pca
     from dump1090_stream_parser_spark.operators.inference import _label_pca
     import pandas as pd
 
-    got = {r["label"]: r for r in q_label_pca(spark, SF_DIR).collect()}
+    got = {
+        r["label"]: r
+        for r in label_pca(
+            load_table(spark, SF_DIR, "embeddings")
+        ).collect()
+    }
     emb = load_table(spark, SF_DIR, "embeddings").collect()
     by_label: dict[int, list] = {}
     for r in emb:
