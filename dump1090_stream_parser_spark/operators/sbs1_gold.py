@@ -44,9 +44,14 @@ ALT_MOD = 40_000
 _MAPPED_COLS = ("ts", "user_id", "event_id")
 #: One shared predicate string: DataFrame.filter accepts SQL text, so
 #: the Spark side and the oracle consume the SAME definition and cannot
-#: drift.
+#: drift. Beyond NULLs it pins SIGN (ADVICE r5): a negative user_id
+#: formats differently between Spark's format_string('%06X')
+#: (two's-complement 64-bit hex) and DuckDB's printf, and a negative
+#: event_id would synthesize is_on_ground=-1 -- the current testdata is
+#: non-negative, but the contract should not depend on that.
 _MAPPED_NOT_NULL_SQL = " AND ".join(
-    f"{c} IS NOT NULL" for c in _MAPPED_COLS
+    [f"{c} IS NOT NULL" for c in _MAPPED_COLS]
+    + ["user_id >= 0", "event_id >= 0"]
 )
 
 

@@ -25,9 +25,14 @@ for any plan-volume comparison. Requires ``spark.ui.enabled=true``
 from __future__ import annotations
 
 
-def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
-    """Per-stage (shuffle write records, bytes) from the UI status
-    store, keyed by stageId -- a cumulative snapshot. Diff two
+def stage_shuffle_snapshot(spark) -> dict[tuple[int, int], tuple[int, int]]:
+    """Per-stage-attempt (shuffle write records, bytes) from the UI
+    status store, keyed by (stageId, attemptId) -- a cumulative
+    snapshot. Keying by attempt matters on real clusters (ADVICE r5):
+    a stage retried between snapshots reuses its stageId, so a
+    stageId-keyed diff would silently drop the retry's volume, and two
+    attempts inside one snapshot would collapse to whichever the REST
+    payload listed last. Diff two
     snapshots around a run with :func:`stage_shuffle_delta` to get that
     run's TOTAL exchange volume.
 
@@ -65,7 +70,7 @@ def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
     with urllib.request.urlopen(url) as resp:
         stages = _json.load(resp)
     return {
-        s["stageId"]: (
+        (s["stageId"], s.get("attemptId", 0)): (
             s.get("shuffleWriteRecords", 0),
             s.get("shuffleWriteBytes", 0),
         )
@@ -74,11 +79,11 @@ def stage_shuffle_snapshot(spark) -> dict[int, tuple[int, int]]:
 
 
 def stage_shuffle_delta(
-    before: dict[int, tuple[int, int]],
-    after: dict[int, tuple[int, int]],
+    before: dict[tuple[int, int], tuple[int, int]],
+    after: dict[tuple[int, int], tuple[int, int]],
 ) -> dict[str, int]:
-    """Total shuffle volume of the stages that completed between two
-    :func:`stage_shuffle_snapshot` calls."""
+    """Total shuffle volume of the stage attempts that completed
+    between two :func:`stage_shuffle_snapshot` calls."""
     new = set(after) - set(before)
     return {
         "shuffle_records": sum(after[s][0] for s in new),

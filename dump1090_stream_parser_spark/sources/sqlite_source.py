@@ -109,14 +109,19 @@ def _has_implicit_rowid(path: str, table: str) -> bool:
     cases are detected at plan time and degrade to one full-scan
     partition instead of failing or mis-partitioning."""
     with _ro_connect(path) as con:
-        row = con.execute(
-            "SELECT sql FROM sqlite_master WHERE type='table' AND name=?",
-            (table,),
-        ).fetchone()
-        if row and row[0] and "without rowid" in " ".join(row[0].split()).lower():
-            return False
         cols = con.execute(f"PRAGMA table_info({_qident(table)})").fetchall()
-    return not any((c[1] or "").lower() == "rowid" for c in cols)
+        if any((c[1] or "").lower() == "rowid" for c in cols):
+            return False  # declared column shadows the implicit key
+        # Probe the key itself instead of substring-matching the CREATE
+        # TABLE DDL (ADVICE r5: a column name or CHECK literal containing
+        # "without rowid" would false-positive a DDL scan into the
+        # single-partition fallback). SQLite validates the column at
+        # prepare time, so this is exact and costs no row I/O.
+        try:
+            con.execute(f"SELECT rowid FROM {_qident(table)} LIMIT 1")
+        except sqlite3.OperationalError:
+            return False  # WITHOUT ROWID table: no implicit key
+    return True
 
 
 class _RowidRange(InputPartition):

@@ -198,3 +198,35 @@ def test_sqlite_source_user_rowid_column_falls_back(spark, tmp_path):
     assert df.agg(F.sum("rowid")).first()[0] == sum(
         i * 1000 for i in range(50)
     )
+
+
+def test_sqlite_source_decoy_without_rowid_text_stays_parallel(
+    spark, tmp_path
+):
+    """Hardening (ADVICE r5): a column name or CHECK literal containing
+    the text 'without rowid' must NOT trip the WITHOUT-ROWID fallback --
+    detection probes the implicit key itself, not the CREATE TABLE DDL,
+    so an ordinary rowid table keeps its parallel range scan."""
+    db = str(tmp_path / "decoy.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        'CREATE TABLE decoy ("notes without rowid" TEXT, '
+        "kind TEXT CHECK (kind <> 'without rowid'))"
+    )
+    con.executemany(
+        "INSERT INTO decoy VALUES (?,?)",
+        [(f"n{i}", f"k{i}") for i in range(200)],
+    )
+    con.commit()
+    con.close()
+
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "decoy")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # parallel scan preserved
+    assert df.count() == 200
