@@ -55,24 +55,13 @@ _MAPPED_NOT_NULL_SQL = " AND ".join(
 )
 
 
-def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
-    """Deterministic SBS-1 MSG,3 (airborne position) lines from events:
-    user_id -> hex_ident, ts -> generated date/time (ms precision),
-    event_id -> altitude, user_id -> lat/lon. One narrow projection.
-
-    Rows with a NULL in any mapped column are excluded HERE, explicitly
-    (``_MAPPED_NOT_NULL_SQL``, the literal predicate string the oracle
-    also embeds): a NULL
-    field would otherwise vanish inside ``concat_ws`` -- which skips
-    NULLs rather than emitting an empty slot -- producing an arity!=22
-    line that ``parse_lines`` dead-letters while the oracle, computing
-    straight from events, would still count the row. The testdata has
-    no such NULLs today; the filter pins the contract instead of
-    depending on that."""
+def _msg3_fields() -> list[F.Column]:
+    """The 22 wire fields of a deterministic MSG,3 line from an events
+    row, as string columns in SBS-1 order (empty string = empty CSV
+    slot; never NULL, which ``concat_ws`` would SKIP, shifting arity)."""
     gen_date = F.date_format("ts", "yyyy/MM/dd")
     gen_time = F.date_format("ts", "HH:mm:ss.SSS")
-    line = F.concat_ws(
-        ",",
+    return [
         F.lit("MSG"),  # message_type
         F.lit("3"),  # transmission_type: airborne position
         F.lit("1"),  # session_id
@@ -99,7 +88,24 @@ def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
         F.lit("0"),  # emergency
         F.lit("0"),  # spi
         (F.col("event_id") % 2).cast("int").cast("string"),  # is_on_ground
-    )
+    ]
+
+
+def sbs1_lines_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic SBS-1 MSG,3 (airborne position) lines from events:
+    user_id -> hex_ident, ts -> generated date/time (ms precision),
+    event_id -> altitude, user_id -> lat/lon. One narrow projection.
+
+    Rows with a NULL in any mapped column are excluded HERE, explicitly
+    (``_MAPPED_NOT_NULL_SQL``, the literal predicate string the oracle
+    also embeds): a NULL
+    field would otherwise vanish inside ``concat_ws`` -- which skips
+    NULLs rather than emitting an empty slot -- producing an arity!=22
+    line that ``parse_lines`` dead-letters while the oracle, computing
+    straight from events, would still count the row. The testdata has
+    no such NULLs today; the filter pins the contract instead of
+    depending on that."""
+    line = F.concat_ws(",", *_msg3_fields())
     return events.filter(_MAPPED_NOT_NULL_SQL).select(line.alias("value"))
 
 
@@ -160,4 +166,104 @@ def q_sbs1_gold_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.altitude").alias("last_altitude"),
         F.col("last.lat").alias("last_lat"),
         F.col("last.lon").alias("last_lon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dead-letter / ''->NULL contract, driver-visible (VERDICT r5 "What's
+# missing" #3): the first gold query synthesizes only valid MSG,3 lines,
+# so the two §7.4 semantic landmines -- arity!=22 dead-lettering and
+# empty-field->NULL coercion -- were pinned only by pytest. This twin
+# injects both fault classes DETERMINISTICALLY and exports the parser's
+# routing/NULL pattern as a one-row summary the DuckDB oracle recomputes
+# straight from events.
+# --------------------------------------------------------------------------
+
+#: Fault selectors, shared verbatim by the Spark synthesis (F.expr) and
+#: the oracle SQL so the definitions cannot drift. Evaluated on events
+#: rows that already pass _MAPPED_NOT_NULL_SQL.
+_FRAG_SQL = "event_id % 11 = 0"  # line truncated to 7 fields
+_ALT_MISSING_SQL = "event_id % 7 = 0"  # altitude slot emitted empty
+_POS_MISSING_SQL = "user_id % 5 = 3"  # lat+lon slots emitted empty
+
+#: Arity of the truncated fragment (any value != 22 dead-letters).
+_FRAG_ARITY = 7
+
+
+def sbs1_lines_with_faults(events: DataFrame) -> DataFrame:
+    """MSG,3 lines with deterministic fault injection: rows matching
+    ``_FRAG_SQL`` emit a 7-field truncated fragment (mid-line TCP cut,
+    SURVEY.md Appendix A L146-L150); the rest emit full 22-field lines
+    whose altitude / lat+lon slots are EMPTY when the respective
+    selector fires (the sparse-union reality of SBS-1: most fields of
+    most messages are blank). Empty means empty string -- the slot stays
+    in the line, arity stays 22 -- exercising the ''->NULL coercion
+    rather than the arity gate."""
+    fields = _msg3_fields()
+    blank = F.lit("")
+    fields[11] = F.when(F.expr(_ALT_MISSING_SQL), blank).otherwise(fields[11])
+    fields[14] = F.when(F.expr(_POS_MISSING_SQL), blank).otherwise(fields[14])
+    fields[15] = F.when(F.expr(_POS_MISSING_SQL), blank).otherwise(fields[15])
+    line = F.when(
+        F.expr(_FRAG_SQL), F.concat_ws(",", *fields[:_FRAG_ARITY])
+    ).otherwise(F.concat_ws(",", *fields))
+    return events.filter(_MAPPED_NOT_NULL_SQL).select(line.alias("value"))
+
+
+@query(
+    "q_sbs1_gold_deadletter",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT ({_FRAG_SQL}) AS frag,
+             ({_ALT_MISSING_SQL}) AS alt_missing,
+             ({_POS_MISSING_SQL}) AS pos_missing,
+             event_id % {ALT_MOD} AS alt
+      FROM events
+      WHERE {_MAPPED_NOT_NULL_SQL}
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE NOT frag) AS n_clean,
+      COUNT(*) FILTER (WHERE frag) AS n_dead_letter,
+      COUNT(*) FILTER (WHERE frag) AS n_dead_raw_intact,
+      COUNT(*) FILTER (WHERE NOT frag) AS n_callsign_null,
+      COUNT(*) FILTER (WHERE NOT frag AND alt_missing) AS n_altitude_null,
+      CAST(SUM(CASE WHEN NOT frag AND NOT alt_missing THEN alt END)
+           AS BIGINT) AS sum_altitude,
+      COUNT(*) FILTER (WHERE NOT frag AND pos_missing) AS n_lat_null,
+      COUNT(*) FILTER (WHERE NOT frag AND pos_missing) AS n_lon_null
+    FROM flagged
+    """,
+)
+def q_sbs1_gold_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-robustness gold over a fault-injected replay: every
+    exported number is computed FROM THE PARSER'S OUTPUT (routing
+    columns and typed NULLs), while the oracle recomputes them from the
+    fault selectors over raw events -- so a hash match certifies, cross-
+    engine, that (a) exactly the truncated fragments dead-letter with
+    their raw line intact, (b) every empty CSV slot lands as SQL NULL
+    (callsign is empty on ALL MSG,3 lines: if ''->NULL ever regressed
+    to empty-string, n_callsign_null would collapse to 0), and (c) the
+    surviving typed values are untouched by the faults around them
+    (sum_altitude). Scale shape: synthesis + parse is the same narrow
+    codegen'd map as q_sbs1_gold_latest; the gold is one global partial
+    +final aggregation emitting a single row."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_lines(sbs1_lines_with_faults(events))
+    valid = F.col("_corrupt_record").isNull()
+
+    def n_if(cond: F.Column, name: str) -> F.Column:
+        return F.count(F.when(cond, F.lit(1))).alias(name)
+
+    return parsed.agg(
+        n_if(valid, "n_clean"),
+        n_if(~valid, "n_dead_letter"),
+        n_if(
+            F.col("_corrupt_record").startswith("MSG,3,"),
+            "n_dead_raw_intact",
+        ),
+        n_if(valid & F.col("callsign").isNull(), "n_callsign_null"),
+        n_if(valid & F.col("altitude").isNull(), "n_altitude_null"),
+        F.sum("altitude").alias("sum_altitude"),
+        n_if(valid & F.col("lat").isNull(), "n_lat_null"),
+        n_if(valid & F.col("lon").isNull(), "n_lon_null"),
     )
