@@ -33,22 +33,84 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
-    "q_sbs1_gold_latest": (
-        "new round 5 (VERDICT r4 ask #7): the reference's #1 workflow"
-        " end-to-end -- deterministic wire-line replay through the"
-        " PRODUCTION parse_lines into the latest-position gold agg,"
-        " full oracle (hash match certifies the CSV round trip field"
-        " by field); agg capability held in-window by q_group_topk /"
-        " q_window_latest, parser by the Tier A pytest suite; first in"
-        " rotation order for an r6 driver row"
+    "q_near_dedup_embedding": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5; swapped per"
+        " VERDICT r5 'What's wrong' #3): the driver-certified embedding"
+        " near-dup is now q_near_dedup_embedding_lsh -- the"
+        " bounded-by-construction hyperplane-LSH blocking a 100 TB run"
+        " would use; this label-blocked form stays as the exact-block"
+        " small-corpus alternative, same pair semantics"
     ),
-    "q_multimodal_resize": (
-        "new round 5: the C5 mandate's 'resize' verb as a registered"
-        " full-oracle query (deterministic byte decimation +"
-        " fingerprint over mapInPandas; the library fn existed, now"
-        " driver-verifiable); the Arrow batch plumbing capability is"
-        " held in-window by q_multimodal_frames / q_multimodal_features"
-        " / q_multimodal_energy"
+    "q_knn_cosine": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
+        " brute-force cosine top-k is the scoring core of in-window"
+        " q_hybrid_search's vector leg and q_dense_index; the ANN tiers"
+        " it baselines (q_ann_lsh, q_ann_ivf) remain in-window, and its"
+        " recall ground-truth role is re-proven every round by"
+        " tests/test_approx.py"
+    ),
+    "q_centroid_outliers": (
+        "rotated OUT round 6 (green driver rows r3+r4+r5):"
+        " broadcast-centroid distance scoring is the assignment stage of"
+        " in-window q_ann_ivf (same narrow projection over the same"
+        " centroid artifacts)"
+    ),
+    "q_quantize_embeddings": (
+        "rotated OUT round 6 (green driver rows r3+r4+r5): int8"
+        " symmetric quantization's error-bound contract is re-proven"
+        " every round by tests/test_approx.py; the per-vector array"
+        " arithmetic tier is held in-window by q_ann_ivf /"
+        " q_near_dedup_embedding_lsh"
+    ),
+    "q_multimodal_frames": (
+        "rotated OUT round 6 (green driver rows r3+r4+r5): the"
+        " Arrow-batched binary plumbing is held in-window by"
+        " q_multimodal_features / q_multimodal_energy /"
+        " q_multimodal_resize (same payload schema, same mapInPandas"
+        " batch shape)"
+    ),
+    "q_train_split": (
+        "rotated OUT round 6 (green driver rows r3+r4+r5):"
+        " deterministic hash-based splitting is held in-window by"
+        " q_stratified_sample (same portable-hash bucketing family,"
+        " plus the per-stratum gate)"
+    ),
+    "q_pivot": (
+        "rotated OUT round 6 (green driver rows r3+r4+r5): reshape"
+        " capability held in-window by q_unpivot (its exact inverse;"
+        " pivot is the Expand-side, unpivot the Generate-side of the"
+        " same wide/long tier)"
+    ),
+    "q_subquery_in": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5): subquery"
+        " capability held in-window by q_subquery_scalar (correlated"
+        " scalar aggregates -- the deeper decorrelation form of the same"
+        " rewrite-to-join machinery)"
+    ),
+    "q_window_running": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
+        " framed-window capability held in-window by q_window_trailing"
+        " (the time-RANGE generalization of the same frame machinery;"
+        " rowsBetween is its fixed-spacing special case)"
+    ),
+    "q_filter_range": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5): a"
+        " pushed-down predicate scan is the first stage of every"
+        " in-window query; the PushedFilters/partition-pruning evidence"
+        " it pinned is held by tests/test_plans.py and the plan-snapshot"
+        " suite"
+    ),
+    "q_locf": (
+        "rotated OUT round 6 (green driver rows r4+r5): the hourly"
+        " spine + bucket agg is held in-window by q_gapfill (same spine"
+        " join); its last-observation window core by q_window_latest's"
+        " ranking tier"
+    ),
+    "q_set_ops": (
+        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
+        " UNION/INTERSECT/EXCEPT lower to the same distinct-aggregate"
+        " shuffle held in-window by q_distinct_aircraft; re-proven every"
+        " round by the local parity gate"
     ),
     "q_rollup": (
         "rotated OUT round 5 (green driver rows r3+r4): grouping-sets"
@@ -78,7 +140,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "rotated OUT round 5 (green driver rows r1+r3+r4): the minhash"
         " signature + band-key self-join is contained verbatim inside"
         " in-window q_dedup_clusters_lsh (its edge-generation stage);"
-        " simhash/embedding near-dup remain in-window"
+        " simhash and embedding-LSH near-dup remain in-window"
     ),
     "q_dedup_clusters": (
         "rotated OUT round 5 (green driver rows r3+r4): the"
@@ -95,7 +157,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_time_bucket": (
         "rotated OUT round 5 (green driver rows r1+r3+r4): the"
         " date_trunc bucket agg is contained verbatim in in-window"
-        " q_gapfill (same bucketing plus the spine join) and q_locf"
+        " q_gapfill (same bucketing plus the spine join)"
     ),
     "q_tfidf": (
         "rotated OUT round 4 (green driver rows r1+r3): text-scoring"
@@ -105,7 +167,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_funnel": (
         "rotated OUT round 4 (green driver rows r2+r3): stacked-window"
-        " staging held in-window by q_window_latest/q_window_running"
+        " staging held in-window by q_window_latest/q_window_trailing"
         " (same user-keyed window partitioning) and q_sessionize;"
         " ordered-conversion semantics re-proven every round by the"
         " local parity gate"
@@ -114,7 +176,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "rotated OUT round 4 (green driver rows r1+r3): lag/lead"
         " analytic-window capability held in-window by q_sessionize"
         " (lag-gap detection IS its core) and the funnel's stacked"
-        " window stages; frames by q_window_running, ranking by"
+        " window stages; frames by q_window_trailing, ranking by"
         " q_window_latest"
     ),
     "q_quality_score": (
@@ -126,42 +188,18 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_multimodal_meta": (
         "rotated OUT round 4 (green driver rows r1+r3): the binary-"
         "column metadata projection is the trivial first stage of"
-        " in-window q_multimodal_frames / q_multimodal_features (same"
+        " in-window q_multimodal_features / q_multimodal_resize (same"
         " payload schema, same typed-metadata contract)"
-    ),
-    "q_label_pca": (
-        "per-group dense linear algebra via applyInPandas (grouped-map"
-        " tier; rows-only -- no SQL oracle for eigensolving, numpy"
-        " recomputation contract in tests/test_approx.py); the Pandas"
-        " UDF capability itself is held in-window by the multimodal"
-        " queries"
     ),
     "q_token_count": (
         "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
-        " count pipeline is the first stage of in-window q_tfidf/q_bm25;"
+        " count pipeline is the first stage of in-window q_bm25;"
         " token statistics also held by q_quality_filter/q_repetition_score"
     ),
     "q_length_hist": (
         "rotated OUT round 4 (green driver rows r1+r3): width-bucket"
         " histogram = narrow bucketize + hash agg, held in-window by"
-        " q_group_topk and q_time_bucket; percentile tier by q_percentile"
-    ),
-    "q_profile": (
-        "composite of aggregate capabilities held in-window"
-        " (count/distinct by q_distinct_aircraft, min/max by the stats"
-        " tier); the multi-distinct expand plan is its only novel shape"
-    ),
-    "q_subquery_scalar": (
-        "subquery capability held in-window by q_subquery_in; adds"
-        " correlated-scalar decorrelation depth, pytest-verified"
-    ),
-    "q_window_trailing": (
-        "framed-window capability held in-window by q_window_running; adds"
-        " the time-RANGE frame variant, pytest-verified"
-    ),
-    "q_unpivot": (
-        "reshape capability held in-window by q_pivot (its exact inverse);"
-        " stack() is a Generate like the in-window explodes"
+        " q_group_topk; percentile tier by q_approx_percentile"
     ),
     "q_join_left": (
         "outer-join capability held in-window by q_join_full (full outer"
@@ -174,7 +212,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_doc_fingerprint": (
         "the same portable 60-bit hash is the groupBy key of in-window"
-        " q_dedup and q_contamination"
+        " q_contamination and the chain inside q_rolling_fingerprint"
     ),
     "q_agg_conditional": (
         "COUNT(CASE WHEN) shape held in-window by q_stratified_sample /"
@@ -182,50 +220,42 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_array_explode": (
         "explode + array fns held in-window by q_lang_id (explode) and"
-        " q_knn_cosine/q_bm25 (higher-order array ops)"
+        " q_bm25 / q_ann_ivf (higher-order array ops)"
     ),
     "q_string_clean": (
         "string-fn tier held in-window by q_pii_scrub (regex) and the"
         " text-analysis suite"
     ),
-    "q_ngram_top": (
-        "explode -> agg -> top-k shape held in-window by q_lang_id"
-        " (explode+agg) and q_group_topk (agg+top-k)"
+    "q_haversine": (
+        "math-fn row (green r1+r3+r4 history): trig arithmetic re-proven"
+        " every round by the local parity gate; the scalar-math tier is"
+        " held in-window by q_approx_percentile's exact-cents pipeline"
     ),
-    "q_haversine": "math-fn row also held in-window by q_percentile",
     "q_group_salted": "GROUP BY semantics held by q_group_topk",
     "q_window_ntile": (
         "ranking-window capability held by q_window_latest"
     ),
-    "q_knn_per_label": "brute-force kNN capability held by q_knn_cosine",
-    "q_dedup_events": "exact-dedup capability held by q_dedup",
-    "q_dedup_best": (
-        "exact-dedup capability held by q_dedup (same fingerprint-keyed"
-        " shuffle); adds normalized-fingerprint families with keep-best"
-        " representative selection via one integer arg-max, full-oracle"
-        " pytest-verified"
+    "q_knn_per_label": (
+        "brute-force kNN held by q_hybrid_search's in-window vector leg;"
+        " q_knn_cosine parks alongside with green r1-r5 history"
     ),
-    "q_stats": "stats-fn tier held with q_approx_percentile/q_haversine",
-    "q_approx_distinct": (
-        "distinct capability held by q_distinct_aircraft; rows-only in the"
-        " driver anyway (no oracle); bounded-error contract is"
-        " tests/test_approx.py"
+    "q_dedup_events": (
+        "exact-dedup capability held in-window by q_contamination (same"
+        " fingerprint family) and q_dedup_clusters_lsh (dedup over the"
+        " survivor graph); q_dedup parks with green r1+r3+r4 history"
+    ),
+    "q_stats": (
+        "stats-fn tier held in-window by q_approx_percentile and"
+        " q_profile (min/max/count surface)"
     ),
     "q_sliding_window": (
-        "time-bucketing held by q_time_bucket; the streaming sliding"
+        "time-bucketing held in-window by q_gapfill (same date_trunc"
+        " bucket agg inside the spine join); the streaming sliding"
         " window is tests-verified"
     ),
-    "q_near_dedup_embedding_lsh": (
-        "new round 5 (closes VERDICT r4 watch #3): embedding near-dup"
-        " blocked on the q_ann_lsh hyperplane bucket instead of the"
-        " data-dependent label -- the bounded-block 100 TB composition;"
-        " pair semantics held in-window by q_near_dedup_embedding,"
-        " bucket machinery by q_ann_lsh; full oracle (identical"
-        " md5-derived planes), plan-pinned bucket-keyed blocking"
-    ),
     "q_near_dedup_ngram": (
-        "near-dup capability held by minhash/simhash/embedding; ngram is"
-        " the survivor-verify pass"
+        "near-dup capability held in-window by the simhash and"
+        " embedding-LSH variants; ngram is the survivor-verify pass"
     ),
 }
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
@@ -249,6 +279,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # driver rows on its CURRENT implementation (the rotation invariant:
 # nothing rotates out without a green driver row on the code as it
 # stands today).
+# Round-6 rotation (per VERDICT r5 asks #1-#3): every registry entry
+# that had never earned a green driver row enters the window --
+# q_approx_distinct + the re-shaped q_approx_percentile (now
+# self-certifying full-oracle, retiring the registry's last red/
+# no-signal history), the round-5 tail flagships (q_sbs1_gold_latest,
+# q_near_dedup_embedding_lsh, q_multimodal_resize), the seven
+# never-evaluated full-oracle queries (q_dedup_best, q_profile,
+# q_subquery_scalar, q_window_trailing, q_unpivot, q_ngram_top,
+# q_label_pca -- the last upgraded from rows-only to a certificate
+# oracle), and the new q_sbs1_gold_deadletter (§7.4 landmines pinned
+# cross-engine). Twelve incumbents park, each with >=2 green driver
+# rows on unchanged code; q_near_dedup_embedding specifically swaps
+# for its LSH variant so the driver-certified embedding near-dup is
+# the bounded-blocking plan (VERDICT r5 "What's wrong" #3).
 _EVAL_TAIL = tuple(EVAL_TAIL_RATIONALE)
 for _name in _EVAL_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)
