@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted entries get
-    the driver's weaker rows-only check)."""
+    """DuckDB-runnable ANSI SQL twin for each query. As of round 6
+    every registered query has one (sketch/eigensolve operators export
+    exact statistics plus bounded-error certificate booleans instead of
+    engine-specific estimates, so the full value-hash check applies)."""
     return _ops.oracle_sql_map()

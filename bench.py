@@ -73,6 +73,8 @@ HEADLINE = [
     "q_near_dedup_embedding_lsh",  # banded hyperplane-LSH pair blocking
     "q_sbs1_gold_latest",  # wire-line synth -> production parse -> gold agg
     "q_multimodal_resize",  # mapInPandas byte decimation + fingerprint
+    "q_sbs1_gold_deadletter",  # fault-injected parse -> routing/NULL summary
+    "q_approx_percentile",  # value-histogram exact + GK sketch certificate
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -519,12 +519,14 @@ def _plane_dots_col(emb: Column, planes: list[list[float]]) -> Column:
     )
 
 
-def _band_bucket_from_dots(dots: Column, band: int) -> Column:
+def _band_bucket_from_dots(
+    dots: Column, band: int, planes_per_band: int = EMB_LSH_PLANES
+) -> Column:
     """Band bucket (R sign bits) off the staged dots-array column."""
     b = None
-    for r in range(EMB_LSH_PLANES):
+    for r in range(planes_per_band):
         bit = F.when(
-            dots[band * EMB_LSH_PLANES + r] > 0, 1 << r
+            dots[band * planes_per_band + r] > 0, 1 << r
         ).otherwise(0)
         b = bit if b is None else b + bit
     return b
@@ -541,6 +543,107 @@ def _band_bucket_sql(emb: str, band: int) -> str:
         f"(CASE WHEN ({_plane_dot_sql(emb, band * EMB_LSH_PLANES + r)}) > 0"
         f" THEN {1 << r} ELSE 0 END)"
         for r in range(EMB_LSH_PLANES)
+    )
+
+
+def emb_lsh_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    *,
+    bands: int = EMB_LSH_BANDS,
+    planes_per_band: int = EMB_LSH_PLANES,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs (vec_id_1 < vec_id_2),
+    each emitted EXACTLY ONCE at its first agreeing band -- the
+    parameterized core of q_near_dedup_embedding_lsh (that query's
+    docstring carries the full shape/scale argument). ``bands`` is the
+    recall dial, ``planes_per_band`` (R) the block-size dial (expected
+    block n/2^R): the registered query runs R=4/B=8 for this corpus's
+    weak 0.4 threshold; a production cos>=0.9 run uses R=8..16
+    (tools/scale_probe.py embsweep measures that regime)."""
+    import functools
+
+    planes = _planes_py_n(dim, bands * planes_per_band)
+    staged = emb.select(
+        "vec_id",
+        _plane_dots_col(F.col("embedding"), planes).alias("_dots"),
+    )
+    sigs = staged.select(
+        "vec_id",
+        *[
+            _band_bucket_from_dots(F.col("_dots"), b, planes_per_band).alias(
+                f"b{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    # Lazy localCheckpoint: the signature projection (B*R inlined-
+    # literal plane dots) is referenced by BOTH sides of all B branch
+    # joins -- 2B copies in the logical plan. Without the cut, Catalyst
+    # re-walks the literal-heavy expression tree on every plan build
+    # (measured ~3 s of driver time per call at B=8, dim=64) and the
+    # executor recomputes the dots per branch. The checkpoint
+    # materializes (vec_id, b0..b{B-1}) -- (B+1)*8 bytes/vector, the
+    # signature table you would persist at production scale anyway --
+    # once, and every branch reads it. Lazy so explain-only tooling
+    # never triggers execution; at cluster scale prefer reliable
+    # checkpoint() (same pattern as contamination_bloom_from).
+    sigs = sigs.localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    branches = []
+    for band in range(bands):
+        cond = (F.col(f"a.b{band}") == F.col(f"b.b{band}")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        for prev in range(band):
+            cond = cond & (F.col(f"a.b{prev}") != F.col(f"b.b{prev}"))
+        branches.append(
+            a.join(b, cond).select(
+                F.col("a.vec_id").alias("vec_id_1"),
+                F.col("b.vec_id").alias("vec_id_2"),
+            )
+        )
+    return functools.reduce(lambda x, y: x.unionByName(y), branches)
+
+
+def emb_lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    *,
+    bands: int = EMB_LSH_BANDS,
+    planes_per_band: int = EMB_LSH_PLANES,
+    threshold: float = EMB_NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup: candidates (above) + exact-cosine
+    verify join, keeping cos >= threshold. Norms are per-VECTOR, so
+    compute them once on the 2 n-row sides (HOF fold over n rows)
+    instead of per candidate pair -- same doubles bit-for-bit, ~20% off
+    the end-to-end line at sf0.1. The dot stays the HOF fold
+    deliberately: unrolling it into a flat 64-term expression measured
+    3.5x SLOWER (kicks the stage out of WholeStageCodegen; see
+    functions/vector.py module docstring)."""
+    cand = emb_lsh_candidate_pairs(
+        emb, dim, bands=bands, planes_per_band=planes_per_band
+    )
+    nrm = norm(F.col("embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("va"),
+        nrm.alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("vb"),
+        nrm.alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(ea, "vec_id_1")
+        .join(eb, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -608,74 +711,14 @@ def q_near_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: near-dup semantics per SURVEY.md §2.3 C2; the
     oracle recomputes the identical md5-derived planes, so the result is
     bit-exact across engines."""
-    import functools
-
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
-    planes = _planes_py_n(dim, EMB_LSH_BANDS * EMB_LSH_PLANES)
-    staged = emb.select(
-        "vec_id",
-        _plane_dots_col(F.col("embedding"), planes).alias("_dots"),
-    )
-    sigs = staged.select(
-        "vec_id",
-        *[
-            _band_bucket_from_dots(F.col("_dots"), b).alias(f"b{b}")
-            for b in range(EMB_LSH_BANDS)
-        ],
-    )
-    # Lazy localCheckpoint: the signature projection (32 inlined-literal
-    # plane dots) is referenced by BOTH sides of all B branch joins --
-    # 16 copies in the logical plan. Without the cut, Catalyst re-walks
-    # ~16x the literal-heavy expression tree on every plan build
-    # (measured ~3 s of driver time per call at B=8, dim=64) and the
-    # executor recomputes the dots per branch. The checkpoint
-    # materializes (vec_id, b0..b{B-1}) -- (B+1)*8 bytes/vector, the
-    # signature table you would persist at production scale anyway --
-    # once, and every branch reads it. Lazy so explain-only tooling
-    # never triggers execution; at cluster scale prefer reliable
-    # checkpoint() (same pattern as contamination_bloom_from).
-    sigs = sigs.localCheckpoint(eager=False)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    branches = []
-    for band in range(EMB_LSH_BANDS):
-        cond = (F.col(f"a.b{band}") == F.col(f"b.b{band}")) & (
-            F.col("a.vec_id") < F.col("b.vec_id")
-        )
-        for prev in range(band):
-            cond = cond & (F.col(f"a.b{prev}") != F.col(f"b.b{prev}"))
-        branches.append(
-            a.join(b, cond).select(
-                F.col("a.vec_id").alias("vec_id_1"),
-                F.col("b.vec_id").alias("vec_id_2"),
-            )
-        )
-    cand = functools.reduce(lambda x, y: x.unionByName(y), branches)
-    # Verify: norms are per-VECTOR, so compute them once on the 2 n-row
-    # sides (HOF fold over n rows) instead of per candidate pair --
-    # same doubles bit-for-bit, ~20% off the end-to-end line at sf0.1.
-    # The dot stays the HOF fold deliberately: unrolling it into a flat
-    # 64-term expression measured 3.5x SLOWER (kicks the stage out of
-    # WholeStageCodegen; see functions/vector.py module docstring).
-    nrm = norm(F.col("embedding"))
-    ea = emb.select(
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("embedding").alias("va"),
-        nrm.alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("embedding").alias("vb"),
-        nrm.alias("nb"),
-    )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    return (
-        cand.join(ea, "vec_id_1")
-        .join(eb, "vec_id_2")
-        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
+    return emb_lsh_near_dup_pairs(
+        emb,
+        dim,
+        bands=EMB_LSH_BANDS,
+        planes_per_band=EMB_LSH_PLANES,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
     )
 
 

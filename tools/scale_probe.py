@@ -260,8 +260,204 @@ def fork_main() -> None:
     spark.stop()
 
 
+def emb_main() -> None:
+    """Measure the embedding near-dup BLOCKING strategies at a
+    production threshold (VERDICT r5 #5): label-blocked vs banded-LSH
+    vs (at the smallest factor) all-pairs, on a synthesized corpus of
+    n = 2000 * factor unit-scale 64-dim vectors with a planted 2%
+    near-dup rate (each planted vector = its base + 5% noise,
+    cos ~ 0.999 >> the 0.9 threshold; random 64-dim pairs concentrate
+    at |cos| <~ 0.5, so survivors == planted pairs and recall is
+    exact). Geometry: R=12 bits/band, B=6 bands -- per-plane agreement
+    at cos 0.9..0.999 is p >= 0.93, so banding recall is
+    1-(1-p^12)^6 >= 0.97 while expected block size n/4096 stays
+    bounded; the label column is id%100, the data-dependent blocking
+    whose blocks grow linearly with n (so its pair space grows
+    quadratically -- the regime the sf0.1 recall numbers cannot show).
+
+    Reports per factor and variant: candidate pairs entering the
+    verify join, surviving pairs, planted-pair recall, min-of-2
+    wall-clock, and stage-level shuffle volume (plans/metrics.py).
+
+        python tools/scale_probe.py embsweep [max_factor]
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.functions.vector import dot, norm
+    from dump1090_stream_parser_spark.operators.similarity import (
+        emb_lsh_candidate_pairs,
+        emb_lsh_near_dup_pairs,
+    )
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    N0, DIM, LABELS, DUP_EVERY = 2000, 64, 100, 50
+    THRESHOLD, BANDS, R = 0.9, 6, 12
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="emb_blocking_probe",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # At probe sizes every join side fits under the 10 MB
+            # broadcast threshold, which would hide the exchange
+            # structure entirely (shuffle=0). At 100 TB no embedding
+            # side is broadcastable, so disable broadcast joins to
+            # measure the shuffle shape of the regime the probe is
+            # about. (AQE's own threshold too, or it re-converts.)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: int):
+        """n vectors: id i is a planted near-dup of i-1 when
+        i % DUP_EVERY == 1 (same base components + 5% noise, and the
+        BASE's label so label-blocking can find it)."""
+        ids = spark.range(n).select(F.col("id").alias("vec_id"))
+        is_dup = F.col("vec_id") % DUP_EVERY == 1
+        base = F.when(is_dup, F.col("vec_id") - 1).otherwise(F.col("vec_id"))
+        comp = lambda tag, seed_id, d: (
+            F.xxhash64(F.concat(F.lit(tag), seed_id.cast("string"),
+                                F.lit("_"), d.cast("string")))
+            % 1_000_000
+        ).cast("double") / 1_000_000.0
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: (
+                comp("e", base, d)
+                + F.when(is_dup, F.lit(0.05) * comp("p", F.col("vec_id"), d))
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
+        )
+        return ids.select(
+            "vec_id",
+            (base % LABELS).cast("int").alias("label"),
+            vec.alias("embedding"),
+        ).localCheckpoint(eager=False)  # freeze: one synthesis per run
+
+    def label_blocked(emb):
+        sides = emb.select(
+            "vec_id", "label", "embedding",
+            norm(F.col("embedding")).alias("nn"),
+        )
+        a, b = sides.alias("a"), sides.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nn") * F.col("b.nn")
+        )
+        return pairs.select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= THRESHOLD)
+
+    def label_candidates(emb):
+        a, b = emb.alias("a"), emb.alias("b")
+        return a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_id_1"))
+
+    def all_pairs(emb):
+        sides = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
+        )
+        a, b = sides.alias("a"), sides.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nn") * F.col("b.nn")
+        )
+        return pairs.select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= THRESHOLD)
+
+    factors = [f for f in (4, 16, 64) if f <= max_factor]
+    out: dict[str, dict] = {}
+    for factor in factors:
+        n = N0 * factor
+        emb = synth(n)
+        planted = n // DUP_EVERY  # ids 1, 51, 101, ... (i%50==1, i<n)
+        row: dict = {"n_vectors": n, "planted_pairs": planted}
+        variants = {
+            "lsh": (
+                lambda: emb_lsh_near_dup_pairs(
+                    emb, DIM, bands=BANDS, planes_per_band=R,
+                    threshold=THRESHOLD,
+                ),
+                lambda: emb_lsh_candidate_pairs(
+                    emb, DIM, bands=BANDS, planes_per_band=R
+                ),
+            ),
+            "label": (lambda: label_blocked(emb), lambda: label_candidates(emb)),
+        }
+        if factor == min(factors):
+            variants["all_pairs"] = (lambda: all_pairs(emb), None)
+        else:
+            row["all_pairs"] = {
+                "skipped": f"pair space C({n},2) = {n * (n - 1) // 2}"
+            }
+        for name, (fn, cand_fn) in variants.items():
+            v: dict = {}
+            if cand_fn is not None:
+                v["candidate_pairs"] = cand_fn().count()
+            # one pass for both counts (the pair space is the expensive
+            # term; don't pay it once per statistic) -- doubles as the
+            # warm run for the timed passes below
+            stats = (
+                fn()
+                .agg(
+                    F.count("*").alias("n"),
+                    F.count(
+                        F.when(
+                            (F.col("vec_id_2") == F.col("vec_id_1") + 1)
+                            & (F.col("vec_id_2") % DUP_EVERY == 1),
+                            F.lit(1),
+                        )
+                    ).alias("found"),
+                )
+                .collect()[0]
+            )
+            v["surviving_pairs"] = stats["n"]
+            v["planted_recall"] = round(stats["found"] / planted, 4)
+            reps = 1 if name == "all_pairs" else 2
+            times = []
+            snap0 = stage_shuffle_snapshot(spark)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(snap0, stage_shuffle_snapshot(spark))
+            v["wall_s"] = round(min(times), 3)
+            v["shuffle"] = {
+                "records": delta["shuffle_records"] // reps,
+                "bytes": delta["shuffle_bytes"] // reps,
+            }
+            row[name] = v
+            print(json.dumps({f"x{factor}": {name: v}}), flush=True)
+        out[f"x{factor}"] = row
+
+    print(json.dumps({"emb_blocking": out}, indent=1))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "embsweep":
+        emb_main()
     else:
         main()
