@@ -279,7 +279,11 @@ def emb_main() -> None:
     verify join, surviving pairs, planted-pair recall, min-of-2
     wall-clock, and stage-level shuffle volume (plans/metrics.py).
 
-        python tools/scale_probe.py embsweep [max_factor]
+        python tools/scale_probe.py embsweep [max_factor] [R] [B] [variants]
+
+    R/B override the banding geometry (defaults 12/6); ``variants`` is
+    a comma list from {lsh,label,all_pairs} (default all) -- e.g.
+    ``embsweep 64 16 8 lsh`` measures just the R-dial point.
     """
     from pyspark.sql import functions as F
 
@@ -296,7 +300,14 @@ def emb_main() -> None:
 
     max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     N0, DIM, LABELS, DUP_EVERY = 2000, 64, 100, 50
-    THRESHOLD, BANDS, R = 0.9, 6, 12
+    THRESHOLD = 0.9
+    R = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    BANDS = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    wanted = (
+        set(sys.argv[5].split(","))
+        if len(sys.argv) > 5
+        else {"lsh", "label", "all_pairs"}
+    )
 
     spark = get_spark(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -386,7 +397,7 @@ def emb_main() -> None:
         ).filter(F.col("cos_sim") >= THRESHOLD)
 
     factors = [f for f in (4, 16, 64) if f <= max_factor]
-    out: dict[str, dict] = {}
+    out: dict[str, dict] = {"geometry": {"R": R, "bands": BANDS}}
     for factor in factors:
         n = N0 * factor
         emb = synth(n)
@@ -404,12 +415,13 @@ def emb_main() -> None:
             ),
             "label": (lambda: label_blocked(emb), lambda: label_candidates(emb)),
         }
-        if factor == min(factors):
+        if factor == min(factors) and "all_pairs" in wanted:
             variants["all_pairs"] = (lambda: all_pairs(emb), None)
-        else:
+        elif "all_pairs" in wanted:
             row["all_pairs"] = {
                 "skipped": f"pair space C({n},2) = {n * (n - 1) // 2}"
             }
+        variants = {k: v for k, v in variants.items() if k in wanted}
         for name, (fn, cand_fn) in variants.items():
             v: dict = {}
             if cand_fn is not None:
