@@ -245,7 +245,7 @@ def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
-@_functools.lru_cache(maxsize=64)
+@_functools.lru_cache(maxsize=256)
 def _array_literal(values: tuple[float, ...]) -> Column:
     """A flat double-array literal as ONE parsed SQL expression, cached
     per value tuple. Same rationale as ``_planes_literal``: per-element
@@ -371,7 +371,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     -F.round(
                         cosine_similarity(
                             F.col("embedding"),
-                            F.array(*[F.lit(float(v)) for v in r["embedding"]]),
+                            _array_literal(tuple(float(v) for v in r["embedding"])),
                         ),
                         6,
                     )
@@ -411,7 +411,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda t: (-t[1], t[0]),
         )[:IVF_NPROBE]
     ]
-    qv_lit = F.array(*[F.lit(v) for v in qv_vals])
+    qv_lit = _array_literal(tuple(qv_vals))
     return (
         assign.filter(
             F.col("cell_id").isin(qcells)
@@ -1018,7 +1018,7 @@ def train_ivf_centroids(
                     (
                         -cosine_similarity(
                             F.col("embedding"),
-                            F.array(*[F.lit(v) for v in cvec]),
+                            _array_literal(tuple(cvec)),
                         )
                     ).alias("nc"),
                     F.lit(ci).alias("cell_id"),
@@ -1056,7 +1056,7 @@ def quantizer_quality(emb: DataFrame, cents: list[list[float]]) -> float:
     best = F.greatest(
         *[
             cosine_similarity(
-                F.col("embedding"), F.array(*[F.lit(v) for v in cvec])
+                F.col("embedding"), _array_literal(tuple(cvec))
             )
             for cvec in cents
         ]
