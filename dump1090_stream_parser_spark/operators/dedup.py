@@ -494,25 +494,31 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash4_hi(F.col("token")).alias("th2"),
     )
 
+    # Each column arrives as ONE parsed expression string: building the
+    # 64 vote sums and 4 band keys out of F.when/F.col fragments costs
+    # a py4j round trip per fragment -- measured 0.8 s of plan-BUILD
+    # time per call (half of it in band_key alone), which the bench and
+    # driver pay on every rebuild. The parsed text is the same SQL the
+    # oracle embeds, so the expression trees are unchanged.
     bit_sums = [
-        F.sum(
-            F.when(F.expr(_sim_bit_sql(j)) == 1, F.lit(1)).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN {_sim_bit_sql(j)} = 1 THEN 1 ELSE -1 END)"
+            f" AS s{j}"
+        )
         for j in range(SIMHASH_BITS)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_sums)
 
     def band_key(b: int) -> F.Column:
-        e = None
-        for r in range(SIM_BAND_BITS):
-            term = F.when(
-                F.col(f"s{SIM_BAND_BITS * b + r}") > 0, 1 << r
-            ).otherwise(0)
-            e = term if e is None else e + term
-        return e.cast("long")
+        terms = " + ".join(
+            f"(CASE WHEN s{SIM_BAND_BITS * b + r} > 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(SIM_BAND_BITS)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT) AS k{b}")
 
     sim = sums.select(
-        "doc_id", *[band_key(b).alias(f"k{b}") for b in range(N_SIM_BANDS)]
+        "doc_id", *[band_key(b) for b in range(N_SIM_BANDS)]
     )
 
     # One posexplode pass generates all 4 band rows -- a narrow map, so
