@@ -245,16 +245,44 @@ def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
+def _array_sql(values: tuple[float, ...]) -> str:
+    """A flat double-array literal as SQL text. Values render via
+    ``repr`` (shortest round-trip decimal; Double.parseDouble returns
+    the identical double) with explicit DOUBLE casts so the parser
+    yields DOUBLE, not DECIMAL."""
+    return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in values) + ")"
+
+
 @_functools.lru_cache(maxsize=256)
 def _array_literal(values: tuple[float, ...]) -> Column:
-    """A flat double-array literal as ONE parsed SQL expression, cached
-    per value tuple. Same rationale as ``_planes_literal``: per-element
-    ``F.lit`` is a py4j round trip each (64 per plane, measured as real
-    plan-build milliseconds across the 8-plane bucket expressions);
-    repr-rendered text round-trips bit-for-bit through the SQL parser."""
-    return F.expr(
-        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in values) + ")"
+    """``_array_sql`` parsed once and cached per value tuple. Same
+    rationale as ``_planes_literal``: per-element ``F.lit`` is a py4j
+    round trip each (64 per plane, measured as real plan-build
+    milliseconds across the 8-plane bucket expressions)."""
+    return F.expr(_array_sql(values))
+
+
+def _cos_expr_sql(emb: str, values: tuple[float, ...]) -> str:
+    """SQL text for cosine_similarity(col, literal) -- the same
+    zip_with/aggregate fold as functions.vector (identical ops in the
+    same order, so results are bit-identical); exists so a chain over
+    N centroids parses in ONE py4j call instead of ~10 Column calls
+    per centroid."""
+    arr = _array_sql(values)
+    d = (
+        f"aggregate(zip_with({emb}, {arr},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    nrm = (
+        f"sqrt(aggregate({emb}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    narr = (
+        f"sqrt(aggregate({arr}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return f"({d}) / (({nrm}) * ({narr}))"
 
 
 def _plane_dot(emb: Column, plane: list[float]) -> Column:
@@ -364,22 +392,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r for r in seed_rows if r["cell_id"] != QUERY_VEC_ID),
         key=lambda r: r["cell_id"],
     )
-    cell = F.least(
-        *[
-            F.struct(
-                (
-                    -F.round(
-                        cosine_similarity(
-                            F.col("embedding"),
-                            _array_literal(tuple(float(v) for v in r["embedding"])),
-                        ),
-                        6,
-                    )
-                ).alias("nc"),
-                F.lit(r["cell_id"]).alias("cell_id"),
+    # ONE parsed expression for the whole nearest-centroid chain: the
+    # per-centroid Column-API form cost ~10 py4j round trips per
+    # centroid per plan build (measured ~0.5 s of the line).
+    cell = F.expr(
+        "least("
+        + ",".join(
+            "named_struct('nc', -round("
+            + _cos_expr_sql(
+                "embedding", tuple(float(v) for v in r["embedding"])
             )
+            + f", 6), 'cell_id', {int(r['cell_id'])})"
             for r in cent_rows
-        ]
+        )
+        + ")"
     ).getField("cell_id")
     assign = emb.select("vec_id", "label", "embedding", cell.alias("cell_id"))
     # The probe list is a driver-side artifact, like the quantizer: rank
