@@ -185,3 +185,87 @@ def test_gold_synthesis_excludes_null_mapped_rows(spark):
         [("a", None, "c")], "x string, y string, z string"
     ).select(F.concat_ws(",", "x", "y", "z").alias("v"))
     assert short.first()["v"] == "a,c"  # NULL field vanished
+
+
+def test_gold_synthesis_excludes_negative_ids(spark):
+    """Sign pinning (ADVICE r5): a negative user_id would format
+    differently between Spark's format_string('%06X') (two's-complement
+    64-bit hex) and DuckDB's printf, and a negative event_id would
+    synthesize is_on_ground=-1 -- the shared predicate must exclude
+    them in BOTH gold builders, with data the testdata doesn't
+    contain."""
+    import datetime
+
+    from dump1090_stream_parser_spark.operators.sbs1_gold import (
+        sbs1_lines_from_events,
+        sbs1_lines_with_faults,
+    )
+
+    ts = datetime.datetime(2010, 2, 19, 18, 6, 7, 710000)
+    rows = [
+        (ts, 7, 1),  # clean
+        (ts, -7, 2),  # negative user_id
+        (ts, 8, -3),  # negative event_id
+    ]
+    events = spark.createDataFrame(
+        rows, "ts timestamp, user_id bigint, event_id bigint"
+    )
+    for builder in (sbs1_lines_from_events, sbs1_lines_with_faults):
+        vals = [r["value"] for r in builder(events).collect()]
+        assert len(vals) == 1, builder.__name__
+        assert vals[0].split(",")[4] == "000007"  # hex of the clean row
+
+
+def test_property_typed_fields_parse_or_null(spark):
+    """§7.4.1 NULL-on-garbage, property form: for a 22-field line with
+    ARBITRARY altitude/lat content, the typed column either equals the
+    correctly-parsed value or is NULL -- never a thrown ANSI cast
+    error, never a zero standing in for garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = GOLDEN[0].split(",")
+    assert len(base) == 22
+
+    content = st.one_of(
+        st.just(""),
+        st.integers(min_value=-(2**33), max_value=2**33).map(str),
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters=",\n\r",
+                blacklist_categories=("Cs",),
+            ),
+            max_size=6,
+        ),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(content, content)
+    def check(alt_text, lat_text):
+        fields = list(base)
+        fields[11] = alt_text  # altitude (int)
+        fields[14] = lat_text  # lat (double)
+        line = ",".join(fields)
+        row = _parse(spark, [line]).collect()[0]
+        assert row["_corrupt_record"] is None
+        # int column: exact parse or NULL (try_cast semantics: Spark
+        # accepts surrounding whitespace, rejects everything else)
+        try:
+            expect_alt = int(alt_text.strip()) if alt_text.strip() else None
+            if expect_alt is not None and not (
+                -(2**31) <= expect_alt < 2**31
+            ):
+                expect_alt = None  # overflow -> NULL, not wraparound
+        except ValueError:
+            expect_alt = None
+        assert row["altitude"] == expect_alt, (alt_text, row["altitude"])
+        # double column: never raises; garbage -> NULL
+        if lat_text.strip() == "":
+            assert row["lat"] is None
+        else:
+            try:
+                float(lat_text)
+            except ValueError:
+                assert row["lat"] is None, (lat_text, row["lat"])
+
+    check()
