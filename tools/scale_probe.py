@@ -47,13 +47,15 @@ PROBE = [
     # events (narrow map + one keyed agg; replication multiplies
     # messages per aircraft, the agg keyset stays fixed)
     "q_sbs1_gold_latest",
-    # q_near_dedup_embedding_lsh is deliberately NOT probed: replicas
-    # are exact duplicates, so every copy family lands in identical
-    # buckets in every band and candidate pairs grow quadratically in
-    # the copy count -- the same effect the round-3 table documents for
-    # simhash (9.4x at the 64x step), with the same resolution (exact
-    # dedup runs first; band geometry R bounds expected block size on
-    # deduped input).
+    # q_near_dedup_embedding_lsh is deliberately NOT probed here:
+    # replicas are exact duplicates, so every copy family lands in
+    # identical buckets in every band and candidate pairs grow
+    # quadratically in the copy count -- the same effect the round-3
+    # table documents for simhash (9.4x at the 64x step). Its real
+    # scaling behavior is measured by the dedicated `embsweep`
+    # subcommand below (synthetic corpus with a bounded planted
+    # near-dup rate, label vs LSH vs all-pairs -- docs/SCALE.md
+    # round-6 table).
 ]
 
 
