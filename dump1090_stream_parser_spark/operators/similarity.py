@@ -543,18 +543,20 @@ def _planes_literal(planes: tuple[tuple[float, ...], ...]) -> Column:
     the same literal the F.lit path produced, so oracle parity is
     untouched. Cached because the matrix depends only on (dim,
     n_planes): repeat plan builds in one process (the bench rebuilds
-    per rep; the driver per query) pay the parse once."""
-    import functools
+    per rep; the driver per query) pay the parse once. (The cache must
+    live at MODULE level -- a first cut decorated a closure inside
+    this function, which rebuilt an empty cache per call and cached
+    nothing.)"""
+    return _planes_literal_cached(planes)
 
-    @functools.lru_cache(maxsize=8)
-    def _build(key: tuple[tuple[float, ...], ...]) -> Column:
-        txt = "array(" + ",".join(
-            "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in p) + ")"
-            for p in key
-        ) + ")"
-        return F.expr(txt)
 
-    return _build(planes)
+@_functools.lru_cache(maxsize=8)
+def _planes_literal_cached(
+    planes: tuple[tuple[float, ...], ...]
+) -> Column:
+    return F.expr(
+        "array(" + ",".join(_array_sql(p) for p in planes) + ")"
+    )
 
 
 def _plane_dots_col(emb: Column, planes: list[list[float]]) -> Column:
