@@ -173,10 +173,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chars = F.col("_c")
     n = F.size(chars)
+    # Bigram KEY is an integer code (cp(x)*0x110000 + cp(y)), not the
+    # concatenated string: the profile join and both aggregations key
+    # on it, and an 8-byte long hashes/compares/exchanges cheaper than
+    # a 2-char UTF-8 string built per occurrence. Pure internal
+    # representation -- the exported confusion matrix is unchanged, and
+    # the oracle recomputes its own profile from string bigrams.
     bigrams = F.zip_with(
         F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(chars, 2, F.greatest(n - 1, F.lit(0))),
-        lambda x, y: F.concat(x, y),
+        lambda x, y: F.ascii(x).cast("long") * F.lit(0x110000)
+        + F.ascii(y),
     )
     bg = staged.select(
         "doc_id", "lang", F.explode(bigrams).alias("bigram")
