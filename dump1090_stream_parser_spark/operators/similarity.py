@@ -531,6 +531,7 @@ EMB_LSH_BANDS = 8
 EMB_LSH_PLANES = 4  # bits per band -> 2^4 = 16 buckets per band
 
 
+@_functools.lru_cache(maxsize=8)
 def _planes_literal(planes: tuple[tuple[float, ...], ...]) -> Column:
     """The nested plane matrix as ONE parsed SQL literal, cached per
     geometry. ``F.lit`` on a nested list expands to one py4j call per
@@ -541,19 +542,11 @@ def _planes_literal(planes: tuple[tuple[float, ...], ...]) -> Column:
     Double.parseDouble returns the identical double), with an explicit
     D suffix so the parser yields DOUBLE, not DECIMAL -- bit-for-bit
     the same literal the F.lit path produced, so oracle parity is
-    untouched. Cached because the matrix depends only on (dim,
-    n_planes): repeat plan builds in one process (the bench rebuilds
-    per rep; the driver per query) pay the parse once. (The cache must
-    live at MODULE level -- a first cut decorated a closure inside
-    this function, which rebuilt an empty cache per call and cached
-    nothing.)"""
-    return _planes_literal_cached(planes)
-
-
-@_functools.lru_cache(maxsize=8)
-def _planes_literal_cached(
-    planes: tuple[tuple[float, ...], ...]
-) -> Column:
+    untouched. Cached at MODULE level because the matrix depends only
+    on (dim, n_planes): repeat plan builds in one process (the bench
+    rebuilds per rep; the driver per query) pay the parse once. (A
+    first cut decorated a closure inside the function, which rebuilt
+    an empty cache per call and cached nothing.)"""
     return F.expr(
         "array(" + ",".join(_array_sql(p) for p in planes) + ")"
     )
@@ -629,8 +622,6 @@ def emb_lsh_candidate_pairs(
     block n/2^R): the registered query runs R=4/B=8 for this corpus's
     weak 0.4 threshold; a production cos>=0.9 run uses R=8..16
     (tools/scale_probe.py embsweep measures that regime)."""
-    import functools
-
     planes = _planes_py_n(dim, bands * planes_per_band)
     staged = emb.select(
         "vec_id",
@@ -671,7 +662,7 @@ def emb_lsh_candidate_pairs(
                 F.col("b.vec_id").alias("vec_id_2"),
             )
         )
-    return functools.reduce(lambda x, y: x.unionByName(y), branches)
+    return _functools.reduce(lambda x, y: x.unionByName(y), branches)
 
 
 def emb_lsh_near_dup_pairs(

@@ -1,5 +1,8 @@
-"""Accuracy gate for sketch-based operators (no oracle: estimates are
-engine-specific, so correctness is bounded-error vs the exact answer)."""
+"""Accuracy gates the DuckDB oracle cannot express: bounded-error
+contracts for sketches (whose registered queries are self-certifying
+full-oracle since round 6 -- these tests independently recompute the
+exact side), ANN recall floors, quantization error bounds, and
+eigensolver agreement with numpy."""
 
 from __future__ import annotations
 
@@ -47,8 +50,6 @@ def test_approx_percentile_self_certifies(spark):
     """The self-certifying shape (VERDICT r5 #1): exact discrete
     percentiles match a driver-side recomputation over sorted values,
     and the GK sketch's within-bounds booleans hold for every group."""
-    import math
-
     from dump1090_stream_parser_spark.operators.relational import (
         q_approx_percentile,
     )

@@ -45,12 +45,14 @@ def test_gold_latest_covers_every_aircraft(spark):
     from dump1090_stream_parser_spark.tables import load_table
     from pyspark.sql import functions as F
 
+    from dump1090_stream_parser_spark.operators.sbs1_gold import (
+        _MAPPED_NOT_NULL_SQL,
+    )
+
     gold = q_sbs1_gold_latest(spark, SF_DIR)
     n_aircraft = (
         load_table(spark, SF_DIR, "events")
-        .filter("ts IS NOT NULL AND user_id IS NOT NULL"
-                " AND event_id IS NOT NULL AND user_id >= 0"
-                " AND event_id >= 0")
+        .filter(_MAPPED_NOT_NULL_SQL)  # the SAME shared predicate
         .select("user_id")
         .distinct()
         .count()

@@ -33,6 +33,20 @@ from dump1090_stream_parser_spark.sources.sbs1 import (  # noqa: E402
 )
 
 
+def synth_events(spark, n: int, cpus: int):
+    """The deterministic events frame BOTH bench modes synthesize lines
+    from -- shared so the parse-path and source-inclusive numbers stay
+    comparable by construction (same aircraft modulus, same timestamps)."""
+    return spark.range(n).repartition(cpus).select(
+        (F.col("id") % 5000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2026-08-13 10:00:00").cast("timestamp")
+            + (F.col("id") % 86400).cast("string").cast("interval second")
+        ).alias("ts"),
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -42,14 +56,7 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    events = spark.range(n).repartition(int(cpus)).select(
-        (F.col("id") % 5000).alias("user_id"),
-        F.col("id").alias("event_id"),
-        (
-            F.lit("2026-08-13 10:00:00").cast("timestamp")
-            + (F.col("id") % 86400).cast("string").cast("interval second")
-        ).alias("ts"),
-    )
+    events = synth_events(spark, n, int(cpus))
     full = silver(
         parse_lines(
             sbs1_lines_from_events(events),
@@ -106,14 +113,7 @@ def source_main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
-    events = spark.range(n).repartition(int(cpus)).select(
-        (F.col("id") % 5000).alias("user_id"),
-        F.col("id").alias("event_id"),
-        (
-            F.lit("2026-08-13 10:00:00").cast("timestamp")
-            + (F.col("id") % 86400).cast("string").cast("interval second")
-        ).alias("ts"),
-    )
+    events = synth_events(spark, n, int(cpus))
     payload = (
         "\n".join(
             sbs1_lines_from_events(events).toPandas()["value"]
