@@ -3,7 +3,12 @@
 Runs every ``queries()`` entry and its ``oracle_sql()`` twin side by side
 (Spark vs DuckDB) and reports parity per query.
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side on a bare ``SparkSession.builder``
+session (no engine confs), exactly like the external driver does --
+the engine must fix up every runtime conf it needs at query time, and
+this flag is the local proof that it does.
 """
 
 from __future__ import annotations
@@ -19,13 +24,22 @@ from dump1090_stream_parser_spark.testing import compare, duckdb_oracle
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_oracle(sf_dir)
 
