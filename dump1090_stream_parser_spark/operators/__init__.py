@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_dedup_incremental": (
+        "new round 6 (tail by design -- the window holds 50): C1 at"
+        " pipeline cadence, classifying each current-crawl doc against"
+        " the previous snapshot's fingerprint set (carried / changed /"
+        " new_duplicate / new_unique); the fingerprint-keyed join and"
+        " semi-join shapes it composes are held in-window by"
+        " q_contamination and q_dedup_clusters_lsh; full oracle,"
+        " local-parity-verified, first in rotation order for a future"
+        " driver row"
+    ),
     "q_near_dedup_embedding": (
         "rotated OUT round 6 (green driver rows r1+r3+r4+r5; swapped per"
         " VERDICT r5 'What's wrong' #3): the driver-certified embedding"

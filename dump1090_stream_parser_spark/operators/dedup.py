@@ -173,6 +173,123 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C1 incremental: snapshot-diff dedup. At 100 TB nobody re-deduplicates
+# the whole corpus per crawl -- each new snapshot is classified against
+# the previous one's FINGERPRINT set (8 bytes/doc, the only thing that
+# needs to persist between runs). Snapshots are carved deterministically
+# out of ``documents`` with selectors shared verbatim with the oracle.
+# --------------------------------------------------------------------------
+
+#: Snapshot selectors (shared Spark/oracle; evaluated on documents).
+_SNAP_PREV_SQL = "doc_id % 10 < 8"  # previous crawl: 80% of ids
+_SNAP_CUR_SQL = "doc_id % 10 >= 1"  # current crawl: drops 0, adds 8/9
+#: New-id docs that plagiarize their neighbor's content (doc_id-1 is
+#: doc_id%10==7, always inside the previous snapshot) -- the cross-doc
+#: duplicate an incremental pipeline must still drop. Takes precedence
+#: over the edit rule below.
+_SNAP_COPIED_SQL = "doc_id % 10 = 8"
+_SNAP_CHANGED_SQL = "doc_id % 7 = 0"  # re-crawled docs whose text moved
+#: Edit applied to changed docs in the current snapshot.
+_SNAP_EDIT_SQL = "text || ' v2'"
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH prev AS (
+      SELECT doc_id, {portable_hash64_sql("text")} AS fp
+      FROM documents WHERE {_SNAP_PREV_SQL}
+    ),
+    cur AS (
+      SELECT c.doc_id,
+             {portable_hash64_sql(
+                 f"CASE WHEN ({_SNAP_COPIED_SQL.replace('doc_id', 'c.doc_id')})"
+                 " AND nb.text IS NOT NULL THEN nb.text"
+                 f" WHEN ({_SNAP_CHANGED_SQL.replace('doc_id', 'c.doc_id')})"
+                 f" THEN c.{_SNAP_EDIT_SQL}"
+                 " ELSE c.text END"
+             )} AS fp
+      FROM documents c
+      LEFT JOIN documents nb ON nb.doc_id = c.doc_id - 1
+      WHERE {_SNAP_CUR_SQL.replace('doc_id', 'c.doc_id')}
+    ),
+    classified AS (
+      SELECT c.doc_id,
+             CASE
+               WHEN p.doc_id IS NOT NULL AND c.fp = p.fp THEN 'carried'
+               WHEN p.doc_id IS NOT NULL THEN 'changed'
+               WHEN c.fp IN (SELECT fp FROM prev) THEN 'new_duplicate'
+               ELSE 'new_unique'
+             END AS status
+      FROM cur c LEFT JOIN prev p ON p.doc_id = c.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM classified GROUP BY status
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-diff dedup (C1 at pipeline cadence): every
+    document of the CURRENT crawl is classified against the PREVIOUS
+    crawl as carried (same id, same content), changed (same id, new
+    content), new_duplicate (new id, but its content already existed
+    somewhere in the previous snapshot -- the cross-doc dup an
+    incremental pipeline must still drop; synthesized here as new docs
+    that copy their neighbor's text, since this corpus has no natural
+    exact duplicates), or new_unique (genuinely new work). Both
+    classification joins run on the 60-bit content fingerprint and the
+    doc id -- the exchange never carries text, and the only state a
+    production run persists between crawls is the previous
+    fingerprint set at 8 bytes + id per doc. The id join is an
+    equi-LEFT join; the content-carryover check is a match against
+    DISTINCT previous fingerprints (IN-subquery in the oracle, a
+    left-semi-shaped join here), so both sides stay
+    fingerprint-narrow at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("nb_text"),
+    )
+    cur_base = docs.filter(_SNAP_CUR_SQL).join(nb, "doc_id", "left")
+    cur_text = F.expr(
+        f"CASE WHEN ({_SNAP_COPIED_SQL}) AND nb_text IS NOT NULL"
+        " THEN nb_text"
+        f" WHEN ({_SNAP_CHANGED_SQL}) THEN {_SNAP_EDIT_SQL}"
+        " ELSE text END"
+    )
+    prev = docs.filter(_SNAP_PREV_SQL).select(
+        F.col("doc_id").alias("prev_id"),
+        portable_hash64(F.col("text")).alias("prev_fp"),
+    )
+    cur = cur_base.select(
+        "doc_id", portable_hash64(cur_text).alias("fp")
+    )
+    prev_fps = prev.select(F.col("prev_fp").alias("known_fp")).distinct()
+    by_id = cur.join(prev, cur.doc_id == prev.prev_id, "left")
+    with_content = by_id.join(
+        prev_fps, by_id.fp == prev_fps.known_fp, "left"
+    )
+    status = (
+        F.when(
+            F.col("prev_id").isNotNull()
+            & (F.col("fp") == F.col("prev_fp")),
+            "carried",
+        )
+        .when(F.col("prev_id").isNotNull(), "changed")
+        .when(F.col("known_fp").isNotNull(), "new_duplicate")
+        .otherwise("new_unique")
+    )
+    return (
+        with_content.select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # C2a: MinHash + LSH banding near-dup over word-BIGRAM shingles.
 # k=12 hashes, 4 bands x 3 rows => candidate threshold ~(1/4)^(1/3)=0.63;
 # verification keeps exact shingle-set jaccard >= 0.5.

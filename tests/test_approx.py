@@ -392,3 +392,29 @@ def test_embedding_lsh_near_dup_recall_vs_brute_force(spark):
     assert lsh <= truth  # precision 1.0 (verify pass)
     assert len(truth) > 0
     assert len(lsh & truth) / len(truth) >= 0.6
+
+
+def test_dedup_incremental_partitions_the_snapshot(spark):
+    """Snapshot-diff classes must partition the current crawl exactly,
+    and every class must be non-empty at this SF -- if testdata drift
+    ever emptied one (e.g. the synthesized copied-content docs), the
+    oracle would still hash-match while certifying a degenerate
+    classifier."""
+    from dump1090_stream_parser_spark.operators.dedup import (
+        _SNAP_CUR_SQL,
+        q_dedup_incremental,
+    )
+
+    rows = {r["status"]: r for r in
+            q_dedup_incremental(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "carried", "changed", "new_duplicate", "new_unique"
+    }
+    for status, r in rows.items():
+        assert r["n_docs"] > 0, status
+    n_cur = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(_SNAP_CUR_SQL)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == n_cur
