@@ -33,6 +33,14 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_lm_score": (
+        "new round 6 (tail by design -- the window holds 50): C4"
+        " corpus-LM likelihood scoring (bottom-k least-corpus-like docs"
+        " under the corpus's own bigram model, integer fixed-point so"
+        " no libm drift); its explode->model-tables->scoring-join shape"
+        " is held in-window by q_bm25 and q_lang_id; full oracle,"
+        " local-parity-verified, rotation candidate for a driver row"
+    ),
     "q_dedup_incremental": (
         "new round 6 (tail by design -- the window holds 50): C1 at"
         " pipeline cadence, classifying each current-crawl doc against"

@@ -638,6 +638,129 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-LM likelihood scoring (C4): rank documents by how probable
+# their word sequences are under the corpus's own bigram model -- the
+# KenLM-style quality signal training pipelines use to flag gibberish /
+# boilerplate, self-contained (the corpus is its own LM). All
+# arithmetic is INTEGER (scaled conditional probabilities with integer
+# division), so the score is engine-exact with no log()/libm drift.
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for conditional probabilities (parts-per-billion).
+LM_PROB_SCALE = 1_000_000_000
+#: Bottom-k "least corpus-like" documents exported.
+LM_BOTTOM_K = 20
+
+_LM_BIGRAM_CTE = """
+    toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks
+    )
+"""
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+    WITH {_LM_BIGRAM_CTE},
+    pair_counts AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    first_counts AS (
+      SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY w1
+    ),
+    prob AS (
+      SELECT p.w1, p.w2,
+             (p.c12 * {LM_PROB_SCALE}) // f.c1 AS prob_nano
+      FROM pair_counts p JOIN first_counts f ON f.w1 = p.w1
+    ),
+    doc_bg AS (
+      SELECT doc_id, lang, w1, w2, COUNT(*) AS n
+      FROM bg GROUP BY doc_id, lang, w1, w2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+             CAST(SUM(d.n * prob_nano) AS BIGINT) AS total_prob_nano
+      FROM doc_bg d JOIN prob USING (w1, w2)
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           total_prob_nano // n_bigrams AS avg_prob_nano
+    FROM scored
+    ORDER BY avg_prob_nano ASC, doc_id
+    LIMIT {LM_BOTTOM_K}
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-{LM_BOTTOM_K} least-corpus-like documents under the
+    corpus's own word-bigram LM: per-doc mean of the scaled conditional
+    probability P(w2|w1) = c(w1,w2)/c(w1,*) over the doc's bigram
+    occurrences. Low scores flag gibberish, boilerplate-with-rare-
+    transitions, and wrong-corpus contamination -- the filtering signal
+    a KenLM pass provides, without an external model.
+
+    Scale shape: bigrams are built inside the row (transform over an
+    index sequence, the q_ngram_top pattern -- no positional
+    self-join); the model tables are (bigram, count) aggregations with
+    map-side partials; scoring joins the DISTINCT (doc, bigram) counts
+    against the probability table -- the tf-idf/BM25 scoring-join class
+    q_tfidf already pins at this corpus-proportional tier -- and ends
+    in TakeOrderedAndProject. Engine-exactness: conditional
+    probabilities are fixed-point integers (x{LM_PROB_SCALE}, integer
+    division) summed as BIGINTs, so no log()/libm or float-association
+    drift exists by construction; ORDER BY carries the doc_id
+    tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "lang", tokens_col().alias("t"))
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(get(t, i - 1) AS w1, get(t, i) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bg = staged.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    first_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    prob = pair_counts.join(first_counts, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"c12 * {LM_PROB_SCALE} DIV c1").alias("prob_nano"),
+    )
+    doc_bg = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        doc_bg.join(prob, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("prob_nano")).alias("total_prob_nano"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("total_prob_nano DIV n_bigrams").alias("avg_prob_nano"),
+        )
+        .orderBy(F.asc("avg_prob_nano"), F.asc("doc_id"))
+        .limit(LM_BOTTOM_K)
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus bigram frequency (n-gram analysis primitive). Bigrams are built
 # per-row from the token array (transform over an index sequence) -- a
 # narrow map with no positional self-join -- then one hash-agg + top-k.
