@@ -157,8 +157,11 @@ def q_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (C2/C3): label blocks bound the pair
     space (the coarse-quantizer trick); cosine >= threshold survives.
     The 100 TB variant that swaps the label for a data-independent LSH
-    bucket id is wired as q_near_dedup_embedding_lsh below -- same plan,
-    blocking key guaranteed bounded (256 buckets) by construction."""
+    bucket id is wired as q_near_dedup_embedding_lsh below (the
+    driver-certified form since round 6) -- same pair semantics, block
+    sizes bounded by construction (expected n/2^R per band bucket, R
+    the geometry dial; measured against this label-blocked form in
+    docs/SCALE.md's round-6 blocking probe)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Per-vector norm hoisted out of the per-PAIR expression (same
     # rationale + bit-identical argument as q_near_dedup_embedding_lsh's

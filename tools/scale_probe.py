@@ -47,6 +47,15 @@ PROBE = [
     # events (narrow map + one keyed agg; replication multiplies
     # messages per aircraft, the agg keyset stays fixed)
     "q_sbs1_gold_latest",
+    # round 6 additions: fault-injected parse + global agg; per-user
+    # time-RANGE frames (users replicate, per-user history multiplies);
+    # value-histogram exact percentiles + GK certification; snapshot
+    # diff on fingerprints; corpus-LM scoring join
+    "q_sbs1_gold_deadletter",
+    "q_window_trailing",
+    "q_approx_percentile",
+    "q_dedup_incremental",
+    "q_lm_score",
     # q_near_dedup_embedding_lsh is deliberately NOT probed here:
     # replicas are exact duplicates, so every copy family lands in
     # identical buckets in every band and candidate pairs grow
