@@ -80,6 +80,10 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         # events: ids offset, user_ids kept -- replication multiplies
         # per-key frequency, the right stress for the frequency sketch
         ("events", "event_id"),
+        # lineitem: q_approx_percentile's input; offsetting l_orderkey
+        # keeps replicas disjoint while the value distribution (the
+        # thing the percentile math sees) replicates exactly
+        ("lineitem", "l_orderkey"),
     ):
         base = load_table(spark, SRC, name)
         n = base.count()
