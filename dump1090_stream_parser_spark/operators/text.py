@@ -646,8 +646,31 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division), so the score is engine-exact with no log()/libm drift.
 # --------------------------------------------------------------------------
 
-#: Fixed-point scale for conditional probabilities (parts-per-billion).
+#: Fixed-point scale for conditional probabilities (parts-per-billion),
+#: applied as two factors (1e5 then 1e4) so the exact integer
+#: (c12 * 1e9) DIV c1 is computed WITHOUT forming the 1e9-scaled
+#: product: c12*1e9 would wrap a 64-bit long once a bigram count
+#: passes ~9.2e9 occurrences -- real at web scale -- while the split
+#: form is exact (and 64-bit safe in both factors, since c12 <= c1)
+#: for first-word counts up to ~9.2e13 occurrences. Identity:
+#: c12*1e9 DIV c1 == (c12*1e5 DIV c1)*1e4 + ((c12*1e5 % c1)*1e4) DIV c1.
 LM_PROB_SCALE = 1_000_000_000
+_LM_SCALE_HI = 100_000
+_LM_SCALE_LO = 10_000
+
+
+def _lm_prob_sql(c12: str, c1: str, div: str) -> str:
+    """The overflow-safe exact fixed-point conditional probability,
+    rendered for either engine (``div`` is ``DIV`` in Spark SQL,
+    ``//`` in DuckDB). One shared builder so the two sides cannot
+    drift."""
+    hi = f"({c12} * {_LM_SCALE_HI})"
+    return (
+        f"(({hi} {div} {c1}) * {_LM_SCALE_LO}"
+        f" + (({hi} % {c1}) * {_LM_SCALE_LO}) {div} {c1})"
+    )
+
+
 #: Bottom-k "least corpus-like" documents exported.
 LM_BOTTOM_K = 20
 
@@ -678,7 +701,7 @@ _LM_BIGRAM_CTE = """
     ),
     prob AS (
       SELECT p.w1, p.w2,
-             (p.c12 * {LM_PROB_SCALE}) // f.c1 AS prob_nano
+             {_lm_prob_sql("p.c12", "f.c1", "//")} AS prob_nano
       FROM pair_counts p JOIN first_counts f ON f.w1 = p.w1
     ),
     doc_bg AS (
@@ -700,12 +723,12 @@ _LM_BIGRAM_CTE = """
     """,
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-{LM_BOTTOM_K} least-corpus-like documents under the
-    corpus's own word-bigram LM: per-doc mean of the scaled conditional
-    probability P(w2|w1) = c(w1,w2)/c(w1,*) over the doc's bigram
-    occurrences. Low scores flag gibberish, boilerplate-with-rare-
-    transitions, and wrong-corpus contamination -- the filtering signal
-    a KenLM pass provides, without an external model.
+    """Bottom-20 least-corpus-like documents under the corpus's own
+    word-bigram LM: per-doc mean of the scaled conditional probability
+    P(w2|w1) = c(w1,w2)/c(w1,*) over the doc's bigram occurrences. Low
+    scores flag gibberish, boilerplate-with-rare-transitions, and
+    wrong-corpus contamination -- the filtering signal a KenLM pass
+    provides, without an external model.
 
     Scale shape: bigrams are built inside the row (transform over an
     index sequence, the q_ngram_top pattern -- no positional
@@ -714,10 +737,11 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the probability table -- the tf-idf/BM25 scoring-join class
     q_tfidf already pins at this corpus-proportional tier -- and ends
     in TakeOrderedAndProject. Engine-exactness: conditional
-    probabilities are fixed-point integers (x{LM_PROB_SCALE}, integer
-    division) summed as BIGINTs, so no log()/libm or float-association
-    drift exists by construction; ORDER BY carries the doc_id
-    tiebreak."""
+    probabilities are parts-per-billion fixed-point integers summed as
+    BIGINTs, so no log()/libm or float-association drift exists by
+    construction -- and the scaling is applied in two factors (see
+    _lm_prob_sql) so the product never wraps 64 bits even at
+    web-scale bigram counts; ORDER BY carries the doc_id tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", "lang", tokens_col().alias("t"))
     pairs = F.when(
@@ -735,7 +759,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob = pair_counts.join(first_counts, "w1").select(
         "w1",
         "w2",
-        F.expr(f"c12 * {LM_PROB_SCALE} DIV c1").alias("prob_nano"),
+        F.expr(_lm_prob_sql("c12", "c1", "DIV")).alias("prob_nano"),
     )
     doc_bg = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count("*").alias("n")
