@@ -139,7 +139,14 @@ def q_sbs1_gold_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Silver rows produced by the PRODUCTION SBS-1 parse path (synthesized
     wire lines -> parse_lines -> silver -> gold agg). The oracle derives
     the same gold straight from events, so a hash match certifies the
-    whole CSV round trip field by field."""
+    whole CSV round trip field by field.
+
+    Local bench note: the sf0.1 events parquet is ONE row group, so the
+    whole narrow synth+parse stage runs single-threaded here (~1.5 s of
+    the line is one core doing the work tools/ingest_bench.py measures
+    at ~1M rows/s across 32 partitions). Splittable input parallelizes
+    it with zero plan change -- at deployment the Bronze source
+    provides the partitioning this local floor lacks."""
     events = load_table(spark, sf_dir, "events")
     parsed = parse_lines(
         sbs1_lines_from_events(events),
