@@ -75,6 +75,8 @@ HEADLINE = [
     "q_multimodal_resize",  # mapInPandas byte decimation + fingerprint
     "q_sbs1_gold_deadletter",  # fault-injected parse -> routing/NULL summary
     "q_approx_percentile",  # value-histogram exact + GK sketch certificate
+    "q_dedup_incremental",  # snapshot-diff dedup (fingerprint joins)
+    "q_lm_score",          # corpus-LM scoring join + bottom-k
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at
