@@ -418,3 +418,25 @@ def test_dedup_incremental_partitions_the_snapshot(spark):
         .count()
     )
     assert sum(r["n_docs"] for r in rows.values()) == n_cur
+
+
+def test_lm_score_probability_invariants(spark):
+    """Corpus-LM scores are probabilities in fixed point: every
+    exported avg is in (0, 1e9] (a bigram always has c12 >= 1 of its
+    own occurrence, so probabilities are never 0; conditionals never
+    exceed 1), and the per-doc bigram count equals token_count - 1
+    recomputed from the raw text."""
+    from dump1090_stream_parser_spark.operators.text import (
+        LM_PROB_SCALE,
+        q_lm_score,
+    )
+
+    rows = q_lm_score(spark, SF_DIR).collect()
+    assert rows
+    tokens = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        assert 0 < r["avg_prob_nano"] <= LM_PROB_SCALE, r
+        assert r["n_bigrams"] == tokens[r["doc_id"]] - 1, r
