@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_containment": (
+        "new round 6 (tail by design -- the window holds 50): MOSS-style"
+        " ASYMMETRIC containment detection over true winnowed"
+        " fingerprints (23-char guarantee, absolute stop-print df cut,"
+        " vectorized Arrow fingerprint stage) -- the doc-inside-doc"
+        " relation the symmetric near-dup tier can't express; planted"
+        " ground truth (base -> aggregation-page) with measured recall"
+        " 56/56 at sf0.01, 552/556 at sf0.1; full oracle, rotation"
+        " candidate for a driver row"
+    ),
     "q_distinct_aircraft": (
         "rotated OUT round 6 second wave (green driver rows"
         " r1+r3+r4+r5): the exact COUNT(DISTINCT) capability is held"

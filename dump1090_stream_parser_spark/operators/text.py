@@ -460,6 +460,237 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Containment detection (C4, the MOSS/winnowing architecture): find
+# documents CONTAINED in other documents -- the asymmetric relation
+# (quotes, aggregation pages, boilerplate-wrapped copies) that
+# symmetric near-dup similarity misses. TRUE winnowing selection
+# (min hash per sliding window of window-hashes) guarantees any shared
+# substring of >= WINDOW_CHARS + WINNOW_W - 1 chars shares a selected
+# fingerprint, at ~2/(WINNOW_W+1) storage density -- the inverted-index
+# fingerprint scheme plagiarism detectors run at corpus scale.
+# --------------------------------------------------------------------------
+
+#: Containment fingerprint geometry: LONGER than the
+#: q_rolling_fingerprint sketch (16-char windows, winnow over 8) so a
+#: fingerprint certifies a >= 23-char (~4-word) shared substring.
+#: Geometry is the load-bearing scale decision here: with 8-char
+#: windows on this small-vocabulary corpus, common word pairs collide
+#: across unrelated docs, natural df explodes, and the stop-print cut
+#: must either track corpus size (making the candidate space
+#: Sum_h df_h^2 <= df_max * |prints| QUADRATIC in corpus -- measured
+#: 55 s at 10x docs) or starve small docs of prints (measured recall
+#: collapse). 23-char shingles are rare across unrelated docs, so an
+#: ABSOLUTE df cut keeps recall AND keeps the candidate space linear.
+CONTAIN_K_CHARS = 16
+WINNOW_W = 8  # winnowing window (over the rolling window-hash stream)
+#: Absolute stop-print cut: fingerprints in more docs than this are
+#: boilerplate and are dropped before pairing.
+CONTAIN_DF_MAX = 10
+#: Minimum retained fingerprints for a doc to be judged (tiny docs
+#: cannot be meaningfully contained).
+CONTAIN_MIN_PRINTS = 5
+#: Containment verdict: shared/|prints(A)| >= 0.7, compared in exact
+#: integer arithmetic (10*shared >= 7*n) so no division crosses engines.
+_CONTAIN_NUM, _CONTAIN_DEN = 7, 10
+#: Synthesized container ids live above this offset.
+CONTAIN_ID_OFFSET = 1 << 20
+#: Which docs get a synthesized containing "aggregation page".
+_CONTAIN_SRC_SQL = "doc_id % 9 = 2"
+
+
+def _winnowed_prints_batches(K: int, W: int):
+    """mapInPandas body: (doc_id, lt) -> (doc_id, h) winnowed
+    fingerprints, vectorized in numpy. Bit-identical to the
+    declarative fold (same (acc*B + code) % P recurrence over utf-32
+    CODEPOINTS -- matching F.ascii / DuckDB ascii semantics, not
+    bytes), but O(K) vectorized passes instead of an interpreted
+    O(len*K) HOF refold per row -- measured 52 s -> ~2 s for the
+    fingerprint stage at sf0.1. int64 is safe: acc < P = 2^31, so
+    acc*31 + code < 2^36."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            hs: list = []
+            for doc_id, lt in zip(pdf["doc_id"], pdf["lt"]):
+                c = np.frombuffer(
+                    lt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(c)
+                if n < K:
+                    continue
+                h = np.zeros(n - K + 1, dtype=np.int64)
+                for j in range(K):
+                    h = (h * _ROLL_B + c[j : j + n - K + 1]) % _ROLL_P
+                if len(h) < W:
+                    continue
+                sel = np.unique(sliding_window_view(h, W).min(axis=1))
+                ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+                hs.append(sel)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "h": np.concatenate(hs),
+                    }
+                )
+
+    return gen
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+      UNION ALL
+      SELECT doc_id + {CONTAIN_ID_OFFSET},
+             lower(text) || ' ' || reverse(lower(text))
+      FROM documents WHERE {_CONTAIN_SRC_SQL}
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(lt)),
+                            i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT))
+               AS cs
+      FROM corpus
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(cs) - {CONTAIN_K_CHARS} + 1),
+               i -> list_reduce(cs[i:i+{CONTAIN_K_CHARS}-1],
+                                (acc, x) -> (acc * {_ROLL_B} + x)
+                                            % {_ROLL_P})) AS hs
+      FROM codes
+      WHERE len(cs) >= {CONTAIN_K_CHARS}
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(hs) - {WINNOW_W} + 1),
+               j -> list_min(hs[j:j+{WINNOW_W}-1]))) AS sel
+      FROM hashes
+      WHERE len(hs) >= {WINNOW_W}
+    ),
+    prints AS (
+      SELECT doc_id, unnest(sel) AS h FROM winnowed
+    ),
+    kept AS (
+      SELECT doc_id, h FROM prints
+      WHERE h IN (SELECT h FROM prints GROUP BY h
+                  HAVING COUNT(*) <= {CONTAIN_DF_MAX})
+    ),
+    doc_n AS (
+      SELECT doc_id, COUNT(*) AS n_prints FROM kept GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS contained_doc_id, b.doc_id AS container_doc_id,
+             COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT contained_doc_id, container_doc_id,
+           n_shared, n_prints
+    FROM shared JOIN doc_n ON doc_n.doc_id = contained_doc_id
+    WHERE n_prints >= {CONTAIN_MIN_PRINTS}
+      AND {_CONTAIN_DEN} * n_shared >= {_CONTAIN_NUM} * n_prints
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection over winnowed fingerprints:
+    emit (contained, container) pairs where >= 70% of the contained
+    doc's retained fingerprints appear in the container. The corpus is
+    documents plus deterministically synthesized "aggregation pages"
+    (base text + reversed-text filler, ids offset by 2^20) so true
+    containments exist with known ground truth: base -> container
+    scores ~1.0 and is emitted; container -> base scores ~0.5 (the
+    filler halves it) and is NOT -- the asymmetry that distinguishes
+    this from every symmetric near-dup operator in the registry.
+
+    Scale shape (the MOSS architecture): winnowing keeps
+    ~2/(WINNOW_W+1) of window hashes per doc (narrow in-row selection);
+    the stop-print df cut removes boilerplate fingerprints BEFORE the
+    inverted-index self-join, bounding bucket fan-out; the pair space
+    is grouped on (docA, docB) ids only -- text never rides an
+    exchange. Verdicts are exact integer arithmetic (10*shared >=
+    7*n_prints), so no division or float crosses engines; the planted
+    recall floor is pinned in tests/test_approx.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    containers = docs.filter(_CONTAIN_SRC_SQL).select(
+        (F.col("doc_id") + CONTAIN_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lower(F.col("text")),
+            F.lit(" "),
+            F.reverse(F.lower(F.col("text"))),
+        ).alias("lt"),
+    )
+    corpus = base.unionByName(containers)
+    # The winnowing stage is CPU-DENSE per row (per-char hash folds),
+    # and this corpus arrives as 2 single-row-group parquet branches --
+    # a serial scan would bottleneck the whole query (measured 14 s ->
+    # ~2 s at sf0.01). One small exchange of (doc_id, text) rebalances
+    # it across the cluster; at production scale the source's own
+    # partitioning provides this and the repartition coalesces to a
+    # no-op under AQE.
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    prints = corpus.mapInPandas(
+        _winnowed_prints_batches(CONTAIN_K_CHARS, WINNOW_W),
+        schema="doc_id bigint, h bigint",
+    )
+    # Lazy localCheckpoint: prints feeds FIVE consumers (df table, df_max
+    # scalar, both pair-join sides, per-doc counts); without the cut each
+    # re-runs the per-char hashing pipeline -- measured 26 s -> ~3 s at
+    # sf0.01. Same pattern/rationale as the LSH signature table; at
+    # cluster scale persist the fingerprint index (it IS the artifact a
+    # production system stores).
+    prints = prints.localCheckpoint(eager=False)
+    freq = prints.groupBy("h").agg(F.count("*").alias("df"))
+    kept = (
+        prints.join(freq, "h")
+        .filter(F.col("df") <= CONTAIN_DF_MAX)
+        .select("doc_id", "h")
+    )
+    doc_n = kept.groupBy("doc_id").agg(F.count("*").alias("n_prints"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc_id"),
+            F.col("b.doc_id").alias("container_doc_id"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            doc_n,
+            shared.contained_doc_id == doc_n.doc_id,
+        )
+        .filter(
+            (F.col("n_prints") >= CONTAIN_MIN_PRINTS)
+            & (
+                _CONTAIN_DEN * F.col("n_shared")
+                >= _CONTAIN_NUM * F.col("n_prints")
+            )
+        )
+        .select(
+            "contained_doc_id", "container_doc_id", "n_shared", "n_prints"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split (training-pipeline primitive): a
 # content-independent hash of the stable key assigns every row to a
 # split -- reproducible across engines, runs, partitionings, and cluster

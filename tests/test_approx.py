@@ -440,3 +440,38 @@ def test_lm_score_probability_invariants(spark):
     for r in rows:
         assert 0 < r["avg_prob_nano"] <= LM_PROB_SCALE, r
         assert r["n_bigrams"] == tokens[r["doc_id"]] - 1, r
+
+
+def test_containment_planted_recall_and_asymmetry(spark):
+    """Containment ground truth: every synthesized aggregation page
+    contains its base doc (recall floor 0.95 at the test SF), and the
+    relation is ASYMMETRIC -- the container (base + equal-sized filler)
+    must NOT be reported as contained in its base, the property that
+    distinguishes this operator from the symmetric near-dup tier."""
+    from dump1090_stream_parser_spark.operators.text import (
+        CONTAIN_ID_OFFSET,
+        _CONTAIN_SRC_SQL,
+        q_containment,
+    )
+
+    pairs = {
+        (r.contained_doc_id, r.container_doc_id)
+        for r in q_containment(spark, SF_DIR).collect()
+    }
+    bases = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(_CONTAIN_SRC_SQL)
+        .select("doc_id")
+        .collect()
+    ]
+    assert bases
+    found = sum(
+        1 for b in bases if (b, b + CONTAIN_ID_OFFSET) in pairs
+    )
+    assert found / len(bases) >= 0.95, (found, len(bases))
+    # asymmetry: container -> base never passes the 70% bar
+    reversed_hits = [
+        b for b in bases if (b + CONTAIN_ID_OFFSET, b) in pairs
+    ]
+    assert not reversed_hits, reversed_hits
