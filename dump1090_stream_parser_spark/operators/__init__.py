@@ -219,7 +219,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_token_count": (
         "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
         " count pipeline is the first stage of in-window q_bm25;"
-        " token statistics also held by q_quality_filter/q_repetition_score"
+        " token statistics also held in-window by q_quality_filter and"
+        " q_lm_score (per-doc bigram aggregation)"
     ),
     "q_length_hist": (
         "rotated OUT round 4 (green driver rows r1+r3): width-bucket"

@@ -465,9 +465,10 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (quotes, aggregation pages, boilerplate-wrapped copies) that
 # symmetric near-dup similarity misses. TRUE winnowing selection
 # (min hash per sliding window of window-hashes) guarantees any shared
-# substring of >= WINDOW_CHARS + WINNOW_W - 1 chars shares a selected
-# fingerprint, at ~2/(WINNOW_W+1) storage density -- the inverted-index
-# fingerprint scheme plagiarism detectors run at corpus scale.
+# substring of >= CONTAIN_K_CHARS + WINNOW_W - 1 = 23 chars shares a
+# selected fingerprint, at ~2/(WINNOW_W+1) storage density -- the
+# inverted-index fingerprint scheme plagiarism detectors run at
+# corpus scale.
 # --------------------------------------------------------------------------
 
 #: Containment fingerprint geometry: LONGER than the
@@ -492,8 +493,15 @@ CONTAIN_MIN_PRINTS = 5
 #: Containment verdict: shared/|prints(A)| >= 0.7, compared in exact
 #: integer arithmetic (10*shared >= 7*n) so no division crosses engines.
 _CONTAIN_NUM, _CONTAIN_DEN = 7, 10
-#: Synthesized container ids live above this offset.
-CONTAIN_ID_OFFSET = 1 << 20
+#: Synthesized container id for base doc d: -(d) - 1. Negative ids
+#: cannot collide with any real (non-negative) doc_id at ANY corpus
+#: size -- a fixed additive offset would silently alias real ids once
+#: the corpus outgrew it, and both engines would alias identically, so
+#: the parity gate could never catch it.
+def contain_container_id(doc_id: int) -> int:
+    return -doc_id - 1
+
+
 #: Which docs get a synthesized containing "aggregation page".
 _CONTAIN_SRC_SQL = "doc_id % 9 = 2"
 
@@ -516,6 +524,8 @@ def _winnowed_prints_batches(K: int, W: int):
             ids: list = []
             hs: list = []
             for doc_id, lt in zip(pdf["doc_id"], pdf["lt"]):
+                if lt is None:
+                    continue  # NULL text: match the oracle's drop
                 c = np.frombuffer(
                     lt.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
@@ -547,7 +557,7 @@ def _winnowed_prints_batches(K: int, W: int):
     WITH corpus AS (
       SELECT doc_id, lower(text) AS lt FROM documents
       UNION ALL
-      SELECT doc_id + {CONTAIN_ID_OFFSET},
+      SELECT -doc_id - 1,
              lower(text) || ' ' || reverse(lower(text))
       FROM documents WHERE {_CONTAIN_SRC_SQL}
     ),
@@ -605,7 +615,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit (contained, container) pairs where >= 70% of the contained
     doc's retained fingerprints appear in the container. The corpus is
     documents plus deterministically synthesized "aggregation pages"
-    (base text + reversed-text filler, ids offset by 2^20) so true
+    (base text + reversed-text filler, container id = -(base id) - 1,
+    collision-free against real non-negative ids at any size) so true
     containments exist with known ground truth: base -> container
     scores ~1.0 and is emitted; container -> base scores ~0.5 (the
     filler halves it) and is NOT -- the asymmetry that distinguishes
@@ -622,7 +633,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     containers = docs.filter(_CONTAIN_SRC_SQL).select(
-        (F.col("doc_id") + CONTAIN_ID_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(
             F.lower(F.col("text")),
             F.lit(" "),
@@ -644,12 +655,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _winnowed_prints_batches(CONTAIN_K_CHARS, WINNOW_W),
         schema="doc_id bigint, h bigint",
     )
-    # Lazy localCheckpoint: prints feeds FIVE consumers (df table, df_max
-    # scalar, both pair-join sides, per-doc counts); without the cut each
-    # re-runs the per-char hashing pipeline -- measured 26 s -> ~3 s at
-    # sf0.01. Same pattern/rationale as the LSH signature table; at
-    # cluster scale persist the fingerprint index (it IS the artifact a
-    # production system stores).
+    # Lazy localCheckpoint: prints feeds FOUR consumers (the df table,
+    # both pair-join sides, per-doc counts); without the cut each
+    # re-runs the fingerprint pipeline. Same pattern/rationale as the
+    # LSH signature table; at cluster scale persist the fingerprint
+    # index (it IS the artifact a production system stores).
     prints = prints.localCheckpoint(eager=False)
     freq = prints.groupBy("h").agg(F.count("*").alias("df"))
     kept = (

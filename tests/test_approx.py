@@ -449,8 +449,8 @@ def test_containment_planted_recall_and_asymmetry(spark):
     must NOT be reported as contained in its base, the property that
     distinguishes this operator from the symmetric near-dup tier."""
     from dump1090_stream_parser_spark.operators.text import (
-        CONTAIN_ID_OFFSET,
         _CONTAIN_SRC_SQL,
+        contain_container_id,
         q_containment,
     )
 
@@ -467,11 +467,11 @@ def test_containment_planted_recall_and_asymmetry(spark):
     ]
     assert bases
     found = sum(
-        1 for b in bases if (b, b + CONTAIN_ID_OFFSET) in pairs
+        1 for b in bases if (b, contain_container_id(b)) in pairs
     )
     assert found / len(bases) >= 0.95, (found, len(bases))
     # asymmetry: container -> base never passes the 70% bar
     reversed_hits = [
-        b for b in bases if (b + CONTAIN_ID_OFFSET, b) in pairs
+        b for b in bases if (contain_container_id(b), b) in pairs
     ]
     assert not reversed_hits, reversed_hits
