@@ -1,11 +1,21 @@
 """Benchmark harness (driver contract: one JSON line to stdout).
 
 Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints:
+local[$SPARK_GRAFT_CPUS] and prints, as its LAST stdout line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>,
-     "reps": <n>, "value_mean": ..., "queries_mean": {...}}
+     "queries": {...per-query sec...}, "sf": <sf>, "reps": <n>,
+     "value_mean": ...}
+
+LINE-LENGTH CONTRACT (round 7): the driver captures only the last
+~2000 characters of stdout and parses the JSON line out of that tail.
+Rounds 5-6 appended a per-query ``queries_mean`` dict to the same
+line; at 38-43 queries the line exceeded 2000 chars, the tail clipped
+its head, and the driver recorded ``parsed: null`` two rounds running.
+The per-query means are still printed -- on their OWN earlier line
+(``bench_detail``) that the driver is free to ignore -- and the final
+contract line is asserted < 1900 chars so it can never silently
+regress past the tail window again.
 
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver), matching how a production job consumes these
@@ -125,20 +135,27 @@ def main() -> None:
     }
     total = round(sum(per_query.values()), 3)
     total_mean = round(sum(per_query_mean.values()), 3)
+    # Detail line first: anything after it may be all the driver sees.
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "reps": reps,
-                "value_mean": total_mean,
-                "queries_mean": per_query_mean,
-            }
+            {"metric": "bench_detail", "queries_mean": per_query_mean}
         )
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf,
+            "reps": reps,
+            "value_mean": total_mean,
+        }
+    )
+    # Driver tail window is ~2000 chars; keep headroom for a trailing
+    # newline plus any stray log flush between us and process exit.
+    assert len(line) < 1900, f"contract line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 
