@@ -1,6 +1,15 @@
 """bench.py must keep emitting the driver's exact one-line JSON contract:
 {"metric", "value", "unit", "queries", "sf"} -- guarded here at sf0.001
-so a future edit cannot silently break the per-round BENCH recording."""
+so a future edit cannot silently break the per-round BENCH recording.
+
+Round-7 hardening: the driver parses the contract line out of the LAST
+~2000 characters of stdout. Rounds 5-6 appended per-query means to the
+same line, it outgrew that tail window, and the driver recorded
+``parsed: null`` twice. The contract line is therefore REQUIRED to be
+(a) the final stdout line, (b) short enough to survive a 2000-char
+tail truncation, and the per-query means live on their own earlier
+``bench_detail`` line.
+"""
 
 from __future__ import annotations
 
@@ -25,8 +34,12 @@ def test_bench_emits_driver_contract_json():
         timeout=480,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    payload = json.loads(line)
+
+    # The driver sees only the tail: the contract line must parse even
+    # after stdout is truncated to its last 2000 characters.
+    tail_line = out.stdout[-2000:].strip().splitlines()[-1]
+    payload = json.loads(tail_line)
+
     assert set(payload) == {
         "metric",
         "value",
@@ -35,7 +48,6 @@ def test_bench_emits_driver_contract_json():
         "sf",
         "reps",
         "value_mean",
-        "queries_mean",
     }
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
@@ -45,6 +57,17 @@ def test_bench_emits_driver_contract_json():
     # min-of-n discipline: value is the min total, mean emitted alongside
     assert payload["reps"] >= 1
     assert payload["value"] <= payload["value_mean"] + 1e-9
-    assert payload["queries"].keys() == payload["queries_mean"].keys()
+
+    # Per-query means live on their own earlier line with the same keys.
+    detail = None
+    for line in out.stdout.strip().splitlines():
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and obj.get("metric") == "bench_detail":
+            detail = obj
+    assert detail is not None, "bench_detail line missing"
+    assert payload["queries"].keys() == detail["queries_mean"].keys()
     for name, vmin in payload["queries"].items():
-        assert vmin <= payload["queries_mean"][name] + 1e-9
+        assert vmin <= detail["queries_mean"][name] + 1e-9
