@@ -23,6 +23,7 @@ Scale posture:
 from __future__ import annotations
 
 import functools as _functools
+import math as _math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -248,20 +249,36 @@ def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
+@_functools.lru_cache(maxsize=256)
 def _array_sql(values: tuple[float, ...]) -> str:
     """A flat double-array literal as SQL text. Values render via
     ``repr`` (shortest round-trip decimal; Double.parseDouble returns
     the identical double) with explicit DOUBLE casts so the parser
-    yields DOUBLE, not DECIMAL."""
+    yields DOUBLE, not DECIMAL. Non-finite values are rejected here,
+    at the Python boundary: ``repr(inf)`` would render as a bare
+    ``inf`` token that the SQL parser resolves as a COLUMN reference,
+    turning a NaN-contaminated input (e.g. a bad embedding reaching
+    the k-means trainer's means) into a baffling unresolved-column
+    error far from the cause."""
+    for v in values:
+        if not _math.isfinite(v):
+            raise ValueError(
+                f"non-finite value {v!r} in array literal; upstream "
+                "vectors must be cleaned before entering a plan"
+            )
     return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in values) + ")"
 
 
-@_functools.lru_cache(maxsize=256)
 def _array_literal(values: tuple[float, ...]) -> Column:
-    """``_array_sql`` parsed once and cached per value tuple. Same
-    rationale as ``_planes_literal``: per-element ``F.lit`` is a py4j
-    round trip each (64 per plane, measured as real plan-build
-    milliseconds across the 8-plane bucket expressions)."""
+    """``_array_sql`` wrapped as a Column at the call site. The TEXT is
+    cached (pure Python, safe for the process lifetime); the Column is
+    deliberately NOT -- a cached Column pins a py4j handle into one
+    JVM, and if the gateway were ever torn down and recreated within a
+    process the cache would serve stale handles as confusing py4j
+    errors. Rebuilding from cached text is one ``F.expr`` round trip +
+    a JVM-side parse per plan build -- milliseconds, vs the
+    per-element ``F.lit`` expansion (one py4j call each) this layer
+    exists to avoid."""
     return F.expr(_array_sql(values))
 
 
@@ -535,24 +552,28 @@ EMB_LSH_PLANES = 4  # bits per band -> 2^4 = 16 buckets per band
 
 
 @_functools.lru_cache(maxsize=8)
+def _planes_sql(planes: tuple[tuple[float, ...], ...]) -> str:
+    """The nested plane matrix as ONE SQL array-of-arrays literal,
+    text cached per geometry at MODULE level (the matrix depends only
+    on (dim, n_planes), and a cache decorated on a closure inside the
+    query function would rebuild empty per call). Values render via
+    ``repr`` (shortest round-trip decimal; Double.parseDouble returns
+    the identical double) wrapped in CAST(... AS DOUBLE) -- see
+    ``_array_sql`` -- so the parser yields DOUBLE, not DECIMAL:
+    bit-for-bit the same literal a per-element ``F.lit`` path would
+    produce, so oracle parity is untouched."""
+    return "array(" + ",".join(_array_sql(p) for p in planes) + ")"
+
+
 def _planes_literal(planes: tuple[tuple[float, ...], ...]) -> Column:
-    """The nested plane matrix as ONE parsed SQL literal, cached per
-    geometry. ``F.lit`` on a nested list expands to one py4j call per
-    element -- measured ~1.7 s of plan-BUILD time for 32x64 doubles,
-    half the query's end-to-end line -- while a single ``F.expr`` over
-    the rendered array(...) text is one round trip and a JVM-side
-    parse. Values render via ``repr`` (shortest round-trip decimal;
-    Double.parseDouble returns the identical double), with an explicit
-    D suffix so the parser yields DOUBLE, not DECIMAL -- bit-for-bit
-    the same literal the F.lit path produced, so oracle parity is
-    untouched. Cached at MODULE level because the matrix depends only
-    on (dim, n_planes): repeat plan builds in one process (the bench
-    rebuilds per rep; the driver per query) pay the parse once. (A
-    first cut decorated a closure inside the function, which rebuilt
-    an empty cache per call and cached nothing.)"""
-    return F.expr(
-        "array(" + ",".join(_array_sql(p) for p in planes) + ")"
-    )
+    """``_planes_sql`` parsed at the call site. ``F.lit`` on a nested
+    list expands to one py4j call per element -- measured ~1.7 s of
+    plan-BUILD time for 32x64 doubles, half the query's end-to-end
+    line -- while ``F.expr`` over the cached rendered text is one
+    round trip and a JVM-side parse per plan build. The Column itself
+    is not cached (a cached Column pins a py4j handle into one JVM;
+    see ``_array_literal``)."""
+    return F.expr(_planes_sql(planes))
 
 
 def _plane_dots_col(emb: Column, planes: list[list[float]]) -> Column:

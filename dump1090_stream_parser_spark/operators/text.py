@@ -632,6 +632,13 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floor is pinned in tests/test_approx.py."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    # Filler = the reversed text. CROSS-ENGINE CAVEAT: Spark's
+    # reverse() flips code points while DuckDB's flips grapheme
+    # clusters, so this construction is only engine-identical because
+    # the corpus is verified ASCII-only (every doc is generated from
+    # the ASCII vocabulary; tests/test_parity.py would catch a drift).
+    # A multilingual corpus would need a grapheme-neutral filler
+    # (e.g. reverse the token ARRAY, not the string).
     containers = docs.filter(_CONTAIN_SRC_SQL).select(
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(
