@@ -88,6 +88,7 @@ HEADLINE = [
     "q_dedup_incremental",  # snapshot-diff dedup (fingerprint joins)
     "q_lm_score",          # corpus-LM scoring join + bottom-k
     "q_containment",       # Arrow winnowing + inverted-index self-join
+    "q_semantic_dedup",    # SemDeDup: quantize + within-cell cosine prune
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -33,15 +33,21 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
-    "q_containment": (
-        "new round 6 (tail by design -- the window holds 50): MOSS-style"
-        " ASYMMETRIC containment detection over true winnowed"
-        " fingerprints (23-char guarantee, absolute stop-print df cut,"
-        " vectorized Arrow fingerprint stage) -- the doc-inside-doc"
-        " relation the symmetric near-dup tier can't express; planted"
-        " ground truth (base -> aggregation-page) with measured recall"
-        " 56/56 at sf0.01, 552/556 at sf0.1; full oracle, rotation"
-        " candidate for a driver row"
+    "q_near_dedup_simhash": (
+        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
+        " untouched this round): hamming-banded signature near-dup is"
+        " held in-window by q_dedup_clusters_lsh (banded minhash"
+        " signature self-join) and q_near_dedup_embedding_lsh"
+        " (hyperplane sign-bucket banding); the 64-bit simhash recall"
+        " contract stays pinned by the local parity gate and the"
+        " headline bench line"
+    ),
+    "q_join_semi_anti": (
+        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
+        " untouched this round): the left-semi physical op is held"
+        " in-window by q_contamination (fact-fact gram-hash semi join)"
+        " and q_contamination_bloom; the IN/NOT-IN rewrite tier by"
+        " q_subquery_scalar's decorrelation machinery"
     ),
     "q_distinct_aircraft": (
         "rotated OUT round 6 second wave (green driver rows"
@@ -319,6 +325,18 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # rows on unchanged code; q_near_dedup_embedding specifically swaps
 # for its LSH variant so the driver-certified embedding near-dup is
 # the bounded-blocking plan (VERDICT r5 "What's wrong" #3).
+# Round-7 rotation: q_containment (the round-6 tail flagship -- the
+# registry's only never-evaluated entry) and the new q_semantic_dedup
+# (SemDeDup manifest; full oracle + numpy third-engine test) enter the
+# window; q_near_dedup_simhash and q_join_semi_anti park, both with
+# five green driver rows (r1+r3+r4+r5+r6) on code untouched this
+# round. NOTE on the round-7 advisor refactor: the literal-cache
+# change in similarity.py (_array_sql/_planes_sql text caching) is
+# shared infrastructure also reached by PARKED queries
+# (q_knn_cosine, q_centroid_outliers, q_quantize_embeddings,
+# q_near_dedup_embedding, q_knn_per_label); their unchanged semantics
+# are covered by the full local parity sweep rather than by their
+# historical driver rows alone.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

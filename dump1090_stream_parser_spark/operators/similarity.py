@@ -356,6 +356,44 @@ N_CELLS = 8
 IVF_NPROBE = 2
 
 
+def _nearest_cell_expr(cent_rows) -> Column:
+    """Nearest-seed-centroid id over ``embedding`` as ONE parsed
+    expression: a ``least()`` of per-centroid ``named_struct('nc',
+    -round(cos, 6), 'cell_id', i)`` structs, so the struct ordering
+    breaks cosine ties toward the lowest cell id -- matching the
+    oracle's ``row_number() ORDER BY cos DESC, cell_id``. Built as SQL
+    text and parsed in one call: the per-centroid Column-API form cost
+    ~10 py4j round trips per centroid per plan build (measured ~0.5 s
+    of the q_ann_ivf line). ``cent_rows`` is a driver-side artifact
+    (N_CELLS rows -- bytes at any scale)."""
+    return F.expr(
+        "least("
+        + ",".join(
+            "named_struct('nc', -round("
+            + _cos_expr_sql(
+                "embedding", tuple(float(v) for v in r["embedding"])
+            )
+            + f", 6), 'cell_id', {int(r['cell_id'])})"
+            for r in cent_rows
+        )
+        + ")"
+    ).getField("cell_id")
+
+
+def _seed_centroid_rows(emb: DataFrame) -> list:
+    """The deterministic coarse quantizer: vec_ids 1..N_CELLS as seed
+    centroids, sorted by cell id. Driver-side artifact (N_CELLS rows);
+    a production build would ``train_ivf_centroids`` these instead --
+    the seeds exist so the DuckDB oracle can reconstruct the identical
+    quantizer from the table itself."""
+    rows = (
+        emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .select(F.col("vec_id").alias("cell_id"), "embedding")
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["cell_id"])
+
+
 @query(
     "q_ann_ivf",
     oracle=f"""
@@ -415,18 +453,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE parsed expression for the whole nearest-centroid chain: the
     # per-centroid Column-API form cost ~10 py4j round trips per
     # centroid per plan build (measured ~0.5 s of the line).
-    cell = F.expr(
-        "least("
-        + ",".join(
-            "named_struct('nc', -round("
-            + _cos_expr_sql(
-                "embedding", tuple(float(v) for v in r["embedding"])
-            )
-            + f", 6), 'cell_id', {int(r['cell_id'])})"
-            for r in cent_rows
-        )
-        + ")"
-    ).getField("cell_id")
+    cell = _nearest_cell_expr(cent_rows)
     assign = emb.select("vec_id", "label", "embedding", cell.alias("cell_id"))
     # The probe list is a driver-side artifact, like the quantizer: rank
     # the N_CELLS centroids against the one query vector in Python (same
@@ -473,6 +500,114 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+#: Within-cell cosine at or above this marks a semantic duplicate.
+#: Matches the synthetic corpus's near-dup band (EMB_NEAR_DUP_THRESHOLD):
+#: a production text-embedding run would sit at ~0.9 (SemDeDup, Abbas et
+#: al. 2023 use eps in the 0.03..0.5 1-cos range on OPT/CLIP spaces).
+SEMANTIC_DEDUP_TAU = EMB_NEAR_DUP_THRESHOLD
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql("e.embedding", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e, cents c
+      ) t WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, b.cell_id AS cell_id,
+             a.vec_id AS kept_by,
+             ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+            >= {SEMANTIC_DEDUP_TAU}
+    )
+    SELECT vec_id, cell_id, kept_by, cos_sim FROM (
+      SELECT vec_id, cell_id, kept_by, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, kept_by) AS rn
+      FROM pairs
+    ) t WHERE rn = 1
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (C2xC3 bridge; the SemDeDup recipe, Abbas et al.
+    2023): coarse-quantize every embedding to its nearest of N_CELLS
+    centroids in one narrow pass, then prune within-cell cosine
+    duplicates -- pairwise similarity is only ever computed INSIDE a
+    cell, never across the corpus. Emits the dedup manifest: one row
+    per dropped vector with the surviving vector that evicted it
+    (highest cosine; ties toward the lowest keeper id).
+
+    Keep policy (one pass, deterministic): a vector is dropped iff some
+    LOWER-id vector in its cell is tau-similar -- dominance pruning,
+    the set difference from greedy-sequential leader clustering being
+    that a dropped vector can still evict later ones. The transitive-
+    closure alternative (cluster the tau-graph, keep one per component)
+    is in-registry as q_dedup_clusters_lsh's pointer-jumping CC over
+    the survivor graph; this one-pass form is the shape that needs no
+    iteration at 100 TB.
+
+    Scale: the quantizer is a driver artifact (N_CELLS rows; a
+    production run trains it via train_ivf_centroids and scales
+    N_CELLS ~ corpus/target_cell_size, so cell population -- and with
+    it the per-cell pair space -- stays bounded). Assignment is a
+    narrow projection (no join, no shuffle of the embedding column);
+    the pair join shuffles each cell's vectors once on cell_id and
+    generates pairs only within co-partitioned cells; per-vector norms
+    are hoisted so the per-PAIR expression is one fold, not three.
+    At-rest, cell_id is the natural partition column (plans/layout.py),
+    making the pair join a partition-local self-join with zero
+    exchange. Bench: the q_semantic_dedup headline line."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = _seed_centroid_rows(emb)
+    assign = emb.select(
+        "vec_id",
+        "embedding",
+        _nearest_cell_expr(cent_rows).alias("cell_id"),
+        norm(F.col("embedding")).alias("nn"),
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nn") * F.col("b.nn")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("a.vec_id").alias("kept_by"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_DEDUP_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("kept_by")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 

@@ -475,3 +475,56 @@ def test_containment_planted_recall_and_asymmetry(spark):
         b for b in bases if (contain_container_id(b), b) in pairs
     ]
     assert not reversed_hits, reversed_hits
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Third-engine gate for the SemDeDup manifest (oracle equality only
+    proves Spark and DuckDB agree; this recomputes the whole policy in
+    numpy): identical dropped set, identical keeper attribution, and the
+    policy invariants (keeper has a lower id, shares the cell, and is
+    the dropped vector's highest-cosine lower-id tau-neighbor)."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        N_CELLS,
+        SEMANTIC_DEDUP_TAU,
+        q_semantic_dedup,
+    )
+
+    rows = {
+        r.vec_id: r for r in q_semantic_dedup(spark, SF_DIR).collect()
+    }
+    emb = {
+        r.vec_id: np.asarray([float(v) for v in r.embedding])
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6
+        )
+
+    cents = {c: emb[c] for c in range(1, N_CELLS + 1)}
+    # nearest centroid, cosine round(6), ties toward the lowest cell id
+    cell = {
+        v: min(
+            cents, key=lambda c: (-cos(emb[v], cents[c]), c)
+        )
+        for v in emb
+    }
+    expected = {}
+    for v in emb:
+        neigh = [
+            (cos(emb[u], emb[v]), u)
+            for u in emb
+            if u < v and cell[u] == cell[v]
+        ]
+        neigh = [(c, u) for c, u in neigh if c >= SEMANTIC_DEDUP_TAU]
+        if neigh:
+            c, u = max(neigh, key=lambda t: (t[0], -t[1]))
+            expected[v] = (u, c, cell[v])
+    assert set(rows) == set(expected)
+    assert expected, "planted corpus should yield at least one dup"
+    for v, (u, c, cl) in expected.items():
+        r = rows[v]
+        assert (r.kept_by, r.cos_sim, r.cell_id) == (u, c, cl), (v, r)
