@@ -33,6 +33,13 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_window_latest": (
+        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
+        " untouched this round): ranking-window capability is held"
+        " in-window by q_weighted_sample (per-source row_number top-K"
+        " through the same WindowGroupLimit pushdown), q_semantic_dedup's"
+        " keeper rank, and q_hybrid_search's rank-fusion stages"
+    ),
     "q_near_dedup_simhash": (
         "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
         " untouched this round): hamming-banded signature near-dup is"
@@ -133,8 +140,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_locf": (
         "rotated OUT round 6 (green driver rows r4+r5): the hourly"
         " spine + bucket agg is held in-window by q_gapfill (same spine"
-        " join); its last-observation window core by q_window_latest's"
-        " ranking tier"
+        " join); its last-observation window core by q_dedup_best's"
+        " keep-best ranking (the same row_number-over-key shape)"
     ),
     "q_set_ops": (
         "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
@@ -198,8 +205,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_funnel": (
         "rotated OUT round 4 (green driver rows r2+r3): stacked-window"
-        " staging held in-window by q_window_latest/q_window_trailing"
-        " (same user-keyed window partitioning) and q_sessionize;"
+        " staging held in-window by q_window_trailing (same user-keyed"
+        " window partitioning) and q_sessionize;"
         " ordered-conversion semantics re-proven every round by the"
         " local parity gate"
     ),
@@ -208,7 +215,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " analytic-window capability held in-window by q_sessionize"
         " (lag-gap detection IS its core) and the funnel's stacked"
         " window stages; frames by q_window_trailing, ranking by"
-        " q_window_latest"
+        " q_weighted_sample's per-group top-K"
     ),
     "q_quality_score": (
         "rotated OUT round 4 (green driver rows r1+r3): quality-feature"
@@ -265,7 +272,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_group_salted": "GROUP BY semantics held by q_group_topk",
     "q_window_ntile": (
-        "ranking-window capability held by q_window_latest"
+        "ranking-window capability held in-window by q_weighted_sample"
+        " (row_number top-K per group) and q_hybrid_search's rank fusion"
     ),
     "q_knn_per_label": (
         "brute-force kNN held by q_hybrid_search's in-window vector leg;"
@@ -328,9 +336,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # Round-7 rotation: q_containment (the round-6 tail flagship -- the
 # registry's only never-evaluated entry) and the new q_semantic_dedup
 # (SemDeDup manifest; full oracle + numpy third-engine test) enter the
-# window; q_near_dedup_simhash and q_join_semi_anti park, both with
-# five green driver rows (r1+r3+r4+r5+r6) on code untouched this
-# round. NOTE on the round-7 advisor refactor: the literal-cache
+# window, as does the new q_weighted_sample (Efraimidis-Spirakis
+# per-source priority sampling, full oracle + deterministic bias
+# test); q_near_dedup_simhash, q_join_semi_anti and q_window_latest
+# park, each with five green driver rows (r1+r3+r4+r5+r6) on code
+# untouched this round. NOTE on the round-7 advisor refactor: the literal-cache
 # change in similarity.py (_array_sql/_planes_sql text caching) is
 # shared infrastructure also reached by PARKED queries
 # (q_knn_cosine, q_centroid_outliers, q_quantize_embeddings,

@@ -104,6 +104,100 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted priority sampling: top-k per source, inclusion probability
+# proportional to a quality weight (Efraimidis-Spirakis keys). The
+# uniform draw is the portable hash, so the sample is a deterministic
+# function of (doc_id, weight) -- reproducible across engines, runs,
+# and cluster sizes, like every sampling op here.
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 10  # kept docs per source (testdata floor:
+#  25 docs/source at sf0.001-0.01, so the cut is real at every test SF)
+
+#: u in (0, 1]: 60-bit hash folded into [0, M31) then shifted by one so
+#: ln/pow never see zero. 'w:' salt keeps the draw independent of the
+#: q_train_split and q_stratified_sample hash streams.
+_MERSENNE31 = (1 << 31) - 1
+_WS_HASH_SQL = portable_hash64_sql("'w:' || CAST(doc_id AS VARCHAR)")
+_U_SQL = (
+    f"((({_WS_HASH_SQL}) % {_MERSENNE31}) + 1) / {float(_MERSENNE31)}"
+)
+#: Weight: log1p of the doc length -- any positive quality score slots
+#: in here (the engine's richer scores live in q_quality_filter /
+#: q_lm_score); log-length keeps the demo weight heavy-tailed without
+#: coupling this query to the scorer tier.
+_W_SQL = "ln(1.0 + CAST(n_chars AS DOUBLE))"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ROUND(pow({_U_SQL}, 1.0 / ({_W_SQL})), 6) AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, priority, rn AS rank
+    FROM ranked WHERE rn <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, top-K per source
+    (Efraimidis-Spirakis 2006): key = u^(1/w) with u a deterministic
+    portable-hash uniform and w a positive quality weight; the K
+    largest keys per group are a weighted sample without replacement.
+    The training-data move this implements is quality-weighted
+    subsampling -- docs compete within their source, better docs win
+    proportionally more often -- as a pure function of the stable key:
+    repartitioning or reordering the corpus can never change the
+    sample. (Unlike q_stratified_sample's rate threshold it is NOT
+    grow-stable -- a new high-priority doc can displace a kept one;
+    the grow-stable variant thresholds the priority key instead of
+    ranking it, trading the exact-K guarantee away.)
+
+    Scale: key assignment is a narrow map (hash + ln + pow, all
+    codegen'd); per-source top-K ranks through WindowGroupLimit
+    pushdown, so every map partition forwards at most K rows per
+    source -- the exchange carries O(sources * K * partitions), never
+    the corpus. Priorities are rounded to 6 before ranking with
+    doc_id as the tiebreak, so the cross-engine rank is stable (the
+    same discipline as every cosine rank in similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            portable_hash64(
+                F.concat(F.lit("w:"), F.col("doc_id").cast("string"))
+            )
+            % _MERSENNE31
+            + 1
+        )
+        / float(_MERSENNE31)
+    )
+    w = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / w), 6).alias("priority"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("priority"), F.asc("doc_id")
+        )
+    )
+    return (
+        keyed.withColumn("rank", rank)
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+    )
+
+
+# --------------------------------------------------------------------------
 # Shard packing: assign docs to fixed-budget output shards. Sequential
 # packing needs an order; a single global ordered window is a one-reducer
 # bottleneck, so packing runs inside N_PACK_GROUPS deterministic hash

@@ -528,3 +528,28 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     for v, (u, c, cl) in expected.items():
         r = rows[v]
         assert (r.kept_by, r.cos_sim, r.cell_id) == (u, c, cl), (v, r)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """The Efraimidis-Spirakis keys must actually bias the sample: with
+    w = ln(1+n_chars) increasing in length, the kept docs' mean length
+    should exceed the population's (the draw is deterministic, so this
+    pins the fixed outcome, not a flaky statistic), every source must
+    keep exactly K docs, and priorities must sit in (0, 1]."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        WEIGHTED_SAMPLE_K,
+        q_weighted_sample,
+    )
+
+    kept = q_weighted_sample(spark, SF_DIR).collect()
+    per_source: dict[str, int] = {}
+    for r in kept:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 0.0 < r.priority <= 1.0, r
+        assert 1 <= r.rank <= WEIGHTED_SAMPLE_K, r
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    sources = {d.source for d in docs}
+    assert per_source == {s: WEIGHTED_SAMPLE_K for s in sources}
+    pop_mean = sum(d.n_chars for d in docs) / len(docs)
+    kept_mean = sum(r.n_chars for r in kept) / len(kept)
+    assert kept_mean > pop_mean, (kept_mean, pop_mean)
