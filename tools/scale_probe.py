@@ -481,10 +481,277 @@ def emb_main() -> None:
     spark.stop()
 
 
+def sem_main() -> None:
+    """Measure the two scale claims behind q_semantic_dedup:
+
+    1. PAIR SPACE: within-cell pruning costs Sum c_i*(c_i-1)/2 pairs.
+       At fixed N_CELLS that grows ~n^2/C; scaling C ~ n (the SemDeDup
+       deployment rule -- hold n/C, the target cell population,
+       constant) holds pairs-per-vector flat. The sweep measures the
+       pair space, verify-join wall and stage-level shuffle at each
+       (factor, C) point so the claim is a table, not rhetoric.
+    2. ASSIGNMENT STRATEGY: the production query inlines the quantizer
+       as ONE parsed least(named_struct...) expression -- right for
+       the O(10)-centroid oracle-replicable regime, but plan BUILD
+       cost is linear in C*dim literals and the codegen'd expression
+       evaluates all C dots per row serially. At k-means-scale C the
+       right shape is an Arrow-batched mapInPandas matmul against a
+       broadcast centroid matrix (En @ Cn.T, one BLAS call per batch).
+       The sweep times both at small C and the matmul beyond, so the
+       crossover is measured.
+
+    Same synthetic corpus as ``embsweep`` (n = 2000*factor unit-scale
+    64-dim vectors, planted 2% near-dups at cos ~0.999, threshold
+    0.9): planted pairs land in one cell iff quantization agrees, so
+    planted recall doubles as a cell-split error meter.
+
+        python tools/scale_probe.py semsweep [max_factor]
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        _cos_expr_sql,
+    )
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    N0, DIM, DUP_EVERY = 2000, 64, 50
+    THRESHOLD = 0.9
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="semantic_dedup_probe",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # Same rationale as embsweep: at probe sizes every join
+            # side broadcasts, hiding the exchange structure the probe
+            # exists to measure.
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: int):
+        """Same corpus as embsweep: id i is a planted near-dup of i-1
+        when i % DUP_EVERY == 1."""
+        ids = spark.range(n).select(F.col("id").alias("vec_id"))
+        is_dup = F.col("vec_id") % DUP_EVERY == 1
+        base = F.when(is_dup, F.col("vec_id") - 1).otherwise(
+            F.col("vec_id")
+        )
+        comp = lambda tag, seed_id, d: (
+            F.xxhash64(
+                F.concat(
+                    F.lit(tag),
+                    seed_id.cast("string"),
+                    F.lit("_"),
+                    d.cast("string"),
+                )
+            )
+            % 1_000_000
+        ).cast("double") / 1_000_000.0
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: (
+                comp("e", base, d)
+                + F.when(
+                    is_dup, F.lit(0.05) * comp("p", F.col("vec_id"), d)
+                ).otherwise(F.lit(0.0))
+            ).cast("float"),
+        )
+        return ids.select("vec_id", vec.alias("embedding")).localCheckpoint(
+            eager=False
+        )
+
+    def centroids(emb, n_cells: int) -> np.ndarray:
+        """Quantizer = the first n_cells NON-duplicate vectors (driver
+        artifact, like train_ivf_centroids' output)."""
+        rows = (
+            emb.filter(
+                (F.col("vec_id") % DUP_EVERY != 1)
+                & (F.col("vec_id") < 2 * n_cells)
+            )
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+        return np.asarray(
+            [[float(v) for v in r["embedding"]] for r in rows]
+        )
+
+    def assign_matmul(emb, cents: np.ndarray):
+        """Arrow-batched assignment: one BLAS matmul per batch against
+        the broadcast centroid matrix; norms ride along so the pair
+        join's per-pair expression is a single fold."""
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def run(it):
+            for pdf in it:
+                e = np.stack(pdf["embedding"].map(np.asarray))
+                nn = np.linalg.norm(e, axis=1, keepdims=True)
+                sims = (e / nn) @ cn.T
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell_id": sims.argmax(axis=1).astype("int32"),
+                        "embedding": pdf["embedding"],
+                        "nn": nn[:, 0],
+                    }
+                )
+
+        return emb.mapInPandas(
+            run,
+            schema=(
+                "vec_id bigint, cell_id int,"
+                " embedding array<float>, nn double"
+            ),
+        )
+
+    def assign_literal_chain(emb, cents: np.ndarray):
+        """The production small-C shape: one parsed expression chain
+        evaluating all C dots per row inside codegen."""
+        from pyspark.sql.functions import expr
+
+        cell = expr(
+            "least("
+            + ",".join(
+                "named_struct('nc', -round("
+                + _cos_expr_sql("embedding", tuple(float(v) for v in c))
+                + f", 6), 'cell_id', {i})"
+                for i, c in enumerate(cents)
+            )
+            + ")"
+        ).getField("cell_id")
+        return emb.select(
+            "vec_id",
+            cell.alias("cell_id"),
+            "embedding",
+            F.expr(
+                "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                " (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+            ).alias("nn"),
+        )
+
+    def within_cell_pairs(assigned):
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos = F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ) / (F.col("a.nn") * F.col("b.nn"))
+        return (
+            a.join(
+                b,
+                (F.col("a.cell_id") == F.col("b.cell_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_id_1"),
+                F.col("b.vec_id").alias("vec_id_2"),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= THRESHOLD)
+        )
+
+    factors = [f for f in (4, 16, 64) if f <= max_factor]
+    out: dict[str, dict] = {}
+    for factor in factors:
+        n = N0 * factor
+        emb = synth(n)
+        planted = n // DUP_EVERY
+        row: dict = {"n_vectors": n, "planted_pairs": planted}
+        # C scales with n (hold n/C ~ 1000): the deployment rule under
+        # test. 8 rides along at every factor as the fixed-C contrast.
+        for n_cells in sorted({8, max(8, n // 1000)}):
+            cents = centroids(emb, n_cells)
+            v: dict = {"n_cells": n_cells, "avg_cell": n / n_cells}
+            # assignment strategies: build+exec wall for each
+            t0 = time.perf_counter()
+            lit = assign_literal_chain(emb, cents)
+            v["literal_build_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            lit.write.format("noop").mode("overwrite").save()
+            v["literal_exec_s"] = round(time.perf_counter() - t0, 3)
+            assigned = assign_matmul(emb, cents)
+            t0 = time.perf_counter()
+            assigned.write.format("noop").mode("overwrite").save()
+            v["matmul_exec_s"] = round(time.perf_counter() - t0, 3)
+            # pair space from the cell histogram (no pair materialized)
+            hist = (
+                assigned.groupBy("cell_id")
+                .count()
+                .agg(
+                    F.sum(
+                        F.col("count") * (F.col("count") - 1) / 2
+                    ).alias("pairs")
+                )
+                .collect()[0]
+            )
+            v["pair_space"] = int(hist["pairs"])
+            v["pairs_per_vector"] = round(hist["pairs"] / n, 1)
+            if hist["pairs"] > 2e8:
+                # The fixed-C point has exploded -- the histogram already
+                # proves it; don't burn an hour materializing the proof.
+                v["pair_join"] = "skipped: pair space > 2e8"
+                row[f"C{n_cells}"] = v
+                print(
+                    json.dumps({f"x{factor}": {f"C{n_cells}": v}}),
+                    flush=True,
+                )
+                continue
+            # verify join: survivors + planted recall + wall + shuffle
+            assigned = assigned.localCheckpoint(eager=True)
+            stats = (
+                within_cell_pairs(assigned)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.count(
+                        F.when(
+                            (F.col("vec_id_2") == F.col("vec_id_1") + 1)
+                            & (F.col("vec_id_2") % DUP_EVERY == 1),
+                            F.lit(1),
+                        )
+                    ).alias("found"),
+                )
+                .collect()[0]
+            )
+            v["surviving_pairs"] = stats["n"]
+            v["planted_recall"] = round(stats["found"] / planted, 4)
+            snap0 = stage_shuffle_snapshot(spark)
+            t0 = time.perf_counter()
+            within_cell_pairs(assigned).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            v["pair_join_wall_s"] = round(time.perf_counter() - t0, 3)
+            delta = stage_shuffle_delta(
+                snap0, stage_shuffle_snapshot(spark)
+            )
+            v["shuffle"] = {
+                "records": delta["shuffle_records"],
+                "bytes": delta["shuffle_bytes"],
+            }
+            row[f"C{n_cells}"] = v
+            print(json.dumps({f"x{factor}": {f"C{n_cells}": v}}), flush=True)
+        out[f"x{factor}"] = row
+
+    print(json.dumps({"semantic_dedup": out}, indent=1))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "embsweep":
         emb_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "semsweep":
+        sem_main()
     else:
         main()
