@@ -113,3 +113,22 @@ def test_mg_merge_guarantees_any_batching(batches, cap):
     # decrement never exceeds the analytic bound n/(cap+1)
     n = sum(true.values())
     assert dec <= n // (cap + 1)
+
+
+def test_array_sql_rejects_non_finite():
+    """The SQL-literal renderer must fail loudly at the Python boundary
+    on nan/inf (repr would otherwise render a bare token the SQL parser
+    resolves as a COLUMN reference -- an unresolved-column error far
+    from the cause)."""
+    import math
+
+    import pytest
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        _array_sql,
+    )
+
+    assert "CAST(0.5 AS DOUBLE)" in _array_sql((0.5,))
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError, match="non-finite"):
+            _array_sql((1.0, bad))
