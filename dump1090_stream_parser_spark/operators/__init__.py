@@ -13,10 +13,10 @@ from . import text  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import multimodal  # noqa: F401
-from . import pipeline_ops  # noqa: F401  (registers past the window)
-from . import inference  # noqa: F401  (registers past the window)
-from . import composite  # noqa: F401  (registers past the window)
-from . import sbs1_gold  # noqa: F401  (registers past the window)
+from . import pipeline_ops  # noqa: F401
+from . import inference  # noqa: F401
+from . import composite  # noqa: F401
+from . import sbs1_gold  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 

@@ -670,9 +670,50 @@ def sem_main() -> None:
         row: dict = {"n_vectors": n, "planted_pairs": planted}
         # C scales with n (hold n/C ~ 1000): the deployment rule under
         # test. 8 rides along at every factor as the fixed-C contrast.
+        # Planted-pair endpoints only (2 per DUP_EVERY ids -- thousands
+        # of rows, a driver-sized sample): used to measure how much of
+        # the cell-split recall loss a multi-probe assignment recovers,
+        # without materializing any cross-cell pair join.
+        planted_rows = (
+            emb.filter(
+                (F.col("vec_id") % DUP_EVERY == 1)
+                | (F.col("vec_id") % DUP_EVERY == 0)
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        pvecs = {
+            r["vec_id"]: np.asarray(
+                [float(x) for x in r["embedding"]]
+            )
+            for r in planted_rows
+        }
+
+        def probe_recall(cents: np.ndarray, nprobe: int) -> float:
+            """Fraction of planted pairs sharing >= 1 of each side's
+            nprobe nearest cells (the q_ann_ivf multi-probe shape
+            applied to dedup assignment)."""
+            cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            hits = total = 0
+            for i in range(1, n, DUP_EVERY):
+                if i - 1 not in pvecs or i not in pvecs:
+                    continue
+                total += 1
+                cells = []
+                for vid in (i - 1, i):
+                    e = pvecs[vid]
+                    sims = (e / np.sqrt(e @ e)) @ cn.T
+                    cells.append(set(np.argsort(-sims)[:nprobe]))
+                if cells[0] & cells[1]:
+                    hits += 1
+            return round(hits / total, 4) if total else 0.0
+
         for n_cells in sorted({8, max(8, n // 1000)}):
             cents = centroids(emb, n_cells)
             v: dict = {"n_cells": n_cells, "avg_cell": n / n_cells}
+            v["probe_recall"] = {
+                f"nprobe{p}": probe_recall(cents, p) for p in (1, 2)
+            }
             # assignment strategies: build+exec wall for each
             t0 = time.perf_counter()
             lit = assign_literal_chain(emb, cents)
