@@ -515,7 +515,18 @@ SEMANTIC_DEDUP_TAU = EMB_NEAR_DUP_THRESHOLD
 _SEM_DEDUP_BLOCK = 2048
 
 
-def _cell_pair_scores(pdf):
+def _cell_pair_scores_fn(tau: float):
+    """Build the per-cell scorer with the threshold closed over (the
+    registered query passes SEMANTIC_DEDUP_TAU; the trained-quantizer
+    entry point below accepts a production threshold)."""
+
+    def _cell_pair_scores(pdf):
+        return _score_cell_pairs(pdf, tau)
+
+    return _cell_pair_scores
+
+
+def _score_cell_pairs(pdf, tau: float):
     """All near-threshold (lower-id, higher-id) cosines for ONE cell
     (applyInPandas body of q_semantic_dedup).
 
@@ -555,7 +566,7 @@ def _cell_pair_scores(pdf):
         x = e[:, d]
         nacc = nacc + x * x
     nn = np.sqrt(nacc)
-    lo = float(SEMANTIC_DEDUP_TAU) - 1e-6
+    lo = float(tau) - 1e-6
     out = []
     for j0 in range(1, n, _SEM_DEDUP_BLOCK):
         j1 = min(j0 + _SEM_DEDUP_BLOCK, n)
@@ -653,14 +664,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pass; a production run sizes cells (n/C ~ 1000) so this stays
     in the tens of MB. Bench: the q_semantic_dedup headline line."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = _seed_centroid_rows(emb)
+    return semantic_dedup_manifest(emb, _seed_centroid_rows(emb))
+
+
+def semantic_dedup_manifest(
+    emb: DataFrame, cent_rows: list, tau: float = SEMANTIC_DEDUP_TAU
+) -> DataFrame:
+    """The q_semantic_dedup pipeline over an ARBITRARY quantizer
+    (``cent_rows``: anything indexable by 'cell_id'/'embedding' --
+    Rows or dicts). The registered query feeds the deterministic seed
+    quantizer so the DuckDB oracle can replicate it; production feeds
+    ``train_ivf_centroids`` output via ``semantic_dedup_trained``."""
     assign = emb.select(
         "vec_id",
         "embedding",
         _nearest_cell_expr(cent_rows).alias("cell_id"),
     )
     pairs = assign.groupBy("cell_id").applyInPandas(
-        _cell_pair_scores,
+        _cell_pair_scores_fn(tau),
         schema=(
             "vec_id bigint, cell_id int, kept_by bigint, cos_raw double"
         ),
@@ -670,7 +691,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id",
         "kept_by",
         F.round(F.col("cos_raw"), 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= SEMANTIC_DEDUP_TAU)
+    ).filter(F.col("cos_sim") >= tau)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("kept_by")
     )
@@ -679,6 +700,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def semantic_dedup_trained(
+    emb: DataFrame,
+    k: int = N_CELLS,
+    iters: int = 5,
+    tau: float = SEMANTIC_DEDUP_TAU,
+) -> DataFrame:
+    """Production semantic dedup: k-means-train the quantizer
+    (``train_ivf_centroids`` -- at 100 TB, on a uniform sample), then
+    run the manifest pipeline over it. Not oracle-replicable (the
+    trained centroids are float artifacts of the training run), so it
+    is exercised by tests/test_approx.py rather than registered."""
+    cents = train_ivf_centroids(emb, k=k, iters=iters)
+    cent_rows = [
+        {"cell_id": i, "embedding": c} for i, c in enumerate(cents)
+    ]
+    return semantic_dedup_manifest(emb, cent_rows, tau)
 
 
 LSH_PROBE_HAMMING = 2  # multi-probe width: buckets within this hamming

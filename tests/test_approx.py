@@ -553,3 +553,26 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     pop_mean = sum(d.n_chars for d in docs) / len(docs)
     kept_mean = sum(r.n_chars for r in kept) / len(kept)
     assert kept_mean > pop_mean, (kept_mean, pop_mean)
+
+
+def test_semantic_dedup_trained_quantizer_manifest(spark):
+    """The production entry point (k-means-trained quantizer feeding
+    the same manifest pipeline) must produce a structurally valid
+    manifest: every dropped vector names a strictly lower-id keeper,
+    attribution cosine clears the threshold, and the trained quantizer
+    -- which packs near-dups into tighter cells than the arbitrary
+    seed quantizer -- must not find fewer duplicates than the seeds."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        SEMANTIC_DEDUP_TAU,
+        q_semantic_dedup,
+        semantic_dedup_trained,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = semantic_dedup_trained(emb, iters=2).collect()
+    assert rows
+    for r in rows:
+        assert r.kept_by < r.vec_id
+        assert r.cos_sim >= SEMANTIC_DEDUP_TAU
+    seed_n = q_semantic_dedup(spark, SF_DIR).count()
+    assert len(rows) >= seed_n * 0.8, (len(rows), seed_n)
