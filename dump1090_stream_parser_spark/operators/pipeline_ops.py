@@ -5,9 +5,11 @@ detection, and repetition scoring (the Gopher-style quality rule).
 Registration ORDER (and with it which queries sit inside the driver's
 50-entry evaluation window) is managed by the rotation ledger in
 ``operators/__init__.py`` -- most of this module's operators have
-rotated through the window and hold green driver rows (q_stratified
-_sample, q_pack_shards, q_contamination, q_contamination_bloom,
-q_heavy_hitters, q_mix_weights, q_weighted_sample, ...). Every entry,
+rotated through the window and hold green driver rows
+(q_stratified_sample, q_pack_shards, q_contamination,
+q_contamination_bloom, q_heavy_hitters, q_mix_weights, ...;
+q_weighted_sample entered the window new in round 7 and awaits its
+first driver row). Every entry,
 windowed or parked, is additionally verified by the local parity gate
 (``tests/test_parity.py`` runs every registry entry against its
 DuckDB oracle at sf0.001, ``tools/parity.py`` at sf0.01/sf0.1), using

@@ -564,16 +564,24 @@ def _score_cell_pairs(pdf, tau: float):
     nacc = np.zeros(n)
     for d in range(dim):
         x = e[:, d]
-        nacc = nacc + x * x
+        np.add(nacc, x * x, out=nacc)
     nn = np.sqrt(nacc)
     lo = float(tau) - 1e-6
     out = []
     for j0 in range(1, n, _SEM_DEDUP_BLOCK):
         j1 = min(j0 + _SEM_DEDUP_BLOCK, n)
-        acc = np.zeros((j1 - j0, n))
+        # Keepers are strictly lower-INDEX (sorted ids), so columns
+        # >= j1 can never survive the mask: score only [0, j1) -- half
+        # the FLOPs/peak memory over the full (block x n) matrix --
+        # and accumulate in place (a fresh matrix per dim pass churned
+        # ~dim x 80 MB of transient allocations). Pure subsetting +
+        # identical per-element ops, so bit-exactness is untouched.
+        acc = np.zeros((j1 - j0, j1))
         for d in range(dim):
-            acc = acc + e[j0:j1, d][:, None] * e[:, d][None, :]
-        cos = acc / (nn[j0:j1][:, None] * nn[None, :])
+            np.add(
+                acc, e[j0:j1, d][:, None] * e[:j1, d][None, :], out=acc
+            )
+        cos = acc / (nn[j0:j1][:, None] * nn[None, :j1])
         jj, ii = np.nonzero(cos >= lo)
         keep = ii < (jj + j0)  # keeper strictly lower-id (sorted ids)
         jj, ii = jj[keep], ii[keep]

@@ -12,10 +12,16 @@ lowest-cell-id tie break), and ``applyInPandasWithState`` keyed by
 
 Decision semantics are the batch policy, verbatim: a vector is DROPPED
 iff some lower-id member of its cell is tau-similar, attributed to the
-highest-cosine such member (ties toward the lowest keeper id). Because
-membership -- not just survivors -- is carried in state, a stream
-delivered in any micro-batch slicing reproduces the batch manifest
-exactly while every earlier cell member is still in state; asserted by
+highest-cosine such member (ties toward the lowest keeper id). The
+cosines themselves are BIT-IDENTICAL to the batch operator's: state
+carries raw float64 vectors plus norms folded in the same sequential
+order as the JVM/oracle expressions, scoring runs the same
+dim-sequential vectorized passes as _score_cell_pairs (never np.dot,
+whose BLAS pairwise summation rounds differently), and rounding is
+decimal HALF_UP (Spark's/DuckDB's ROUND; Python's round() is
+half-even). So a stream delivered in any micro-batch slicing
+reproduces the batch manifest EXACTLY -- values included -- while
+every earlier cell member is still in state; asserted by
 tests/test_semantic_dedup_stream.py, including pairs that straddle
 micro-batch boundaries.
 
@@ -25,12 +31,21 @@ state must still be bounded: membership is capped at MAX_CELL_DOCS
 (overflow vectors are still JUDGED against the stored members and
 reported via ``n_overflow``, they just stop evicting future arrivals),
 and cells idle past a processing-time TTL evict entirely. State per
-cell is (ids, unit vectors, norms): MAX_CELL_DOCS * dim floats.
+cell is (ids, raw vectors, norms): MAX_CELL_DOCS * dim doubles.
+
+At-least-once caveat: the replay guard covers STORED members only.
+While a cell is under its cap every arrival gets exactly one verdict
+row even under redelivery; past the cap, a redelivered unstored
+vector is re-judged (remembering unstored ids would unbound the state
+the cap exists to bound) -- a duplicate verdict row with the same
+vec_id, which idempotent consumers key away, and n_overflow counts
+deliveries, not distinct vectors, once overflowing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -47,7 +62,8 @@ MAX_CELL_DOCS = 4096
 CELL_TTL_MS = 60 * 60 * 1000
 
 _STATE_SCHEMA = (
-    "ids array<long>, vecs array<array<double>>, n_overflow long"
+    "ids array<long>, vecs array<array<double>>, norms array<double>,"
+    " n_overflow long"
 )
 
 OUTPUT_SCHEMA = (
@@ -76,11 +92,12 @@ def _make_update(tau: float, ttl_ms: int, max_docs: int):
             return
 
         if state.exists:
-            ids_raw, vecs_raw, n_overflow = state.get
+            ids_raw, vecs_raw, norms_raw, n_overflow = state.get
             ids = list(ids_raw) if ids_raw is not None else []
             vecs = [np.asarray(v) for v in (vecs_raw or [])]
+            norms = list(norms_raw) if norms_raw is not None else []
         else:
-            ids, vecs, n_overflow = [], [], 0
+            ids, vecs, norms, n_overflow = [], [], [], 0
 
         (cell_id,) = key
         arrivals: list[tuple[int, "np.ndarray"]] = []
@@ -95,38 +112,67 @@ def _make_update(tau: float, ttl_ms: int, max_docs: int):
         # assumes ids arrive non-decreasing, the natural ingest order).
         arrivals.sort(key=lambda t: t[0])
 
+        def _fold_norm(v: "np.ndarray") -> float:
+            # Same sequential fold as the batch/oracle norm expression.
+            nacc = 0.0
+            for d in range(v.shape[0]):
+                nacc = nacc + v[d] * v[d]
+            return float(np.sqrt(nacc))
+
         known = set(ids)
         out: dict[str, list] = {
             "vec_id": [], "dropped": [], "kept_by": [], "cos_sim": []
         }
         for vid, raw in arrivals:
-            if vid in known:  # replayed delivery of the same vector
+            if vid in known:  # replayed delivery of a stored vector
                 continue
-            unit = raw / np.sqrt(float(raw @ raw))
+            nr = _fold_norm(raw)
             best_id, best_cos = None, None
-            for oid, ovec in zip(ids, vecs):
-                if oid >= vid:
-                    continue
-                c = round(float(unit @ ovec), 6)
-                if c >= tau and (
-                    best_cos is None
-                    or c > best_cos
-                    or (c == best_cos and oid < best_id)
-                ):
-                    best_id, best_cos = oid, c
+            if ids:
+                # BIT-EXACT CONTRACT (same as the batch operator's
+                # _score_cell_pairs): dim sequential vectorized passes
+                # over RAW vectors reproduce the JVM/oracle left fold;
+                # np.dot's BLAS pairwise summation rounds differently
+                # and WOULD drift from the batch manifest. Rounding is
+                # decimal HALF_UP, the same rule Spark's round() and
+                # DuckDB's ROUND apply (Python's round() is half-even).
+                m = np.stack(vecs)
+                acc = np.zeros(len(ids))
+                for d in range(raw.shape[0]):
+                    acc = acc + m[:, d] * raw[d]
+                cos_raw = acc / (np.asarray(norms) * nr)
+                for i, oid in enumerate(ids):
+                    if oid >= vid or cos_raw[i] < tau - 1e-6:
+                        continue
+                    c = float(
+                        Decimal(float(cos_raw[i])).quantize(
+                            Decimal("1e-6"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                    if c >= tau and (
+                        best_cos is None
+                        or c > best_cos
+                        or (c == best_cos and oid < best_id)
+                    ):
+                        best_id, best_cos = oid, c
             out["vec_id"].append(vid)
             out["dropped"].append(best_id is not None)
             out["kept_by"].append(best_id)
             out["cos_sim"].append(best_cos)
             if len(ids) < max_docs:
                 ids.append(vid)
-                vecs.append(unit)
+                vecs.append(raw)
+                norms.append(nr)
             else:
                 n_overflow += 1
             known.add(vid)
 
-        state.update(([int(i) for i in ids], [v.tolist() for v in vecs],
-                      int(n_overflow)))
+        state.update((
+            [int(i) for i in ids],
+            [v.tolist() for v in vecs],
+            [float(x) for x in norms],
+            int(n_overflow),
+        ))
         state.setTimeoutDuration(ttl_ms)
         if out["vec_id"]:
             yield pd.DataFrame(
@@ -156,10 +202,12 @@ def semantic_dedup_stream(
     rows ``_seed_centroid_rows`` / ``train_ivf_centroids`` produce for
     the batch operator); assignment runs through the batch operator's
     own expression, so a vector lands in the same cell in both forms.
-    Every arriving vector gets exactly one verdict row: kept
+    Every arriving vector gets one verdict row: kept
     (``dropped = false``) or dropped with its evicting keeper and
     cosine -- the streaming rendering of the batch manifest, which only
-    lists the dropped."""
+    lists the dropped. (Exactly one per vector while the cell is under
+    its cap; see the module docstring's at-least-once caveat for the
+    overflow path.)"""
     assigned = emb_stream.select(
         "vec_id",
         "embedding",

@@ -491,6 +491,8 @@ def test_semantic_dedup_matches_numpy_reference(spark):
         q_semantic_dedup,
     )
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     rows = {
         r.vec_id: r for r in q_semantic_dedup(spark, SF_DIR).collect()
     }
@@ -499,9 +501,24 @@ def test_semantic_dedup_matches_numpy_reference(spark):
         for r in load_table(spark, SF_DIR, "embeddings").collect()
     }
 
+    def fold(a, b):
+        # Same sequential left fold as the JVM/oracle expressions --
+        # np.dot's BLAS pairwise summation rounds differently and
+        # would make this reference corpus-dependently flaky.
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
     def cos(a, b):
-        return round(
-            float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6
+        raw = fold(a, b) / (
+            np.sqrt(fold(a, a)) * np.sqrt(fold(b, b))
+        )
+        # Spark/DuckDB ROUND is decimal HALF_UP; python round is not.
+        return float(
+            Decimal(float(raw)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
         )
 
     cents = {c: emb[c] for c in range(1, N_CELLS + 1)}

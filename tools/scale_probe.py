@@ -512,7 +512,7 @@ def sem_main() -> None:
     from pyspark.sql import functions as F
 
     from dump1090_stream_parser_spark.operators.similarity import (
-        _cos_expr_sql,
+        _nearest_cell_expr,
     )
     from dump1090_stream_parser_spark.plans.metrics import (
         stage_shuffle_delta,
@@ -616,20 +616,17 @@ def sem_main() -> None:
         )
 
     def assign_literal_chain(emb, cents: np.ndarray):
-        """The production small-C shape: one parsed expression chain
-        evaluating all C dots per row inside codegen."""
-        from pyspark.sql.functions import expr
-
-        cell = expr(
-            "least("
-            + ",".join(
-                "named_struct('nc', -round("
-                + _cos_expr_sql("embedding", tuple(float(v) for v in c))
-                + f", 6), 'cell_id', {i})"
+        """The production small-C shape: THE registered operators'
+        own assignment expression (similarity._nearest_cell_expr) --
+        reused, not re-built, so the probe keeps measuring exactly
+        what q_semantic_dedup / q_ann_ivf execute if the tie-break or
+        rounding ever changes."""
+        cell = _nearest_cell_expr(
+            [
+                {"cell_id": i, "embedding": [float(v) for v in c]}
                 for i, c in enumerate(cents)
-            )
-            + ")"
-        ).getField("cell_id")
+            ]
+        )
         return emb.select(
             "vec_id",
             cell.alias("cell_id"),
