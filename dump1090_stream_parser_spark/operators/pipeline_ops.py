@@ -173,7 +173,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source -- the exchange carries O(sources * K * partitions), never
     the corpus. Priorities are rounded to 6 before ranking with
     doc_id as the tiebreak, so the cross-engine rank is stable (the
-    same discipline as every cosine rank in similarity.py)."""
+    same discipline as every cosine rank in similarity.py).
+
+    Cross-engine arithmetic note: alone in the registry, this oracle
+    leans on pow/ln -- correct to ~1 ulp on both engines but not
+    IEEE-CORRECTLY-rounded like the +,*,/,sqrt the rest of the repo
+    restricts itself to (q_haversine's trig is the precedent). A 1-ulp
+    disagreement only surfaces if a priority sits within ~1e-16 of a
+    0.5e-6 rounding boundary (~1e-9 per row; parity holds at
+    sf0.001-0.1 on this container's JVM/libm pair). E-S keys are
+    inherently exp/log-shaped -- the exact-arithmetic escape hatch, if
+    a corpus ever trips the boundary, is coarser rounding (each digit
+    dropped cuts boundary density 10x), not a different formula."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         (
