@@ -132,3 +132,63 @@ def test_array_sql_rejects_non_finite():
     for bad in (math.inf, -math.inf, math.nan):
         with pytest.raises(ValueError, match="non-finite"):
             _array_sql((1.0, bad))
+
+
+def test_cell_pair_scores_blocked_equals_bruteforce():
+    """The j-blocked, column-sliced scorer must equal a brute-force
+    sequential-fold reference on arbitrary inputs -- in particular
+    across block boundaries, which the sf-corpus tests never exercise
+    (every test cell fits one block). Runs the pure pandas function
+    with the block size shrunk to 3."""
+    import numpy as np
+    import pandas as pd
+
+    from dump1090_stream_parser_spark.operators import similarity as sim
+
+    rng_ids = list(range(100, 100 + 17))
+    # deterministic 'random' vectors via integer hashing (no RNG APIs)
+    vecs = [
+        [((i * 31 + d * 17) % 19 - 9) / 9.0 for d in range(5)]
+        for i in rng_ids
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": rng_ids,
+            "cell_id": [7] * len(rng_ids),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+        }
+    )
+    tau = 0.3
+
+    def fold(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    e64 = [np.asarray(v, dtype="float32").astype("float64") for v in vecs]
+    expected = {}
+    for j in range(len(rng_ids)):
+        for i in range(j):
+            c = fold(e64[i], e64[j]) / (
+                np.sqrt(fold(e64[i], e64[i]))
+                * np.sqrt(fold(e64[j], e64[j]))
+            )
+            if c >= tau - 1e-6:
+                expected[(rng_ids[i], rng_ids[j])] = c
+    assert expected, "fixture must produce near-threshold pairs"
+    assert len(rng_ids) > 3, "must span multiple blocks"
+
+    orig = sim._SEM_DEDUP_BLOCK
+    sim._SEM_DEDUP_BLOCK = 3
+    try:
+        out = sim._score_cell_pairs(pdf, tau)
+    finally:
+        sim._SEM_DEDUP_BLOCK = orig
+    got = {
+        (r.kept_by, r.vec_id): r.cos_raw for r in out.itertuples()
+    }
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert got[k] == v, (k, got[k], v)  # bit-exact, not approx
+    assert set(out["cell_id"]) == {7}
