@@ -159,88 +159,145 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID confusion matrix from a char-bigram profile scorer."""
+    """Language-ID confusion matrix from a char-bigram profile scorer.
+
+    Round-7 shape -- the engine's last corpus-sized explode is gone.
+    One small exchange repartitions (doc_id, lang, text) (the
+    q_containment rebalance: this corpus arrives as one row-group, and
+    at production scale the source's own partitioning provides the
+    spread), lazily checkpointed so BOTH passes read it once:
+
+    1. PROFILE, an Arrow partial-aggregation pass: each partition
+       bigram-codes its docs via the utf-32 view (np.frombuffer
+       matches F.ascii/DuckDB ascii codepoints -- the
+       rolling-fingerprint precedent), np.unique-counts occurrences
+       per language, and emits ONE partial profile bounded by
+       |alphabet|^2 x |langs| rows regardless of corpus size. The
+       partials are merged DRIVER-side (the profile is a driver
+       artifact exactly like the IVF centroids -- at 100 TB it comes
+       from the catalog/config or a sampled training job).
+    2. SCORING, a second Arrow pass: per doc, distinct-count bigram
+       codes, searchsorted-lookup into the merged profile, fold
+       int64 counts, argmax with ties toward the lowest language
+       (LANG_VALUES is sorted; np.argmax takes the first max --
+       the oracle's ORDER BY score DESC, plang).
+
+    All arithmetic is int64, so results are bit-equal to the previous
+    all-JVM shape (split -> explode -> broadcast-join -> wide agg),
+    which paid a serial 6M-row explode TWICE plus a hash-join probe
+    per bigram occurrence; only the 25-cell confusion aggregation
+    remains on the wire (measured 2.17 -> 1.0 s on the sf0.1 headline
+    line). Like the containment filler, the Python/DuckDB lower()
+    agreement leans on the corpus being verified ASCII-only.
+
+    (Negative design notes retained from earlier rounds: building the
+    profile from a pre-aggregated (doc, lang, bigram, n) subtree via
+    ReuseExchange shuffled the corpus bigram stream -- alphabet-sized
+    partial aggregation straight off occurrences was 25% faster; and
+    substr-per-index bigramming inside a transform lambda re-evaluated
+    lower(text) per element, O(len^2), 10x slower than split+slices.)
+    """
+    import numpy as np
+
     docs = load_table(spark, sf_dir, "documents")
-    # Bigrams via one split + two slices zipped: linear in text length.
-    # (substr-per-index inside a transform lambda re-evaluates the
-    # lower(text) subexpression per element -- O(len^2), 10x slower.)
-    # The char array is STAGED as its own projection so the three
-    # references below (size + two slices) split the text once per row,
-    # not three times (CollapseProject keeps a multiply-referenced
-    # non-cheap alias in its own project).
-    staged = docs.select(
-        "doc_id", "lang", F.split(F.lower(F.col("text")), "").alias("_c")
-    )
-    chars = F.col("_c")
-    n = F.size(chars)
-    # Bigram KEY is an integer code (cp(x)*0x110000 + cp(y)), not the
-    # concatenated string: the profile join and both aggregations key
-    # on it, and an 8-byte long hashes/compares/exchanges cheaper than
-    # a 2-char UTF-8 string built per occurrence. Pure internal
-    # representation -- the exported confusion matrix is unchanged, and
-    # the oracle recomputes its own profile from string bigrams.
-    bigrams = F.zip_with(
-        F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(chars, 2, F.greatest(n - 1, F.lit(0))),
-        lambda x, y: F.ascii(x).cast("long") * F.lit(0x110000)
-        + F.ascii(y),
-    )
-    bg = staged.select(
-        "doc_id", "lang", F.explode(bigrams).alias("bigram")
-    )
-    # Profile: conditional-count per language, one row per bigram
-    # (|alphabet^2| x |langs| cells -- bounded regardless of corpus
-    # size) and BROADCAST. Built straight off the exploded stream: the
-    # map-side partial aggregation collapses each task to at most
-    # |alphabet^2| rows, so this exchange is alphabet-sized at any
-    # corpus scale. Fixed language values (same rationale as q_pivot):
-    # the language inventory is pipeline config, not something to
-    # discover by scanning the corpus. At 100 TB this list comes from
-    # the catalog/config.
-    #
-    # (Earlier shape -- kept as a negative design note: pre-aggregating
-    # (doc_id, lang, bigram, n) and deriving the profile from that
-    # subtree via ReuseExchange put |corpus bigrams| rows through a
-    # shuffle BEFORE the broadcast join. Scoring the raw exploded rows
-    # against the broadcast profile instead leaves only two
-    # alphabet-/doc-bounded exchanges; the explode is computed twice,
-    # but a second narrow codegen'd scan is far cheaper than exchanging
-    # the corpus's bigram stream -- measured ~25% faster warm AND it
-    # cut the dominant shuffle entirely, locally and at scale.)
     langs = list(LANG_VALUES)
-    profile = bg.groupBy("bigram").agg(
-        *[
-            F.sum(
-                F.when(F.col("lang") == lang, F.lit(1)).otherwise(F.lit(0))
-            ).alias(f"_p{i}")
-            for i, lang in enumerate(langs)
-        ]
+    lang_index = {lang: i for i, lang in enumerate(langs)}
+    staged = (
+        docs.select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=False)
     )
-    # Scoring: every bigram OCCURRENCE picks up its profile row from
-    # the broadcast (no shuffle), and the per-doc aggregation's
-    # exchange carries one partial row per (doc, lang) per task --
-    # integer-exact: sum over occurrences of cnt == sum(n * cnt) over
-    # distinct bigrams.
-    per_doc = bg.join(F.broadcast(profile), "bigram").groupBy(
-        "doc_id", "lang"
-    ).agg(*[F.sum(F.col(f"_p{i}")).alias(f"_s{i}") for i in range(len(langs))])
-    # argmax via least() over (score desc, lang asc) structs -- a single
-    # projection instead of a row_number window (no per-doc sort). A
-    # zero-overlap language scores 0 here where the inner-join original
-    # produced no row; it can never win the argmax because a doc always
-    # overlaps its own language's profile with a positive score.
-    best = F.least(
-        *[
-            F.struct(
-                (-F.col(f"_s{i}")).alias("ns"), F.lit(lang).alias("plang")
+
+    def _doc_codes(text: str):
+        lt = str(text).lower()
+        if len(lt) < 2:
+            return None  # no bigrams: absent from profile AND matrix,
+            # same as the explode/oracle semantics
+        c = np.frombuffer(
+            lt.encode("utf-32-le"), dtype="uint32"
+        ).astype("int64")
+        return c[:-1] * 0x110000 + c[1:]
+
+    def _profile_batches(it):
+        import pandas as pd
+
+        per_lang: dict[int, list] = {}
+        for pdf in it:
+            by_lang: dict[int, list] = {}
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                codes = _doc_codes(text)
+                if codes is None:
+                    continue
+                by_lang.setdefault(lang_index[lang], []).append(codes)
+            for li, arrs in by_lang.items():
+                u, n = np.unique(
+                    np.concatenate(arrs), return_counts=True
+                )
+                per_lang.setdefault(li, []).append((u, n))
+        out_b, out_l, out_c = [], [], []
+        for li, parts in per_lang.items():
+            cat = np.concatenate([u for u, _ in parts])
+            wts = np.concatenate([n for _, n in parts])
+            uu, inv = np.unique(cat, return_inverse=True)
+            tot = np.zeros(len(uu), dtype="int64")
+            np.add.at(tot, inv, wts)
+            out_b.append(uu)
+            out_l.append(np.full(len(uu), li, dtype="int32"))
+            out_c.append(tot)
+        if out_b:
+            yield pd.DataFrame(
+                {
+                    "bigram": np.concatenate(out_b),
+                    "li": np.concatenate(out_l),
+                    "cnt": np.concatenate(out_c),
+                }
             )
-            for i, lang in enumerate(langs)
-        ]
+
+    partials = staged.mapInPandas(
+        _profile_batches, schema="bigram bigint, li int, cnt bigint"
+    ).collect()
+    code_cnts: dict[int, list[int]] = {}
+    for r in partials:
+        code_cnts.setdefault(int(r["bigram"]), [0] * len(langs))[
+            int(r["li"])
+        ] += int(r["cnt"])
+    keys_sorted = sorted(code_cnts)
+    cnt_rows = [code_cnts[k] for k in keys_sorted]
+
+    def _score_batches(it):
+        import pandas as pd
+
+        k = np.asarray(keys_sorted, dtype="int64")
+        cnts = np.asarray(cnt_rows, dtype="int64")
+        if len(k) == 0:  # empty corpus: nothing can score
+            return
+        for pdf in it:
+            out_lang, out_guess = [], []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                u_codes = _doc_codes(text)
+                if u_codes is None:
+                    continue
+                u, n = np.unique(u_codes, return_counts=True)
+                pos = np.searchsorted(k, u)
+                valid = (pos < len(k)) & (
+                    k[pos.clip(max=len(k) - 1)] == u
+                )
+                if not valid.any():
+                    continue  # no profile overlap: no scores row,
+                    # matching the oracle inner join (unreachable when
+                    # the profile comes from this same corpus)
+                scores = (
+                    n[valid][:, None] * cnts[pos[valid]]
+                ).sum(axis=0)
+                out_lang.append(lang)
+                out_guess.append(langs[int(np.argmax(scores))])
+            yield pd.DataFrame({"lang": out_lang, "guessed": out_guess})
+
+    scored = staged.drop("doc_id").mapInPandas(
+        _score_batches, schema="lang string, guessed string"
     )
-    return (
-        per_doc.select("lang", best.getField("plang").alias("guessed"))
-        .groupBy("lang", "guessed")
-        .agg(F.count("*").alias("n_docs"))
+    return scored.groupBy("lang", "guessed").agg(
+        F.count("*").alias("n_docs")
     )
 
 
