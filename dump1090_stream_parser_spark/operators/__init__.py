@@ -33,6 +33,14 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_sessionize": (
+        "rotated OUT round 7 second wave (green driver rows"
+        " r1+r3+r4+r5+r6, code untouched this round): the lag-gap /"
+        " ordered-staging core is held in-window by q_scd2_intervals"
+        " (lag change detection + lead interval close + row_number"
+        " versioning over the same user-keyed sort); framed"
+        " aggregation by q_window_trailing"
+    ),
     "q_window_latest": (
         "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
         " untouched this round): ranking-window capability is held"
@@ -205,17 +213,17 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_funnel": (
         "rotated OUT round 4 (green driver rows r2+r3): stacked-window"
-        " staging held in-window by q_window_trailing (same user-keyed"
-        " window partitioning) and q_sessionize;"
+        " staging held in-window by q_window_trailing and"
+        " q_scd2_intervals (same user-keyed window partitioning);"
         " ordered-conversion semantics re-proven every round by the"
         " local parity gate"
     ),
     "q_window_lag_delta": (
         "rotated OUT round 4 (green driver rows r1+r3): lag/lead"
-        " analytic-window capability held in-window by q_sessionize"
-        " (lag-gap detection IS its core) and the funnel's stacked"
-        " window stages; frames by q_window_trailing, ranking by"
-        " q_weighted_sample's per-group top-K"
+        " analytic-window capability held in-window by"
+        " q_scd2_intervals (lag change detection + lead interval"
+        " close ARE its core); frames by q_window_trailing, ranking"
+        " by q_weighted_sample's per-group top-K"
     ),
     "q_quality_score": (
         "rotated OUT round 4 (green driver rows r1+r3): quality-feature"
@@ -347,6 +355,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # q_near_dedup_embedding, q_knn_per_label); their unchanged semantics
 # are covered by the full local parity sweep rather than by their
 # historical driver rows alone.
+# Round-7 second wave: q_scd2_intervals (SCD type-2 validity-interval
+# construction -- full oracle, one-exchange two-window plan, parity at
+# sf0.001-0.1) enters the window mid-round for an immediate driver
+# row; q_sessionize parks on a five-green history with its lag-gap
+# core held by the new entrant.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

@@ -315,3 +315,66 @@ def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("trailing_cents"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version
+      FROM chg WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(version AS BIGINT) AS version,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: turn
+    each user's event_type history into versioned validity intervals
+    -- change detection via lag() (a row opens a version iff it
+    differs from the previous state), interval close via lead() over
+    the change rows (half-open [valid_from, valid_to); NULL = current,
+    flagged is_current), version = per-user ordinal. The warehouse op
+    that turns mutation streams into as-of-queryable dimension
+    history; the engine's as-of join / LOCF tier then reads these
+    intervals directly.
+
+    Scale: two window passes over the same user_id partitioning --
+    Catalyst plans ONE exchange + sort serving both (the change
+    filter preserves partitioning and order), so the corpus shuffles
+    once, keyed by the dimension's natural key. No frame carries
+    unbounded state (lag/lead are 1-row). Skew = hot entities, the
+    standard dimension-key caveat (salt or split hot keys upstream).
+    Ordering ties break on event_id in BOTH engines so the intervals
+    are deterministic even if one entity mutates twice in one tick."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

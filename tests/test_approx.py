@@ -593,3 +593,28 @@ def test_semantic_dedup_trained_quantizer_manifest(spark):
         assert r.cos_sim >= SEMANTIC_DEDUP_TAU
     seed_n = q_semantic_dedup(spark, SF_DIR).count()
     assert len(rows) >= seed_n * 0.8, (len(rows), seed_n)
+
+
+def test_scd2_intervals_partition_each_timeline(spark):
+    """SCD-2 structural invariants the value-hash can't articulate:
+    per user, versions are 1..n dense, consecutive intervals chain
+    (valid_to of version v == valid_from of v+1), exactly the last
+    version is open/is_current, and adjacent versions never carry the
+    same state (else the change filter failed)."""
+    from dump1090_stream_parser_spark.operators.windows import (
+        q_scd2_intervals,
+    )
+
+    rows = q_scd2_intervals(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert not a.is_current
+            assert a.event_type != b.event_type, (user, a, b)
+        assert vs[-1].is_current and vs[-1].valid_to is None
