@@ -56,6 +56,14 @@ PROBE = [
     "q_approx_percentile",
     "q_dedup_incremental",
     "q_lm_score",
+    # round 7: Arrow two-pass language ID (profile counts scale
+    # linearly with replication); E-S weighted sampling (narrow key
+    # map + WindowGroupLimit top-K); SCD2 intervals (user_ids are
+    # KEPT across replicas, so per-entity history multiplies -- the
+    # right stress for the one-exchange two-window plan)
+    "q_lang_id",
+    "q_weighted_sample",
+    "q_scd2_intervals",
     # q_near_dedup_embedding_lsh is deliberately NOT probed here:
     # replicas are exact duplicates, so every copy family lands in
     # identical buckets in every band and candidate pairs grow
@@ -64,7 +72,11 @@ PROBE = [
     # scaling behavior is measured by the dedicated `embsweep`
     # subcommand below (synthetic corpus with a bounded planted
     # near-dup rate, label vs LSH vs all-pairs -- docs/SCALE.md
-    # round-6 table).
+    # round-6 table). q_semantic_dedup is excluded for the same
+    # reason (copy families are identical vectors, so within-cell
+    # pair space grows quadratically in the copy count at fixed
+    # N_CELLS); its scaling instrument is the `semsweep` subcommand
+    # (docs/SCALE.md round-7 table).
 ]
 
 
