@@ -688,6 +688,19 @@ def semantic_dedup_manifest(
         "embedding",
         _nearest_cell_expr(cent_rows).alias("cell_id"),
     )
+    return semantic_dedup_from_assigned(assign, tau)
+
+
+def semantic_dedup_from_assigned(
+    assign: DataFrame, tau: float = SEMANTIC_DEDUP_TAU
+) -> DataFrame:
+    """The manifest pipeline from a PRE-ASSIGNED (vec_id, embedding,
+    cell_id) relation -- the shape an at-rest
+    ``plans.layout.ivf_cell_bucketed_layout`` table provides. Over a
+    cell-bucketed table the grouped pair-scoring stage needs ZERO
+    exchange (the bucketed scan's HashPartitioning satisfies the
+    group's ClusteredDistribution; asserted in tests/test_plans.py);
+    the registered query feeds it the on-the-fly assignment instead."""
     pairs = assign.groupBy("cell_id").applyInPandas(
         _cell_pair_scores_fn(tau),
         schema=(

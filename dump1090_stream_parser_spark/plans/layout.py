@@ -126,6 +126,43 @@ def lsh_bucketed_embeddings_layout(
     )
 
 
+def ivf_cell_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "embeddings_cells",
+    n_buckets: int = 8,
+) -> None:
+    """One-time semantic-dedup/IVF layout: embeddings stored WITH their
+    nearest-seed-centroid ``cell_id``, bucketed (and bucket-sorted) on
+    it. A bucketed scan reports HashPartitioning(cell_id), which
+    satisfies the ClusteredDistribution the within-cell stages require
+    -- so q_semantic_dedup's pair-scoring group and q_ann_ivf's
+    per-cell re-rank run with ZERO exchange over this table (asserted
+    in tests/test_plans.py). This is the at-rest half of the semantic
+    dedup design; the registered query computes cell_id on the fly."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        _nearest_cell_expr,
+        _seed_centroid_rows,
+    )
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _seed_centroid_rows(emb)
+    write_bucketed(
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _nearest_cell_expr(cents).alias("cell_id"),
+        ),
+        table,
+        "cell_id",
+        n_buckets,
+    )
+
+
 def ann_probe_pruned(
     spark: SparkSession, layout_dir: str, query_vec_id: int, k: int = 10
 ) -> DataFrame:

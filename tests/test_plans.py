@@ -766,3 +766,48 @@ def test_stage_meter_demands_the_ui_status_store():
 
     with pytest.raises(RuntimeError, match="spark.ui.enabled"):
         stage_shuffle_snapshot(_FakeSpark())
+
+
+def test_cell_bucketed_semantic_dedup_groups_without_exchange(spark):
+    """The at-rest half of the semantic-dedup design: over an
+    ivf_cell_bucketed_layout table the pair-scoring group stage needs
+    ZERO exchange (the bucketed scan's HashPartitioning(cell_id)
+    satisfies the group's ClusteredDistribution), and the manifest it
+    yields equals the registered query's on-the-fly form exactly."""
+    import re
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_semantic_dedup,
+        semantic_dedup_from_assigned,
+    )
+    from dump1090_stream_parser_spark.plans.layout import (
+        ivf_cell_bucketed_layout,
+    )
+
+    ivf_cell_bucketed_layout(spark, SF_DIR, table="emb_cells_t")
+    try:
+        assign = spark.table("emb_cells_t")
+        manifest = semantic_dedup_from_assigned(assign)
+        plan = formatted_plan(manifest)
+        # the ONLY exchange allowed is the keeper rank's vec_id window;
+        # the cell_id group must ride the bucketed layout
+        assert (
+            len(
+                re.findall(
+                    r"\bExchange hashpartitioning\(cell_id", plan
+                )
+            )
+            == 0
+        ), plan
+        assert "FlatMapGroupsInPandas" in plan
+        got = {
+            (r.vec_id, r.kept_by, r.cell_id, r.cos_sim)
+            for r in manifest.collect()
+        }
+        expected = {
+            (r.vec_id, r.kept_by, r.cell_id, r.cos_sim)
+            for r in q_semantic_dedup(spark, SF_DIR).collect()
+        }
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_cells_t")
