@@ -163,6 +163,113 @@ def ivf_cell_bucketed_layout(
     )
 
 
+def ivf_cell_partitioned_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """One-time IVF index layout: embeddings written to ``cell_id=N/``
+    directories keyed by the nearest seed centroid. An nprobe search
+    then reads only the probed cells -- partition pruning at
+    file-listing time, the at-rest half of q_ann_ivf's design (its
+    in-query form computes the assignment on the fly; the BUCKETED
+    variant above serves the exchange-free within-cell grouping
+    instead -- directory pruning and bucket co-location are different
+    levers, so they are different layouts)."""
+    from ..operators.similarity import (
+        _nearest_cell_expr,
+        _seed_centroid_rows,
+    )
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _seed_centroid_rows(emb)
+    (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _nearest_cell_expr(cents).alias("cell_id"),
+        )
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(out_dir)
+    )
+
+
+def ivf_probe_pruned(
+    spark: SparkSession,
+    layout_dir: str,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """q_ann_ivf's probe over the partitioned layout: rank the seed
+    centroids against the query driver-side (same left-fold double
+    arithmetic), then scan ONLY the winning ``cell_id=N/`` directories
+    -- the filter compiles to PartitionFilters, pruned at file-listing
+    time (asserted in tests/test_plans.py together with result
+    equality against the on-the-fly query)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        IVF_NPROBE,
+        N_CELLS,
+        _array_literal,
+        _cos_py,
+        cosine_similarity,
+    )
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    emb = spark.read.parquet(layout_dir)
+    seed_rows = emb.filter(
+        F.col("vec_id").between(1, N_CELLS)
+        | (F.col("vec_id") == query_vec_id)
+    ).select("vec_id", "embedding").collect()
+    qv = [
+        float(v)
+        for r in seed_rows
+        if r["vec_id"] == query_vec_id
+        for v in r["embedding"]
+    ]
+    cents = sorted(
+        (r for r in seed_rows if r["vec_id"] != query_vec_id),
+        key=lambda r: r["vec_id"],
+    )
+    qcells = [
+        cid
+        for cid, _ in sorted(
+            (
+                (
+                    r["vec_id"],
+                    round(
+                        _cos_py(qv, [float(v) for v in r["embedding"]]),
+                        6,
+                    ),
+                )
+                for r in cents
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+    qv_lit = _array_literal(tuple(qv))
+    return (
+        emb.filter(
+            F.col("cell_id").isin(qcells)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), qv_lit), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_probe_pruned(
     spark: SparkSession, layout_dir: str, query_vec_id: int, k: int = 10
 ) -> DataFrame:

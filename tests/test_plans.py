@@ -811,3 +811,40 @@ def test_cell_bucketed_semantic_dedup_groups_without_exchange(spark):
         assert got == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_cells_t")
+
+
+def test_ivf_probe_prunes_cell_partitions(spark, tmp_path):
+    """The at-rest half of q_ann_ivf: over a cell_id-partitioned
+    layout the nprobe search must compile its cell filter to
+    PartitionFilters (directory pruning at file-listing time) and
+    return exactly the on-the-fly query's rows."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        q_ann_ivf,
+    )
+    from dump1090_stream_parser_spark.plans.layout import (
+        ivf_cell_partitioned_layout,
+        ivf_probe_pruned,
+    )
+
+    out = str(tmp_path / "emb_by_cell")
+    ivf_cell_partitioned_layout(spark, SF_DIR, out)
+    probe = ivf_probe_pruned(spark, out, QUERY_VEC_ID)
+
+    plan = formatted_plan(probe)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_lines and any(
+        "cell_id" in line for line in part_lines
+    ), plan
+
+    got = [
+        (r.vec_id, r.label, r.cell_id, r.cos_sim)
+        for r in probe.collect()
+    ]
+    want = [
+        (r.vec_id, r.label, r.cell_id, r.cos_sim)
+        for r in q_ann_ivf(spark, SF_DIR).collect()
+    ]
+    assert got == want
