@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_group_topk": (
+        "rotated OUT round 7 third wave (green driver rows"
+        " r1+r3+r4+r5+r6, code untouched this round): the hash-agg +"
+        " TakeOrderedAndProject core is held in-window by q_cube /"
+        " q_retention_cohorts / q_heavy_hitters (partial+final hash"
+        " agg) and q_ann_ivf / q_bm25 (top-k without a global sort);"
+        " it also remains the entry() flagship, so the driver's smoke"
+        " check still executes it every round, and"
+        " test_topk_avoids_global_sort pins its physical shape"
+    ),
     "q_sessionize": (
         "rotated OUT round 7 second wave (green driver rows"
         " r1+r3+r4+r5+r6, code untouched this round): the lag-gap /"
@@ -360,6 +370,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # sf0.001-0.1) enters the window mid-round for an immediate driver
 # row; q_sessionize parks on a five-green history with its lag-gap
 # core held by the new entrant.
+# Round-7 third wave: q_knn_join (kNN JOIN -- a query-vector TABLE
+# against the corpus, exact top-k per query; full oracle, norm-hoisted
+# broadcast batch join with a partial WindowGroupLimit below the rank
+# exchange, plan-pinned) enters the window for an immediate driver
+# row; q_group_topk parks on a five-green history (and stays executed
+# every round as the entry() flagship smoke check).
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

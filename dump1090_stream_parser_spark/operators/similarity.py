@@ -140,6 +140,82 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_N_QUERIES = 5
+KNN_JOIN_K = 3
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {KNN_JOIN_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             ROUND({_cos_sql("e.embedding", "q.qv")}, 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id >= {KNN_JOIN_N_QUERIES}
+    )
+    SELECT query_id, vec_id, label, cos_sim, rn FROM (
+      SELECT scored.*, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) t WHERE rn <= {KNN_JOIN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN (C3, the batch shape): a TABLE of query vectors -- not
+    one literal -- against the corpus, exact top-k per query. This is
+    the serving/auto-labeling form of similarity search (score a batch
+    of prompts, label a batch of centroids, evaluate a batch of eval
+    vectors) that the single-vector q_knn_cosine baseline can't
+    express: one scan answers all Q queries.
+
+    100 TB posture: the query batch broadcasts (Q rows x dim floats --
+    MiB-class up to Q ~ 10k); the corpus never shuffles its embedding
+    column. The per-corpus-row norm is hoisted into the pre-join
+    projection so its fold runs once per ROW, not once per (row, query)
+    pair -- the per-pair cost is exactly one dot fold. Embeddings are
+    DROPPED before the rank exchange, and the row_number filter
+    compiles to WindowGroupLimit, so each map task forwards at most
+    Q*k narrow (query_id, vec_id, label, cos_sim) tuples into the
+    final exchange: shuffle volume is O(partitions * Q * k),
+    independent of corpus size (plan-pinned in tests/test_plans.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_JOIN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= KNN_JOIN_N_QUERIES).select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.col("embedding")).alias("cn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(
+            dot(F.col("embedding"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_JOIN_K)
+        .select("query_id", "vec_id", "label", "cos_sim", "rn")
+    )
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
 

@@ -848,3 +848,34 @@ def test_ivf_probe_prunes_cell_partitions(spark, tmp_path):
         for r in q_ann_ivf(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_knn_join_shuffles_only_narrow_topk(spark):
+    """q_knn_join's 100 TB contract: the query batch broadcasts, the
+    per-corpus-row norm is hoisted into a pre-join projection (one fold
+    per ROW, not per pair), and the row_number filter plans a PARTIAL
+    WindowGroupLimit below the rank exchange -- so the only shuffle
+    carries at most Q*k narrow tuples per map task, never an embedding
+    column."""
+    import re
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        KNN_JOIN_K,
+        q_knn_join,
+    )
+
+    plan = formatted_plan(q_knn_join(spark, SF_DIR))
+    # batch side rides a broadcast, never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus norm staged as its own attribute (cn#N) and the per-pair
+    # score references it -- the SQRT fold would be inlined per pair if
+    # CollapseProject had collapsed the staging projection
+    assert " AS cn#" in plan
+    assert re.search(r"/ \(cn#\d+ \* qn#\d+\)", plan), "score must use hoisted norms"
+    # map-side top-k pruning ahead of the exchange
+    assert f"row_number(), {KNN_JOIN_K}, Partial" in plan
+    # the rank exchange itself carries only the narrow scored tuple
+    m = re.search(r"\(\d+\) Exchange\n(?:.+\n)*?Input \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "embedding" not in m.group(1) and "qv" not in m.group(1), m.group(1)
