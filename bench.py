@@ -65,6 +65,7 @@ HEADLINE = [
     "q_near_dedup_simhash",  # SimHash banding
     "q_knn_cosine",        # brute-force similarity top-k
     "q_knn_join",          # batch kNN join: query TABLE x corpus
+    "q_ann_ivf_join",      # batch IVF probe join on cell_id
     "q_ann_lsh",           # hyperplane-LSH bucketed ANN
     "q_ann_ivf",           # IVF coarse-quantized ANN
     "q_multimodal_features",  # Arrow mapInPandas codec path

@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_group_concat": (
+        "rotated OUT round 7 third wave (green driver rows"
+        " r1+r3+r4+r5+r6, code untouched this round): the order-stable"
+        " aggregation tier (array_sort inside a hash agg) is held"
+        " in-window by q_cube / q_heavy_hitters (partial+final hash"
+        " agg) and q_weighted_sample's deterministic per-group ordering"
+        " contract; the string-fn surface by q_pii_scrub / q_chunk_docs;"
+        " its collation-proof array_sort-then-concat shape stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_group_topk": (
         "rotated OUT round 7 third wave (green driver rows"
         " r1+r3+r4+r5+r6, code untouched this round): the hash-agg +"
@@ -375,7 +385,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # broadcast batch join with a partial WindowGroupLimit below the rank
 # exchange, plan-pinned) enters the window for an immediate driver
 # row; q_group_topk parks on a five-green history (and stays executed
-# every round as the entry() flagship smoke check).
+# every round as the entry() flagship smoke check). Its sublinear
+# counterpart q_ann_ivf_join (batch IVF probe as ONE broadcast-hash
+# equi-join on cell_id; in-plan probe ranking over the literal
+# centroid matrix; full oracle, parity at sf0.001-0.1) enters
+# alongside; q_group_concat parks on a five-green history with the
+# hash-agg tier held by q_cube / q_heavy_hitters.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

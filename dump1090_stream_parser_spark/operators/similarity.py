@@ -579,6 +579,143 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Query-vector ids for the batch IVF probe join: disjoint from the
+#: centroid seeds (1..N_CELLS) and from QUERY_VEC_ID so one table
+#: serves all three roles deterministically in both engines.
+ANN_JOIN_Q_LO = 9
+ANN_JOIN_Q_HI = 13  # inclusive: 5 query vectors
+ANN_JOIN_K = 3
+
+
+@query(
+    "q_ann_ivf_join",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, label, embedding, cell_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql("e.embedding", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e, cents c
+        WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+    ),
+    qprobe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos_sql("q.qv", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q, cents c
+      ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.label, a.cell_id,
+             ROUND({_cos_sql("a.embedding", "q.qv")}, 6) AS cos_sim
+      FROM assign a
+      JOIN qprobe p ON a.cell_id = p.cell_id
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, label, cell_id, cos_sim, rn FROM (
+      SELECT cand.*, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    ) t WHERE rn <= {ANN_JOIN_K}
+    """,
+)
+def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF probe JOIN (C3): the sublinear counterpart of
+    q_knn_join -- a TABLE of query vectors, each re-ranking only its
+    IVF_NPROBE nearest cells, as ONE equi-join on ``cell_id``. Where
+    q_knn_join scores every (query, corpus) pair, this examines a
+    corpus row only if its cell is probed by some query: candidate
+    space ~ Q * nprobe * N/N_CELLS instead of Q * N.
+
+    100 TB posture: cell assignment is the same shuffle-free narrow
+    projection as q_ann_ivf (quantizer inlined as literals); the probe
+    side -- per-query cell ranking -- is computed in-plan over the
+    Q-row query table against the same literal centroid matrix
+    (array_sort over (neg-cos, cell_id) structs, the identical
+    tie-break as the oracle's row_number) and broadcasts as Q * nprobe
+    rows. The join is a broadcast HASH join on cell_id -- over the
+    at-rest ``ivf_cell_partitioned_layout`` the corpus side is
+    partition-local, and only probed cells are even read. Per-corpus-
+    row norm is hoisted; embeddings drop before the rank exchange,
+    whose partial WindowGroupLimit caps it at Q*k narrow tuples per
+    task (plan-pinned in tests/test_plans.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = _seed_centroid_rows(emb)
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    cell = _nearest_cell_expr(cent_rows)
+    assign = emb.filter(~is_query).select(
+        "vec_id",
+        "label",
+        "embedding",
+        cell.alias("cell_id"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    # Per-query probe cells as ONE parsed expression over the literal
+    # centroid matrix: array_sort on (nc, cell_id) structs orders by
+    # -round(cos, 6) then cell_id -- exactly the oracle's row_number
+    # ORDER BY cos DESC, cell_id -- then slice keeps nprobe.
+    probe_cells = F.expr(
+        "transform(slice(array_sort(array("
+        + ",".join(
+            "named_struct('nc', -round("
+            + _cos_expr_sql(
+                "qv", tuple(float(v) for v in r["embedding"])
+            )
+            + f", 6), 'cell_id', {int(r['cell_id'])})"
+            for r in cent_rows
+        )
+        + f")), 1, {IVF_NPROBE}), s -> s.cell_id)"
+    )
+    probe = (
+        emb.filter(is_query)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(probe_cells).alias("cell_id"),
+        )
+    )
+    scored = assign.join(F.broadcast(probe), "cell_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        "cell_id",
+        F.round(
+            dot(F.col("embedding"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_JOIN_K)
+        .select("query_id", "vec_id", "label", "cell_id", "cos_sim", "rn")
+    )
+
+
 #: Within-cell cosine at or above this marks a semantic duplicate.
 #: Matches the synthetic corpus's near-dup band (EMB_NEAR_DUP_THRESHOLD):
 #: a production text-embedding run would sit at ~0.9 (SemDeDup, Abbas et

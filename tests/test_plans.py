@@ -879,3 +879,30 @@ def test_knn_join_shuffles_only_narrow_topk(spark):
     m = re.search(r"\(\d+\) Exchange\n(?:.+\n)*?Input \[\d+\]: \[([^\]]*)\]", plan)
     assert m, plan
     assert "embedding" not in m.group(1) and "qv" not in m.group(1), m.group(1)
+
+
+def test_ann_ivf_join_is_hash_join_with_narrow_topk(spark):
+    """q_ann_ivf_join's 100 TB contract: the probe side (Q*nprobe rows)
+    broadcasts into a HASH join on cell_id (never a nested loop -- the
+    equi-key is what makes the at-rest cell layout partition-local),
+    and the per-query rank plans a PARTIAL WindowGroupLimit below an
+    exchange that carries no embedding column."""
+    import re
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        q_ann_ivf_join,
+    )
+
+    plan = formatted_plan(q_ann_ivf_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # both scans keep their pushed query-range filters
+    assert "Or(LessThan(vec_id,9),GreaterThan(vec_id,13))" in plan
+    assert "GreaterThanOrEqual(vec_id,9)" in plan
+    # map-side top-k pruning ahead of the rank exchange
+    assert f"row_number(), {ANN_JOIN_K}, Partial" in plan
+    m = re.search(r"\(\d+\) Exchange\n(?:.+\n)*?Input \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "embedding" not in m.group(1) and "qv" not in m.group(1), m.group(1)
