@@ -618,3 +618,49 @@ def test_scd2_intervals_partition_each_timeline(spark):
             assert not a.is_current
             assert a.event_type != b.event_type, (user, a, b)
         assert vs[-1].is_current and vs[-1].valid_to is None
+
+
+def test_ann_ivf_join_recall_vs_exact_per_query(spark):
+    """Quality gate for the batch IVF probe join beyond oracle
+    equality: per-query recall@k against the exact top-k computed on
+    the SAME query/corpus split (driver-side, same round-6 left-fold
+    cosine + tie-break). nprobe=2 of N_CELLS=8 scans ~25% of a
+    near-uniform corpus (the hardest ANN regime), so the mean floor is
+    modest but must clear the 0.25 a random 2-cell probe would get;
+    every query must also return exactly K rows (probed cells are
+    never empty at this SF)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        _cos_py,
+        q_ann_ivf_join,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    qs = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in rows
+        if ANN_JOIN_Q_LO <= r.vec_id <= ANN_JOIN_Q_HI
+    }
+    corpus = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in rows
+        if not (ANN_JOIN_Q_LO <= r.vec_id <= ANN_JOIN_Q_HI)
+    ]
+    truth = {}
+    for qid, qv in qs.items():
+        scored = sorted(
+            ((round(_cos_py(qv, cv), 6), -vid) for vid, cv in corpus),
+            reverse=True,
+        )
+        truth[qid] = {-s[1] for s in scored[:ANN_JOIN_K]}
+    got = {}
+    for r in q_ann_ivf_join(spark, SF_DIR).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(truth)
+    assert all(len(v) == ANN_JOIN_K for v in got.values()), got
+    recalls = {q: len(got[q] & t) / ANN_JOIN_K for q, t in truth.items()}
+    mean = sum(recalls.values()) / len(recalls)
+    assert mean >= 0.3, recalls
