@@ -64,6 +64,15 @@ PROBE = [
     "q_lang_id",
     "q_weighted_sample",
     "q_scd2_intervals",
+    # round-7 third wave: the batch similarity joins. Replication
+    # offsets vec_id, so the 5-query batch and the 8 centroid seeds
+    # stay the single base copy while the corpus multiplies -- Q and
+    # N_CELLS fixed, N scaling, exactly the regime the operators'
+    # docstrings argue. Both slopes should be ~linear in N: the kNN
+    # join scores Q*N pairs, the IVF join ~Q*nprobe*N/N_CELLS (the
+    # win is the constant, i.e. the probed fraction).
+    "q_knn_join",
+    "q_ann_ivf_join",
     # q_near_dedup_embedding_lsh is deliberately NOT probed here:
     # replicas are exact duplicates, so every copy family lands in
     # identical buckets in every band and candidate pairs grow
@@ -111,6 +120,12 @@ def replicate(spark, factor: int, out_dir: str) -> None:
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    # optional trailing query names restrict the probe to a subset
+    # (new entrants get their slope without re-timing the full list)
+    probe = [q for q in sys.argv[3:] if q in PROBE] or list(PROBE)
+    unknown = [q for q in sys.argv[3:] if q not in PROBE]
+    if unknown:
+        raise SystemExit(f"not in PROBE list: {unknown}")
 
     import __spark_entry__ as e
     from dump1090_stream_parser_spark.session import get_spark
@@ -124,17 +139,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     factors = [f for f in (1, 4, 16, 64) if f <= max_factor]
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe}
     for factor in factors:
         sf_dir = SRC if factor == 1 else f"{scratch}/x{factor}"
         if factor > 1:
             replicate(spark, factor, sf_dir)
         # warm the plans once per scale so slope measures data, not codegen
-        for name in PROBE:
+        for name in probe:
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        for name in PROBE:
+        for name in probe:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
