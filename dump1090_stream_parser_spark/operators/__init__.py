@@ -33,6 +33,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_multimodal_features": (
+        "rotated OUT round 7 fourth wave (green driver rows r5+r6; the"
+        " r6 row covers byte-identical code -- multimodal.py is"
+        " untouched since): the Arrow-batched binary plumbing is held"
+        " in-window by q_multimodal_resize and q_multimodal_energy"
+        " (same payload schema, same mapInPandas batch shape); the"
+        " stub-codec feature extraction stays pinned by exact-value"
+        " unit tests and the local parity gate"
+    ),
     "q_group_concat": (
         "rotated OUT round 7 third wave (green driver rows"
         " r1+r3+r4+r5+r6, code untouched this round): the order-stable"
@@ -391,6 +400,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # centroid matrix; full oracle, parity at sf0.001-0.1) enters
 # alongside; q_group_concat parks on a five-green history with the
 # hash-agg tier held by q_cube / q_heavy_hitters.
+# Round-7 fourth wave: q_countmin (count-min sketch point-frequency
+# estimation -- the over-estimating dual of q_heavy_hitters'
+# Misra-Gries, fixed DEPTHxWIDTH mergeable grid; full oracle that
+# REBUILDS the sketch in SQL from the portable hash family, parity at
+# sf0.001-0.1) enters the window for an immediate driver row;
+# q_multimodal_features parks with its tier double-held in-window.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

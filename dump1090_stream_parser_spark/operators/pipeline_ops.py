@@ -8,8 +8,8 @@ Registration ORDER (and with it which queries sit inside the driver's
 rotated through the window and hold green driver rows
 (q_stratified_sample, q_pack_shards, q_contamination,
 q_contamination_bloom, q_heavy_hitters, q_mix_weights, ...;
-q_weighted_sample entered the window new in round 7 and awaits its
-first driver row). Every entry,
+q_weighted_sample and q_countmin entered the window new in round 7
+and await their first driver rows). Every entry,
 windowed or parked, is additionally verified by the local parity gate
 (``tests/test_parity.py`` runs every registry entry against its
 DuckDB oracle at sf0.001, ``tools/parity.py`` at sf0.01/sf0.1), using
@@ -836,6 +836,172 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx.py."""
     return heavy_hitters(
         load_table(spark, sf_dir, "events"), "user_id", HH_TOPK, HH_CAP
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: point-frequency estimation with a FIXED-size
+# summary. The dual of Misra-Gries above: MG keeps <= cap keyed
+# counters and UNDER-estimates (est <= true <= est + dec); count-min
+# keeps a keyless depth x width grid and OVER-estimates
+# (true <= est <= true + 2N/width w.h.p.). Together they bracket a
+# frequency from both sides with bounded state.
+# --------------------------------------------------------------------------
+
+#: Count-min grid: CMS_DEPTH independent hash rows of CMS_WIDTH
+#: buckets. The sketch is <= CMS_DEPTH * CMS_WIDTH cells TOTAL (not
+#: per key, not per partition) -- 2048 cells here -- and cells are
+#: mergeable by addition, so map-side partial aggregation collapses
+#: every input partition to <= 2048 rows before the one exchange.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 10
+
+
+def countmin_cells(
+    df: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the count-min grid ``(j, bucket) -> c`` over ``df[key]``.
+
+    Depth-j bucket of a key is ``portable_hash64(key || ':' || j) %
+    CMS_WIDTH`` -- the salt folds the depth into the hash input, so the
+    CMS_DEPTH rows are independent draws from the same md5 family the
+    engine uses everywhere (and the DuckDB oracle reproduces the grid
+    bit-for-bit). The explode multiplies rows by CMS_DEPTH *before*
+    the aggregate, but partial agg collapses each partition to the
+    fixed grid size, so the exchange carries <= DEPTH*WIDTH rows per
+    partition regardless of input size -- the whole point versus an
+    exact per-key groupBy whose shuffle is one row per distinct key.
+    NULL keys are excluded (no frequency question to answer)."""
+    depths = F.array(*[F.lit(j) for j in range(depth)])
+    return (
+        df.select(F.col(key))
+        .filter(F.col(key).isNotNull())
+        .select(F.col(key), F.explode(depths).alias("j"))
+        .select(
+            "j",
+            (
+                portable_hash64(F.concat_ws(":", F.col(key), F.col("j")))
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+_CMS_HASH_SQL = portable_hash64_sql(
+    "CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+)
+_CMS_PROBE_HASH_SQL = portable_hash64_sql(
+    "CAST(e.user_id AS VARCHAR) || ':' || CAST(js.j AS VARCHAR)"
+)
+_CMS_JS = "SELECT unnest([" + ",".join(map(str, range(CMS_DEPTH))) + "]) AS j"
+
+
+@query(
+    "q_countmin",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    js AS ({_CMS_JS}),
+    cells AS (
+      SELECT j, ({_CMS_HASH_SQL}) % {CMS_WIDTH} AS bucket, COUNT(*) AS c
+      FROM ev CROSS JOIN js
+      GROUP BY 1, 2
+    ),
+    total AS (SELECT SUM(c) AS n FROM cells WHERE j = 0),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM ev GROUP BY 1
+      ORDER BY exact_count DESC, user_id
+      LIMIT {CMS_TOPK}
+    ),
+    est AS (
+      SELECT e.user_id, MIN(c.c) AS cms_est
+      FROM exact e
+      CROSS JOIN js
+      JOIN cells c
+        ON c.j = js.j
+       AND c.bucket = ({_CMS_PROBE_HASH_SQL}) % {CMS_WIDTH}
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.exact_count, s.cms_est,
+           s.cms_est >= e.exact_count AS overcount_ok,
+           (s.cms_est - e.exact_count) <= (2 * t.n) // {CMS_WIDTH}
+             AS within_bound
+    FROM exact e JOIN est s USING (user_id) CROSS JOIN total t
+    ORDER BY e.exact_count DESC, e.user_id
+    """,
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top-10 users, with
+    the exact count and both error-contract booleans alongside.
+
+    Self-certifying shape (the q_approx_distinct precedent): the exact
+    per-key leg exists at test scale so the driver's full value-hash
+    check applies -- and because the grid is built from the portable
+    md5 hash family, the ORACLE REBUILDS THE ENTIRE SKETCH in SQL and
+    the estimates themselves are hash-compared, not just the exact
+    counts. ``overcount_ok`` (est >= true) is a theorem of the
+    structure; ``within_bound`` (excess <= 2N/width) holds per depth
+    row with prob >= 1/2, so the min over CMS_DEPTH independent rows
+    fails with prob <= 2^-CMS_DEPTH per key -- both engines evaluate
+    the SAME deterministic comparison, so parity holds even if a key
+    violated the probabilistic bound (tests assert it doesn't here).
+
+    Scale shape: the sketch build is a narrow map + one exchange of
+    <= DEPTH*WIDTH rows per partition (partial agg collapses to the
+    fixed grid first); the materialized grid is a <= 2048-row driver
+    broadcast, so point queries against it are a broadcast-hash join
+    however large the corpus. At production the exact leg drops and
+    frequency reads cost O(DEPTH) lookups in broadcast state; MG
+    (q_heavy_hitters) answers "which keys are frequent", count-min
+    answers "how frequent is THIS key" -- including keys MG evicted."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    cells = countmin_cells(ev, "user_id").localCheckpoint(eager=False)
+    total = cells.filter(F.col("j") == 0).agg(F.sum("c").alias("_n"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    ).select(
+        "user_id",
+        "exact_count",
+        "j",
+        (
+            portable_hash64(F.concat_ws(":", F.col("user_id"), F.col("j")))
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_count")).alias("overcount_ok"),
+            (
+                (F.col("cms_est") - F.col("exact_count"))
+                <= F.expr(f"(2 * _n) div {CMS_WIDTH}")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
     )
 
 

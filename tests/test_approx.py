@@ -664,3 +664,52 @@ def test_ann_ivf_join_recall_vs_exact_per_query(spark):
     recalls = {q: len(got[q] & t) / ANN_JOIN_K for q, t in truth.items()}
     mean = sum(recalls.values()) / len(recalls)
     assert mean >= 0.3, recalls
+
+
+def test_countmin_grid_matches_reference_under_collisions(spark):
+    """Force bucket collisions (width far below the key cardinality)
+    and pin the count-min structure against a pure-Python rebuild from
+    exact counts: every grid cell is EXACTLY the sum of the true
+    counts of the keys hashing there, each depth row sums to N, and
+    the resulting point estimate over-counts every key (the structural
+    guarantee the registered query's overcount_ok column asserts at
+    the production width)."""
+    import hashlib
+
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        countmin_cells,
+    )
+
+    depth, width = 4, 8  # events has ~150 distinct user_ids -> collisions
+    ev = load_table(spark, SF_DIR, "events").repartition(8)
+
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+
+    def bucket(key: int, j: int) -> int:
+        h = int(hashlib.md5(f"{key}:{j}".encode()).hexdigest()[:15], 16)
+        return h % width
+
+    ref = {}
+    for key, n in exact.items():
+        for j in range(depth):
+            cell = (j, bucket(key, j))
+            ref[cell] = ref.get(cell, 0) + n
+
+    got = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in countmin_cells(ev, "user_id", depth, width).collect()
+    }
+    assert got == ref
+    for j in range(depth):
+        assert sum(c for (dj, _), c in got.items() if dj == j) == n_total
+
+    collided = 0
+    for key, true in exact.items():
+        est = min(got[(j, bucket(key, j))] for j in range(depth))
+        assert est >= true, (key, est, true)
+        collided += est > true
+    assert collided > 0, "width must force collisions for this test"
