@@ -29,7 +29,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -858,6 +858,16 @@ CMS_WIDTH = 512
 CMS_TOPK = 10
 
 
+def cms_bucket(key_col: Column, j_col: Column, width: int = CMS_WIDTH) -> Column:
+    """Depth-``j`` count-min bucket of ``key_col``: the single hash
+    expression both the batch grid and the streaming twin
+    (``streaming/countmin.py``) key on, so their cells agree
+    bit-for-bit. The depth salt is folded into the md5 input
+    (``key:j``), making the depth rows independent draws from the one
+    portable hash family the DuckDB oracle can replay."""
+    return portable_hash64(F.concat_ws(":", key_col, j_col)) % width
+
+
 def countmin_cells(
     df: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
@@ -880,10 +890,7 @@ def countmin_cells(
         .select(F.col(key), F.explode(depths).alias("j"))
         .select(
             "j",
-            (
-                portable_hash64(F.concat_ws(":", F.col(key), F.col("j")))
-                % width
-            ).alias("bucket"),
+            cms_bucket(F.col(key), F.col("j"), width).alias("bucket"),
         )
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -978,10 +985,7 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "exact_count",
         "j",
-        (
-            portable_hash64(F.concat_ws(":", F.col("user_id"), F.col("j")))
-            % CMS_WIDTH
-        ).alias("bucket"),
+        cms_bucket(F.col("user_id"), F.col("j")).alias("bucket"),
     )
     est = (
         F.broadcast(probes)

@@ -680,7 +680,7 @@ def test_countmin_grid_matches_reference_under_collisions(spark):
         countmin_cells,
     )
 
-    depth, width = 4, 8  # events has ~150 distinct user_ids -> collisions
+    depth, width = 4, 8  # events has ~15 distinct user_ids -> collisions
     ev = load_table(spark, SF_DIR, "events").repartition(8)
 
     exact = {
