@@ -93,6 +93,7 @@ HEADLINE = [
     "q_semantic_dedup",    # SemDeDup: quantize + within-cell cosine prune
     "q_weighted_sample",   # E-S priority sample (WindowGroupLimit top-K)
     "q_scd2_intervals",    # SCD2 intervals: one exchange, two windows
+    "q_countmin",          # count-min grid + broadcast point probes
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

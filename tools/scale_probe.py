@@ -811,6 +811,82 @@ def sem_main() -> None:
     spark.stop()
 
 
+def cms_main() -> None:
+    """Measure the count-min grid's fixed-exchange claim against exact
+    per-key counting as key cardinality grows (round 7).
+
+    q_countmin's docstring argues the grid build's one exchange carries
+    <= DEPTH*WIDTH rows per map partition REGARDLESS of input size
+    (partial agg collapses each partition to the fixed grid first),
+    while an exact per-key groupBy shuffles one row per distinct key
+    per partition that saw it -- linear in key cardinality. The sf0.1
+    events table has ~1.5k distinct users, far too few to show the
+    fork, so this probe synthesizes a keyed stream whose cardinality
+    scales with the factor (n/8 distinct keys, each ~8 occurrences)
+    and reports min-of-2 wall plus stage-level shuffle volume for both
+    shapes.
+
+        python tools/scale_probe.py cmssweep [max_factor]
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        countmin_cells,
+    )
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/cms_probe"
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="cms_probe",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_rows = 200_000
+    out: dict[str, dict] = {}
+    for factor in [f for f in (4, 16, 64) if f <= max_factor]:
+        n = base_rows * factor
+        sf_dir = f"{scratch}/x{factor}"
+        # n/8 distinct keys, each ~8 occurrences, spread over 32 files
+        spark.range(n).select(
+            (F.col("id") % (n // 8)).alias("user_id")
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{sf_dir}/keys.parquet"
+        )
+        keys = spark.read.parquet(f"{sf_dir}/keys.parquet")
+        row: dict = {"rows": n, "distinct_keys": n // 8}
+        for label, fn in (
+            ("exact", lambda: keys.groupBy("user_id").count()),
+            ("cms", lambda: countmin_cells(keys, "user_id")),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            times = []
+            snap0 = stage_shuffle_snapshot(spark)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(snap0, stage_shuffle_snapshot(spark))
+            row[label] = round(min(times), 3)
+            row[f"{label}_shuffle"] = {
+                "records": delta["shuffle_records"] // 2,
+                "bytes": delta["shuffle_bytes"] // 2,
+            }
+        out[f"x{factor}"] = row
+        print(json.dumps({f"x{factor}": row}))
+
+    print(json.dumps({"countmin_fork": out}, indent=1))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
@@ -818,5 +894,7 @@ if __name__ == "__main__":
         emb_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "semsweep":
         sem_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cmssweep":
+        cms_main()
     else:
         main()
