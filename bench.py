@@ -94,6 +94,7 @@ HEADLINE = [
     "q_weighted_sample",   # E-S priority sample (WindowGroupLimit top-K)
     "q_scd2_intervals",    # SCD2 intervals: one exchange, two windows
     "q_countmin",          # count-min grid + broadcast point probes
+    "q_random_projection", # JL sign-matrix projection (narrow map)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

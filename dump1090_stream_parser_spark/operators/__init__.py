@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_json_extract": (
+        "rotated OUT round 7 fifth wave (green driver rows"
+        " r1+r3+r4+r5+r6 -- the deepest history in the registry --"
+        " relational.py untouched this round, so the r6 row covers"
+        " byte-identical code): the JSON-fn surface"
+        " (get_json_object / typed from_json over the events payload)"
+        " stays re-proven every round by the local parity gate, and"
+        " the broader string/extraction tier is held in-window by"
+        " q_pii_scrub / q_chunk_docs / q_profile"
+    ),
     "q_multimodal_features": (
         "rotated OUT round 7 fourth wave (green driver rows r5+r6; the"
         " r6 row covers byte-identical code -- multimodal.py is"
@@ -406,6 +416,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # REBUILDS the sketch in SQL from the portable hash family, parity at
 # sf0.001-0.1) enters the window for an immediate driver row;
 # q_multimodal_features parks with its tier double-held in-window.
+# Round-7 fifth wave: q_random_projection (Johnson-Lindenstrauss
+# sign-matrix projection d->16, the front-end that shrinks every
+# downstream vector exchange; the oracle regenerates the matrix from
+# the portable hash family, so projected values hash-compare
+# bit-for-bit) enters for an immediate driver row; q_json_extract
+# parks on the registry's deepest five-green history.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

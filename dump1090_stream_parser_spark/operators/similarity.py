@@ -1585,3 +1585,87 @@ def quantizer_quality(emb: DataFrame, cents: list[list[float]]) -> float:
         ]
     )
     return emb.agg(F.avg(best)).first()[0]
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: reduce array<float> embeddings
+# from d to RP_DIMS dimensions with a fixed sign matrix. The classic
+# front-end of every downstream vector op -- ANN, clustering, near-dup --
+# because pairwise distances survive within (1 +- eps) while per-row
+# bytes (and with them every downstream exchange) shrink d/RP_DIMS x.
+# --------------------------------------------------------------------------
+
+RP_DIMS = 16
+#: 1/sqrt(RP_DIMS) -- exactly representable, so both engines' matrix
+#: entries are the identical doubles +-0.25.
+RP_SCALE = 0.25
+
+
+def _rp_planes_py(dim: int, k: int = RP_DIMS) -> list[list[float]]:
+    """The k x dim Achlioptas sign matrix (+-1/sqrt(k) entries), signs
+    drawn from the portable md5 family (seed ``rp{p}_{d}``) so the
+    DuckDB oracle regenerates the identical matrix on the fly."""
+    return [
+        [
+            RP_SCALE if _unit_float_py(f"rp{p}_{d}") >= 0 else -RP_SCALE
+            for d in range(dim)
+        ]
+        for p in range(k)
+    ]
+
+
+_RP_UNIT_SQL = portable_unit_float_sql(
+    "'rp' || CAST(ps.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)"
+)
+_RP_PS = (
+    "SELECT unnest(["
+    + ",".join(map(str, range(RP_DIMS)))
+    + "]) AS p"
+)
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH ps AS ({_RP_PS})
+    SELECT e.vec_id, ps.p AS out_dim,
+           list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) *
+                  (CASE WHEN ({_RP_UNIT_SQL}) >= 0
+                        THEN {RP_SCALE} ELSE -{RP_SCALE} END)),
+             (acc, x) -> acc + x) AS y
+    FROM embeddings e CROSS JOIN ps
+    ORDER BY e.vec_id, out_dim
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection of every embedding to RP_DIMS dimensions,
+    emitted as (vec_id, out_dim, y) rows.
+
+    The matrix is the Achlioptas +-1/sqrt(k) sign matrix with signs
+    drawn from the portable hash family, so the ORACLE REGENERATES THE
+    ENTIRE MATRIX in SQL and the projected values themselves are
+    hash-compared -- same cross-engine-exact dot machinery as the LSH
+    family (left-fold double accumulation on both sides, +-0.25
+    entries exactly representable). tests/test_approx.py pins the JL
+    content: squared norms survive within the expected concentration.
+
+    Scale shape: one narrow map per row -- the matrix ships as a single
+    parsed literal (no per-element py4j cost, see _planes_literal), the
+    k dots run inside one staged projection, and nothing shuffles
+    except the final presentation sort. At 100 TB this is the step
+    that makes the rest of the vector pipeline cheap: 64->16 dims cuts
+    every downstream embedding exchange (kNN join replication, IVF
+    build, semantic-dedup cell scoring) 4x for a bounded recall cost,
+    and composes with q_quantize_embeddings (project THEN quantize) for
+    the at-rest layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb, sf_dir)
+    planes = _rp_planes_py(dim, RP_DIMS)
+    projected = emb.select(
+        "vec_id",
+        _plane_dots_col(F.col("embedding"), planes).alias("_y"),
+    )
+    return projected.select(
+        "vec_id", F.posexplode("_y").alias("out_dim", "y")
+    ).orderBy("vec_id", "out_dim")

@@ -713,3 +713,57 @@ def test_countmin_grid_matches_reference_under_collisions(spark):
         assert est >= true, (key, est, true)
         collided += est > true
     assert collided > 0, "width must force collisions for this test"
+
+
+def test_random_projection_preserves_norms_and_distances(spark):
+    """The JL content of q_random_projection: with +-1/sqrt(k) entries,
+    E[||y||^2] = ||x||^2 -- per-vector squared-norm ratios concentrate
+    around 1, and (by linearity) so do pairwise squared distances.
+    The dataset and matrix are deterministic, so the bounds are stable."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        RP_DIMS,
+        _rp_planes_py,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    dim = len(next(iter(emb.values())))
+    planes = _rp_planes_py(dim, RP_DIMS)
+
+    def project(x):
+        return [sum(p[d] * x[d] for d in range(dim)) for p in planes]
+
+    def sq(v):
+        return sum(c * c for c in v)
+
+    ratios = []
+    proj = {}
+    for vid, x in emb.items():
+        y = project(x)
+        proj[vid] = y
+        ratios.append(sq(y) / sq(x))
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    assert all(0.2 < r < 2.8 for r in ratios), (min(ratios), max(ratios))
+
+    # pairwise distances ride the same concentration (linearity)
+    ids = sorted(emb)[:10]
+    for a, b in zip(ids, ids[1:]):
+        dx = sq([p - q for p, q in zip(emb[a], emb[b])])
+        dy = sq([p - q for p, q in zip(proj[a], proj[b])])
+        assert 0.2 < dy / dx < 2.8, (a, b, dy / dx)
+
+    # and the registered query's Spark-side values equal this
+    # driver-side rebuild to float tolerance (exact cross-engine
+    # equality vs DuckDB is the parity gate's job)
+    import __spark_entry__ as e
+
+    got = e.queries()["q_random_projection"](spark, SF_DIR).collect()
+    for r in got[: 5 * RP_DIMS]:
+        assert math.isclose(
+            r["y"], proj[r["vec_id"]][r["out_dim"]], rel_tol=1e-9, abs_tol=1e-9
+        )
