@@ -73,6 +73,16 @@ PROBE = [
     # win is the constant, i.e. the probed fraction).
     "q_knn_join",
     "q_ann_ivf_join",
+    # round-7 fourth/fifth waves: count-min (events replicate with
+    # user_ids KEPT, so per-key frequency multiplies while the grid
+    # stays 2048 cells -- the exchange is fixed-size by construction,
+    # so the slope is the map-side explode+md5 scan, ~linear); random
+    # projection (embeddings multiply, matrix fixed -- a narrow map,
+    # ~linear in N). The cardinality-scaling count-min contrast
+    # (exact groupBy vs grid as DISTINCT KEYS grow) is the dedicated
+    # `cmssweep` subcommand; this row stresses the frequency axis.
+    "q_countmin",
+    "q_random_projection",
     # q_near_dedup_embedding_lsh is deliberately NOT probed here:
     # replicas are exact duplicates, so every copy family lands in
     # identical buckets in every band and candidate pairs grow
