@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_gapfill": (
+        "rotated OUT round 7 sixth wave (green driver rows r4+r5+r6,"
+        " relational.py untouched this round so the r6 row covers"
+        " byte-identical code): the dense-time Generate surface is"
+        " held in-window by q_countmin's depth explode and"
+        " q_chunk_docs' sequence chunking; the fill/carry-forward"
+        " window mechanics by q_window_trailing and q_scd2_intervals"
+        " over the same events ordering; its own sequence-join shape"
+        " stays re-proven every round by the local parity gate"
+    ),
     "q_json_extract": (
         "rotated OUT round 7 fifth wave (green driver rows"
         " r1+r3+r4+r5+r6 -- the deepest history in the registry --"
@@ -422,6 +432,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # the portable hash family, so projected values hash-compare
 # bit-for-bit) enters for an immediate driver row; q_json_extract
 # parks on the registry's deepest five-green history.
+# Round-7 sixth wave: q_set_overlap_kmv (KMV bottom-k distinct sketch
+# with set operations -- the third sketch-tier member: mergeable,
+# duplicate-insensitive, and intersection-capable where HLL is not;
+# sketches AND estimator doubles rebuilt verbatim by the oracle,
+# parity at sf0.001-0.1) enters for an immediate driver row;
+# q_gapfill parks on a three-green history with its Generate and
+# fill-window tiers double-held in-window.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

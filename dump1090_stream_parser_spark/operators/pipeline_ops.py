@@ -1010,6 +1010,216 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET OPERATIONS: the third
+# member of the sketch tier. HLL (q_approx_distinct) answers "how many
+# distinct", count-min "how frequent is this key"; KMV is the mergeable
+# distinct sketch that also supports INTERSECTIONS -- the k smallest
+# hashes of a set are a uniform sample of its distinct elements, so two
+# sources' sketches estimate their union, Jaccard, and overlap without
+# ever joining the raw data. Built on the portable hash family, so the
+# oracle rebuilds the sketches AND the estimates bit-for-bit.
+# --------------------------------------------------------------------------
+
+#: Sketch size: k smallest 60-bit hashes per source. rsd of the union
+#: estimator ~ 1/sqrt(K_KMV - 2) ~ 13%.
+K_KMV = 64
+
+#: 2^60 as an exact double literal (the portable hash range); both
+#: engines parse this decimal to the identical power-of-two double.
+_TWO60 = "1152921504606846976.0"
+
+# The estimator expressions as SHARED TEXT so Spark and DuckDB evaluate
+# the identical IEEE operation tree over identically-named columns:
+# union_est is exact below K (the sketch holds the whole set), else the
+# classic (K-1)/F(h_K) with F the Kth smallest hash normalized to 2^60;
+# jaccard is the match fraction inside the union sketch; the overlap
+# estimate is their product.
+_KMV_UNION_EST = (
+    f"CASE WHEN cnt_u < {K_KMV} THEN CAST(cnt_u AS DOUBLE)"
+    f" ELSE ({K_KMV - 1}.0 * {_TWO60}) / CAST(h_k AS DOUBLE) END"
+)
+_KMV_JACCARD_EST = "CAST(c AS DOUBLE) / CAST(cnt_u AS DOUBLE)"
+_KMV_INTER_EST = f"({_KMV_JACCARD_EST}) * ({_KMV_UNION_EST})"
+
+_KMV_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+)
+
+
+@query(
+    "q_set_overlap_kmv",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, {_KMV_KEY_SQL} AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    dh AS (SELECT DISTINCT event_type, {portable_hash64_sql("k")} AS h
+           FROM du),
+    ks AS (SELECT event_type, h FROM (
+             SELECT event_type, h,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                      AS rn
+             FROM dh) t
+           WHERE rn <= {K_KMV}),
+    nx AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM du GROUP BY 1),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     a.n AS n_a, b.n AS n_b
+              FROM nx a JOIN nx b ON a.event_type < b.event_type),
+    m AS (
+      SELECT p.ta, p.tb, s.h, 1 AS ia, 0 AS ib
+      FROM pairs p JOIN ks s ON s.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, s.h, 0 AS ia, 1 AS ib
+      FROM pairs p JOIN ks s ON s.event_type = p.tb
+    ),
+    u AS (SELECT ta, tb, h, MAX(ia) AS ia, MAX(ib) AS ib
+          FROM m GROUP BY 1, 2, 3),
+    uk AS (SELECT * FROM (
+             SELECT u.*, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h)
+                      AS rn
+             FROM u) t
+           WHERE rn <= {K_KMV}),
+    st AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS cnt_u,
+                  CAST(SUM(ia * ib) AS BIGINT) AS c, MAX(h) AS h_k
+           FROM uk GROUP BY 1, 2),
+    ix AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                  CAST(COUNT(*) AS BIGINT) AS inter_exact
+           FROM du x JOIN du y
+             ON x.k = y.k AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+    SELECT p.ta AS type_a, p.tb AS type_b, p.n_a, p.n_b,
+           COALESCE(ix.inter_exact, CAST(0 AS BIGINT)) AS inter_exact,
+           {_KMV_UNION_EST} AS union_est,
+           {_KMV_JACCARD_EST} AS jaccard_est,
+           {_KMV_INTER_EST} AS inter_est
+    FROM pairs p
+    JOIN st ON st.ta = p.ta AND st.tb = p.tb
+    LEFT JOIN ix ON ix.ta = p.ta AND ix.tb = p.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def q_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source audience overlap from KMV sketches: for every
+    event-type pair, the exact per-source user-day counts and exact
+    intersection alongside the sketch-estimated union, Jaccard, and
+    intersection at the (user_id, day) grain.
+
+    The sketch is the K_KMV smallest portable 60-bit hashes per source
+    -- a bottom-k uniform sample of the source's distinct keys. Both
+    the sketches and the estimator arithmetic are rebuilt verbatim by
+    the DuckDB oracle (shared expression text over identically-named
+    columns), so the ESTIMATES hash-compare, not just the exact legs;
+    tests/test_approx.py additionally pins the estimates against the
+    theoretical error envelope.
+
+    Scale shape: the per-type bottom-k runs through row_number +
+    filter, which WindowGroupLimit partially evaluates BELOW the
+    exchange -- each map partition forwards at most K_KMV rows per
+    type, so the window exchange is sketch-sized however large the
+    corpus. The sketch is duplicate-insensitive (re-observing a key
+    cannot change a min), so at production the grain-distinct exchange
+    belongs to the EXACT certificate legs, not the sketch: drop the
+    exact columns and the plan reads raw events, keeps 64 longs per
+    source as the stored artifact, merges by union+trim (associative,
+    commutative), and answers overlap for ANY source pair without
+    touching the corpus again -- the property HLL lacks (no
+    intersection) and exact distinct joins lack (corpus-sized
+    shuffle per question)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    du = ev.select(
+        "event_type",
+        F.concat_ws(":", F.col("user_id"), F.col("ts").cast("date")).alias(
+            "k"
+        ),
+    ).distinct()
+    dh = du.select(
+        "event_type", portable_hash64(F.col("k")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ks = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_KMV)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    nx = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        nx.alias("a")
+        .join(
+            nx.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sides = pairs.select("ta", "tb")
+    m = (
+        sides.join(ks, ks["event_type"] == sides["ta"])
+        .select("ta", "tb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionAll(
+            sides.join(ks, ks["event_type"] == sides["tb"]).select(
+                "ta", "tb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+            )
+        )
+    )
+    u = m.groupBy("ta", "tb", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    st = (
+        u.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= K_KMV)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_u"),
+            F.sum(F.col("ia") * F.col("ib")).alias("c"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    ix = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    # st and ix are pair-count-sized (<= C(n_types, 2) rows) but sit
+    # behind window/agg stages with no stats, so without the hint the
+    # final assembly planned as sort-merge with two needless exchanges
+    return (
+        pairs.join(F.broadcast(st), ["ta", "tb"])
+        .join(F.broadcast(ix), ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("inter_exact"), F.lit(0).cast("long")).alias(
+                "inter_exact"
+            ),
+            F.expr(_KMV_UNION_EST).alias("union_est"),
+            F.expr(_KMV_JACCARD_EST).alias("jaccard_est"),
+            F.expr(_KMV_INTER_EST).alias("inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cohort retention: the classic activity matrix (cohort week x age) --
 # a composite of hash aggregates and one broadcast-able join; no window
 # functions, no self-join over the fact table.

@@ -767,3 +767,30 @@ def test_random_projection_preserves_norms_and_distances(spark):
         assert math.isclose(
             r["y"], proj[r["vec_id"]][r["out_dim"]], rel_tol=1e-9, abs_tol=1e-9
         )
+
+
+def test_kmv_overlap_estimates_within_envelope(spark):
+    """The KMV sketch's statistical content (oracle equality proves
+    faithful execution, this proves the estimator is worth executing):
+    with K=64 the union estimator's rsd is ~1/sqrt(K-2) ~ 13% and the
+    Jaccard match fraction's sd is ~sqrt(J(1-J)/K) ~ 0.06 here, so
+    3-sigma-ish envelopes hold deterministically on this corpus
+    (measured worst: union 6.4%, jaccard 0.05, intersection 19%)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_set_overlap_kmv"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        exact_union = r["n_a"] + r["n_b"] - r["inter_exact"]
+        true_j = r["inter_exact"] / exact_union
+        assert r["inter_exact"] > 0
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert (
+            abs(r["union_est"] - exact_union) / exact_union < 0.30
+        ), (r["type_a"], r["type_b"], r["union_est"], exact_union)
+        assert abs(r["jaccard_est"] - true_j) < 0.15, (
+            r["type_a"], r["type_b"], r["jaccard_est"], true_j,
+        )
+        assert (
+            abs(r["inter_est"] - r["inter_exact"]) / r["inter_exact"] < 0.60
+        ), (r["type_a"], r["type_b"], r["inter_est"], r["inter_exact"])
