@@ -1046,6 +1046,14 @@ _KMV_KEY_SQL = (
 )
 
 
+def kmv_key(user_col: Column, ts_col: Column) -> Column:
+    """The (user_id, day) grain key both the batch overlap query and
+    the streaming twin (``streaming/kmv.py``) hash, so their sketches
+    agree bit-for-bit. Day rendering is engine-portable: casting a
+    date to string yields ISO YYYY-MM-DD in Spark and DuckDB alike."""
+    return F.concat_ws(":", user_col, ts_col.cast("date"))
+
+
 @query(
     "q_set_overlap_kmv",
     oracle=f"""
@@ -1131,9 +1139,7 @@ def q_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = ev.select(
         "event_type",
-        F.concat_ws(":", F.col("user_id"), F.col("ts").cast("date")).alias(
-            "k"
-        ),
+        kmv_key(F.col("user_id"), F.col("ts")).alias("k"),
     ).distinct()
     dh = du.select(
         "event_type", portable_hash64(F.col("k")).alias("h")
