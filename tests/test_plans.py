@@ -906,3 +906,21 @@ def test_ann_ivf_join_is_hash_join_with_narrow_topk(spark):
     m = re.search(r"\(\d+\) Exchange\n(?:.+\n)*?Input \[\d+\]: \[([^\]]*)\]", plan)
     assert m, plan
     assert "embedding" not in m.group(1) and "qv" not in m.group(1), m.group(1)
+
+
+def test_kmv_bottomk_prunes_before_exchange_and_joins_broadcast(spark):
+    """q_set_overlap_kmv's scale claims, pinned on the physical plan:
+    the per-source bottom-k runs a PARTIAL WindowGroupLimit below its
+    exchange (each map task forwards at most K_KMV rows per source),
+    and the pair-level assembly broadcasts its sketch-sized sides --
+    no sort-merge join, no cartesian product anywhere."""
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        K_KMV,
+        q_set_overlap_kmv,
+    )
+
+    plan = formatted_plan(q_set_overlap_kmv(spark, SF_DIR))
+    assert f"row_number(), {K_KMV}, Partial" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
