@@ -33,6 +33,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_join_full": (
+        "rotated OUT round 7 seventh wave (green driver rows"
+        " r3+r4+r5+r6, joins.py untouched this round so the r6 row"
+        " covers byte-identical code): the join tier keeps two"
+        " in-window representatives over the same module"
+        " (q_join_snowflake inner chain, q_join_range theta/range);"
+        " FULL OUTER's coalesced-key union shape stays re-proven"
+        " every round by the local parity gate and its plan pin in"
+        " tests/test_plans.py"
+    ),
     "q_gapfill": (
         "rotated OUT round 7 sixth wave (green driver rows r4+r5+r6,"
         " relational.py untouched this round so the r6 row covers"
@@ -439,6 +449,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # parity at sf0.001-0.1) enters for an immediate driver row;
 # q_gapfill parks on a three-green history with its Generate and
 # fill-window tiers double-held in-window.
+# Round-7 seventh wave: q_source_divergence (Jensen-Shannon divergence
+# between per-source token distributions -- the mixture-drift
+# diagnostic; exact integer counts, one token-sorted float fold shared
+# as text with the oracle, parity at sf0.001-0.1) enters for an
+# immediate driver row; q_join_full parks on a four-green history with
+# the join tier double-held in-window.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

@@ -1226,6 +1226,170 @@ def q_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Source divergence: Jensen-Shannon divergence between per-source token
+# distributions -- the dataset-mixture drift diagnostic (which sources
+# are interchangeable, which one shifted under you). Distributions are
+# exact integer counts; the one float reduction runs as a fold over the
+# TOKEN-SORTED term list so both engines accumulate in the identical
+# order (the cosine-fold discipline), with the per-token term itself a
+# single shared SQL text.
+# --------------------------------------------------------------------------
+
+#: Per-token JS contribution over columns (ca, cb, na, nb): with
+#: p = ca/na and q = cb/nb, 0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)),
+#: zero-count sides contributing 0 (the 0*ln0 limit). Shared TEXT so
+#: Spark (F.expr) and DuckDB evaluate the identical operation tree;
+#: ln is the same ~1-ulp class as q_weighted_sample's pow/ln (see its
+#: docstring) and the fold result is rounded to 6.
+_JS_TERM = (
+    "0.5 * (CASE WHEN ca > 0 THEN"
+    " (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    " * ln((2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)))"
+    " / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    " + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))) ELSE 0.0 END)"
+    " + 0.5 * (CASE WHEN cb > 0 THEN"
+    " (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * ln((2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    " / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    " + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))) ELSE 0.0 END)"
+)
+
+
+@query(
+    "q_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE token <> '' GROUP BY 1, 2),
+    nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           FROM tc GROUP BY 1),
+    pairs AS (SELECT a.source AS sa, b.source AS sb,
+                     a.n AS na, b.n AS nb
+              FROM nt a JOIN nt b ON a.source < b.source),
+    m AS (
+      SELECT p.sa, p.sb, t.token, t.c AS ca, CAST(0 AS BIGINT) AS cb
+      FROM pairs p JOIN tc t ON t.source = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, t.token, CAST(0 AS BIGINT) AS ca, t.c AS cb
+      FROM pairs p JOIN tc t ON t.source = p.sb
+    ),
+    u AS (SELECT sa, sb, token,
+                 CAST(SUM(ca) AS BIGINT) AS ca,
+                 CAST(SUM(cb) AS BIGINT) AS cb
+          FROM m GROUP BY 1, 2, 3),
+    terms AS (
+      SELECT u.sa, u.sb, u.token, ({_JS_TERM}) AS term
+      FROM u JOIN pairs p ON p.sa = u.sa AND p.sb = u.sb
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b, p.na AS n_a, p.nb AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           ROUND(list_reduce(list(term ORDER BY token),
+                             (acc, x) -> acc + x), 6) AS js_div
+    FROM terms t JOIN pairs p ON p.sa = t.sa AND p.sb = t.sb
+    GROUP BY 1, 2, 3, 4
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source pair's token
+    distribution, with the per-source token totals and union-vocabulary
+    size alongside.
+
+    The mixture-curation drift question: JS is 0 for identical
+    distributions, ln 2 for disjoint support, symmetric and bounded --
+    the right "are these sources interchangeable / did a crawl shift"
+    metric where KL is unbounded and asymmetric. Counts are exact
+    integers; the single float reduction folds the token-SORTED term
+    list left-to-right in both engines (Spark ``aggregate`` over
+    ``sort_array``, DuckDB ``list_reduce`` over ``list(... ORDER BY
+    token)``), with the per-token term one shared SQL text -- so the
+    rounded divergence hash-compares. ASCII-ordering note: the sort
+    key is the raw token; Spark and DuckDB both compare varchars
+    bytewise on this verified-ASCII corpus. tests/test_approx.py pins
+    the values against an independent numpy recomputation and the
+    [0, ln 2] bound.
+
+    Scale shape: token counting is the corpus-proportional stage (one
+    hash agg on (source, token), partial-agg collapsed map-side); from
+    there everything is VOCABULARY-sized -- the pair assembly joins
+    per-source count vectors (pairs x vocab rows), and each pair's
+    fold runs over its union vocabulary only. At 100 TB with S
+    sources and vocabulary V, the post-count cost is O(S^2 V) rows
+    independent of corpus size; V itself is bounded by a df floor in
+    production (rare tokens carry no mixture signal and are cut before
+    the pair stage, exactly as BM25's df pruning does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nt = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        nt.alias("a")
+        .join(nt.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # broadcast the PAIR list (S^2 rows), never the count vectors
+    # (S x V rows -- vocabulary-sized, the side that grows)
+    sides = pairs.select("sa", "sb")
+    m = (
+        tc.join(F.broadcast(sides), tc["source"] == sides["sa"])
+        .select("sa", "sb", "token", F.col("c").alias("ca"),
+                F.lit(0).cast("long").alias("cb"))
+        .unionAll(
+            tc.join(F.broadcast(sides), tc["source"] == sides["sb"]).select(
+                "sa", "sb", "token",
+                F.lit(0).cast("long").alias("ca"), F.col("c").alias("cb"),
+            )
+        )
+    )
+    u = m.groupBy("sa", "sb", "token").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    terms = u.join(F.broadcast(pairs), ["sa", "sb"]).withColumn(
+        "term", F.expr(_JS_TERM)
+    )
+    return (
+        terms.groupBy("sa", "sb", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_union"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("token", "term"))
+                        ),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("js_div"),
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "vocab_union",
+            "js_div",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cohort retention: the classic activity matrix (cohort week x age) --
 # a composite of hash aggregates and one broadcast-able join; no window
 # functions, no self-join over the fact table.

@@ -794,3 +794,47 @@ def test_kmv_overlap_estimates_within_envelope(spark):
         assert (
             abs(r["inter_est"] - r["inter_exact"]) / r["inter_exact"] < 0.60
         ), (r["type_a"], r["type_b"], r["inter_est"], r["inter_exact"])
+
+
+def test_source_divergence_matches_numpy_and_bounds(spark):
+    """q_source_divergence's statistical content: every pair's JS
+    divergence equals an independent numpy recomputation from exact
+    token counts (to the emitted 6-decimal rounding) and respects the
+    [0, ln 2] bound; identical sources would give 0, disjoint ln 2."""
+    import math
+
+    import numpy as np
+
+    import __spark_entry__ as e
+    from dump1090_stream_parser_spark.operators.text import tokens_col
+
+    tc = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.explode(tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .count()
+        .collect()
+    )
+    counts: dict[str, dict[str, int]] = {}
+    for r in tc:
+        counts.setdefault(r["source"], {})[r["token"]] = r["count"]
+
+    def js(a: dict, b: dict) -> float:
+        na, nb = sum(a.values()), sum(b.values())
+        vocab = sorted(set(a) | set(b))
+        p = np.array([a.get(t, 0) / na for t in vocab])
+        q = np.array([b.get(t, 0) / nb for t in vocab])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(p > 0, p * np.log(2 * p / (p + q)), 0.0)
+            tb = np.where(q > 0, q * np.log(2 * q / (p + q)), 0.0)
+        return float(0.5 * ta.sum() + 0.5 * tb.sum())
+
+    rows = e.queries()["q_source_divergence"](spark, SF_DIR).collect()
+    srcs = sorted(counts)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        ref = js(counts[r["source_a"]], counts[r["source_b"]])
+        assert 0.0 <= r["js_div"] <= math.log(2) + 1e-9, r
+        assert abs(r["js_div"] - ref) < 2e-6, (
+            r["source_a"], r["source_b"], r["js_div"], ref,
+        )
