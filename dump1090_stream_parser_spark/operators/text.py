@@ -28,9 +28,10 @@ from .registry import query
 #: Small fixed stopword list (engine-defined; mirrored in oracles).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "data")
 
-#: Corpus language inventory (TESTDATA documents.lang domain). Treated
-#: as pipeline configuration -- q_lang_id pivots on this fixed list so
-#: the scorer stays a single aggregation pass with no distinct-scan job.
+#: Corpus language inventory (TESTDATA documents.lang domain),
+#: documentation of the expected domain. q_lang_id no longer pivots on
+#: it: profiles key on the langs the corpus actually contains, so a
+#: drifted lang degrades gracefully instead of crashing the scorer.
 LANG_VALUES = ("de", "en", "es", "fr", "zh")
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -179,8 +180,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. SCORING, a second Arrow pass: per doc, distinct-count bigram
        codes, searchsorted-lookup into the merged profile, fold
        int64 counts, argmax with ties toward the lowest language
-       (LANG_VALUES is sorted; np.argmax takes the first max --
-       the oracle's ORDER BY score DESC, plang).
+       (the observed-lang list is sorted; np.argmax takes the first
+       max -- the oracle's ORDER BY score DESC, plang). Profiles key
+       on the langs the corpus actually contains, exactly like the
+       oracle's GROUP BY lang -- an out-of-catalog lang grows its own
+       profile instead of crashing the executor.
 
     All arithmetic is int64, so results are bit-equal to the previous
     all-JVM shape (split -> explode -> broadcast-join -> wide agg),
@@ -200,8 +204,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents")
-    langs = list(LANG_VALUES)
-    lang_index = {lang: i for i, lang in enumerate(langs)}
     staged = (
         docs.select("doc_id", "lang", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -221,45 +223,55 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _profile_batches(it):
         import pandas as pd
 
-        per_lang: dict[int, list] = {}
+        # Partials are keyed by the OBSERVED lang value, not a
+        # pre-baked index: the oracle's profile CTE groups whatever
+        # langs exist in the corpus, so a drifted lang must grow a
+        # profile rather than crash the executor (round-7 advisor
+        # finding: lang_index[lang] raised KeyError on unknown langs).
+        # Cost is a short string per alphabet-bounded partial row.
+        per_lang: dict[str, list] = {}
         for pdf in it:
-            by_lang: dict[int, list] = {}
+            by_lang: dict[str, list] = {}
             for lang, text in zip(pdf["lang"], pdf["text"]):
                 codes = _doc_codes(text)
                 if codes is None:
                     continue
-                by_lang.setdefault(lang_index[lang], []).append(codes)
-            for li, arrs in by_lang.items():
+                by_lang.setdefault(str(lang), []).append(codes)
+            for lv, arrs in by_lang.items():
                 u, n = np.unique(
                     np.concatenate(arrs), return_counts=True
                 )
-                per_lang.setdefault(li, []).append((u, n))
+                per_lang.setdefault(lv, []).append((u, n))
         out_b, out_l, out_c = [], [], []
-        for li, parts in per_lang.items():
+        for lv, parts in per_lang.items():
             cat = np.concatenate([u for u, _ in parts])
             wts = np.concatenate([n for _, n in parts])
             uu, inv = np.unique(cat, return_inverse=True)
             tot = np.zeros(len(uu), dtype="int64")
             np.add.at(tot, inv, wts)
             out_b.append(uu)
-            out_l.append(np.full(len(uu), li, dtype="int32"))
+            out_l.extend([lv] * len(uu))
             out_c.append(tot)
         if out_b:
             yield pd.DataFrame(
                 {
                     "bigram": np.concatenate(out_b),
-                    "li": np.concatenate(out_l),
+                    "plang": out_l,
                     "cnt": np.concatenate(out_c),
                 }
             )
 
     partials = staged.mapInPandas(
-        _profile_batches, schema="bigram bigint, li int, cnt bigint"
+        _profile_batches, schema="bigram bigint, plang string, cnt bigint"
     ).collect()
+    # Sorted observed langs: np.argmax's first-max then equals the
+    # oracle's ORDER BY score DESC, plang ASC tie-break.
+    langs = sorted({str(r["plang"]) for r in partials})
+    lang_index = {lang: i for i, lang in enumerate(langs)}
     code_cnts: dict[int, list[int]] = {}
     for r in partials:
         code_cnts.setdefault(int(r["bigram"]), [0] * len(langs))[
-            int(r["li"])
+            lang_index[str(r["plang"])]
         ] += int(r["cnt"])
     keys_sorted = sorted(code_cnts)
     cnt_rows = [code_cnts[k] for k in keys_sorted]

@@ -100,6 +100,17 @@ def kmv_stream(
     Column expression, e.g. ``kmv_key(F.col("user_id"), F.col("ts"))``;
     NULL keys are dropped -- no distinct-membership question).
 
+    CALLER CONTRACT: the internal isNotNull/non-empty guard sees only
+    the COMPOSED key, so it cannot reproduce the batch query's
+    per-column NULL filters -- concat_ws-built keys swallow a NULL
+    component into a shorter non-null key (e.g. a NULL user_id leaves
+    a date-only key that still passes the guard). Pre-apply the batch
+    query's column filters (``user_id IS NOT NULL`` etc.) to
+    ``event_stream`` before calling, or pass a key column that is NULL
+    whenever any component is NULL (``concat``, not ``concat_ws``);
+    otherwise the streamed sketch diverges from the batch sketch on
+    rows the batch query excludes.
+
     Returns an append-mode stream of (source, h, ver) sketch rows; the
     current sketch is the max-``ver`` rows per source
     (:func:`latest_sketch`). Overlap estimates for any source pair

@@ -134,8 +134,13 @@ def _make_update(tau: float, ttl_ms: int, max_docs: int):
                 # over RAW vectors reproduce the JVM/oracle left fold;
                 # np.dot's BLAS pairwise summation rounds differently
                 # and WOULD drift from the batch manifest. Rounding is
-                # decimal HALF_UP, the same rule Spark's round() and
-                # DuckDB's ROUND apply (Python's round() is half-even).
+                # decimal HALF_UP over the SHORTEST decimal repr
+                # (Decimal(repr(x)), matching the JVM's
+                # BigDecimal.valueOf(Double.toString) path that backs
+                # Spark's round()); Decimal(x) would quantize the exact
+                # binary expansion, which can cross a 1e-6 halfway
+                # point the shortest repr does not. Python's round()
+                # is half-even, so neither engine uses it.
                 m = np.stack(vecs)
                 acc = np.zeros(len(ids))
                 for d in range(raw.shape[0]):
@@ -145,7 +150,7 @@ def _make_update(tau: float, ttl_ms: int, max_docs: int):
                     if oid >= vid or cos_raw[i] < tau - 1e-6:
                         continue
                     c = float(
-                        Decimal(float(cos_raw[i])).quantize(
+                        Decimal(repr(float(cos_raw[i]))).quantize(
                             Decimal("1e-6"), rounding=ROUND_HALF_UP
                         )
                     )

@@ -53,18 +53,34 @@ OUTPUT_SCHEMA = (
 def es_priority(doc_id: int, n_chars: int) -> float:
     """The batch operator's priority, computed Python-side: u from the
     same salted md5 portable hash, w = ln(1+n_chars), key = u^(1/w)
-    rounded decimal HALF_UP to 6 (Spark's/DuckDB's ROUND; Python's
-    round() is half-even). pow/ln are ~1-ulp libm on every engine --
-    the same documented arithmetic class as the batch oracle -- and
-    the stream==batch test asserts value equality on the corpus."""
+    rounded decimal HALF_UP to 6 over the SHORTEST decimal repr
+    (Decimal(repr(raw)), the JVM BigDecimal.valueOf path behind
+    Spark's round(); quantizing the exact binary expansion can cross
+    a 1e-6 halfway point the shortest repr does not. Python's round()
+    is half-even, so neither engine uses it). pow/ln are ~1-ulp libm
+    on every engine -- the same documented arithmetic class as the
+    batch oracle -- and the stream==batch test asserts value equality
+    on the corpus.
+
+    Zero-length-doc contract (shared with the batch query): n_chars=0
+    gives w=0, where the batch engines evaluate POWER(u, 1.0/0.0) =
+    u^Infinity = 0.0 for u < 1 without raising; the Python path guards
+    the division and returns that same limit instead of dividing by
+    zero. A priority of 0.0 sorts below every real key, so zero-length
+    docs are never sampled on either path."""
     h = int(
         hashlib.md5(f"w:{doc_id}".encode()).hexdigest()[:15], 16
     )
     u = (h % _MERSENNE31 + 1) / float(_MERSENNE31)
     w = math.log(1.0 + float(n_chars))
-    raw = math.pow(u, 1.0 / w)
+    if w <= 0.0:
+        raw = 1.0 if u >= 1.0 else 0.0
+    else:
+        raw = math.pow(u, 1.0 / w)
     return float(
-        Decimal(raw).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        Decimal(repr(raw)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
     )
 
 
