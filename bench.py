@@ -97,6 +97,7 @@ HEADLINE = [
     "q_random_projection", # JL sign-matrix projection (narrow map)
     "q_set_overlap_kmv",   # KMV bottom-k sketch + set-op estimates
     "q_source_divergence", # pairwise JS divergence, token-sorted fold
+    "q_ema",               # linear-recurrence fold (sorted-array EMA)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -17,6 +17,7 @@ from . import pipeline_ops  # noqa: F401
 from . import inference  # noqa: F401
 from . import composite  # noqa: F401
 from . import sbs1_gold  # noqa: F401
+from . import timeseries  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -33,6 +34,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_approx_distinct": (
+        "rotated OUT round 8 first wave (green driver rows r6+r7 on"
+        " its self-certifying shape, relational.py untouched this"
+        " round so the r7 row covers byte-identical code): the"
+        " distinct-sketch tier is double-held in-window by"
+        " q_set_overlap_kmv (a mergeable distinct estimator whose"
+        " sketch AND estimator the oracle REBUILDS -- a strictly"
+        " stronger pin than HLL's bounded-error certificate) and the"
+        " sketch family by q_approx_percentile / q_countmin /"
+        " q_heavy_hitters; the HLL rsd certificate stays re-proven"
+        " every round by the local parity gate"
+    ),
     "q_join_full": (
         "rotated OUT round 7 seventh wave (green driver rows"
         " r3+r4+r5+r6, joins.py untouched this round so the r6 row"

@@ -1,0 +1,193 @@
+"""Tier C extension: time-series recurrences (SURVEY.md §2 north-star
+"operations a large-scale training-data pipeline would need" -- smoothed
+per-entity metrics feed quality dashboards and drift monitors the same
+way the reference's hourly message-rate query feeds its dump1090 view).
+
+The headline operator is the exponentially weighted moving average: a
+LINEAR RECURRENCE (ema_t = (1-a)*ema_{t-1} + a*x_t) that no built-in
+Spark aggregate expresses -- window frames see raw rows, not folded
+state. Two implementations share the module:
+
+- :func:`q_ema` -- the parity shape: one hash shuffle on the entity key,
+  then the house sorted-array fold (Spark ``aggregate`` over
+  ``sort_array(collect_list(...))`` vs DuckDB ``list_reduce`` over
+  ``list(... ORDER BY ...)``), both engines folding the identical
+  ordered list left-to-right so the rounded doubles hash-compare.
+  DuckDB's ``list_reduce`` seeds with the FIRST element -- exactly the
+  EMA seeding ema_1 = x_1 -- and the Spark lambda replicates that seed
+  with a NULL accumulator branch.
+- :func:`ema_segmented` -- the 100 TB shape. Each observation is the
+  affine map e -> (1-a)*e + a*x; affine maps compose associatively
+  ((A2,B2)ยบ(A1,B1) = (A2*A1, A2*B1+B2)), so contiguous TIME SEGMENTS
+  partial-aggregate independently and only segment summaries (two
+  doubles each) ride the second shuffle. With ema_1 = x_1 seeding, the
+  closed form is ema_n = A_total * x_first + B_total. A per-key series
+  that is one task's worth of rows in q_ema becomes #segments
+  bounded-size folds here; tests/test_timeseries.py pins segmented ==
+  single-fold to float-reassociation tolerance.
+
+Reference parity note: the reference script has no smoothing operator
+(its analytics stop at SQLite GROUP BY views); this module is part of
+the mandated training-data extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+#: Smoothing factor. 0.25 and 0.75 are exact in binary floating point,
+#: so the per-step arithmetic is the same two IEEE ops in both engines
+#: (one multiply-add chain, no decimal-literal conversion slack).
+EMA_ALPHA = 0.25
+
+
+@query(
+    "q_ema",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * 0.75 + 0.25 * x),
+                 6) AS ema_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` over
+    the event stream, seeded with the first observation (ema_1 = x_1,
+    ema_t = 0.75*ema_{t-1} + 0.25*x_t in (ts, event_id) order).
+
+    The recurrence no built-in aggregate expresses: a window frame sums
+    raw rows, but EMA needs the FOLDED accumulator at every step. Shape
+    is the house sorted-array fold -- one hash shuffle on user_id
+    collects (ts, event_id, value) structs, ``sort_array`` orders them
+    bytewise-identically to the oracle's ``ORDER BY ts, event_id``
+    (event_id is the unique tiebreaker), and ``F.aggregate`` folds
+    left-to-right with a NULL-seed branch replicating DuckDB
+    ``list_reduce``'s seed-with-first-element -- which IS the EMA
+    seeding, so neither engine special-cases the head. Every step is
+    acc*0.75 + 0.25*x on doubles (both constants exact in binary), so
+    the fold is bit-identical cross-engine and only the final value is
+    rounded to 6.
+
+    Scale: the parity fold carries one task per user -- fine while the
+    per-key series fits a task (the q_source_divergence discipline).
+    When it doesn't, the affine-composition identity applies: each
+    observation is the map e -> 0.75e + 0.25x, maps compose
+    associatively, so bounded time segments partial-aggregate and only
+    (A, B) double pairs ride the key-level shuffle -- implemented as
+    :func:`ema_segmented`, equal to this fold modulo float
+    reassociation (pinned in tests/test_timeseries.py). The same
+    identity is what a Structured Streaming twin would keep as state:
+    one (A, B, x_first) triple per key, O(1) per arrival.
+    """
+    events = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ema = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            acc * F.lit(0.75) + F.lit(0.25) * x
+        ),
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ema, 6).alias("ema_value"),
+        )
+    )
+
+
+def ema_segmented(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "1 hour",
+) -> DataFrame:
+    """The 100 TB EMA shape: two-level affine-composition fold.
+
+    Stage 1 groups on (user_id, time_bucket) and folds each segment's
+    observations into the affine summary (A, B) with A = 0.75^k and
+    B = fold(B*0.75 + 0.25*x), plus the segment's first value and
+    bucket timestamp. Segments are bounded by the bucket width, so no
+    task ever holds an unbounded series. Stage 2 shuffles only the
+    per-segment summaries (two doubles each) to the key level, composes
+    them in bucket order ((A2*A1, A2*B1 + B2)), and applies the closed
+    form ema_n = A_total * x_first + B_total, where x_first is the
+    first value of the earliest bucket (the ema_1 = x_1 seed solved
+    through the composed map).
+
+    Equal to :func:`q_ema` up to float reassociation (the partial
+    products regroup the same multiply-adds); the parity-certified
+    query stays the single fold precisely because reassociated doubles
+    cannot hash-compare. Returned unrounded for the tolerance test.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    seg = events.withColumn(
+        "bucket", F.window("ts", segment)["start"]
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    # Per-segment affine summary: fold (A, B) over the ordered values;
+    # also keep the segment's first value for the global seed.
+    summary = F.aggregate(
+        F.transform(ordered, lambda s: s["value"]),
+        F.struct(
+            F.lit(1.0).alias("a"),
+            F.lit(0.0).alias("b"),
+            F.lit(None).cast("double").alias("first_x"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["a"] * F.lit(0.75)).alias("a"),
+            (acc["b"] * F.lit(0.75) + F.lit(0.25) * x).alias("b"),
+            F.coalesce(acc["first_x"], x).alias("first_x"),
+        ),
+    )
+    segs = seg.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("k"), summary.alias("s")
+    )
+    # Key-level composition over bucket-ordered segment summaries:
+    # (A2,B2) o (A1,B1) = (A2*A1, A2*B1 + B2); seed solves to
+    # A_total * x_first + B_total.
+    per_key = F.sort_array(
+        F.collect_list(F.struct(F.col("bucket"), F.col("s").alias("s")))
+    )
+    composed = F.aggregate(
+        per_key,
+        F.struct(
+            F.lit(1.0).alias("a"),
+            F.lit(0.0).alias("b"),
+            F.lit(None).cast("double").alias("first_x"),
+        ),
+        lambda acc, seg_: F.struct(
+            (seg_["s"]["a"] * acc["a"]).alias("a"),
+            (seg_["s"]["a"] * acc["b"] + seg_["s"]["b"]).alias("b"),
+            F.coalesce(acc["first_x"], seg_["s"]["first_x"]).alias(
+                "first_x"
+            ),
+        ),
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(F.sum("k").alias("n_events"), composed.alias("c"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("c")["a"] * F.col("c")["first_x"] + F.col("c")["b"])
+            .alias("ema_value"),
+        )
+    )

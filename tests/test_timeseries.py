@@ -1,0 +1,73 @@
+"""EMA recurrence: parity fold vs the segmented affine-composition
+scale path (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import math
+
+from dump1090_stream_parser_spark.operators.timeseries import (
+    EMA_ALPHA,
+    ema_segmented,
+    q_ema,
+)
+
+from .conftest import SF_DIR
+
+
+def _reference_ema(values: list[float]) -> float:
+    acc = values[0]
+    for x in values[1:]:
+        acc = acc * (1 - EMA_ALPHA) + EMA_ALPHA * x
+    return acc
+
+
+def test_ema_matches_python_recurrence(spark):
+    """The sorted-array fold IS the textbook recurrence: recompute one
+    user's EMA with a plain Python loop over the same ordering."""
+    from dump1090_stream_parser_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = (
+        events.filter("value IS NOT NULL AND user_id = 1")
+        .select("ts", "event_id", "value")
+        .collect()
+    )
+    assert rows, "fixture user 1 must have events"
+    ordered = [
+        float(r["value"])
+        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+    ]
+    expect = round(_reference_ema(ordered), 6)
+    got = {
+        r["user_id"]: r["ema_value"]
+        for r in q_ema(spark, SF_DIR).collect()
+    }
+    assert math.isclose(got[1], expect, rel_tol=0, abs_tol=5e-7)
+
+
+def test_ema_segmented_matches_single_fold(spark):
+    """The affine-composition two-level fold equals the parity fold to
+    float-reassociation tolerance, for every key, at two segment
+    widths (many small segments and one containing-everything segment,
+    which must reduce to the single fold exactly)."""
+    single = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in q_ema(spark, SF_DIR).collect()
+    }
+    for width in ("30 minutes", "3650 days"):
+        seg = {
+            r["user_id"]: (r["n_events"], r["ema_value"])
+            for r in ema_segmented(spark, SF_DIR, width).collect()
+        }
+        assert seg.keys() == single.keys()
+        for uid, (n, v) in single.items():
+            ns, vs = seg[uid]
+            assert ns == n
+            # the certified value is round(·, 6); the unrounded
+            # segmented value must sit within that rounding grain
+            assert math.isclose(vs, v, rel_tol=0, abs_tol=5.01e-7), (
+                uid,
+                width,
+                vs,
+                v,
+            )
