@@ -18,6 +18,7 @@ from . import inference  # noqa: F401
 from . import composite  # noqa: F401
 from . import sbs1_gold  # noqa: F401
 from . import timeseries  # noqa: F401
+from . import statistics  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -34,6 +35,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_unpivot": (
+        "rotated OUT round 8 second wave (green driver rows r6+r7,"
+        " relational.py untouched this round so the r7 row covers"
+        " byte-identical code): the melt/stack reshaping pair is held"
+        " by its inverse q_pivot's parity coverage and the Generate"
+        " tier in-window by q_countmin's depth explode; the"
+        " stack()-vs-UNPIVOT shape stays re-proven every round by the"
+        " local parity gate and its plan pin"
+    ),
     "q_approx_distinct": (
         "rotated OUT round 8 first wave (green driver rows r6+r7 on"
         " its self-certifying shape, relational.py untouched this"

@@ -1,0 +1,52 @@
+"""OLS sufficient-statistics regression (operators/statistics.py):
+third-engine check against numpy on the same slices."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from dump1090_stream_parser_spark.operators.statistics import q_regression
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_regression_matches_numpy(spark):
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q_regression(spark, SF_DIR).collect()
+    }
+    assert got, "lineitem slices expected"
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice")
+        .collect()
+    )
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault(
+            (r["l_returnflag"], r["l_linestatus"]), []
+        ).append((float(r["l_quantity"]), float(r["l_extendedprice"])))
+    assert by_key.keys() == got.keys()
+    for key, pts in by_key.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        pred = slope * x + intercept
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot
+        g = got[key]
+        assert g["n_rows"] == len(pts)
+        # round(6) grain: abs_tol 5e-7 on scale-free r2; coefficients
+        # are larger so relative tolerance governs
+        assert math.isclose(g["slope"], slope, rel_tol=1e-5,
+                            abs_tol=5.01e-7), key
+        assert math.isclose(g["intercept"], intercept, rel_tol=1e-5,
+                            abs_tol=5.01e-7), key
+        assert math.isclose(g["r2"], r2, rel_tol=1e-5,
+                            abs_tol=5.01e-7), key
+        assert 0.0 <= g["r2"] <= 1.0
