@@ -99,6 +99,7 @@ HEADLINE = [
     "q_source_divergence", # pairwise JS divergence, token-sorted fold
     "q_ema",               # linear-recurrence fold (sorted-array EMA)
     "q_regression",        # OLS from exact-integer sufficient stats
+    "q_inverted_index",    # sharded delta-encoded posting lists
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

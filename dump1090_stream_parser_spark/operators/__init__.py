@@ -19,6 +19,7 @@ from . import composite  # noqa: F401
 from . import sbs1_gold  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import statistics  # noqa: F401
+from . import indexing  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -35,6 +36,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_dedup_best": (
+        "rotated OUT round 8 third wave (green driver rows r6+r7,"
+        " dedup.py untouched this round so the r7 row covers"
+        " byte-identical code): the exact-dedup tier keeps two"
+        " in-window representatives over the same module"
+        " (q_dedup_incremental snapshot-diff, q_dedup_clusters_lsh"
+        " banded clustering); keep-best's quality-ranked keeper choice"
+        " stays re-proven every round by the local parity gate"
+    ),
     "q_unpivot": (
         "rotated OUT round 8 second wave (green driver rows r6+r7,"
         " relational.py untouched this round so the r7 row covers"
