@@ -100,6 +100,7 @@ HEADLINE = [
     "q_ema",               # linear-recurrence fold (sorted-array EMA)
     "q_regression",        # OLS from exact-integer sufficient stats
     "q_inverted_index",    # sharded delta-encoded posting lists
+    "q_fuzzy_join",        # blocked Levenshtein record linkage
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

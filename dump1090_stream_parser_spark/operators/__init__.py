@@ -20,6 +20,7 @@ from . import sbs1_gold  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import statistics  # noqa: F401
 from . import indexing  # noqa: F401
+from . import linkage  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -36,6 +37,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_profile": (
+        "rotated OUT round 8 fourth wave (green driver rows r6+r7,"
+        " relational.py untouched this round so the r7 row covers"
+        " byte-identical code): the dataset-profiling single-pass"
+        " multi-statistic aggregation is the same partial+final hash"
+        " shape q_regression now holds in-window (sufficient-stats"
+        " OLS over exact scaled integers), and the null/distinct"
+        " accounting stays re-proven every round by the local parity"
+        " gate"
+    ),
     "q_dedup_best": (
         "rotated OUT round 8 third wave (green driver rows r6+r7,"
         " dedup.py untouched this round so the r7 row covers"
