@@ -84,9 +84,10 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively, so bounded time segments partial-aggregate and only
     (A, B) double pairs ride the key-level shuffle -- implemented as
     :func:`ema_segmented`, equal to this fold modulo float
-    reassociation (pinned in tests/test_timeseries.py). The same
-    identity is what a Structured Streaming twin would keep as state:
-    one (A, B, x_first) triple per key, O(1) per arrival.
+    reassociation (pinned in tests/test_timeseries.py). The Structured
+    Streaming twin (streaming/ema.py) keeps the fold accumulator
+    itself as O(1) state and is bit-identical to this query under
+    ordered replay (tests/test_ema_stream.py, incl. restart).
     """
     events = load_table(spark, sf_dir, "events")
     vals = F.transform(
