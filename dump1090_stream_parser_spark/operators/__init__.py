@@ -37,6 +37,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_window_trailing": (
+        "rotated OUT round 8 fifth wave (green driver rows r6+r7,"
+        " windows.py untouched this round so the r7 row covers"
+        " byte-identical code): ordered per-entity event computation"
+        " is now triple-held in-window (q_scd2_intervals lag/lead"
+        " staging over the same user-keyed sort, q_ema's ordered"
+        " fold, q_weighted_sample's ranked top-K); the time-RANGE"
+        " frame mechanics stay re-proven every round by the local"
+        " parity gate and its exact-microsecond-bound plan pin"
+    ),
     "q_profile": (
         "rotated OUT round 8 fourth wave (green driver rows r6+r7,"
         " relational.py untouched this round so the r7 row covers"

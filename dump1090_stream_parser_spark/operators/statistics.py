@@ -133,3 +133,171 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_OLS_INTERCEPT), 6).alias("intercept"),
         F.round(F.expr(_OLS_R2), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical columns -- the
+# feature-dependence / label-leakage diagnostic ("does source predict
+# lang?"). Distributions are exact integer counts; the float reductions
+# are sorted folds over shared term texts, the q_source_divergence
+# discipline applied to a JOINT distribution.
+# --------------------------------------------------------------------------
+
+#: Per-cell MI contribution over (c, rl, cs, n): (c/n) * ln(c*n/(rl*cs)).
+#: Integer products stay inside the ln; rl*cs peaks at n^2 (~1e10 at
+#: sf0.1 -- far inside int64; the DOUBLE cast happens before the
+#: divide in both engines).
+_MI_TERM = (
+    "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)))"
+)
+
+#: Per-value entropy contribution over (m, n): -(m/n) * ln(m/n).
+_H_TERM = (
+    "-(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+
+@query(
+    "q_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells
+    ),
+    lm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS m
+           FROM cells GROUP BY 1),
+    sm AS (SELECT source, CAST(SUM(c) AS BIGINT) AS m
+           FROM cells GROUP BY 1),
+    mi AS (
+      SELECT ROUND(list_reduce(list(term ORDER BY lang, source),
+                               (a, x) -> a + x), 6) AS mi
+      FROM (
+        SELECT lang, source, ({_MI_TERM}) AS term
+        FROM (
+          SELECT cells.lang AS lang, cells.source AS source,
+                 cells.c AS c, lm.m AS rl, sm.m AS cs, t.n AS n
+          FROM cells
+          JOIN lm ON lm.lang = cells.lang
+          JOIN sm ON sm.source = cells.source
+          CROSS JOIN (SELECT n FROM tot) t
+        )
+      )
+    ),
+    hl AS (
+      SELECT ROUND(list_reduce(list(term ORDER BY lang),
+                               (a, x) -> a + x), 6) AS h_lang
+      FROM (SELECT lang, ({_H_TERM}) AS term
+            FROM (SELECT lm.lang AS lang, lm.m AS m, t.n AS n
+                  FROM lm CROSS JOIN (SELECT n FROM tot) t))
+    ),
+    hs AS (
+      SELECT ROUND(list_reduce(list(term ORDER BY source),
+                               (a, x) -> a + x), 6) AS h_source
+      FROM (SELECT source, ({_H_TERM}) AS term
+            FROM (SELECT sm.source AS source, sm.m AS m, t.n AS n
+                  FROM sm CROSS JOIN (SELECT n FROM tot) t))
+    )
+    SELECT tot.n AS n_docs, tot.k AS n_cells, mi.mi,
+           hl.h_lang, hs.h_source
+    FROM tot, mi, hl, hs
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between the corpus lang and source
+    columns, with both marginal entropies -- the "does this metadata
+    column leak that one" dependence diagnostic (MI = 0 iff
+    independent; MI close to min(H) means one column nearly determines
+    the other), the drift companion to q_source_divergence's pairwise
+    JS distance.
+
+    Everything data-proportional is ONE hash aggregation: the corpus
+    collapses to |lang|x|source| joint-count cells, and marginals,
+    totals, MI and entropy terms all derive from those integer cells
+    (lang/source marginals are SECOND aggregations over the cells, not
+    the corpus). The three float reductions fold value-sorted term
+    lists with the term texts shared verbatim with the oracle
+    (q_source_divergence discipline), so the round(6) doubles
+    hash-compare; ln is the documented ~1-ulp libm class.
+
+    Scale: post-cells cost is |lang|x|source| rows independent of
+    corpus size. The cells aggregate partial-collapses map-side (25
+    cells here; bounded by the two domains generally), the marginal
+    joins are broadcast by construction, and the final folds run on
+    one task over domain-sized arrays. n inside the term arrives from
+    a 1-row broadcast cross join, never a second corpus pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # every frame below is domain-sized (|lang|, |source|, or 1 row);
+    # lazy checkpoints stop the plan re-deriving them per consumer,
+    # and the cross joins they feed are 1-row/domain-row broadcast
+    # nested loops -- constant-size at any corpus scale
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    ).localCheckpoint(eager=False)
+    lm = (
+        cells.groupBy("lang")
+        .agg(F.sum("c").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    sm = (
+        cells.groupBy("source")
+        .agg(F.sum("c").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _fold(df, order_cols, term_sql, alias):
+        terms = df.withColumn("term", F.expr(term_sql))
+        arr = F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(*order_cols, "term"))
+            ),
+            lambda s: s["term"],
+        )
+        return terms.agg(
+            F.round(
+                F.aggregate(
+                    arr, F.lit(0.0), lambda a, x: a + x
+                ),
+                6,
+            ).alias(alias)
+        )
+
+    mi_in = (
+        cells.join(lm.withColumnRenamed("m", "rl"), "lang")
+        .join(sm.withColumnRenamed("m", "cs"), "source")
+        .crossJoin(F.broadcast(tot.select("n")))
+    )
+    mi = _fold(mi_in, ["lang", "source"], _MI_TERM, "mi")
+    hl = _fold(
+        lm.crossJoin(F.broadcast(tot.select("n"))),
+        ["lang"],
+        _H_TERM,
+        "h_lang",
+    )
+    hs = _fold(
+        sm.crossJoin(F.broadcast(tot.select("n"))),
+        ["source"],
+        _H_TERM,
+        "h_source",
+    )
+    return (
+        tot.select(
+            F.col("n").alias("n_docs"), F.col("k").alias("n_cells")
+        )
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+    )

@@ -50,3 +50,43 @@ def test_regression_matches_numpy(spark):
         assert math.isclose(g["r2"], r2, rel_tol=1e-5,
                             abs_tol=5.01e-7), key
         assert 0.0 <= g["r2"] <= 1.0
+
+
+def test_mutual_info_matches_numpy(spark):
+    """Third-engine check: recompute MI and entropies from raw joint
+    counts with numpy; identities MI <= min(H), MI >= 0."""
+    import math as m
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        q_mutual_info,
+    )
+
+    row = q_mutual_info(spark, SF_DIR).collect()[0]
+    pairs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", "source")
+        .collect()
+    )
+    joint: dict[tuple, int] = {}
+    for r in pairs:
+        joint[(r["lang"], r["source"])] = (
+            joint.get((r["lang"], r["source"]), 0) + 1
+        )
+    n = sum(joint.values())
+    lm: dict[str, int] = {}
+    sm: dict[str, int] = {}
+    for (l, s), c in joint.items():
+        lm[l] = lm.get(l, 0) + c
+        sm[s] = sm.get(s, 0) + c
+    mi = sum(
+        (c / n) * m.log(c * n / (lm[l] * sm[s]))
+        for (l, s), c in joint.items()
+    )
+    h_l = -sum((c / n) * m.log(c / n) for c in lm.values())
+    h_s = -sum((c / n) * m.log(c / n) for c in sm.values())
+    assert row["n_docs"] == n
+    assert row["n_cells"] == len(joint)
+    assert math.isclose(row["mi"], mi, rel_tol=0, abs_tol=1e-5)
+    assert math.isclose(row["h_lang"], h_l, rel_tol=0, abs_tol=1e-5)
+    assert math.isclose(row["h_source"], h_s, rel_tol=0, abs_tol=1e-5)
+    assert 0.0 <= row["mi"] <= min(row["h_lang"], row["h_source"]) + 1e-9

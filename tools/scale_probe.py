@@ -83,6 +83,25 @@ PROBE = [
     # `cmssweep` subcommand; this row stresses the frequency axis.
     "q_countmin",
     "q_random_projection",
+    # round 8: EMA (events replicate with user_ids KEPT, so the
+    # per-key fold length multiplies -- the exact stress for the
+    # sorted-array fold's one-task-per-key bound; the segmented
+    # variant's measured crossover is the round-8 table in
+    # docs/SCALE.md); OLS sufficient
+    # stats (lineitem replicates -- pure partial+final agg, the slope
+    # is the scan); inverted index (documents replicate with doc_id
+    # offset, so every token's df multiplies while doc-range sharding
+    # caps each reducer task -- the probe also records the max
+    # unsharded vs sharded posting length, the hot-key claim).
+    "q_ema",
+    "q_regression",
+    "q_inverted_index",
+    # q_fuzzy_join is NOT probed by replication: replicas duplicate
+    # rows, not NAMES, so the distinct-name join input is constant at
+    # every factor and the measured slope would be the (linear) name
+    # aggregation only. Its scale lever is block selectivity, measured
+    # as the exact blocked-vs-all-pairs candidate counts in
+    # tests/test_linkage.py.
     # q_near_dedup_embedding_lsh is deliberately NOT probed here:
     # replicas are exact duplicates, so every copy family lands in
     # identical buckets in every band and candidate pairs grow
