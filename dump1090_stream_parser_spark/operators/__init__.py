@@ -37,6 +37,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_subquery_scalar": (
+        "rotated OUT round 8 sixth wave (green driver rows r6+r7,"
+        " relational.py untouched this round so the r7 row covers"
+        " byte-identical code): the correlated-scalar-aggregate"
+        " capability's decorrelated physical form -- per-group"
+        " aggregate broadcast-joined back to the fact -- is exactly"
+        " what q_anomaly_mad now exercises in-window TWICE (median"
+        " join-back, then MAD join-back); the LATERAL decorrelation"
+        " itself stays re-proven every round by the local parity gate"
+        " and its 3-scan plan pin"
+    ),
     "q_window_trailing": (
         "rotated OUT round 8 fifth wave (green driver rows r6+r7,"
         " windows.py untouched this round so the r7 row covers"

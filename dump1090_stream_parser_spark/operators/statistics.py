@@ -301,3 +301,99 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hl))
         .crossJoin(F.broadcast(hs))
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD outlier accounting per event
+# type. Mean/stddev anomaly gates break exactly when needed most (the
+# outliers inflate the gate); the median/MAD pair is the standard
+# robust replacement, and its two-pass join-back shape is the
+# decorrelated form of a correlated scalar aggregate.
+# --------------------------------------------------------------------------
+
+#: Consistency constant: MAD * 1.4826 estimates sigma under normality,
+#: making the 3-sigma convention transferable to the robust gate.
+MAD_SIGMA = 1.4826
+
+#: The outlier predicate over (value, med, mad) -- shared text so both
+#: engines compare the identical doubles (med/mad arrive unrounded
+#: from identical interpolated-percentile sorts, the q_percentile
+#: precedent, so strict-inequality boundary decisions agree bitwise).
+_OUTLIER_PRED = "abs(value - med) > 3.0 * 1.4826 * mad"
+
+
+@query(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT b.event_type, b.value, m.med
+      FROM base b JOIN med m ON m.event_type = b.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(a.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN {_OUTLIER_PRED}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier accounting: median, MAD (median
+    absolute deviation), and the count of values beyond the
+    3-sigma-equivalent robust gate (|v - med| > 3 * 1.4826 * MAD).
+
+    Why median/MAD and not q_stats' mean/stddev: outliers inflate the
+    very stddev meant to gate them (masking), while median and MAD
+    have 50% breakdown -- the gate holds until half the data is bad.
+    The cost is an inherently TWO-PASS shape: MAD needs the median
+    joined back before deviations exist. Each pass is one scan + a
+    per-type exact interpolated-percentile sort (engine-identical,
+    the q_percentile precedent) + a broadcast join of a |types|-row
+    frame -- the decorrelated form of a correlated scalar subquery
+    (q_subquery_scalar's LATERAL shape, applied twice). The outlier
+    predicate is one shared text over unrounded doubles, so boundary
+    decisions agree bitwise and the counts hash-compare.
+
+    Scale: the joined-back frames are |event_type| rows (broadcast by
+    construction); the two corpus passes are scans with map-side
+    per-type partial sort state. At 100 TB the exact percentile sorts
+    swap for GK/t-digest sketches (q_approx_percentile's certified
+    machinery) making both passes mergeable single-aggregations -- the
+    two-scan structure is irreducible (the second pass's input depends
+    on the first's result), which is why streaming robust gates keep
+    yesterday's (med, mad) as state rather than recomputing in-flight.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(F.expr(_OUTLIER_PRED), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

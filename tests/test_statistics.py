@@ -90,3 +90,37 @@ def test_mutual_info_matches_numpy(spark):
     assert math.isclose(row["h_lang"], h_l, rel_tol=0, abs_tol=1e-5)
     assert math.isclose(row["h_source"], h_s, rel_tol=0, abs_tol=1e-5)
     assert 0.0 <= row["mi"] <= min(row["h_lang"], row["h_source"]) + 1e-9
+
+
+def test_anomaly_mad_matches_numpy(spark):
+    """Third-engine check: median/MAD/outlier-count per event type
+    recomputed with numpy on the same rows."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        q_anomaly_mad,
+    )
+
+    got = {
+        r["event_type"]: r for r in q_anomaly_mad(spark, SF_DIR).collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(float(r["value"]))
+    assert by_type.keys() == got.keys()
+    for t, vals in by_type.items():
+        v = np.array(vals)
+        med = float(np.median(v))  # numpy interpolates like both engines
+        mad = float(np.median(np.abs(v - med)))
+        n_out = int((np.abs(v - med) > 3.0 * 1.4826 * mad).sum())
+        g = got[t]
+        assert g["n_events"] == len(vals)
+        assert math.isclose(g["med"], med, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(g["mad"], mad, rel_tol=0, abs_tol=5.01e-7)
+        assert g["n_outliers"] == n_out, t
