@@ -21,6 +21,7 @@ from . import timeseries  # noqa: F401
 from . import statistics  # noqa: F401
 from . import indexing  # noqa: F401
 from . import linkage  # noqa: F401
+from . import attribution  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -37,6 +38,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_asof_lastval": (
+        "rotated OUT round 8 seventh wave (green driver rows"
+        " r5+r6+r7, joins.py untouched this round so the r7 row"
+        " covers byte-identical code): the as-of last-preceding-match"
+        " semantics are held in-window by q_attribution (the same"
+        " union-free preceding-frame propagation, extended with"
+        " per-row credit) and the range-predicate tier by"
+        " q_join_range; the streaming as-of twin keeps its pytest"
+        " e2e, and the batch union shape stays re-proven every round"
+        " by the local parity gate"
+    ),
     "q_subquery_scalar": (
         "rotated OUT round 8 sixth wave (green driver rows r6+r7,"
         " relational.py untouched this round so the r7 row covers"
