@@ -22,6 +22,7 @@ from . import statistics  # noqa: F401
 from . import indexing  # noqa: F401
 from . import linkage  # noqa: F401
 from . import attribution  # noqa: F401
+from . import rollup_merge  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -38,6 +39,16 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_stratified_sample": (
+        "rotated OUT round 8 eighth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py"
+        " untouched this round so the r7 row covers byte-identical"
+        " code): per-stratum sampling is held in-window by"
+        " q_weighted_sample (per-source E-S priority sampling through"
+        " the same WindowGroupLimit top-K shape, with a streaming"
+        " twin); the exact-fraction stratified contract stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_asof_lastval": (
         "rotated OUT round 8 seventh wave (green driver rows"
         " r5+r6+r7, joins.py untouched this round so the r7 row"
