@@ -39,6 +39,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_cube": (
+        "rotated OUT round 8 ninth wave (green driver rows r5+r6+r7,"
+        " the grouping-sets code in relational.py untouched this"
+        " round so the r7 row covers byte-identical code): the"
+        " multi-level aggregation tier is held in-window by"
+        " q_rollup_merge, which not only RUNS a rollup but proves its"
+        " partial-merge algebra against a direct rollup of the union;"
+        " CUBE's cross-dimension grouping-set expansion stays"
+        " re-proven every round by the local parity gate and"
+        " q_rollup's parked coverage of the same Expand operator"
+    ),
     "q_stratified_sample": (
         "rotated OUT round 8 eighth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py"

@@ -397,3 +397,134 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.expr(_OUTLIER_PRED), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function: per-series Pearson correlation of the value
+# stream against its own k-step-lagged copy -- the time-series
+# diagnostic behind "is this metric drifting or mean-reverting" and the
+# seasonality screen a training-data telemetry pipeline runs before
+# trusting any smoothed rate (q_ema's EMA assumes decay; ACF measures
+# whether decay is even the right model).
+# --------------------------------------------------------------------------
+
+#: Shared micro-unit quantizer: value is a full-precision double, so the
+#: exact-sum discipline needs a deterministic fixed-point cast first.
+#: multiply, add and floor are single correctly-rounded IEEE ops, so both
+#: engines map the same double to the same integer (no round()-on-double
+#: HALF_UP/shortest-repr divergence -- the r7 ADVICE class).
+_ACF_Q = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+#: Pearson correlation from exact-integer sufficient statistics, one
+#: shared text so both engines evaluate the identical IEEE tree
+#: (q_regression discipline; sqrt is correctly rounded by IEEE 754).
+_ACF_R = (
+    "(rn * sxy - sx * sy)"
+    " / sqrt((rn * sxx - sx * sx) * (rn * syy - sy * sy))"
+)
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id, {_ACF_Q} AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type, y,
+             lag(y, 1) OVER w AS x1,
+             lag(y, 2) OVER w AS x2,
+             lag(y, 3) OVER w AS x3
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT event_type, k, x, y FROM (
+        SELECT event_type, y, 1 AS k, x1 AS x FROM lagged
+        UNION ALL SELECT event_type, y, 2 AS k, x2 AS x FROM lagged
+        UNION ALL SELECT event_type, y, 3 AS k, x3 AS x FROM lagged
+      ) WHERE x IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(*) AS DOUBLE) AS rn,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(k AS INTEGER) AS k, n_pairs,
+           ROUND({_ACF_R}, 6) AS acf
+    FROM s
+    WHERE (rn * sxx - sx * sx) > 0 AND (rn * syy - sy * sy) > 0
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the event value series at lags 1-3 for every
+    event_type, in (ts, event_id) order (event_id is the unique
+    tiebreaker, so the pairing is total and engine-independent).
+
+    Three stages, one exchange: (1) quantize the double values to exact
+    micro-units with a shared floor(x*1e6 + 0.5) text -- single
+    correctly-rounded IEEE ops, so both engines produce the identical
+    integer where a round()-on-double would hit the HALF_UP vs
+    shortest-repr divergence; (2) ONE window pass per type emits all
+    three lagged copies (one shuffle + one sort serves every lag), a
+    generator stacks them to (k, x, y) pairs; (3) a hash aggregation
+    folds the five sufficient statistics as exact integers (per-row
+    x*y peaks ~3e17, inside int64; the sums ride DECIMAL(38,0)/HUGEINT
+    so web-scale counts cannot wrap), and the Pearson closed form is
+    one shared SQL text over the resulting doubles (q_regression
+    discipline -- corr()'s internal double folds are shuffle-order-
+    dependent, integer sums commute).
+
+    Scale: the only data-proportional exchange is the per-type window
+    sort, and lag pairing is SEGMENTABLE the same way q_ema's fold is
+    -- contiguous time segments pair independently given a k-row carry
+    from the previous segment, and the sufficient statistics are
+    mergeable partials, so a 100 TB series never needs one task per
+    type; the degenerate-variance guard is a shared HAVING text, not
+    an engine-specific NULL/NaN convention.
+
+    tests/test_statistics.py pins the lag-1 coefficient against
+    numpy.corrcoef on the same quantized series (third-engine check).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", F.expr(_ACF_Q).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = base.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("x1"),
+        F.lag("y", 2).over(w).alias("x2"),
+        F.lag("y", 3).over(w).alias("x3"),
+    )
+    pairs = lagged.selectExpr(
+        "event_type", "y", "stack(3, 1, x1, 2, x2, 3, x3) AS (k, x)"
+    ).filter(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("rn"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return s.filter(
+        F.expr("(rn * sxx - sx * sx) > 0 AND (rn * syy - sy * sy) > 0")
+    ).select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        "n_pairs",
+        F.round(F.expr(_ACF_R), 6).alias("acf"),
+    )

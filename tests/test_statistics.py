@@ -124,3 +124,40 @@ def test_anomaly_mad_matches_numpy(spark):
         assert math.isclose(g["med"], med, rel_tol=0, abs_tol=5.01e-7)
         assert math.isclose(g["mad"], mad, rel_tol=0, abs_tol=5.01e-7)
         assert g["n_outliers"] == n_out, t
+
+
+def test_acf_matches_numpy(spark):
+    from dump1090_stream_parser_spark.operators.statistics import q_acf
+
+    got = {
+        (r["event_type"], r["k"]): r for r in q_acf(spark, SF_DIR).collect()
+    }
+    assert got, "acf rows expected"
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 1e6 + 0.5))
+        )
+    for etype, pts in series.items():
+        pts.sort()
+        v = np.array([p[2] for p in pts], dtype=np.float64)
+        for k in (1, 2, 3):
+            if len(v) <= k:
+                assert (etype, k) not in got
+                continue
+            x, y = v[:-k], v[k:]
+            if x.std() == 0 or y.std() == 0:
+                assert (etype, k) not in got
+                continue
+            ref = float(np.corrcoef(x, y)[0, 1])
+            g = got[(etype, k)]
+            assert g["n_pairs"] == len(x)
+            assert math.isclose(g["acf"], ref, rel_tol=1e-5,
+                                abs_tol=5.01e-7), (etype, k)
+            assert -1.0 <= g["acf"] <= 1.0
