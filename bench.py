@@ -106,6 +106,7 @@ HEADLINE = [
     "q_attribution",       # one-exchange last-touch as-of credit
     "q_rollup_merge",      # partial-rollup merge == direct rollup
     "q_acf",               # lag-1..3 autocorrelation, exact-int stats
+    "q_cooccur",           # basket-bounded co-occurrence self-join
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

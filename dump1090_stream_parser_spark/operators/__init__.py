@@ -23,6 +23,7 @@ from . import indexing  # noqa: F401
 from . import linkage  # noqa: F401
 from . import attribution  # noqa: F401
 from . import rollup_merge  # noqa: F401
+from . import basket  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -39,6 +40,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_ann_lsh": (
+        "rotated OUT round 8 tenth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- similarity.py's"
+        " LSH code untouched this round so the r7 row covers"
+        " byte-identical code): the hyperplane-LSH bucket tier keeps"
+        " an in-window representative in q_near_dedup_embedding_lsh"
+        " (same sign-bit banding, harder pair semantics) and the ANN"
+        " tier keeps q_ann_ivf + q_ann_ivf_join; the multi-probe"
+        " bucket pruning and its recall@10 floor stay re-proven every"
+        " round by the local parity gate and tests/test_approx.py"
+    ),
     "q_cube": (
         "rotated OUT round 8 ninth wave (green driver rows r5+r6+r7,"
         " the grouping-sets code in relational.py untouched this"

@@ -1,0 +1,155 @@
+"""Tier C extension: market-basket co-occurrence affinity (SURVEY.md
+§2 north-star adjacency -- "what co-occurs with what" is the
+item-item collaborative-filtering primitive, and on a training-data
+corpus the same shape answers "which sources/tags co-appear in the
+same shard" for contamination and leakage screens).
+
+The operator is a bounded self-join: baskets (orders) are small by
+construction, so enumerating within-basket pairs costs O(B^2/2) per
+basket regardless of corpus size -- the same bounded-blocking argument
+as the LSH near-dup family, with the ORDER as the block. Affinity is
+cosine co / sqrt(n_i * n_j) plus lift co * N / (n_i * n_j), both exact
+closed forms over integer counts.
+
+Reference parity note: the reference script has no affinity operator
+(its analytics stop at SQLite GROUP BY views); this module is part of
+the mandated training-data extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+#: Minimum co-occurrence support: pairs seen in a single basket are
+#: noise (their cosine is dominated by the rarity of the parts, not by
+#: any real association), and the HAVING keeps the ranked output
+#: data-proportional to genuinely repeated pairs.
+MIN_CO = 2
+
+#: Number of ranked pairs to emit.
+TOP_PAIRS = 100
+
+#: Shared affinity texts -- exact integer counts cast to double once,
+#: then one IEEE tree per measure (sqrt and divide are correctly
+#: rounded, so both engines produce bit-identical doubles and the
+#: ORDER BY ... LIMIT cut selects the same pairs).
+_COSINE = "CAST(co AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+_LIFT = (
+    "(CAST(co AS DOUBLE) * CAST(nord AS DOUBLE))"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+)
+
+
+@query(
+    "q_cooccur",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM baskets GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nord
+      FROM baskets
+    ),
+    co AS (
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_CO}
+    )
+    SELECT part1, part2, co AS co_orders, f1.n AS n1, f2.n AS n2,
+           ROUND({_COSINE}, 6) AS cosine,
+           ROUND({_LIFT}, 6) AS lift
+    FROM co
+    JOIN freq f1 ON f1.l_partkey = co.part1
+    JOIN freq f2 ON f2.l_partkey = co.part2
+    CROSS JOIN tot
+    ORDER BY {_COSINE} DESC, part1, part2
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PAIRS} part pairs by within-order cosine affinity, with
+    lift -- the item-item co-occurrence primitive over lineitem
+    baskets.
+
+    Stages: (1) DISTINCT (order, part) collapses repeated lines -- one
+    exchange that every later stage reuses or derives from; (2) the
+    pair enumeration is a SELF-JOIN ON THE BASKET KEY, so its cost is
+    sum(B^2/2) over basket sizes B -- bounded per basket by
+    construction (TPC-H baskets are <= 7 lines; a hot PART never
+    inflates it because the join key is the order, not the part);
+    (3) pair counts hash-aggregate with map-side partials and a
+    HAVING co >= {MIN_CO} support floor; (4) per-part frequencies are
+    a dimension-sized frame joined back (broadcast at test SF; at
+    100 TB it is still |parts| rows -- dim-sized -- and AQE picks the
+    join strategy); (5) cosine and lift are shared IEEE texts over
+    exact integer counts, so the TakeOrderedAndProject cut and the
+    oracle's ORDER BY ... LIMIT select identical pairs with identical
+    doubles (ties broken by the (part1, part2) total order).
+
+    Scale: this is a-priori's support-counting pass expressed
+    relationally. Nothing is all-pairs over the catalog -- the pair
+    space is basket-bounded, the count aggregation is mergeable, and
+    the only non-dim shuffles are the basket DISTINCT and the pair
+    count. The top-k is a TakeOrderedAndProject (no global sort
+    materialization).
+
+    tests/test_basket.py recomputes the full ranked frame in pure
+    Python at sf0.001 (third-engine check).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").alias("nord")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_CO)
+    )
+    scored = (
+        co.join(
+            F.broadcast(freq.withColumnsRenamed({"l_partkey": "part1", "n": "n1"})),
+            "part1",
+        )
+        .join(
+            F.broadcast(freq.withColumnsRenamed({"l_partkey": "part2", "n": "n2"})),
+            "part2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.withColumn("_cos", F.expr(_COSINE))
+        .orderBy(F.col("_cos").desc(), "part1", "part2")
+        .limit(TOP_PAIRS)
+        .select(
+            "part1",
+            "part2",
+            F.col("co").alias("co_orders"),
+            "n1",
+            "n2",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.round(F.expr(_LIFT), 6).alias("lift"),
+        )
+    )

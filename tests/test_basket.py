@@ -1,0 +1,64 @@
+"""Market-basket co-occurrence (operators/basket.py): third-engine
+check -- recompute the full ranked pair frame in pure Python."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from dump1090_stream_parser_spark.operators.basket import (
+    MIN_CO,
+    TOP_PAIRS,
+    q_cooccur,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_cooccur_matches_python(spark):
+    got = q_cooccur(spark, SF_DIR).collect()
+    assert 0 < len(got) <= TOP_PAIRS
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    freq: dict[int, int] = defaultdict(int)
+    co: dict[tuple, int] = defaultdict(int)
+    for parts in baskets.values():
+        ordered = sorted(parts)
+        for p in ordered:
+            freq[p] += 1
+        for i, p1 in enumerate(ordered):
+            for p2 in ordered[i + 1:]:
+                co[(p1, p2)] += 1
+    nord = len(baskets)
+    scored = []
+    for (p1, p2), c in co.items():
+        if c < MIN_CO:
+            continue
+        cos = c / math.sqrt(freq[p1] * freq[p2])
+        lift = (c * nord) / (freq[p1] * freq[p2])
+        scored.append((-cos, p1, p2, c, freq[p1], freq[p2], lift))
+    scored.sort()
+    # the engines cut the top-K on FULL-precision cosine; the emitted
+    # column is round(6), so re-rank by the pair key on both sides
+    # rather than by the rounded score
+    expect = sorted(
+        scored[:TOP_PAIRS], key=lambda t: (t[1], t[2])
+    )
+    assert len(got) == len(expect)
+    for g, (ncos, p1, p2, c, n1, n2, lift) in zip(
+        sorted(got, key=lambda r: (r["part1"], r["part2"])),
+        expect,
+    ):
+        assert (g["part1"], g["part2"]) == (p1, p2)
+        assert g["co_orders"] == c and g["n1"] == n1 and g["n2"] == n2
+        assert math.isclose(g["cosine"], -ncos, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert math.isclose(g["lift"], lift, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert g["lift"] >= 1.0 or g["co_orders"] >= MIN_CO
