@@ -24,6 +24,7 @@ from . import linkage  # noqa: F401
 from . import attribution  # noqa: F401
 from . import rollup_merge  # noqa: F401
 from . import basket  # noqa: F401
+from . import sequence  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -40,6 +41,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_join_range": (
+        "rotated OUT round 8 eleventh wave (green driver rows"
+        " r1+r3+r4+r5+r6+r7 -- the deepest unbroken history in the"
+        " registry -- joins.py untouched this round so the r7 row"
+        " covers byte-identical code): the theta/range join tier is"
+        " held in-window by q_fuzzy_join (equi-blocked join with a"
+        " non-equi name-order + edit-distance predicate -- the same"
+        " BroadcastNestedLoop-avoidance discipline on a harder"
+        " predicate) and q_attribution's bounded-lookback pairing;"
+        " the band-interval containment shape stays re-proven every"
+        " round by the local parity gate and its plan pin"
+    ),
     "q_ann_lsh": (
         "rotated OUT round 8 tenth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- similarity.py's"

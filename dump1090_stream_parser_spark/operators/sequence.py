@@ -1,0 +1,104 @@
+"""Tier C extension: event-sequence transition analytics (SURVEY.md §2
+north-star adjacency -- the Markov transition matrix is the
+user-journey primitive behind funnel design, churn screens, and
+synthetic-sequence validation of a training-data event corpus: "does
+the generated stream transition like the real one").
+
+The operator is two aggregations over one ordered-window pass: lag()
+pairs each event with its predecessor inside the user's own timeline,
+pair counts hash-aggregate, and row-normalized probabilities are a
+shared closed form over exact integer counts. Everything after the
+window is domain-sized (|event_type|^2 cells).
+
+Reference parity note: the reference script has no sequence operator
+(its analytics stop at SQLite GROUP BY views); this module is part of
+the mandated training-data extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+from .registry import query
+
+#: Row-normalized transition probability over exact integer counts --
+#: one shared IEEE division so both engines emit bit-identical doubles.
+_P = "CAST(n_trans AS DOUBLE) / CAST(row_total AS DOUBLE)"
+
+
+@query(
+    "q_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+      FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n_trans, r.row_total,
+           ROUND({_P}, 6) AS p
+    FROM c JOIN r ON r.prev_type = c.prev_type
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for every (prev_type, next_type) pair, the transition
+    count and the row-normalized probability P(next | prev).
+
+    One user-keyed window pass (ts, event_id order -- event_id is the
+    unique tiebreaker, so the pairing is total and engine-independent)
+    emits each event's predecessor type; transitions then collapse in
+    a hash aggregation with map-side partials. Row totals are a SECOND
+    aggregation over the |types|^2 count cells -- never a second
+    corpus pass -- broadcast-joined back, and the probability is one
+    shared IEEE division over exact integers so the round(6) doubles
+    hash-compare (q_mutual_info's cells discipline applied to ordered
+    pairs).
+
+    Scale: the only data-proportional exchange is the per-user window
+    sort, and the pairing is SEGMENTABLE with a 1-row carry between
+    contiguous time segments (q_acf's argument at lag 1), so a 100 TB
+    stream never needs one task per user; everything downstream is
+    domain-sized. A streaming twin keeps (last type per user) as
+    state and the mergeable count cells as output -- the same
+    sufficient statistics.
+
+    tests/test_sequence.py recomputes the matrix in pure Python
+    (third-engine check) and pins each row-distribution summing to 1.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    r = c.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return (
+        c.join(F.broadcast(r), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "row_total",
+            F.round(F.expr(_P), 6).alias("p"),
+        )
+    )

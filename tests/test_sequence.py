@@ -1,0 +1,54 @@
+"""Markov transition matrix (operators/sequence.py): third-engine
+check -- recompute in pure Python, pin row-stochastic invariant."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from dump1090_stream_parser_spark.operators.sequence import q_transitions
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_transitions_match_python(spark):
+    got = {
+        (r["prev_type"], r["next_type"]): r
+        for r in q_transitions(spark, SF_DIR).collect()
+    }
+    assert got, "transition cells expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts: dict[tuple, int] = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, prev), (_, _, nxt) in zip(seq, seq[1:]):
+            counts[(prev, nxt)] += 1
+    assert set(counts) == set(got)
+    row_totals: dict[str, int] = defaultdict(int)
+    for (prev, _), c in counts.items():
+        row_totals[prev] += c
+    for key, c in counts.items():
+        g = got[key]
+        assert g["n_trans"] == c
+        assert g["row_total"] == row_totals[key[0]]
+        assert math.isclose(
+            g["p"], c / row_totals[key[0]], rel_tol=1e-9, abs_tol=5.01e-7
+        )
+
+
+def test_transitions_rows_sum_to_one(spark):
+    rows = q_transitions(spark, SF_DIR).collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["n_trans"] / r["row_total"]
+    for prev, total in by_prev.items():
+        assert math.isclose(total, 1.0, rel_tol=1e-12), prev
