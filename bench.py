@@ -108,6 +108,7 @@ HEADLINE = [
     "q_acf",               # lag-1..3 autocorrelation, exact-int stats
     "q_cooccur",           # basket-bounded co-occurrence self-join
     "q_transitions",       # Markov transition matrix, one window pass
+    "q_interval_peak",     # sweep-line concurrency (deltas + day cumsum)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -41,6 +41,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_lang_id": (
+        "rotated OUT round 8 twelfth wave (green driver rows"
+        " r1+r3+r4+r5+r6+r7 -- a six-green history -- text.py's"
+        " profile scorer untouched this round so the r7 row covers"
+        " byte-identical code): char-bigram profile classification is"
+        " held in-window by q_lm_score (the same corpus-bigram"
+        " aggregation, scoring documents instead of languages) and"
+        " the broadcast-profile argmax shape by q_source_divergence's"
+        " domain-sized distribution folds; the confusion-matrix"
+        " contract stays re-proven every round by the local parity"
+        " gate and the headline bench line"
+    ),
     "q_join_range": (
         "rotated OUT round 8 eleventh wave (green driver rows"
         " r1+r3+r4+r5+r6+r7 -- the deepest unbroken history in the"

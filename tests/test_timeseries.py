@@ -71,3 +71,50 @@ def test_ema_segmented_matches_single_fold(spark):
                 vs,
                 v,
             )
+
+
+def test_interval_peak_matches_python(spark):
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        q_interval_peak,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = {
+        r["month"].date(): (r["peak_open"], r["boundary_days"])
+        for r in q_interval_peak(spark, SF_DIR).collect()
+    }
+    assert got, "monthly peaks expected"
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in load_table(spark, SF_DIR, "orders").collect()
+    }
+    last_ship: dict[int, object] = {}
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        d = r["l_shipdate"].date()
+        k = r["l_orderkey"]
+        if k not in last_ship or d > last_ship[k]:
+            last_ship[k] = d
+    deltas: dict[object, int] = defaultdict(int)
+    for k, d1 in last_ship.items():
+        deltas[orders[k]] += 1
+        deltas[d1 + timedelta(days=1)] -= 1
+    running = 0
+    peaks: dict[object, int] = {}
+    days: dict[object, int] = defaultdict(int)
+    for d in sorted(deltas):
+        running += deltas[d]
+        m = d.replace(day=1)
+        days[m] += 1
+        if m not in peaks or running > peaks[m]:
+            peaks[m] = running
+    assert running == 0, "sweep must close all intervals"
+    assert got == {m: (peaks[m], days[m]) for m in peaks}
