@@ -109,6 +109,7 @@ HEADLINE = [
     "q_cooccur",           # basket-bounded co-occurrence self-join
     "q_transitions",       # Markov transition matrix, one window pass
     "q_interval_peak",     # sweep-line concurrency (deltas + day cumsum)
+    "q_skyline",           # Pareto frontier via domain-sized prefix max
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

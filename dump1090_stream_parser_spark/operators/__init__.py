@@ -25,6 +25,7 @@ from . import attribution  # noqa: F401
 from . import rollup_merge  # noqa: F401
 from . import basket  # noqa: F401
 from . import sequence  # noqa: F401
+from . import skyline  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -41,6 +42,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_contamination": (
+        "rotated OUT round 8 thirteenth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"
+        " audit code untouched this round so the r7 row covers"
+        " byte-identical code): the train/eval contamination audit"
+        " keeps its SCALE twin in-window (q_contamination_bloom, the"
+        " same gram-hash semi-join behind the Bloom prefilter whose"
+        " crossover docs/SCALE.md measures) and the exact-overlap"
+        " semantics stay re-proven every round by the local parity"
+        " gate plus the streaming decontamination gate's"
+        " no-false-negative pytest e2e"
+    ),
     "q_lang_id": (
         "rotated OUT round 8 twelfth wave (green driver rows"
         " r1+r3+r4+r5+r6+r7 -- a six-green history -- text.py's"
