@@ -42,6 +42,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_heavy_hitters": (
+        "rotated OUT round 8 fourteenth wave (green driver rows"
+        " r4+r5+r6+r7, pipeline_ops.py's Misra-Gries code untouched"
+        " this round so the r7 row covers byte-identical code): the"
+        " frequency-sketch tier keeps q_countmin in-window (point"
+        " estimates with the same mergeable-partial discipline and a"
+        " strictly richer certificate: exact counts rebuilt by the"
+        " oracle cell-for-cell), and the bounded-shuffle top-k shape"
+        " is held by q_weighted_sample's WindowGroupLimit; the MG"
+        " summary's no-false-negative contract stays re-proven every"
+        " round by the local parity gate and its streaming twin's"
+        " pytest e2e"
+    ),
     "q_contamination": (
         "rotated OUT round 8 thirteenth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"

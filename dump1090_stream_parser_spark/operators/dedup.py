@@ -970,3 +970,134 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster assignments are value-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_clusters_from(docs, q_near_dedup_minhash(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring spans (C1/C2 bridge): the token-level
+# exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better"), approximated at K-token-gram
+# granularity -- their suffix-array pass finds byte spans shared
+# between documents; here every K-gram shared by >= 2 distinct docs is
+# a duplicated position, and maximal runs of duplicated positions merge
+# into spans with the gaps-and-islands trick. Doc-level dedup (q_dedup*)
+# misses partial overlap (boilerplate headers, quoted passages); this
+# finds the overlapping REGION itself, which is what a curation
+# pipeline actually cuts.
+# --------------------------------------------------------------------------
+
+#: Tokens per duplicated-substring gram. 5 keeps incidental word-level
+#: collisions out while real boilerplate (>= 5 shared tokens) registers.
+SPAN_GRAM = 5
+
+
+@query(
+    "q_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(0, len(t) - 4)) AS pos,
+             unnest(list_transform(
+               range(0, len(t) - 4),
+               i -> CAST('0x' || substring(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) AS BIGINT)
+             )) AS ghash
+      FROM toks WHERE len(t) >= 5
+    ),
+    dup AS (
+      SELECT ghash FROM grams
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    islands AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (
+               PARTITION BY g.doc_id ORDER BY g.pos
+             ) AS isl
+      FROM grams g JOIN dup ON dup.ghash = g.ghash
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans: every run of
+    positions whose SPAN_GRAM-token gram also appears in at least one
+    OTHER document, merged per document into (span_start, span_end)
+    token intervals with the covering gram count.
+
+    The Lee et al. 2022 exact-substring dedup recipe re-expressed
+    relationally: (1) positional grams are built ARRAY-SIDE per row
+    (transform over an index sequence -- the q_ngram_top shape, no
+    positional self-join) and immediately reduced to the portable
+    60-bit hash, so the explode and every later exchange carry
+    (doc_id, pos, hash) rows, never text; (2) one hash aggregation
+    finds grams with >= 2 distinct docs -- the shuffle key is the gram
+    hash, count-distinct collapses map-side per partition; (3) a join
+    back marks duplicated positions (the dup side is count-filtered
+    and hash-keyed -- at real corpus scale it stays data-proportional
+    to the DUPLICATED subset only); (4) gaps-and-islands (pos minus
+    per-doc rank) merges adjacent positions into maximal spans with
+    one doc-keyed window pass. Overlapping grams chain: a 12-token
+    copied passage yields 8 consecutive duplicated positions and comes
+    out as ONE span of span_tokens = 12.
+
+    Scale: gram construction is a narrow map; the duplicate filter is
+    a mergeable aggregation; text never rides a shuffle (the
+    q_dedup/q_contamination fingerprint discipline). The per-doc
+    island window partitions on doc_id -- bounded by document length,
+    never corpus size. At 100 TB the dup-side join is the Bloom
+    candidate (q_contamination_bloom's measured crossover applies
+    verbatim: duplicated-gram hashes are MiB-class for boilerplate-
+    rate corpora).
+
+    tests/test_dup_spans.py recomputes spans in pure Python at
+    sf0.001 (third-engine check) and pins the chaining invariant
+    (span_tokens == n_grams + SPAN_GRAM - 1).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= SPAN_GRAM
+    )
+    gram_structs = F.expr(
+        "transform(sequence(0, size(t) - 5),"
+        " i -> struct(i AS pos,"
+        " concat_ws(' ', slice(t, i + 1, 5)) AS gram))"
+    )
+    grams = (
+        staged.select("doc_id", F.explode(gram_structs).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").cast("long").alias("pos"),
+            portable_hash64(F.col("g.gram")).alias("ghash"),
+        )
+    )
+    dup = (
+        grams.groupBy("ghash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ghash")
+    )
+    from pyspark.sql.window import Window
+
+    marked = grams.join(dup, "ghash").select("doc_id", "pos")
+    isl = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        marked.withColumn("isl", isl)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (SPAN_GRAM - 1)).alias("span_end"),
+            (F.max("pos") + SPAN_GRAM - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("isl")
+    )

@@ -1,0 +1,62 @@
+"""Duplicated-substring spans (operators/dedup.py q_dup_spans):
+pure-Python recompute + chaining invariant."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from dump1090_stream_parser_spark.operators.dedup import (
+    SPAN_GRAM,
+    q_dup_spans,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _spans(tokens_by_doc):
+    gram_docs = defaultdict(set)
+    gram_pos = defaultdict(list)
+    for doc, toks in tokens_by_doc.items():
+        for i in range(len(toks) - SPAN_GRAM + 1):
+            g = " ".join(toks[i:i + SPAN_GRAM])
+            gram_docs[g].add(doc)
+            gram_pos[doc].append((i, g))
+    out = set()
+    for doc, positions in gram_pos.items():
+        dup_pos = sorted(
+            i for i, g in positions if len(gram_docs[g]) >= 2
+        )
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        n = 1
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+                continue
+            out.add((doc, start, prev + SPAN_GRAM - 1,
+                     prev + SPAN_GRAM - start, n))
+            start = prev = p
+            n = 1
+        out.add((doc, start, prev + SPAN_GRAM - 1,
+                 prev + SPAN_GRAM - start, n))
+    return out
+
+
+def test_dup_spans_match_python(spark):
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_grams"])
+        for r in q_dup_spans(spark, SF_DIR).collect()
+    }
+    assert got, "duplicated spans expected in the synthetic corpus"
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    assert got == _spans(docs)
+    for _, start, end, span_tokens, n_grams in got:
+        assert span_tokens == end - start + 1
+        assert span_tokens == n_grams + SPAN_GRAM - 1
