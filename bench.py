@@ -111,6 +111,7 @@ HEADLINE = [
     "q_interval_peak",     # sweep-line concurrency (deltas + day cumsum)
     "q_skyline",           # Pareto frontier via domain-sized prefix max
     "q_dup_spans",         # duplicated-substring spans (gaps-and-islands)
+    "q_cdc_apply",         # changelog MERGE-apply (tombstoned top-1)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

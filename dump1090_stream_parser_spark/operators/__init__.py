@@ -26,6 +26,7 @@ from . import rollup_merge  # noqa: F401
 from . import basket  # noqa: F401
 from . import sequence  # noqa: F401
 from . import skyline  # noqa: F401
+from . import cdc  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -42,6 +43,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_pack_shards": (
+        "rotated OUT round 8 fifteenth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"
+        " packing code untouched this round so the r7 row covers"
+        " byte-identical code): the writer-side sequence tier keeps"
+        " q_chunk_docs in-window (the same token-budget windowing,"
+        " applied within documents instead of across them) and the"
+        " single-partition-window avoidance it pioneered is pinned by"
+        " its plan test; the greedy bin-assignment contract stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_heavy_hitters": (
         "rotated OUT round 8 fourteenth wave (green driver rows"
         " r4+r5+r6+r7, pipeline_ops.py's Misra-Gries code untouched"
