@@ -112,6 +112,7 @@ HEADLINE = [
     "q_skyline",           # Pareto frontier via domain-sized prefix max
     "q_dup_spans",         # duplicated-substring spans (gaps-and-islands)
     "q_cdc_apply",         # changelog MERGE-apply (tombstoned top-1)
+    "q_bitmap_index",      # bit_or month bitmaps + bitwise membership
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -43,6 +43,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_multimodal_energy": (
+        "rotated OUT round 8 sixteenth wave (green driver rows"
+        " r5+r6+r7, multimodal.py untouched this round so the r7 row"
+        " covers byte-identical code): the Arrow-batched binary tier"
+        " keeps q_multimodal_resize in-window (same payload schema,"
+        " same mapInPandas batch shape, the mandate's named resize"
+        " verb); the overlapped-window energy math stays pinned by"
+        " exact-value unit tests and the local parity gate"
+    ),
     "q_pack_shards": (
         "rotated OUT round 8 fifteenth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"

@@ -108,3 +108,121 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gaps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap (bitset) index over a low-cardinality attribute: each part's
+# calendar-month shipping activity packed into a 12-bit integer with a
+# bit_or aggregate -- the roaring/bitmap-index primitive that turns
+# set-membership questions ("active in January AND July", "covers all
+# four quarters") into single bitwise instructions instead of joins or
+# array scans. The query then profiles the index itself: which seasonal
+# patterns exist and how many parts share each.
+# --------------------------------------------------------------------------
+
+#: Quarter masks over the 12-bit month bitmap (bit 0 = January).
+_Q1, _Q2, _Q3, _Q4 = 0x007, 0x038, 0x1C0, 0xE00
+
+#: Shared all-quarters predicate over the packed bitmap.
+_ALL_QUARTERS = (
+    f"(bit_and_q1 > 0 AND bit_and_q2 > 0"
+    f" AND bit_and_q3 > 0 AND bit_and_q4 > 0)"
+)
+
+#: Number of pattern rows to emit.
+TOP_PATTERNS = 50
+
+
+@query(
+    "q_bitmap_index",
+    oracle=f"""
+    WITH bitmaps AS (
+      SELECT l_partkey,
+             CAST(bit_or(1 << (month(l_shipdate) - 1)) AS BIGINT)
+               AS month_bitmap
+      FROM lineitem GROUP BY 1
+    ),
+    patterns AS (
+      SELECT month_bitmap,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(bit_count(month_bitmap) AS INTEGER) AS months_active,
+             (month_bitmap & {_Q1}) AS bit_and_q1,
+             (month_bitmap & {_Q2}) AS bit_and_q2,
+             (month_bitmap & {_Q3}) AS bit_and_q3,
+             (month_bitmap & {_Q4}) AS bit_and_q4
+      FROM bitmaps GROUP BY 1
+    )
+    SELECT month_bitmap, n_parts, months_active,
+           {_ALL_QUARTERS} AS all_quarters
+    FROM patterns
+    ORDER BY n_parts DESC, month_bitmap
+    LIMIT {TOP_PATTERNS}
+    """,
+)
+def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-pattern profile of a per-part month bitmap index: the
+    top {TOP_PATTERNS} distinct 12-bit shipping-month bitmaps by part
+    count, with each pattern's active-month popcount and an
+    all-four-quarters membership flag computed bitwise.
+
+    The bitmap-index primitive: ONE hash aggregation packs every
+    part's shipping months into an integer via bit_or(1 << (month-1))
+    -- a mergeable aggregate (OR is associative/commutative/
+    idempotent), so map-side partials collapse each partition to one
+    row per part seen, and re-shipments in the same month cost
+    nothing. After packing, membership questions are single bitwise
+    instructions (mask AND + popcount), never joins: the second,
+    DOMAIN-SIZED aggregation (at most 2^12 distinct patterns,
+    regardless of catalog size) profiles the index and evaluates the
+    quarter-coverage flags on the packed integers.
+
+    Everything is exact integer arithmetic -- no float policy to
+    share; the only cross-engine care is the shift/popcount spelling
+    (Spark shiftleft/bit_count vs DuckDB <</bit_count), pinned by the
+    parity gate.
+
+    Scale: shuffle 1 carries |parts| rows of (key, 12-bit int);
+    shuffle 2 carries at most 4096 pattern rows. This is the same
+    "reduce to a packed integer before anything exchanges" discipline
+    as the fingerprint dedups, applied to set membership. A true
+    roaring bitmap (arbitrary-cardinality domains) swaps the BIGINT
+    for chunked bitmaps with the same mergeable-OR algebra.
+
+    tests/test_indexing.py recomputes the pattern table in pure
+    Python (third-engine check) and pins popcount/quarter-mask
+    consistency.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bitmaps = (
+        li.select(
+            "l_partkey",
+            F.expr("shiftleft(1, month(l_shipdate) - 1)")
+            .cast("long")
+            .alias("mbit"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.expr("bit_or(mbit)").alias("month_bitmap"))
+    )
+    patterns = bitmaps.groupBy("month_bitmap").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.bit_count("month_bitmap").cast("int").alias("months_active"),
+    )
+    flags = patterns.select(
+        "month_bitmap",
+        "n_parts",
+        "months_active",
+        (F.col("month_bitmap").bitwiseAND(_Q1)).alias("bit_and_q1"),
+        (F.col("month_bitmap").bitwiseAND(_Q2)).alias("bit_and_q2"),
+        (F.col("month_bitmap").bitwiseAND(_Q3)).alias("bit_and_q3"),
+        (F.col("month_bitmap").bitwiseAND(_Q4)).alias("bit_and_q4"),
+    )
+    return (
+        flags.select(
+            "month_bitmap",
+            "n_parts",
+            "months_active",
+            F.expr(_ALL_QUARTERS).alias("all_quarters"),
+        )
+        .orderBy(F.desc("n_parts"), "month_bitmap")
+        .limit(TOP_PATTERNS)
+    )

@@ -54,3 +54,43 @@ def test_multiple_shards_exercised(spark):
         r["shard"] for r in q_inverted_index(spark, SF_DIR).collect()
     }
     assert len(shards) >= 2
+
+
+def test_bitmap_index_matches_python(spark):
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.indexing import (
+        TOP_PATTERNS,
+        q_bitmap_index,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = [
+        (r["month_bitmap"], r["n_parts"], r["months_active"],
+         r["all_quarters"])
+        for r in q_bitmap_index(spark, SF_DIR).collect()
+    ]
+    assert got, "bitmap patterns expected"
+
+    bitmaps: dict[int, int] = defaultdict(int)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_shipdate")
+        .collect()
+    ):
+        bitmaps[r["l_partkey"]] |= 1 << (r["l_shipdate"].month - 1)
+    counts: dict[int, int] = defaultdict(int)
+    for bm in bitmaps.values():
+        counts[bm] += 1
+    expect = sorted(
+        (
+            (bm, n, bin(bm).count("1"),
+             all(bm & m for m in (0x007, 0x038, 0x1C0, 0xE00)))
+            for bm, n in counts.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:TOP_PATTERNS]
+    assert got == expect or sorted(got, key=lambda t: (-t[1], t[0])) == expect
+    for bm, _, months_active, _ in got:
+        assert 0 < bm < 4096 and months_active == bin(bm).count("1")
