@@ -161,17 +161,26 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
     total_mean = round(sum(per_query_mean.values()), 3)
     # Detail line first: anything after it may be all the driver sees.
+    # Full 3-decimal mins and means both live here.
     print(
         json.dumps(
-            {"metric": "bench_detail", "queries_mean": per_query_mean}
+            {
+                "metric": "bench_detail",
+                "queries_min": per_query,
+                "queries_mean": per_query_mean,
+            }
         )
     )
+    # Contract line stays compact (round-8 slimming: the headline set
+    # grew to ~70 queries, so the per-query values on THIS line are
+    # 2-decimal -- 10 ms grain, well under min-of-3 noise -- keeping
+    # worst-case length ~1.8k inside the driver's 2000-char tail).
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": per_query,
+            "queries": {n: round(v, 2) for n, v in per_query.items()},
             "sf": sf,
             "reps": reps,
             "value_mean": total_mean,

@@ -69,5 +69,8 @@ def test_bench_emits_driver_contract_json():
             detail = obj
     assert detail is not None, "bench_detail line missing"
     assert payload["queries"].keys() == detail["queries_mean"].keys()
-    for name, vmin in payload["queries"].items():
+    assert payload["queries"].keys() == detail["queries_min"].keys()
+    for name, vmin in detail["queries_min"].items():
         assert vmin <= detail["queries_mean"][name] + 1e-9
+        # contract line carries the same min at 2-decimal grain
+        assert abs(payload["queries"][name] - round(vmin, 2)) < 1e-9
