@@ -96,6 +96,33 @@ PROBE = [
     "q_ema",
     "q_regression",
     "q_inverted_index",
+    # round-8 waves 9-16: ACF + Markov transitions + CDC apply ride
+    # the replicated events (user_ids KEPT -- per-key/per-type series
+    # length multiplies, the right stress for their window sorts; all
+    # three should be ~linear, the downstream aggregations being
+    # domain- or key-sized). Co-occurrence and the bitmap index ride
+    # the replicated lineitem (l_orderkey offset -- baskets replicate
+    # DISJOINTLY, so pair enumeration rows grow linearly while the
+    # distinct pair space stays fixed: the basket-bounded claim in
+    # q_cooccur's docstring is exactly what the slope verifies).
+    # Duplicated-span dedup rides the replicated documents as a
+    # WORST-CASE stress: replicas are exact copies, so every gram
+    # becomes cross-doc duplicated and every position lands in an
+    # island -- the probe measures the all-duplicated ceiling, still
+    # expected ~linear because islands stay per-doc bounded.
+    "q_acf",
+    "q_transitions",
+    "q_cdc_apply",
+    "q_cooccur",
+    "q_bitmap_index",
+    "q_dup_spans",
+    # q_interval_peak is NOT probed by replication: it joins orders
+    # (not replicated -- offsetting o_orderkey and l_orderkey by
+    # different table sizes would break referential integrity); its
+    # scale argument is structural (deltas collapse to the bounded
+    # day domain before the only non-mergeable step). q_skyline
+    # likewise: replicas are identical parts, so the per-size maxima
+    # -- the only thing past the first agg -- would not change.
     # q_fuzzy_join is NOT probed by replication: replicas duplicate
     # rows, not NAMES, so the distinct-name join input is constant at
     # every factor and the measured slope would be the (linear) name
