@@ -113,6 +113,7 @@ HEADLINE = [
     "q_dup_spans",         # duplicated-substring spans (gaps-and-islands)
     "q_cdc_apply",         # changelog MERGE-apply (tombstoned top-1)
     "q_bitmap_index",      # bit_or month bitmaps + bitwise membership
+    "q_weighted_median",   # integer-exact weighted order statistic
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

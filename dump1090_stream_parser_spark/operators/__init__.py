@@ -43,6 +43,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_bm25": (
+        "rotated OUT round 8 seventeenth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- text.py's BM25"
+        " scorer untouched this round so the r7 row covers"
+        " byte-identical code): the ranked-retrieval tier keeps its"
+        " superset in-window -- q_hybrid_search RUNS the same BM25"
+        " leg verbatim and fuses it with the vector leg -- and the"
+        " corpus-stats scoring-join shape is additionally held by"
+        " q_lm_score; the k1/b saturation math stays re-proven every"
+        " round by the local parity gate and the headline bench line"
+    ),
     "q_multimodal_energy": (
         "rotated OUT round 8 sixteenth wave (green driver rows"
         " r5+r6+r7, multimodal.py untouched this round so the r7 row"

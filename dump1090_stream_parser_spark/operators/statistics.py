@@ -528,3 +528,114 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.expr(_ACF_R), 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted median: the order statistic where half the WEIGHT (not half
+# the rows) sits at or below the answer -- the robust center for
+# skewed, weight-carrying data (tokens-per-source, spend-per-order).
+# Exactness comes free on 2-decimal money/quantity columns: cent-scaled
+# integers make every cumulative comparison integer arithmetic, so both
+# engines pick the identical row with no interpolation policy to share.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT rf, price_c, w, n,
+             SUM(w) OVER (
+               PARTITION BY rf ORDER BY price_c
+               ROWS UNBOUNDED PRECEDING
+             ) AS cumw,
+             SUM(w) OVER (PARTITION BY rf) AS tot,
+             SUM(n) OVER (PARTITION BY rf) AS n_rows
+      FROM c
+    )
+    SELECT rf AS l_returnflag,
+           MIN(price_c) / 100.0 AS weighted_median_price,
+           CAST(MAX(tot) AS DOUBLE) / 100.0 AS total_weight,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows
+    FROM cum
+    WHERE 2 * cumw >= tot
+    GROUP BY rf
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total (the lower weighted median).
+
+    Three stages, all exact: (1) a hash aggregation collapses the fact
+    to (group, DISTINCT price) rows with summed cent-scaled integer
+    weights -- the corpus-proportional step, mergeable map-side, after
+    which everything is bounded by the price domain, not the row
+    count; (2) one per-group window pass computes the running and
+    total weights (both integer sums over the collapsed rows); (3) the
+    pick is the integer predicate 2*cumw >= tot followed by MIN --
+    no float interpolation exists anywhere, so there is no rounding
+    policy to share and the engines agree bitwise by construction
+    (the only doubles are the display /100.0 at the end).
+
+    Scale: the pre-aggregation is the same trick q_approx_percentile's
+    value histogram uses -- the window never sees raw rows, only
+    distinct values per group. If the value domain itself is unbounded
+    (continuous prices at web scale), quantize to fixed-width buckets
+    first (the GK/t-digest swap documented there) and this plan's
+    shape is unchanged. The per-group ordered scan is over distinct
+    values; groups hash-spread across tasks.
+
+    tests/test_statistics.py recomputes the weighted median in pure
+    Python (third-engine check) and pins the defining property: weight
+    at-or-below >= half, weight strictly-below < half.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("price_c"),
+            F.round(F.col("l_quantity") * 100, 0)
+            .cast("long")
+            .alias("w_c"),
+        )
+        .groupBy("rf", "price_c")
+        .agg(
+            F.sum("w_c").alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cum = c.select(
+        "rf",
+        "price_c",
+        F.sum("w")
+        .over(
+            Window.partitionBy("rf")
+            .orderBy("price_c")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cumw"),
+        F.sum("w").over(Window.partitionBy("rf")).alias("tot"),
+        F.sum("n").over(Window.partitionBy("rf")).alias("n_rows"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            (F.min("price_c") / 100.0).alias("weighted_median_price"),
+            (F.max("tot").cast("double") / 100.0).alias("total_weight"),
+            F.max("n_rows").alias("n_rows"),
+        )
+    )

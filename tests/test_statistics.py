@@ -161,3 +161,54 @@ def test_acf_matches_numpy(spark):
             assert math.isclose(g["acf"], ref, rel_tol=1e-5,
                                 abs_tol=5.01e-7), (etype, k)
             assert -1.0 <= g["acf"] <= 1.0
+
+
+def test_weighted_median_matches_python(spark):
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        q_weighted_median,
+    )
+
+    got = {
+        r["l_returnflag"]: r
+        for r in q_weighted_median(spark, SF_DIR).collect()
+    }
+    assert got, "groups expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_rf = defaultdict(list)
+    for r in rows:
+        by_rf[r["l_returnflag"]].append(
+            (round(r["l_extendedprice"] * 100),
+             round(r["l_quantity"] * 100))
+        )
+    assert by_rf.keys() == got.keys()
+    for rf, pts in by_rf.items():
+        pts.sort()
+        tot = sum(w for _, w in pts)
+        cum = 0
+        med = None
+        below = 0
+        for price_c, w in pts:
+            if med is None:
+                below = cum
+            cum += w
+            if med is None and 2 * cum >= tot:
+                med = price_c
+        g = got[rf]
+        assert g["n_rows"] == len(pts)
+        assert math.isclose(g["total_weight"], tot / 100.0, rel_tol=1e-12)
+        assert math.isclose(
+            g["weighted_median_price"], med / 100.0, rel_tol=1e-12
+        )
+        # defining property: weight at-or-below >= half, strictly
+        # below < half (integer comparisons, no tolerance needed)
+        at_or_below = sum(w for p, w in pts if p <= med)
+        strictly_below = sum(w for p, w in pts if p < med)
+        assert 2 * at_or_below >= tot
+        assert 2 * strictly_below < tot
