@@ -43,6 +43,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_ann_ivf": (
+        "rotated OUT round 8 eighteenth wave (green driver rows"
+        " r1+r3+r4+r5+r6+r7 -- a six-green history -- similarity.py's"
+        " IVF code untouched this round so the r7 row covers"
+        " byte-identical code): the IVF tier keeps its harder batch"
+        " form in-window (q_ann_ivf_join probes the same trained"
+        " centroids for a TABLE of queries through one cell_id"
+        " equi-join, with a per-query exact-recall gate) and the"
+        " partition-pruned probe layout stays pinned by"
+        " tests/test_plans.py; the single-query multi-probe recall"
+        " floor stays re-proven every round by the local parity gate"
+        " and tests/test_approx.py"
+    ),
     "q_bm25": (
         "rotated OUT round 8 seventeenth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- text.py's BM25"

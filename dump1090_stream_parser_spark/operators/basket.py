@@ -153,3 +153,138 @@ def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(_LIFT), 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the
+# co-occurrence graph -- the graph-analytics primitive one step past
+# connected components (q_dedup_clusters' pointer jumping): triangles
+# measure cohesion, and their enumeration is the canonical test of
+# whether a join plan survives graph skew. Edges are the q_cooccur
+# pairs at the same support floor, so the graph derives from data in
+# one bounded self-join.
+# --------------------------------------------------------------------------
+
+#: Shared global-clustering-coefficient text over exact counts:
+#: 3 * triangles / wedges (every triangle closes exactly 3 wedges).
+_GCC = "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+
+
+@query(
+    "q_triangles",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_CO}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ecnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+    )
+    SELECT agg.n_nodes, ecnt.n_edges, agg.n_wedges, tri.n_triangles,
+           ROUND({_GCC}, 6) AS gcc
+    FROM agg, ecnt, tri
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-occurrence graph (edges = part
+    pairs co-ordered in >= MIN_CO baskets): node/edge/wedge/triangle
+    counts and the global clustering coefficient 3T/W.
+
+    Triangles enumerate as the ordered 3-clique join: edges are stored
+    once with u < v, so e1=(a,b) joined to e2=(b,c) yields only
+    ascending paths a<b<c, and the closing join against e3=(a,c)
+    counts each triangle EXACTLY once -- no /6 de-duplication pass,
+    no symmetric edge doubling. Wedges come from the degree table
+    (sum d*(d-1)/2, exact integers), and the coefficient is one
+    shared IEEE division.
+
+    Scale: the path join's cost is sum over nodes of d_in*d_out under
+    the a<b<c orientation -- the textbook mitigation for graph skew
+    (a hot node's quadratic wedge space splits by the total order
+    instead of landing on one key; full degree-ordering, orienting
+    each edge low-degree->high-degree, is the same join with a
+    different comparator and drops in here if the id order correlates
+    badly with degree). All three legs are hash equi-joins on node
+    keys -- shuffles carry (node, node) integer pairs, AQE handles
+    residual skew. The edge derivation inherits q_cooccur's
+    basket-bounded argument; everything downstream is
+    edge-proportional, never basket-proportional.
+
+    tests/test_basket.py brute-forces the triangle count from the
+    Python-recomputed edge set (third-engine check) and pins the
+    wedge identity.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_CO)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(F.expr(_GCC), 6).alias("gcc"),
+        )
+    )

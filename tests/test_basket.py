@@ -62,3 +62,45 @@ def test_cooccur_matches_python(spark):
         assert math.isclose(g["cosine"], -ncos, rel_tol=1e-9, abs_tol=5.01e-7)
         assert math.isclose(g["lift"], lift, rel_tol=1e-9, abs_tol=5.01e-7)
         assert g["lift"] >= 1.0 or g["co_orders"] >= MIN_CO
+
+
+def test_triangles_match_python(spark):
+    from dump1090_stream_parser_spark.operators.basket import q_triangles
+
+    row = q_triangles(spark, SF_DIR).collect()[0]
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    co: dict[tuple, int] = defaultdict(int)
+    for parts in baskets.values():
+        ordered = sorted(parts)
+        for i, u in enumerate(ordered):
+            for v in ordered[i + 1:]:
+                co[(u, v)] += 1
+    edges = {pair for pair, c in co.items() if c >= MIN_CO}
+    assert row["n_edges"] == len(edges)
+
+    deg: dict[int, int] = defaultdict(int)
+    adj: dict[int, set] = defaultdict(set)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        adj[u].add(v)
+    assert row["n_nodes"] == len(deg)
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert row["n_wedges"] == wedges
+
+    tri = 0
+    for a, b in edges:
+        # ordered 3-clique: successors of both endpoints
+        tri += len(adj[a] & adj[b])
+    assert row["n_triangles"] == tri
+    if wedges:
+        assert abs(row["gcc"] - 3 * tri / wedges) < 5.01e-7
+        assert 0.0 <= row["gcc"] <= 1.0
