@@ -639,3 +639,104 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_rows").alias("n_rows"),
         )
     )
+
+
+def acf_segmented(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "2 days",
+) -> DataFrame:
+    """The 100 TB ACF shape: segmented lag pairing with a k-row carry.
+
+    q_acf's only data-proportional exchange is the per-TYPE window
+    sort -- and event_type has 5 values, so the probe
+    (docs/SCALE.md round-8 waves table) shows the one-task-per-type
+    bound dominating by x16. This variant bounds every task by the
+    SEGMENT instead: rows bucket by time window, each segment's last
+    LAG_MAX rows are replicated into the following segment as
+    carry-in (pair PARTNERS only -- carry rows emit no pairs of their
+    own), pairing runs inside (type, segment) tasks, and the exact
+    integer sufficient statistics merge freely across segments into
+    the same closed form. The pair set is IDENTICAL to the single
+    sort's -- not a float-reassociation approximation: integer sums
+    commute, so segmented == single-pass EXACTLY
+    (tests/test_statistics.py pins frame equality).
+
+    Precondition (documented, like ema_segmented's bucket-width dial):
+    every non-final populated segment holds >= LAG_MAX rows per type
+    and adjacent populated segments are consecutive buckets, so a
+    pair's partner is never more than one segment back. With day
+    buckets that is a DENSITY floor; the default is 2-day buckets
+    because sf0.001's sparsest (type, day) holds only 2 rows (measured
+    -- 1-day buckets lose exactly the k=3 boundary pairs there).
+    Sparser series take wider buckets -- widening the bucket only
+    grows the per-task bound, never the result.
+    """
+    lag_max = 3
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr(_ACF_Q).alias("y"),
+        F.window("ts", segment)["start"].alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    # carry-in: each segment's last LAG_MAX rows, re-tagged to the
+    # NEXT bucket (partner-only rows)
+    rdesc = F.row_number().over(
+        Window.partitionBy("event_type", "bucket").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    seg_width = F.expr(f"INTERVAL {segment}")
+    carry = (
+        base.withColumn("rdesc", rdesc)
+        .filter(F.col("rdesc") <= lag_max)
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "y",
+            (F.col("bucket") + seg_width).alias("bucket"),
+            F.lit(True).alias("is_carry"),
+        )
+    )
+    staged = base.withColumn("is_carry", F.lit(False)).unionByName(carry)
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    lagged = staged.select(
+        "event_type",
+        "y",
+        "is_carry",
+        F.lag("y", 1).over(w).alias("x1"),
+        F.lag("y", 2).over(w).alias("x2"),
+        F.lag("y", 3).over(w).alias("x3"),
+    )
+    pairs = (
+        lagged.filter(~F.col("is_carry"))
+        .selectExpr(
+            "event_type", "y", "stack(3, 1, x1, 2, x2, 3, x3) AS (k, x)"
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("rn"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return s.filter(
+        F.expr("(rn * sxx - sx * sx) > 0 AND (rn * syy - sy * sy) > 0")
+    ).select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        "n_pairs",
+        F.round(F.expr(_ACF_R), 6).alias("acf"),
+    )

@@ -212,3 +212,48 @@ def test_weighted_median_matches_python(spark):
         strictly_below = sum(w for p, w in pts if p < med)
         assert 2 * at_or_below >= tot
         assert 2 * strictly_below < tot
+
+
+def test_acf_segmented_equals_single_pass(spark):
+    from dump1090_stream_parser_spark.operators.statistics import (
+        acf_segmented,
+        q_acf,
+    )
+
+    single = {
+        (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
+        for r in q_acf(spark, SF_DIR).collect()
+    }
+    seg = {
+        (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
+        for r in acf_segmented(spark, SF_DIR).collect()
+    }
+    # EXACT equality: the segmented plan pairs the identical integer
+    # set, and integer sums commute -- no reassociation tolerance
+    assert seg == single
+
+    # density precondition sanity: every populated 2-day bucket
+    # except per-type finals holds >= LAG_MAX rows (1-day buckets
+    # measurably violate this at sf0.001 -- min occupancy 2 -- which
+    # is why the default segment is 2 days)
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts")
+        .collect()
+    )
+    per_bucket = defaultdict(int)
+    for r in rows:
+        bucket = r["ts"].timestamp() // (2 * 86400)
+        per_bucket[(r["event_type"], bucket)] += 1
+    finals = {}
+    for (etype, bucket), _ in per_bucket.items():
+        if etype not in finals or bucket > finals[etype]:
+            finals[etype] = bucket
+    for (etype, bucket), n in per_bucket.items():
+        if bucket != finals[etype]:
+            assert n >= 3, (etype, bucket, n)
