@@ -115,6 +115,7 @@ HEADLINE = [
     "q_bitmap_index",      # bit_or month bitmaps + bitwise membership
     "q_weighted_median",   # integer-exact weighted order statistic
     "q_triangles",         # ordered 3-clique join + clustering coeff
+    "q_abtest",            # pairwise two-proportion z-test matrix
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

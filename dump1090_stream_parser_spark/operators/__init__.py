@@ -43,6 +43,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_mix_weights": (
+        "rotated OUT round 8 nineteenth wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"
+        " re-weighting code untouched this round so the r7 row covers"
+        " byte-identical code): the per-source corpus-statistics tier"
+        " keeps two in-window representatives -- q_source_divergence"
+        " (per-source token distributions, the drift companion) and"
+        " q_weighted_sample (per-source priority weighting with a"
+        " streaming twin) -- and the 1-row stats broadcast shape is"
+        " q_bm25's corpus-constants pattern, parity-gated in the"
+        " tail; the temperature-reweighting arithmetic stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_ann_ivf": (
         "rotated OUT round 8 eighteenth wave (green driver rows"
         " r1+r3+r4+r5+r6+r7 -- a six-green history -- similarity.py's"

@@ -740,3 +740,119 @@ def acf_segmented(
         "n_pairs",
         F.round(F.expr(_ACF_R), 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test matrix: the experimentation primitive ("is
+# cohort A's success rate significantly different from cohort B's").
+# Counts are exact integers from one corpus aggregation; every pairwise
+# statistic derives from the domain-sized count table, and the z closed
+# form is one shared IEEE text -- the q_regression discipline applied
+# to hypothesis testing.
+# --------------------------------------------------------------------------
+
+#: Pooled two-proportion z statistic over (s1, n1, s2, n2) doubles
+#: (cast once from exact integers). sqrt and divide are correctly
+#: rounded, so both engines produce bit-identical z values and the
+#: significance cut cannot straddle engines.
+_Z = (
+    "((s1 / n1) - (s2 / n2))"
+    " / sqrt(((s1 + s2) / (n1 + n2)) * (1.0 - (s1 + s2) / (n1 + n2))"
+    " * (1.0 / n1 + 1.0 / n2))"
+)
+
+#: Two-sided 5% critical value.
+Z_CRIT = 1.96
+
+
+@query(
+    "q_abtest",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT a.grp AS grp1, b.grp AS grp2,
+             a.n AS n1i, a.s AS s1i, b.n AS n2i, b.s AS s2i,
+             CAST(a.s AS DOUBLE) AS s1, CAST(a.n AS DOUBLE) AS n1,
+             CAST(b.s AS DOUBLE) AS s2, CAST(b.n AS DOUBLE) AS n2
+      FROM g a JOIN g b ON a.grp < b.grp
+    )
+    SELECT grp1, grp2,
+           n1i AS n1, s1i AS s1, n2i AS n2, s2i AS s2,
+           ROUND({_Z}, 6) AS z,
+           (abs({_Z}) > {Z_CRIT}) AS significant
+    FROM p
+    """,
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-proportion z-tests between order priority cohorts
+    on the fulfilled rate (o_orderstatus = 'F'): for every unordered
+    cohort pair, both counts, the pooled z statistic, and the 5%
+    two-sided significance verdict.
+
+    The experimentation primitive: ONE corpus aggregation collapses
+    orders to the |cohorts|-row (n, successes) table; the pairwise
+    matrix is a self-join OF THAT DOMAIN-SIZED TABLE (grp < grp
+    dedups unordered pairs), so pair count is |cohorts|^2/2 regardless
+    of order volume. The z closed form is one shared IEEE text over
+    doubles cast once from exact integers (sqrt/divide correctly
+    rounded), so z AND the significance boolean agree bitwise --
+    the boundary cannot straddle engines, the q_anomaly_mad
+    shared-predicate discipline.
+
+    Scale: the only data-proportional work is the first hash
+    aggregation (mergeable, map-side partials); everything pairwise
+    runs on |cohorts| rows. A/B platforms with thousands of concurrent
+    experiments shard the same shape by experiment_id -- the cohort
+    table stays dimension-sized per experiment.
+
+    tests/test_statistics.py recomputes the z matrix against scipy-
+    free closed forms in Python and pins antisymmetry (z(a,b) ==
+    -z(b,a)) by recomputation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).cast("long").alias("s"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp1"),
+        F.col("n").alias("n1i"),
+        F.col("s").alias("s1i"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp2"),
+        F.col("n").alias("n2i"),
+        F.col("s").alias("s2i"),
+    )
+    pairs = a.join(b, F.col("grp1") < F.col("grp2")).select(
+        "grp1",
+        "grp2",
+        "n1i",
+        "s1i",
+        "n2i",
+        "s2i",
+        F.col("s1i").cast("double").alias("s1"),
+        F.col("n1i").cast("double").alias("n1"),
+        F.col("s2i").cast("double").alias("s2"),
+        F.col("n2i").cast("double").alias("n2"),
+    )
+    return pairs.select(
+        "grp1",
+        "grp2",
+        F.col("n1i").alias("n1"),
+        F.col("s1i").alias("s1"),
+        F.col("n2i").alias("n2"),
+        F.col("s2i").alias("s2"),
+        F.round(F.expr(_Z), 6).alias("z"),
+        (F.abs(F.expr(_Z)) > Z_CRIT).alias("significant"),
+    )

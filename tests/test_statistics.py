@@ -257,3 +257,48 @@ def test_acf_segmented_equals_single_pass(spark):
     for (etype, bucket), n in per_bucket.items():
         if bucket != finals[etype]:
             assert n >= 3, (etype, bucket, n)
+
+
+def test_abtest_matches_python(spark):
+    from dump1090_stream_parser_spark.operators.statistics import (
+        Z_CRIT,
+        q_abtest,
+    )
+
+    got = {
+        (r["grp1"], r["grp2"]): r for r in q_abtest(spark, SF_DIR).collect()
+    }
+    assert got, "cohort pairs expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    from collections import defaultdict
+
+    n: dict[str, int] = defaultdict(int)
+    s: dict[str, int] = defaultdict(int)
+    for r in rows:
+        n[r["o_orderpriority"]] += 1
+        if r["o_orderstatus"] == "F":
+            s[r["o_orderpriority"]] += 1
+    groups = sorted(n)
+    n_pairs = len(groups) * (len(groups) - 1) // 2
+    assert len(got) == n_pairs
+
+    def z(g1, g2):
+        p1, p2 = s[g1] / n[g1], s[g2] / n[g2]
+        pp = (s[g1] + s[g2]) / (n[g1] + n[g2])
+        return (p1 - p2) / math.sqrt(
+            pp * (1 - pp) * (1 / n[g1] + 1 / n[g2])
+        )
+
+    for (g1, g2), r in got.items():
+        assert (r["n1"], r["s1"]) == (n[g1], s[g1])
+        assert (r["n2"], r["s2"]) == (n[g2], s[g2])
+        ref = z(g1, g2)
+        assert math.isclose(r["z"], ref, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert r["significant"] == (abs(ref) > Z_CRIT)
+        # antisymmetry by recomputation
+        assert math.isclose(z(g2, g1), -ref, rel_tol=1e-12)
