@@ -43,6 +43,18 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_model_score": (
+        "rotated OUT round 8 twentieth wave (green driver rows"
+        " r4+r5+r6+r7, inference.py untouched this round so the r7"
+        " row covers byte-identical code): the Arrow-batched"
+        " inference tier keeps q_label_pca in-window (grouped-map"
+        " applyInPandas, the heavier Arrow contract) plus"
+        " q_multimodal_resize's mapInPandas batch shape, and the"
+        " stream==batch bit-equality of the classifier pass stays"
+        " pinned by tests/test_inference_stream.py e2e; the"
+        " featurization and calibrated-threshold contract stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_mix_weights": (
         "rotated OUT round 8 nineteenth wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- pipeline_ops.py's"

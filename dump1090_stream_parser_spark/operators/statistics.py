@@ -856,3 +856,98 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_Z), 6).alias("z"),
         (F.abs(F.expr(_Z)) > Z_CRIT).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient: concentration of a size measure within each slice
+# -- the curation diagnostic behind "is this source a few giant
+# documents or many small ones" (token-budget planning, dedup-risk
+# screens, and mixture design all read this number first).
+# --------------------------------------------------------------------------
+
+#: Rank-formula Gini over (swx, sx, rn) doubles cast once from exact
+#: integers: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with x ascending.
+#: Equal x values make the i*x sum permutation-invariant, so the
+#: doc_id tiebreak affects nothing but determinism of the plan.
+_GINI = "(2.0 * swx / (rn * sx)) - ((rn + 1.0) / rn)"
+
+
+@query(
+    "q_gini",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS BIGINT) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) AS DOUBLE) AS rn,
+             CAST(SUM(n_chars) AS DOUBLE) AS sx,
+             CAST(SUM(i * n_chars) AS DOUBLE) AS swx
+      FROM ranked GROUP BY 1
+    )
+    SELECT source, n_docs, total_chars,
+           ROUND({_GINI}, 6) AS gini
+    FROM s WHERE sx > 0
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document sizes (n_chars): 0 when
+    every document is the same size, approaching 1 when one document
+    carries nearly all the characters.
+
+    The rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n needs one
+    per-source ordered pass to assign ascending ranks (doc_id breaks
+    size ties -- the i*x sum is permutation-invariant across equal
+    sizes, so ties cannot move the answer, only stabilize the plan)
+    and one hash aggregation for the three exact integer sums
+    (products peak n*max_chars per row; the sums ride
+    DECIMAL(38,0)/HUGEINT). The closed form is one shared IEEE text
+    over doubles cast once from those integers -- the q_regression
+    discipline -- so the round(6) coefficients hash-compare.
+
+    Scale: the rank window partitions on source; within a source the
+    sort is by a single long -- the same per-group ordered-scan class
+    as q_weighted_median, with the same two remedies at extreme
+    per-source cardinality: pre-aggregate to (source, DISTINCT size)
+    rows with multiplicities (rank arithmetic folds over run lengths),
+    or quantize sizes to histogram buckets and accept the binned Gini
+    (the GK/t-digest swap). Everything after the window is a
+    mergeable aggregation.
+
+    tests/test_statistics.py recomputes every coefficient in pure
+    Python and pins the [0, 1) envelope plus the equal-sizes -> 0
+    identity on a synthetic frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    dec = "decimal(38,0)"
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).cast("double").alias("rn"),
+        F.sum(F.col("n_chars").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("n_chars")).cast(dec))
+        .cast("double")
+        .alias("swx"),
+    )
+    return s.filter(F.col("sx") > 0).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.expr(_GINI), 6).alias("gini"),
+    )

@@ -302,3 +302,41 @@ def test_abtest_matches_python(spark):
         assert r["significant"] == (abs(ref) > Z_CRIT)
         # antisymmetry by recomputation
         assert math.isclose(z(g2, g1), -ref, rel_tol=1e-12)
+
+
+def test_gini_matches_python(spark):
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import q_gini
+
+    got = {r["source"]: r for r in q_gini(spark, SF_DIR).collect()}
+    assert got, "sources expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["n_chars"])
+    assert by_src.keys() == got.keys()
+    for src, xs in by_src.items():
+        xs.sort()
+        n = len(xs)
+        swx = sum((i + 1) * x for i, x in enumerate(xs))
+        sx = sum(xs)
+        gini = 2 * swx / (n * sx) - (n + 1) / n
+        g = got[src]
+        assert g["n_docs"] == n and g["total_chars"] == sx
+        assert math.isclose(g["gini"], gini, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert 0.0 <= g["gini"] < 1.0
+
+    # identity: equal sizes -> exactly 0
+    n = 7
+    assert math.isclose(
+        2 * sum((i + 1) * 5 for i in range(n)) / (n * 5 * n)
+        - (n + 1) / n,
+        0.0,
+        abs_tol=1e-12,
+    )
