@@ -108,7 +108,15 @@ def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python at sf0.001 (third-engine check).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (pair join x2 sides, freq, tot): one lazy
+    # checkpoint materializes the basket DISTINCT once instead of
+    # re-scanning + re-shuffling lineitem per branch (plan audit
+    # showed 4 independent Exchanges without it)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     tot = baskets.agg(
         F.countDistinct("l_orderkey").alias("nord")
@@ -238,7 +246,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge identity.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # both self-join sides read one materialized basket DISTINCT
+    # (q_cooccur's plan-audit fix applied here too)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = baskets.alias("a")
     b = baskets.alias("b")
     edges = (
