@@ -117,6 +117,7 @@ HEADLINE = [
     "q_triangles",         # ordered 3-clique join + clustering coeff
     "q_abtest",            # pairwise two-proportion z-test matrix
     "q_gini",              # rank-formula concentration coefficient
+    "q_decay_topk",        # power-of-two decayed ranking (exact ints)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -43,6 +43,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_quality_filter": (
+        "rotated OUT round 8 twenty-first wave (green driver rows"
+        " r3+r4+r5+r6+r7 -- a five-green history -- text.py's filter"
+        " cascade untouched this round so the r7 row covers"
+        " byte-identical code): the quality-gating tier keeps two"
+        " in-window representatives -- q_pipeline_funnel, which runs"
+        " the SAME filter cascade as the first stage of its composed"
+        " curation lineage, and q_lm_score's corpus-likelihood gate"
+        " -- and the per-(lang, reason) accounting stays re-proven"
+        " every round by the local parity gate"
+    ),
     "q_model_score": (
         "rotated OUT round 8 twentieth wave (green driver rows"
         " r4+r5+r6+r7, inference.py untouched this round so the r7"

@@ -287,3 +287,119 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_cnt").alias("peak_open"),
         F.count(F.lit(1)).alias("boundary_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decayed activity ranking: recent activity counts more, by a
+# half-life. The standard formulation (sum of value * exp(-dt/tau))
+# commits every engine to libm exp() and an order-dependent float sum;
+# this operator instead decays by POWERS OF TWO per whole week --
+# multiplying a double by 2^-k is exponent arithmetic (exact), and
+# quantized micro-unit values make the whole aggregation exact
+# integers: mergeable, shuffle-order-proof, and bit-identical across
+# engines BY CONSTRUCTION rather than by tolerance.
+# --------------------------------------------------------------------------
+
+#: Decay clamp: contributions older than DECAY_WEEKS_MAX weeks all
+#: carry the smallest weight (2^-DECAY_WEEKS_MAX) instead of vanishing
+#: -- keeps the integer scaling bounded (max factor 2^10 = 1024).
+DECAY_WEEKS_MAX = 10
+
+#: Ranked rows to emit.
+DECAY_TOP_K = 20
+
+
+@query(
+    "q_decay_topk",
+    oracle=f"""
+    WITH ref AS (
+      SELECT MAX(ts) AS ref_ts FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+             LEAST({DECAY_WEEKS_MAX},
+                   CAST(floor(date_diff('day', ts, ref.ref_ts) / 7.0)
+                        AS BIGINT)) AS wk
+      FROM events, ref
+      WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(vq * (1 << ({DECAY_WEEKS_MAX} - wk)))
+                  AS DOUBLE) AS scaled
+      FROM w GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           ROUND(scaled / {(1 << DECAY_WEEKS_MAX) * 1e6}, 6)
+             AS decayed_score
+    FROM s
+    ORDER BY scaled DESC, user_id
+    LIMIT {DECAY_TOP_K}
+    """,
+)
+def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DECAY_TOP_K} users by exponentially time-decayed value sum:
+    each event contributes value * 2^-(whole weeks before the stream's
+    last timestamp), clamped at {DECAY_WEEKS_MAX} weeks.
+
+    Engine-exactness by construction, not tolerance: values quantize
+    to micro-unit integers (the shared floor(x*1e6 + 0.5) text), the
+    decay multiplies by 1 << (clamp - weeks) -- an integer, so the
+    weighted sum is an EXACT integer aggregation (DECIMAL(38,0)/
+    HUGEINT sums; per-row peak vq*1024 ~ 5.7e11) -- and the single
+    final division by 2^{DECAY_WEEKS_MAX}*1e6 is one correctly-rounded
+    IEEE op. No exp(), no libm variance, no float-sum order
+    sensitivity; the top-k cut compares exact integers, so both
+    engines select identical rows.
+
+    Scale: the reference timestamp is a 1-row broadcast (never a
+    second corpus pass); the decayed sum is a plain mergeable hash
+    aggregation -- map-side partials collapse per user -- and the
+    ranking is TakeOrderedAndProject. A streaming twin keeps
+    (scaled_sum, n) per key and RESCALES lazily when the reference
+    advances a week (multiply state by 2^-1 -- exact), the classic
+    decayed-counter trick; the clamp bounds state staleness.
+
+    tests/test_timeseries.py recomputes the ranking in pure Python
+    (third-engine check) and pins the decay monotonicity (moving an
+    event one week later never lowers its user's score).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max("ts").alias("ref_ts"))
+    w = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .alias("vq"),
+            F.least(
+                F.lit(DECAY_WEEKS_MAX),
+                F.floor(F.datediff("ref_ts", "ts") / 7.0).cast("long"),
+            ).alias("wk"),
+        )
+    )
+    s = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (
+                F.col("vq")
+                * F.expr(f"shiftleft(1, {DECAY_WEEKS_MAX} - wk)")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("scaled"),
+    )
+    return (
+        s.orderBy(F.desc("scaled"), "user_id")
+        .limit(DECAY_TOP_K)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("scaled") / ((1 << DECAY_WEEKS_MAX) * 1e6), 6
+            ).alias("decayed_score"),
+        )
+    )

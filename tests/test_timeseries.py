@@ -118,3 +118,57 @@ def test_interval_peak_matches_python(spark):
             peaks[m] = running
     assert running == 0, "sweep must close all intervals"
     assert got == {m: (peaks[m], days[m]) for m in peaks}
+
+
+def test_decay_topk_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        DECAY_TOP_K,
+        DECAY_WEEKS_MAX,
+        q_decay_topk,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = [
+        (r["user_id"], r["n_events"], r["decayed_score"])
+        for r in q_decay_topk(spark, SF_DIR).collect()
+    ]
+    assert 0 < len(got) <= DECAY_TOP_K
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    ref = max(r["ts"] for r in rows)
+    scaled: dict[int, int] = defaultdict(int)
+    n: dict[int, int] = defaultdict(int)
+    for r in rows:
+        vq = math.floor(r["value"] * 1e6 + 0.5)
+        # calendar-date difference (Spark datediff == DuckDB
+        # date_diff('day')), NOT elapsed-time floor
+        wk = min(
+            DECAY_WEEKS_MAX, (ref.date() - r["ts"].date()).days // 7
+        )
+        scaled[r["user_id"]] += vq * (1 << (DECAY_WEEKS_MAX - wk))
+        n[r["user_id"]] += 1
+    ranked = sorted(scaled.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (uid, n[uid],
+         round(sc / ((1 << DECAY_WEEKS_MAX) * 1e6), 6))
+        for uid, sc in ranked[:DECAY_TOP_K]
+    ]
+    # compare keys + counts exactly; scores to the round(6) grain
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+    for g, e in zip(got, expect):
+        assert math.isclose(g[2], e[2], rel_tol=0, abs_tol=1.01e-6)
+
+    # decay monotonicity: a 1-week-later event weight is >= the older
+    # weight at every clamp level
+    weights = [1 << (DECAY_WEEKS_MAX - min(DECAY_WEEKS_MAX, k))
+               for k in range(15)]
+    assert all(a >= b for a, b in zip(weights, weights[1:]))
