@@ -118,6 +118,7 @@ HEADLINE = [
     "q_abtest",            # pairwise two-proportion z-test matrix
     "q_gini",              # rank-formula concentration coefficient
     "q_decay_topk",        # power-of-two decayed ranking (exact ints)
+    "q_cusum",             # integer-exact max-drawdown drift statistic
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

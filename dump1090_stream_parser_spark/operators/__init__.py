@@ -43,6 +43,17 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_retention_cohorts": (
+        "rotated OUT round 8 twenty-second wave (green driver rows"
+        " r4+r5+r6+r7, pipeline_ops.py's cohort code untouched this"
+        " round so the r7 row covers byte-identical code): the"
+        " user-journey tier now holds three in-window representatives"
+        " (q_attribution's lookback credit, q_transitions' sequence"
+        " matrix, q_cdc_apply's keyed last-writer fold) and the"
+        " cohort week-bucket join shape is q_interval_peak's month"
+        " rollup one tier down; the weekly retention contract stays"
+        " re-proven every round by the local parity gate"
+    ),
     "q_quality_filter": (
         "rotated OUT round 8 twenty-first wave (green driver rows"
         " r3+r4+r5+r6+r7 -- a five-green history -- text.py's filter"

@@ -403,3 +403,155 @@ def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection: the classic change-point statistic -- the
+# maximum drawdown of the cumulative deviation-from-target series.
+# A mean shift of d per observation grows the statistic linearly in
+# the post-change run length, while in-control noise mean-reverts;
+# q_anomaly_mad flags individual outliers, this flags SUSTAINED drift.
+# Multiplying through by n (deviation = n*x - total) keeps every
+# cumulative quantity an exact integer: no per-type mean double ever
+# enters the fold, so the max and its position are engine-exact.
+# --------------------------------------------------------------------------
+
+#: Final statistic normalization: the integer fold computes
+#: n * cusum * 1e6 (micro-units, mean scaled through by n); one shared
+#: IEEE division returns natural units.
+_CUSUM = "CAST(stat AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)"
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+      SELECT event_type, ts, event_id, xq,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+             CAST(SUM(xq) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS t
+      FROM base
+    ),
+    run AS (
+      SELECT event_type, n,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             SUM(CAST(n AS HUGEINT) * CAST(xq AS HUGEINT) - t)
+               OVER (w ROWS UNBOUNDED PRECEDING) AS s
+      FROM tot
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    dd AS (
+      SELECT event_type, n, i,
+             s - MIN(s) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS UNBOUNDED PRECEDING
+             ) AS drawdown
+      FROM run
+    ),
+    mx AS (
+      SELECT event_type, n, i, drawdown,
+             MAX(drawdown) OVER (PARTITION BY event_type) AS stat
+      FROM dd
+    )
+    SELECT event_type,
+           MAX(n) AS n_events,
+           ROUND({_CUSUM}, 6) AS cusum,
+           MIN(i) AS change_pos
+    FROM mx WHERE drawdown = stat
+    GROUP BY event_type, n, stat
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward CUSUM statistic per event type -- the maximum drawdown
+    max_t (S_t - min_{s<=t} S_s) of the cumulative
+    deviation-from-mean series in (ts, event_id) order -- plus the
+    1-based position where it is first attained (the change-point
+    estimate).
+
+    Integer-exact by algebra: instead of folding x - mean (a double),
+    the deviation is scaled through by n: D_t = n*x_t - total, so the
+    running sum, running min, drawdown, max, and the argmin position
+    are ALL exact integer comparisons (HUGEINT/DECIMAL(38,0) -- the
+    products peak n*xq ~ 1e13 per row and the cumsum stays inside 128
+    bits at any realistic scale). The per-type mean never exists as a
+    float; one shared IEEE division normalizes the final statistic.
+
+    One exchange: every window (count/total, running sum, running
+    min, partition max) keys on event_type, and the ordered ones
+    share one sort. The same one-task-per-type bound as q_acf applies
+    and the same remedy: a prefix sum tiers into per-segment partials
+    + broadcast offsets (q_dense_index's trick) because integer sums
+    compose associatively -- only the running-min fold is inherently
+    sequential per type, over segment SUMMARIES, not rows.
+
+    tests/test_timeseries.py recomputes the statistic and change
+    position in pure Python (third-engine check) and pins the
+    invariants cusum >= 0 and change_pos <= n_events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "xq"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    part = W.partitionBy("event_type")
+    ordered = part.orderBy("ts", "event_id")
+    frame = ordered.rowsBetween(W.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    tot = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "xq",
+        F.count(F.lit(1)).over(part).alias("n"),
+        F.sum(F.col("xq").cast(dec)).over(part).alias("t"),
+    )
+    run = tot.select(
+        "event_type",
+        "n",
+        F.row_number().over(ordered).cast("long").alias("i"),
+        F.sum(
+            F.col("n").cast(dec) * F.col("xq").cast(dec) - F.col("t")
+        )
+        .over(frame)
+        .alias("s"),
+    )
+    by_i = part.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    dd = run.select(
+        "event_type",
+        "n",
+        "i",
+        (F.col("s") - F.min("s").over(by_i)).alias("drawdown"),
+    )
+    mx = dd.select(
+        "event_type",
+        "n",
+        "i",
+        "drawdown",
+        F.max("drawdown").over(part).alias("stat"),
+    )
+    return (
+        mx.filter(F.col("drawdown") == F.col("stat"))
+        .groupBy("event_type", "n", "stat")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.min("i").alias("change_pos"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.expr(_CUSUM), 6).alias("cusum"),
+            "change_pos",
+        )
+    )

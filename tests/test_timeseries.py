@@ -172,3 +172,54 @@ def test_decay_topk_matches_python(spark):
     weights = [1 << (DECAY_WEEKS_MAX - min(DECAY_WEEKS_MAX, k))
                for k in range(15)]
     assert all(a >= b for a, b in zip(weights, weights[1:]))
+
+
+def test_cusum_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.timeseries import q_cusum
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = {
+        r["event_type"]: (r["n_events"], r["cusum"], r["change_pos"])
+        for r in q_cusum(spark, SF_DIR).collect()
+    }
+    assert got, "per-type cusum rows expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 1e6 + 0.5))
+        )
+    assert series.keys() == got.keys()
+    for etype, pts in series.items():
+        pts.sort()
+        xs = [p[2] for p in pts]
+        n, t = len(xs), sum(xs)
+        # drawdown_i = s_i - min(s_1..s_i): the running min is over
+        # the s series itself (UNBOUNDED PRECEDING..CURRENT ROW), so
+        # drawdown_1 == 0 by construction
+        run = 0
+        smin = None
+        stat, pos = -1, None
+        for i, x in enumerate(xs, start=1):
+            run += n * x - t
+            smin = run if smin is None else min(smin, run)
+            dd = run - smin
+            if dd > stat:
+                stat, pos = dd, i
+        g = got[etype]
+        assert g[0] == n
+        assert math.isclose(
+            g[1], stat / (n * 1e6), rel_tol=1e-9, abs_tol=1.01e-6
+        )
+        assert g[2] == pos
+        assert g[1] >= 0 and 1 <= g[2] <= n
