@@ -119,6 +119,7 @@ HEADLINE = [
     "q_gini",              # rank-formula concentration coefficient
     "q_decay_topk",        # power-of-two decayed ranking (exact ints)
     "q_cusum",             # integer-exact max-drawdown drift statistic
+    "q_holt",              # coupled level+trend fold (list accumulator)
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -43,6 +43,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_hybrid_search": (
+        "rotated OUT round 8 twenty-third wave (green driver rows"
+        " r4+r5+r6+r7, composite code untouched this round so the r7"
+        " row covers byte-identical code): both retrieval legs keep"
+        " stronger in-window representatives -- the vector leg's"
+        " broadcast-scored top-k is q_knn_join (a TABLE of queries,"
+        " the harder batch form) and the corpus-stats text leg is"
+        " q_lm_score (same scoring-join class; the BM25 leg itself"
+        " parks with its own five-green rationale) -- and the"
+        " reciprocal-rank fusion windows are q_weighted_sample's"
+        " ranking tier; the fused-contract stays re-proven every"
+        " round by the local parity gate"
+    ),
     "q_retention_cohorts": (
         "rotated OUT round 8 twenty-second wave (green driver rows"
         " r4+r5+r6+r7, pipeline_ops.py's cohort code untouched this"

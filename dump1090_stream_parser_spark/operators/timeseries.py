@@ -555,3 +555,133 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "change_pos",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double exponential smoothing: level + trend, the EMA's
+# trending sibling (EMA lags a drifting series; Holt tracks the drift
+# and can forecast). Two COUPLED linear recurrences folded with the
+# q_ema house shape -- both engines run the identical ordered fold, so
+# the doubles are bit-equal cross-engine with no tolerance policy.
+#
+# Accumulator representation note (cross-engine trap, measured): a
+# STRUCT accumulator in DuckDB's list_reduce is mutated FIELD BY FIELD
+# -- an acc.l reference inside the 'b' expression sees the freshly
+# written new level, silently turning the simultaneous update into a
+# Gauss-Seidel sweep (observed: b3 = -3.5285 instead of -4.0709 on the
+# fixture series). A flat LIST accumulator [l, b] evaluates all output
+# elements from the immutable input accumulator in both engines, so
+# the fold is the true simultaneous recurrence.
+# --------------------------------------------------------------------------
+
+#: Smoothing factors, both exact in binary floating point so each fold
+#: step is the same IEEE op sequence in both engines. The fold uses the
+#: EXPANDED linear form (l' = a*x + (1-a)l + (1-a)b; b' = ab*x - ab*l
+#: + (1-ab... )) whose coefficients 0.75/0.0625/0.9375 are also exact.
+HOLT_ALPHA = 0.25
+HOLT_BETA = 0.25
+
+#: Forecast horizon for the emitted projection (level + h * trend).
+HOLT_H = 3
+
+
+@query(
+    "q_holt",
+    oracle="""
+    WITH srt AS (
+      SELECT user_id,
+             list_transform(
+               list(value ORDER BY ts, event_id),
+               x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]
+             ) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+             list_reduce(xs, (acc, e) -> [
+               0.25 * e[1] + 0.75 * acc[1] + 0.75 * acc[2],
+               0.0625 * e[1] - 0.0625 * acc[1] + 0.9375 * acc[2]
+             ]) AS s
+      FROM srt
+    )
+    SELECT user_id, n_events,
+           ROUND(s[1], 6) AS level,
+           ROUND(s[2], 6) AS trend,
+           ROUND(s[1] + 3.0 * s[2], 6) AS forecast_h3
+    FROM folded
+    """,
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing over the value
+    stream in (ts, event_id) order: final level, final trend, and the
+    3-step-ahead forecast level + 3*trend.
+
+    Two coupled recurrences no window frame expresses (each step
+    needs the FOLDED (l, b) pair): in expanded form
+    l' = 0.25x + 0.75l + 0.75b and b' = 0.0625x - 0.0625l + 0.9375b
+    (alpha = beta = 0.25; the textbook b' = B*(l'-l) + (1-B)*b with
+    l' substituted -- all five coefficients exact binary fractions),
+    seeded l_1 = x_1, b_1 = 0 via DuckDB list_reduce's
+    seed-with-first-element, replicated in Spark by a NULL-accumulator
+    branch (the q_ema discipline). The accumulator is a flat
+    [l, b] LIST on both sides -- the struct form is a measured
+    cross-engine trap (see the module comment: DuckDB mutates struct
+    accumulators field-by-field, turning the simultaneous update into
+    a sequential sweep). Every step is then the same IEEE
+    multiply-add tree in both engines, so the emitted doubles are
+    bit-identical before the final round(6).
+
+    Scale: identical posture to q_ema -- the parity fold carries one
+    task per user; the 100 TB form composes per-segment AFFINE MAPS,
+    because each Holt step is affine in (l, b): segments summarize to
+    a 2x2 matrix + offset vector (six doubles), matrices compose
+    associatively exactly as ema_segmented's scalar (A, B) pairs do.
+    A streaming twin keeps (l, b, n) per key -- O(1) state, same
+    ordered-arrival contract as streaming/ema.py.
+
+    tests/test_timeseries.py recomputes the fold in pure Python with
+    the same simultaneous update (third-engine check) and pins
+    forecast_h3 == level + 3*trend.
+    """
+    events = load_table(spark, sf_dir, "events")
+    srt = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("xs"),
+        )
+    )
+    folded = srt.withColumn(
+        "s",
+        F.expr(
+            """
+            aggregate(
+              xs,
+              CAST(NULL AS ARRAY<DOUBLE>),
+              (acc, x) -> CASE WHEN acc IS NULL
+                THEN array(CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE))
+                ELSE array(
+                  0.25D * x + 0.75D * acc[0] + 0.75D * acc[1],
+                  0.0625D * x - 0.0625D * acc[0] + 0.9375D * acc[1])
+              END
+            )
+            """
+        ),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("s")[0], 6).alias("level"),
+        F.round(F.col("s")[1], 6).alias("trend"),
+        F.round(F.col("s")[0] + 3.0 * F.col("s")[1], 6).alias(
+            "forecast_h3"
+        ),
+    )

@@ -223,3 +223,60 @@ def test_cusum_matches_python(spark):
         )
         assert g[2] == pos
         assert g[1] >= 0 and 1 <= g[2] <= n
+
+
+def test_holt_matches_python(spark):
+    import math
+
+    from dump1090_stream_parser_spark.operators.timeseries import q_holt
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"],
+                       r["forecast_h3"])
+        for r in q_holt(spark, SF_DIR).collect()
+    }
+    assert got, "per-user holt rows expected"
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    assert series.keys() == got.keys()
+    for uid, pts in series.items():
+        pts.sort()
+        xs = [p[2] for p in pts]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            # SIMULTANEOUS update in the expanded linear form -- the
+            # exact op sequence both engines fold
+            l2 = 0.25 * x + 0.75 * l + 0.75 * b
+            b2 = 0.0625 * x - 0.0625 * l + 0.9375 * b
+            l, b = l2, b2
+        g = got[uid]
+        assert g[0] == len(xs)
+        assert math.isclose(g[1], l, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(g[2], b, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(
+            g[3], l + 3.0 * b, rel_tol=0, abs_tol=1.51e-6
+        )
+
+
+def test_holt_tracks_linear_ramp():
+    # trend-tracking property: on x_t = 5t the trend converges near 5
+    l, b = 5.0, 0.0
+    for t in range(2, 200):
+        x = 5.0 * t
+        l2 = 0.25 * x + 0.75 * l + 0.75 * b
+        b2 = 0.0625 * x - 0.0625 * l + 0.9375 * b
+        l, b = l2, b2
+    assert abs(b - 5.0) < 0.5
+    assert abs(l - 5.0 * 199) < 25.0
