@@ -43,6 +43,32 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_dedup_incremental": (
+        "rotated OUT round 8 twenty-fifth wave (green driver rows"
+        " r6+r7, dedup.py's snapshot-diff code untouched this round"
+        " so the r7 row covers byte-identical code): the exact-dedup"
+        " tier holds two in-window representatives over the same"
+        " fingerprint family (q_dedup_clusters_lsh banded clustering,"
+        " q_dup_spans positional gram dedup) and the"
+        " incremental/state-diff algebra is now held harder by"
+        " q_cdc_apply (whose merge_states equivalence is pinned"
+        " exactly) plus q_rollup_merge's partial-merge proof; the"
+        " carried/changed/new classification stays re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_dense_index": (
+        "rotated OUT round 8 twenty-fourth wave (green driver rows"
+        " r5+r6+r7, composite.py's assigner untouched this round so"
+        " the r7 row covers byte-identical code): the"
+        " index-construction tier keeps q_inverted_index in-window"
+        " (sharded posting-list building, the harder form of the same"
+        " writer-side primitive), and the range-partition +"
+        " broadcast-offsets prefix composition it pioneered is now"
+        " the documented scale remedy cited (and algebraically"
+        " exercised) by q_cusum/q_acf's segmented prefix arguments;"
+        " the 0..n-1 assignment contract stays re-proven every round"
+        " by the local parity gate"
+    ),
     "q_hybrid_search": (
         "rotated OUT round 8 twenty-third wave (green driver rows"
         " r4+r5+r6+r7, composite code untouched this round so the r7"

@@ -102,3 +102,96 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(_P), 6).alias("p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Top event-type paths: the third-order extension of q_transitions --
+# which 3-step journeys actually happen, ranked. The sequence-mining
+# primitive behind funnel DESIGN (q_funnel/q_attribution measure a
+# path you chose; this surfaces the paths worth measuring).
+# --------------------------------------------------------------------------
+
+#: Ranked paths to emit.
+TOP_PATHS = 25
+
+#: Path share over exact integer counts -- one shared IEEE division.
+_PATH_SHARE = "CAST(n_paths AS DOUBLE) / CAST(total_paths AS DOUBLE)"
+
+
+@query(
+    "q_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS t1,
+             lag(event_type, 1) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT t1, t2, event_type AS t3,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM seq WHERE t1 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_paths) AS BIGINT) AS total_paths FROM paths
+    )
+    SELECT t1, t2, t3, n_paths,
+           ROUND({_PATH_SHARE}, 6) AS share
+    FROM paths CROSS JOIN tot
+    ORDER BY n_paths DESC, t1, t2, t3
+    LIMIT {TOP_PATHS}
+    """,
+)
+def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PATHS} 3-step event-type paths across all user
+    timelines, with each path's count and share of all 3-step windows.
+
+    ONE user-keyed window pass serves both lags (the q_acf
+    all-lags-share-one-sort shape): lag(type, 2) and lag(type, 1) over
+    the same (ts, event_id) order -- event_id makes the pairing total
+    -- then sliding 3-windows hash-aggregate to at most |types|^3
+    cells with map-side partials. The share denominator is a SECOND
+    aggregation over those domain-sized cells (never a corpus pass),
+    delivered by a 1-row broadcast; the cut is
+    TakeOrderedAndProject with exact-integer ordering and the full
+    (t1, t2, t3) lexicographic tiebreak, so both engines select
+    identical rows.
+
+    Scale: identical posture to q_transitions -- the window sort is
+    the only data-proportional exchange, segmentable with a 2-row
+    carry (q_acf's argument at lag 2); everything downstream is
+    domain-sized. Higher orders swap the lag count; suffix paths
+    (prefix-closed mining a la PrefixSpan) iterate this shape per
+    length with the count floor pruning the frontier.
+
+    tests/test_sequence.py recomputes the ranked paths in pure Python
+    (third-engine check) and pins shares summing to 1 over the full
+    (untruncated) path table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+    )
+    paths = (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    tot = paths.agg(F.sum("n_paths").alias("total_paths"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(TOP_PATHS)
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_paths",
+            F.round(F.expr(_PATH_SHARE), 6).alias("share"),
+        )
+    )

@@ -951,3 +951,141 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.round(F.expr(_GINI), 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit screen: compare the leading-digit distribution of
+# a positive amount column against Benford's law -- the classic
+# fabricated-data / pipeline-corruption tripwire (organic multiplicative
+# quantities follow log10(1 + 1/d); synthetic or truncated feeds
+# don't). The first digit is extracted from the CENT-INTEGER's decimal
+# string -- no log10 on data, no floating point anywhere before the
+# final shared closed forms over exact counts and literal expectations.
+# --------------------------------------------------------------------------
+
+#: Benford expectations log10(1 + 1/d), d = 1..9, as 10-decimal literals
+#: shared verbatim with the oracle (data-independent constants -- the
+#: only libm evaluation happened here, once, at authoring time).
+BENFORD_P = (
+    0.3010299957,
+    0.1760912591,
+    0.1249387366,
+    0.096910013,
+    0.079181246,
+    0.0669467896,
+    0.057991947,
+    0.0511525224,
+    0.0457574906,
+)
+
+#: Per-digit chi-square contribution over (n_obs, n, p): (o - n*p)^2 /
+#: (n*p), one shared IEEE text.
+_CHI2_TERM = (
+    "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)"
+    " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)"
+    " / (CAST(n AS DOUBLE) * p)"
+)
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(
+        f"({d}, {p})" for d, p in enumerate(BENFORD_P, start=1)
+    )
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    expected(digit, p) AS (VALUES {_benford_values_sql()})
+    SELECT e.digit,
+           COALESCE(obs.n_obs, 0) AS n_obs,
+           ROUND(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE), 6) AS observed_p,
+           e.p AS expected_p,
+           ROUND((CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                  - CAST(tot.n AS DOUBLE) * e.p)
+                 * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                    - CAST(tot.n AS DOUBLE) * e.p)
+                 / (CAST(tot.n AS DOUBLE) * e.p), 6)
+             AS chi2_term
+    FROM expected e
+    LEFT JOIN obs ON obs.digit = e.digit
+    CROSS JOIN tot
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals against Benford's
+    law: per digit 1-9, the observed count, observed and expected
+    shares, and the chi-square contribution (their sum is the test
+    statistic; 8 degrees of freedom).
+
+    No floating point touches data until the final closed forms: the
+    leading digit comes from the CENT-INTEGER's decimal string (one
+    narrow map -- no log10, whose libm rounding is the exact
+    cross-engine class this engine quarantines), counts are one
+    mergeable hash aggregation over a NINE-ROW digit domain, and the
+    Benford expectations are 10-decimal literals shared verbatim with
+    the oracle (computed once at authoring time, data-independent).
+    The chi-square terms are one shared IEEE text over exact counts
+    and those literals. Digits absent from the data still emit (LEFT
+    JOIN against the literal domain) so the statistic is complete.
+
+    Scale: one corpus aggregation with map-side partials collapsing
+    to <= 9 rows per partition; everything after is constant-size.
+    The same shape screens any positive amount column -- token
+    counts, file sizes, duration -- by swapping the scan.
+
+    tests/test_statistics.py recomputes the digit histogram and
+    chi-square in pure Python (third-engine check) and pins the
+    shares summing to 1.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(BENFORD_P, start=1)],
+        "digit int, p double",
+    )
+    j = (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+            "p",
+            "n",
+        )
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("n").cast("double"), 6
+        ).alias("observed_p"),
+        F.col("p").alias("expected_p"),
+        F.round(F.expr(_CHI2_TERM), 6).alias("chi2_term"),
+    )

@@ -46,17 +46,12 @@ def test_bench_emits_driver_contract_json():
         "unit",
         "queries",
         "sf",
-        "reps",
-        "value_mean",
     }
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) >= 20
     assert all(v >= 0 for v in payload["queries"].values())
-    # min-of-n discipline: value is the min total, mean emitted alongside
-    assert payload["reps"] >= 1
-    assert payload["value"] <= payload["value_mean"] + 1e-9
 
     # Per-query means live on their own earlier line with the same keys.
     detail = None
@@ -68,6 +63,9 @@ def test_bench_emits_driver_contract_json():
         if isinstance(obj, dict) and obj.get("metric") == "bench_detail":
             detail = obj
     assert detail is not None, "bench_detail line missing"
+    # min-of-n discipline: reps + means live on the detail line now
+    assert detail["reps"] >= 1
+    assert payload["value"] <= detail["value_mean"] + 1e-9
     assert payload["queries"].keys() == detail["queries_mean"].keys()
     assert payload["queries"].keys() == detail["queries_min"].keys()
     for name, vmin in detail["queries_min"].items():

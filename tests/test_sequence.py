@@ -52,3 +52,47 @@ def test_transitions_rows_sum_to_one(spark):
         by_prev[r["prev_type"]] += r["n_trans"] / r["row_total"]
     for prev, total in by_prev.items():
         assert math.isclose(total, 1.0, rel_tol=1e-12), prev
+
+
+def test_paths_match_python(spark):
+    import math
+
+    from dump1090_stream_parser_spark.operators.sequence import (
+        TOP_PATHS,
+        q_paths,
+    )
+
+    got = [
+        (r["t1"], r["t2"], r["t3"], r["n_paths"], r["share"])
+        for r in q_paths(spark, SF_DIR).collect()
+    ]
+    assert 0 < len(got) <= TOP_PATHS
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: dict[tuple, int] = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            counts[tuple(types[i:i + 3])] += 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (t1, t2, t3, c, round(c / total, 6))
+        for (t1, t2, t3), c in ranked[:TOP_PATHS]
+    ]
+    assert [g[:4] for g in got] == [e[:4] for e in expect]
+    for g, e in zip(got, expect):
+        assert math.isclose(g[4], e[4], rel_tol=0, abs_tol=1.01e-6)
+    assert math.isclose(
+        sum(c for c in counts.values()) / total, 1.0, rel_tol=1e-12
+    )

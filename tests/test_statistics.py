@@ -340,3 +340,41 @@ def test_gini_matches_python(spark):
         0.0,
         abs_tol=1e-12,
     )
+
+
+def test_benford_matches_python(spark):
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        BENFORD_P,
+        q_benford,
+    )
+
+    got = {r["digit"]: r for r in q_benford(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, 10))
+
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .filter("o_totalprice > 0")
+        .select("o_totalprice")
+        .collect()
+    )
+    counts: dict[int, int] = defaultdict(int)
+    for r in rows:
+        counts[int(str(round(r["o_totalprice"] * 100))[0])] += 1
+    n = sum(counts.values())
+    share_sum = 0.0
+    for d in range(1, 10):
+        g = got[d]
+        o = counts.get(d, 0)
+        p = BENFORD_P[d - 1]
+        assert g["n_obs"] == o
+        assert math.isclose(g["observed_p"], o / n, rel_tol=0,
+                            abs_tol=5.01e-7)
+        assert g["expected_p"] == p
+        assert math.isclose(
+            g["chi2_term"], (o - n * p) ** 2 / (n * p),
+            rel_tol=1e-6, abs_tol=5.01e-7,
+        )
+        share_sum += o / n
+    assert math.isclose(share_sum, 1.0, rel_tol=1e-12)
