@@ -73,9 +73,10 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, and the pairing is SEGMENTABLE with a 1-row carry between
     contiguous time segments (q_acf's argument at lag 1), so a 100 TB
     stream never needs one task per user; everything downstream is
-    domain-sized. A streaming twin keeps (last type per user) as
-    state and the mergeable count cells as output -- the same
-    sufficient statistics.
+    domain-sized. The streaming twin (streaming/transitions.py) keeps
+    exactly (last type, watermark) per key -- O(1) state -- and emits
+    mergeable count DELTAS whose sum equals this matrix row-for-row
+    under ordered replay (pytest e2e incl. checkpoint restart).
 
     tests/test_sequence.py recomputes the matrix in pure Python
     (third-engine check) and pins each row-distribution summing to 1.
