@@ -116,6 +116,18 @@ PROBE = [
     "q_cooccur",
     "q_bitmap_index",
     "q_dup_spans",
+    # Round-8 waves 17-25 (the events/lineitem-fed subset):
+    # weighted median rides the replicated lineitem (distinct
+    # (group, price) pre-agg input multiplies, groups stay 3 -- the
+    # per-group ordered-scan bound under stress, like q_acf's);
+    # decay/cusum/holt/paths ride the replicated events (user or type
+    # keyed; decay and paths should be flat-to-linear, cusum and holt
+    # surface the per-TYPE and per-USER fold bounds respectively).
+    "q_weighted_median",
+    "q_decay_topk",
+    "q_cusum",
+    "q_holt",
+    "q_paths",
     # q_interval_peak is NOT probed by replication: it joins orders
     # (not replicated -- offsetting o_orderkey and l_orderkey by
     # different table sizes would break referential integrity); its
@@ -123,6 +135,13 @@ PROBE = [
     # day domain before the only non-mergeable step). q_skyline
     # likewise: replicas are identical parts, so the per-size maxima
     # -- the only thing past the first agg -- would not change.
+    # q_benford joins orders too (same referential exclusion); its
+    # probe-worthy stage is one mergeable 9-row aggregation.
+    # q_triangles: see the SCALE.md note -- replication multiplies
+    # co-occurrence counts, so the support floor admits the whole ×1
+    # pair space at ×2+ and the probe would measure a categorically
+    # denser graph, not the same graph scaled. q_abtest/q_gini are
+    # one aggregation plus domain-sized math.
     # q_fuzzy_join is NOT probed by replication: replicas duplicate
     # rows, not NAMES, so the distinct-name join input is constant at
     # every factor and the measured slope would be the (linear) name
