@@ -996,12 +996,19 @@ def _benford_values_sql() -> str:
 @query(
     "q_benford",
     oracle=f"""
-    WITH obs AS (
+    WITH digits AS (
       SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
                                     AS BIGINT) AS VARCHAR), 1, 1)
-                  AS INTEGER) AS digit,
-             CAST(COUNT(*) AS BIGINT) AS n_obs
+                  AS INTEGER) AS digit
       FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits
+      -- sub-cent amounts quantize to 0 cents and emit digit 0; they
+      -- must not inflate the share denominator silently (shared
+      -- guard, both engines)
+      WHERE digit BETWEEN 1 AND 9
       GROUP BY 1
     ),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
@@ -1062,6 +1069,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("digit")
         )
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
