@@ -43,6 +43,15 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_streaks": (
+        "registered DIRECTLY to the tail (round 8 close; no window"
+        " slot was ever consumed): the date-grain gaps-and-islands"
+        " shape is held in-window by q_dup_spans (the identical"
+        " rank-difference island merge at token-position grain) and"
+        " the user-keyed ordered-window tier by q_transitions /"
+        " q_cdc_apply; the streak contract is pinned by the local"
+        " parity gate and a pure-Python recompute from day one"
+    ),
     "q_dedup_incremental": (
         "rotated OUT round 8 twenty-fifth wave (green driver rows"
         " r6+r7, dedup.py's snapshot-diff code untouched this round"

@@ -196,3 +196,125 @@ def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(_PATH_SHARE), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak: consecutive-day engagement runs per user --
+# the retention/habit metric (and the date-grain gaps-and-islands
+# shape, complementing q_dup_spans' position-grain islands).
+# --------------------------------------------------------------------------
+
+#: Ranked users to emit.
+TOP_STREAKS = 20
+
+
+@query(
+    "q_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d
+             ) AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id,
+             MAX(len) AS best_streak,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY 1
+    ),
+    first_best AS (
+      SELECT b.user_id, b.best_streak, b.n_streaks, b.active_days,
+             MIN(s.streak_start) AS best_start
+      FROM best b JOIN streaks s
+        ON s.user_id = b.user_id AND s.len = b.best_streak
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id, best_streak, n_streaks, active_days,
+           CAST(best_start AS TIMESTAMP) AS best_start
+    FROM first_best
+    ORDER BY best_streak DESC, user_id
+    LIMIT {TOP_STREAKS}
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_STREAKS} users by longest consecutive-day activity
+    streak, with their streak count, total active days, and the first
+    day of the (earliest) best streak.
+
+    Date-grain gaps-and-islands: DISTINCT (user, day) collapses the
+    stream to the activity calendar (one mergeable exchange -- the
+    corpus-proportional step), then day minus per-user rank is
+    constant exactly within a consecutive run, so one user-keyed
+    window pass + two domain-sized aggregations produce every streak.
+    All comparisons are date/integer arithmetic -- nothing to round,
+    both engines select identical rows under the (best_streak DESC,
+    user_id) total order.
+
+    Scale: the window partitions on user_id over DISTINCT DAYS (at
+    most days-per-year rows per user-year regardless of event volume
+    -- the DISTINCT is the bound, same discipline as
+    q_weighted_median's value collapse); streak aggregation is
+    ordinary hash agg with map-side partials. The same shape computes
+    session streaks, delivery streaks, or training-shard continuity
+    by swapping the day expression.
+
+    tests/test_sequence.py recomputes every user's streak profile in
+    pure Python (third-engine check) and pins the identity
+    active_days == sum of streak lengths <= distinct days.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    isl = days.withColumn(
+        "grp",
+        F.date_sub(
+            "d",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("d")
+            ),
+        ),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+    first_best = (
+        best.join(
+            streaks.select(
+                "user_id",
+                F.col("len").alias("best_streak"),
+                "streak_start",
+            ),
+            ["user_id", "best_streak"],
+        )
+        .groupBy("user_id", "best_streak", "n_streaks", "active_days")
+        .agg(F.min("streak_start").alias("best_start"))
+    )
+    return (
+        first_best.orderBy(F.desc("best_streak"), "user_id")
+        .limit(TOP_STREAKS)
+        .select(
+            "user_id",
+            "best_streak",
+            "n_streaks",
+            "active_days",
+            F.col("best_start").cast("timestamp").alias("best_start"),
+        )
+    )

@@ -96,3 +96,55 @@ def test_paths_match_python(spark):
     assert math.isclose(
         sum(c for c in counts.values()) / total, 1.0, rel_tol=1e-12
     )
+
+
+def test_streaks_match_python(spark):
+    from datetime import timedelta
+
+    from dump1090_stream_parser_spark.operators.sequence import (
+        TOP_STREAKS,
+        q_streaks,
+    )
+
+    got = [
+        (r["user_id"], r["best_streak"], r["n_streaks"],
+         r["active_days"], r["best_start"].date())
+        for r in q_streaks(spark, SF_DIR).collect()
+    ]
+    assert 0 < len(got) <= TOP_STREAKS
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts")
+        .collect()
+    )
+    days = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["ts"].date())
+    profile = {}
+    for uid, ds in days.items():
+        ordered = sorted(ds)
+        streaks = []
+        start = prev = ordered[0]
+        for d in ordered[1:]:
+            if d == prev + timedelta(days=1):
+                prev = d
+                continue
+            streaks.append((start, (prev - start).days + 1))
+            start = prev = d
+        streaks.append((start, (prev - start).days + 1))
+        best = max(l for _, l in streaks)
+        best_start = min(s for s, l in streaks if l == best)
+        profile[uid] = (
+            best,
+            len(streaks),
+            sum(l for _, l in streaks),
+            best_start,
+        )
+        # identity: streak lengths partition the distinct-day set
+        assert sum(l for _, l in streaks) == len(ds)
+    expect = sorted(
+        ((uid, *p) for uid, p in profile.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:TOP_STREAKS]
+    assert got == expect
