@@ -179,15 +179,18 @@ def main() -> None:
                 "value_mean": total_mean,
                 "queries_min": per_query,
                 "queries_mean": per_query_mean,
-            }
+            },
+            separators=(",", ":"),
         )
     )
-    # Contract line stays compact (round-8 slimming: the headline set
-    # grew past 70 queries, so the per-query values on THIS line are
-    # 2-decimal -- 10 ms grain, well under min-of-3 noise -- and the
-    # voluntary reps/value_mean keys moved to the detail line, keeping
-    # worst-case length inside the driver's 2000-char tail; the spec
-    # contract is exactly {metric, value, unit, queries, sf}).
+    # Contract line stays compact: per-query values are 2-decimal
+    # (10 ms grain, well under min-of-3 noise) and the serialization
+    # drops JSON's default ", "/": " padding (~2 chars per key --
+    # the round-9 re-slimming that bought back the reps/value_mean
+    # keys VERDICT r8 flagged as lost to the round-8 character
+    # budget, so min-of-n vs mean stays machine-readable from the
+    # driver artifact alone). The spec-required keys are
+    # {metric, value, unit, queries, sf}; reps/value_mean ride along.
     def contract(decimals: int) -> str:
         return json.dumps(
             {
@@ -198,7 +201,10 @@ def main() -> None:
                     n: round(v, decimals) for n, v in per_query.items()
                 },
                 "sf": sf,
-            }
+                "reps": reps,
+                "value_mean": round(total_mean, 1),
+            },
+            separators=(",", ":"),
         )
 
     line = contract(2)

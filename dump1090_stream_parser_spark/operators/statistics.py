@@ -468,31 +468,43 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, in (ts, event_id) order (event_id is the unique
     tiebreaker, so the pairing is total and engine-independent).
 
-    Three stages, one exchange: (1) quantize the double values to exact
-    micro-units with a shared floor(x*1e6 + 0.5) text -- single
-    correctly-rounded IEEE ops, so both engines produce the identical
-    integer where a round()-on-double would hit the HALF_UP vs
-    shortest-repr divergence; (2) ONE window pass per type emits all
-    three lagged copies (one shuffle + one sort serves every lag), a
-    generator stacks them to (k, x, y) pairs; (3) a hash aggregation
-    folds the five sufficient statistics as exact integers (per-row
-    x*y peaks ~3e17, inside int64; the sums ride DECIMAL(38,0)/HUGEINT
-    so web-scale counts cannot wrap), and the Pearson closed form is
-    one shared SQL text over the resulting doubles (q_regression
+    The REGISTERED plan is the segmented fold (:func:`acf_segmented`,
+    VERDICT r8 ask #2): the single-sort form (:func:`acf_single_sort`,
+    which mirrors the oracle SQL shape line for line) carries a
+    one-task-per-type sort bound that the round-8 replication probe
+    measured at 13.2 s under x16 growth while its wave stayed flat --
+    with 5 event types, the per-type window IS the job at scale. The
+    segmented plan bounds every task by a time segment instead and is
+    EXACTLY equal -- not tolerance-equal -- because the pair set is
+    identical and the sufficient statistics are exact integer sums,
+    which commute (tests/test_statistics.py pins frame equality; the
+    unchanged oracle hash-certifies the same algebra cross-engine).
+
+    Stages: (1) quantize the double values to exact micro-units with a
+    shared floor(x*1e6 + 0.5) text -- single correctly-rounded IEEE
+    ops, so both engines produce the identical integer; (2) segmented
+    lag pairing with a prefix carry (see acf_segmented for why no
+    density precondition survives); (3) a hash aggregation folds the
+    five sufficient statistics as exact integers (per-row x*y peaks
+    ~3e17, inside int64; the sums ride DECIMAL(38,0)/HUGEINT so
+    web-scale counts cannot wrap), and the Pearson closed form is one
+    shared SQL text over the resulting doubles (q_regression
     discipline -- corr()'s internal double folds are shuffle-order-
     dependent, integer sums commute).
-
-    Scale: the only data-proportional exchange is the per-type window
-    sort, and lag pairing is SEGMENTABLE the same way q_ema's fold is
-    -- contiguous time segments pair independently given a k-row carry
-    from the previous segment, and the sufficient statistics are
-    mergeable partials, so a 100 TB series never needs one task per
-    type; the degenerate-variance guard is a shared HAVING text, not
-    an engine-specific NULL/NaN convention.
 
     tests/test_statistics.py pins the lag-1 coefficient against
     numpy.corrcoef on the same quantized series (third-engine check).
     """
+    return acf_segmented(spark, sf_dir)
+
+
+def acf_single_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-shaped single-sort ACF: one window pass per type
+    emits all three lagged copies (one shuffle + one sort serves every
+    lag). This is the plan the oracle SQL mirrors and the reference
+    form the segmented-equality pin compares against -- correct at any
+    scale but bounded by one task per event_type, so the registered
+    q_acf runs :func:`acf_segmented` instead (VERDICT r8 ask #2)."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -507,6 +519,14 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("y", 2).over(w).alias("x2"),
         F.lag("y", 3).over(w).alias("x3"),
     )
+    return _acf_close(lagged)
+
+
+def _acf_close(lagged: DataFrame) -> DataFrame:
+    """Shared ACF tail: stack the lagged copies to (k, x, y) pairs,
+    fold the exact-integer sufficient statistics, apply the Pearson
+    closed form. Identical for the single-sort and segmented fronts
+    because integer sums commute."""
     pairs = lagged.selectExpr(
         "event_type", "y", "stack(3, 1, x1, 2, x2, 3, x3) AS (k, x)"
     ).filter(F.col("x").isNotNull())
@@ -646,31 +666,36 @@ def acf_segmented(
     sf_dir: str,
     segment: str = "2 days",
 ) -> DataFrame:
-    """The 100 TB ACF shape: segmented lag pairing with a k-row carry.
+    """The 100 TB ACF shape (and, since round 9, the plan q_acf
+    registers): segmented lag pairing with a PREFIX carry.
 
-    q_acf's only data-proportional exchange is the per-TYPE window
-    sort -- and event_type has 5 values, so the probe
+    The single sort's only data-proportional exchange is the per-TYPE
+    window sort -- and event_type has 5 values, so the probe
     (docs/SCALE.md round-8 waves table) shows the one-task-per-type
     bound dominating by x16. This variant bounds every task by the
-    SEGMENT instead: rows bucket by time window, each segment's last
-    LAG_MAX rows are replicated into the following segment as
-    carry-in (pair PARTNERS only -- carry rows emit no pairs of their
-    own), pairing runs inside (type, segment) tasks, and the exact
-    integer sufficient statistics merge freely across segments into
-    the same closed form. The pair set is IDENTICAL to the single
-    sort's -- not a float-reassociation approximation: integer sums
-    commute, so segmented == single-pass EXACTLY
-    (tests/test_statistics.py pins frame equality).
+    SEGMENT instead: rows bucket by time window, each segment is
+    prepended with the last LAG_MAX rows of the type's whole PREFIX
+    (all earlier populated segments) as carry-in -- pair PARTNERS
+    only, carry rows emit no pairs of their own -- pairing runs
+    inside (type, segment) tasks, and the exact integer sufficient
+    statistics merge freely across segments into the same closed
+    form. The pair set is IDENTICAL to the single sort's -- not a
+    float-reassociation approximation: integer sums commute, so
+    segmented == single-pass EXACTLY (tests/test_statistics.py pins
+    frame equality against :func:`acf_single_sort`).
 
-    Precondition (documented, like ema_segmented's bucket-width dial):
-    every non-final populated segment holds >= LAG_MAX rows per type
-    and adjacent populated segments are consecutive buckets, so a
-    pair's partner is never more than one segment back. With day
-    buckets that is a DENSITY floor; the default is 2-day buckets
-    because sf0.001's sparsest (type, day) holds only 2 rows (measured
-    -- 1-day buckets lose exactly the k=3 boundary pairs there).
-    Sparser series take wider buckets -- widening the bucket only
-    grows the per-task bound, never the result.
+    No density precondition (round-9 hardening; the earlier form
+    carried only the PREVIOUS segment's tail, which required every
+    populated segment to hold >= LAG_MAX rows and to be consecutive).
+    The prefix carry is assembled from bounded metadata: per-segment
+    tail candidates (LAG_MAX rows per populated segment) triangular-
+    joined against the populated-segment list, then ranked -- a
+    (#segments x #types)-bounded build that never touches the
+    fact-table exchange. A row's lag-k partner is at most LAG_MAX
+    rows back in the global order, and the global last-LAG_MAX rows
+    before any segment are a subset of the per-segment tails, so
+    windowing carry + segment rows reproduces every cross-segment
+    pair exactly -- sparse or empty segments included.
     """
     lag_max = 3
     events = load_table(spark, sf_dir, "events")
@@ -683,25 +708,49 @@ def acf_segmented(
     )
     from pyspark.sql.window import Window
 
-    # carry-in: each segment's last LAG_MAX rows, re-tagged to the
-    # NEXT bucket (partner-only rows)
+    # (1) tail candidates: each populated segment's last LAG_MAX rows
+    # (the only rows any later segment can need as carry partners).
     rdesc = F.row_number().over(
         Window.partitionBy("event_type", "bucket").orderBy(
             F.desc("ts"), F.desc("event_id")
         )
     )
-    seg_width = F.expr(f"INTERVAL {segment}")
-    carry = (
+    cand = (
         base.withColumn("rdesc", rdesc)
         .filter(F.col("rdesc") <= lag_max)
-        .select(
-            "event_type",
-            "ts",
-            "event_id",
-            "y",
-            (F.col("bucket") + seg_width).alias("bucket"),
-            F.lit(True).alias("is_carry"),
+        .drop("rdesc")
+    )
+    # (2) populated segments per type -- domain-sized (types x buckets).
+    buckets = base.select(
+        "event_type", F.col("bucket").alias("tb")
+    ).distinct()
+    # (3) prefix carry per populated segment: candidates from ALL
+    # earlier segments, ranked newest-first, keep LAG_MAX. The
+    # triangular join is bounded by (LAG_MAX x #segments) x #segments
+    # per type -- metadata, never the fact stream; broadcast the
+    # segment list so no fact-side exchange appears.
+    c, b = cand.alias("c"), buckets.alias("b")
+    carried = c.join(
+        F.broadcast(b),
+        (F.col("c.event_type") == F.col("b.event_type"))
+        & (F.col("c.bucket") < F.col("b.tb")),
+    ).select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.ts").alias("ts"),
+        F.col("c.event_id").alias("event_id"),
+        F.col("c.y").alias("y"),
+        F.col("b.tb").alias("bucket"),
+    )
+    rprefix = F.row_number().over(
+        Window.partitionBy("event_type", "bucket").orderBy(
+            F.desc("ts"), F.desc("event_id")
         )
+    )
+    carry = (
+        carried.withColumn("rp", rprefix)
+        .filter(F.col("rp") <= lag_max)
+        .drop("rp")
+        .withColumn("is_carry", F.lit(True))
     )
     staged = base.withColumn("is_carry", F.lit(False)).unionByName(carry)
     w = Window.partitionBy("event_type", "bucket").orderBy(
@@ -714,32 +763,8 @@ def acf_segmented(
         F.lag("y", 1).over(w).alias("x1"),
         F.lag("y", 2).over(w).alias("x2"),
         F.lag("y", 3).over(w).alias("x3"),
-    )
-    pairs = (
-        lagged.filter(~F.col("is_carry"))
-        .selectExpr(
-            "event_type", "y", "stack(3, 1, x1, 2, x2, 3, x3) AS (k, x)"
-        )
-        .filter(F.col("x").isNotNull())
-    )
-    dec = "decimal(38,0)"
-    s = pairs.groupBy("event_type", "k").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count(F.lit(1)).cast("double").alias("rn"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
-    )
-    return s.filter(
-        F.expr("(rn * sxx - sx * sx) > 0 AND (rn * syy - sy * sy) > 0")
-    ).select(
-        "event_type",
-        F.col("k").cast("int").alias("k"),
-        "n_pairs",
-        F.round(F.expr(_ACF_R), 6).alias("acf"),
-    )
+    ).filter(~F.col("is_carry"))
+    return _acf_close(lagged)
 
 
 # --------------------------------------------------------------------------
@@ -1055,6 +1080,8 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square in pure Python (third-engine check) and pins the
     shares summing to 1.
     """
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, sf_dir, "orders")
     obs = (
         orders.filter(F.col("o_totalprice") > 0)
@@ -1073,20 +1100,26 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    tot = obs.agg(F.sum("n_obs").alias("n"))
     expected = spark.createDataFrame(
         [(d, p) for d, p in enumerate(BENFORD_P, start=1)],
         "digit int, p double",
     )
-    j = (
-        expected.join(F.broadcast(obs), "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
-            "p",
-            "n",
-        )
+    # The total is a window sum over the JOINED nine-row frame, not a
+    # second aggregation of obs: the left join against the literal
+    # digit domain retains every obs row (obs digits are a subset of
+    # 1-9 by the shared guard), so sum(n_obs) here equals the oracle's
+    # separate tot CTE -- and the orders scan + digit aggregation run
+    # exactly ONCE (VERDICT r8 "what's wrong" #2: the crossJoin(tot)
+    # form re-ran the scan because the two agg subtrees diverge below
+    # the exchange, so ReuseExchange never applied). The unpartitioned
+    # window is 9 rows -- domain-sized, never data-sized.
+    j = expected.join(F.broadcast(obs), "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+        "p",
+        F.sum(F.coalesce("n_obs", F.lit(0).cast("long")))
+        .over(Window.partitionBy())
+        .alias("n"),
     )
     return j.select(
         "digit",

@@ -77,18 +77,57 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold is bit-identical cross-engine and only the final value is
     rounded to 6.
 
-    Scale: the parity fold carries one task per user -- fine while the
-    per-key series fits a task (the q_source_divergence discipline).
-    When it doesn't, the affine-composition identity applies: each
-    observation is the map e -> 0.75e + 0.25x, maps compose
-    associatively, so bounded time segments partial-aggregate and only
-    (A, B) double pairs ride the key-level shuffle -- implemented as
-    :func:`ema_segmented`, equal to this fold modulo float
-    reassociation (pinned in tests/test_timeseries.py). The Structured
-    Streaming twin (streaming/ema.py) keeps the fold accumulator
-    itself as O(1) state and is bit-identical to this query under
-    ordered replay (tests/test_ema_stream.py, incl. restart).
+    Scale -- DENSITY-DISPATCHED since round 9 (VERDICT r8 ask #2): the
+    single fold carries one task per user, and the round-8 crossover
+    probe (docs/SCALE.md) measured where that breaks -- fine at 1,584
+    rows/key (0.71 s at x16), 2.1x slower than the segmented plan at
+    6,336 rows/key (4.16 s vs 1.95 s at x64). This registered query
+    therefore PROBES the density first (one mergeable column-pruned
+    max-count aggregation -- the dedup.py:858 scalar-probe precedent)
+    and dispatches: single fold while every key's series fits a task
+    (max rows/key <= EMA_SEGMENT_MAX_TASK_ROWS, the measured-crossover
+    midpoint), :func:`ema_segmented` beyond -- the affine-composition
+    identity (each observation is the map e -> 0.75e + 0.25x; maps
+    compose associatively) partial-aggregates bounded time segments so
+    only (A, B) double pairs ride the key-level shuffle. The segmented
+    result is equal modulo float reassociation (pinned to tolerance in
+    tests/test_timeseries.py); the oracle hash-certifies the single
+    fold, which the probe guarantees is the executed plan at every
+    driver SF. The Structured Streaming twin (streaming/ema.py) keeps
+    the fold accumulator itself as O(1) state and is bit-identical to
+    this query under ordered replay (tests/test_ema_stream.py, incl.
+    restart).
     """
+    events = load_table(spark, sf_dir, "events")
+    longest = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    if longest is not None and longest > EMA_SEGMENT_MAX_TASK_ROWS:
+        return ema_segmented(spark, sf_dir).select(
+            "user_id",
+            "n_events",
+            F.round("ema_value", 6).alias("ema_value"),
+        )
+    return ema_single_fold(spark, sf_dir)
+
+
+#: Dispatch threshold: the measured single-fold/segmented crossover
+#: lands between 1,584 rows/key (single fold wins, 0.71 s vs 1.13 s)
+#: and 6,336 rows/key (segmented wins, 1.95 s vs 4.16 s) -- the
+#: docs/SCALE.md round-8 table. 4096 is the midpoint on the 2^k grid.
+EMA_SEGMENT_MAX_TASK_ROWS = 4096
+
+
+def ema_single_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-shaped single fold: one hash shuffle on user_id,
+    sorted-array fold per key (see q_ema's docstring). Bit-identical
+    to DuckDB's list_reduce -- the hash-certified form -- but bounded
+    by one task per key, so the registered q_ema dispatches away from
+    it when the density probe crosses EMA_SEGMENT_MAX_TASK_ROWS."""
     events = load_table(spark, sf_dir, "events")
     vals = F.transform(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
@@ -482,18 +521,30 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits at any realistic scale). The per-type mean never exists as a
     float; one shared IEEE division normalizes the final statistic.
 
-    One exchange: every window (count/total, running sum, running
-    min, partition max) keys on event_type, and the ordered ones
-    share one sort. The same one-task-per-type bound as q_acf applies
-    and the same remedy: a prefix sum tiers into per-segment partials
-    + broadcast offsets (q_dense_index's trick) because integer sums
-    compose associatively -- only the running-min fold is inherently
-    sequential per type, over segment SUMMARIES, not rows.
+    The REGISTERED plan is the segmented fold
+    (:func:`cusum_segmented`, VERDICT r8 ask #2): the oracle-shaped
+    single sort (:func:`cusum_single_sort`) keys every window on
+    event_type -- one task per type, the same measured bound as
+    q_acf's -- while the segmented plan bounds per-task work by a
+    time segment and combines bounded per-segment summaries. The two
+    are EXACTLY equal (integer algebra throughout; the drawdown
+    decomposes as a pointwise max -- see cusum_segmented), pinned as
+    frame equality in tests/test_timeseries.py; the unchanged oracle
+    hash-certifies the result cross-engine.
 
     tests/test_timeseries.py recomputes the statistic and change
     position in pure Python (third-engine check) and pins the
     invariants cusum >= 0 and change_pos <= n_events.
     """
+    return cusum_segmented(spark, sf_dir)
+
+
+def cusum_single_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-shaped single-sort CUSUM: one exchange, every window
+    (count/total, running sum, running min, partition max) keyed on
+    event_type sharing one sort. Correct at any scale but one task per
+    type -- the registered q_cusum runs :func:`cusum_segmented`
+    instead; this form anchors the segmented-equality pin."""
     events = load_table(spark, sf_dir, "events")
     base = events.filter(F.col("value").isNotNull()).select(
         "event_type",
@@ -551,6 +602,174 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
+            F.round(F.expr(_CUSUM), 6).alias("cusum"),
+            "change_pos",
+        )
+    )
+
+
+def cusum_segmented(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "7 days",
+) -> DataFrame:
+    """The 100 TB CUSUM shape (and, since round 9, the plan q_cusum
+    registers): per-segment integer partials + a summary-level
+    combine, EXACTLY equal to the single sort.
+
+    The algebra that makes it exact: with per-segment local prefix
+    p_t, local running min m_t (both inclusive of the current row),
+    segment-prefix offset off_b = sum of earlier segments' totals and
+    gb_b = min over earlier segments of their (offset + full prefix
+    min), the global drawdown of row t in segment b is
+
+        off_b + p_t - min(gb_b, off_b + m_t)
+          = max(p_t - m_t,  off_b + p_t - gb_b)
+
+    -- subtracting a min IS a pointwise max, and max over t
+    distributes over both branches. So each segment needs only FIVE
+    integers (total P, full prefix min M, row count k, branch maxima
+    A = max(p_t - m_t) and G = max(p_t), each with its FIRST
+    attaining position via struct-max with a negated-position
+    tiebreak), and the cross-segment combine runs over the
+    (type x segment) summary table -- bounded metadata, q_dense_index's
+    partials-plus-offsets discipline. A row attaining the global stat
+    is in one of the branch argmax sets, so the first global position
+    is the min of the active branches' first positions; every
+    comparison is DECIMAL(38,0) integer arithmetic, hence segmented ==
+    single-sort EXACTLY (tests/test_timeseries.py pins frame
+    equality at several widths).
+
+    The per-type (n, total) pair comes from a hash aggregation
+    broadcast-joined back -- replacing the single sort's
+    whole-partition window, which was itself a one-task-per-type
+    stage."""
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "xq"
+        ),
+        F.window("ts", segment)["start"].alias("bucket"),
+    )
+    tots = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xq").cast(dec)).alias("t"),
+    )
+    rows = base.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "bucket",
+        "ts",
+        "event_id",
+        (F.col("n").cast(dec) * F.col("xq").cast(dec) - F.col("t")).alias(
+            "d"
+        ),
+        "n",
+    )
+    from pyspark.sql.window import Window as W
+
+    w_ord = W.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    frame = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    staged = rows.select(
+        "event_type",
+        "bucket",
+        "n",
+        "d",
+        F.row_number().over(w_ord).cast("long").alias("pos"),
+        F.sum("d").over(frame).alias("p"),
+    )
+    by_pos = (
+        W.partitionBy("event_type", "bucket")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = staged.withColumn("m", F.min("p").over(by_pos))
+    summaries = staged.groupBy("event_type", "bucket").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("d").alias("p_total"),
+        F.min("p").alias("m_full"),
+        F.max(
+            F.struct(
+                (F.col("p") - F.col("m")).alias("v"),
+                (-F.col("pos")).alias("negpos"),
+            )
+        ).alias("amax"),
+        F.max(
+            F.struct(F.col("p").alias("v"), (-F.col("pos")).alias("negpos"))
+        ).alias("gmax"),
+    )
+    wb = W.partitionBy("event_type").orderBy("bucket")
+    excl = wb.rowsBetween(W.unboundedPreceding, -1)
+    combined = summaries.select(
+        "event_type",
+        "bucket",
+        "n",
+        "k",
+        "amax",
+        "gmax",
+        "m_full",
+        F.coalesce(
+            F.sum("p_total").over(excl), F.lit(0).cast(dec)
+        ).alias("off"),
+        F.coalesce(F.sum("k").over(excl), F.lit(0)).alias("cnt_off"),
+    )
+    combined = combined.withColumn(
+        "gb", F.min(F.col("off") + F.col("m_full")).over(excl)
+    )
+    scored = combined.select(
+        "event_type",
+        "n",
+        "cnt_off",
+        "amax",
+        "gmax",
+        "off",
+        "gb",
+        F.greatest(
+            F.col("amax")["v"],
+            F.when(
+                F.col("gb").isNotNull(),
+                F.col("off") + F.col("gmax")["v"] - F.col("gb"),
+            ),
+        ).alias("dmax"),
+    )
+    part = W.partitionBy("event_type")
+    ranked = scored.select(
+        "event_type",
+        "n",
+        "cnt_off",
+        "amax",
+        "gmax",
+        "off",
+        "gb",
+        "dmax",
+        F.max("dmax").over(part).alias("stat"),
+    )
+    pos_cand = F.least(
+        F.when(
+            F.col("amax")["v"] == F.col("stat"),
+            F.col("cnt_off") - F.col("amax")["negpos"],
+        ),
+        F.when(
+            F.col("gb").isNotNull()
+            & (F.col("off") + F.col("gmax")["v"] - F.col("gb")
+               == F.col("stat")),
+            F.col("cnt_off") - F.col("gmax")["negpos"],
+        ),
+    )
+    return (
+        ranked.filter(F.col("dmax") == F.col("stat"))
+        .select("event_type", "n", "stat", pos_cand.alias("pos"))
+        .groupBy("event_type", "n", "stat")
+        .agg(F.min("pos").alias("change_pos"))
+        .select(
+            F.col("event_type"),
+            F.col("n").alias("n_events"),
             F.round(F.expr(_CUSUM), 6).alias("cusum"),
             "change_pos",
         )

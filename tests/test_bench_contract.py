@@ -46,10 +46,17 @@ def test_bench_emits_driver_contract_json():
         "unit",
         "queries",
         "sf",
+        "reps",
+        "value_mean",
     }
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["sf"] == 0.001
+    # min-of-n metadata restored to the contract line (VERDICT r8 #4):
+    # reps + a 1-decimal mean make min-vs-mean machine-readable from
+    # the driver artifact alone.
+    assert payload["reps"] >= 1
+    assert payload["value"] <= payload["value_mean"] + 0.05 + 1e-9
     assert len(payload["queries"]) >= 20
     assert all(v >= 0 for v in payload["queries"].values())
 

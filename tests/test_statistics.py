@@ -217,12 +217,13 @@ def test_weighted_median_matches_python(spark):
 def test_acf_segmented_equals_single_pass(spark):
     from dump1090_stream_parser_spark.operators.statistics import (
         acf_segmented,
+        acf_single_sort,
         q_acf,
     )
 
     single = {
         (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
-        for r in q_acf(spark, SF_DIR).collect()
+        for r in acf_single_sort(spark, SF_DIR).collect()
     }
     seg = {
         (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
@@ -232,31 +233,36 @@ def test_acf_segmented_equals_single_pass(spark):
     # set, and integer sums commute -- no reassociation tolerance
     assert seg == single
 
-    # density precondition sanity: every populated 2-day bucket
-    # except per-type finals holds >= LAG_MAX rows (1-day buckets
-    # measurably violate this at sf0.001 -- min occupancy 2 -- which
-    # is why the default segment is 2 days)
-    from collections import defaultdict
+    # the registered q_acf IS the segmented plan (VERDICT r8 ask #2)
+    registered = {
+        (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
+        for r in q_acf(spark, SF_DIR).collect()
+    }
+    assert registered == single
 
-    from dump1090_stream_parser_spark.tables import load_table
 
-    rows = (
-        load_table(spark, SF_DIR, "events")
-        .filter("value IS NOT NULL")
-        .select("event_type", "ts")
-        .collect()
+def test_acf_segmented_prefix_carry_survives_sparse_buckets(spark):
+    """Round-9 hardening: the prefix carry removed the density
+    precondition. 1-day buckets at sf0.001 have (type, day) segments
+    with fewer than LAG_MAX rows (measured min occupancy 2) -- the
+    previous-segment-only carry lost exactly the k=3 boundary pairs
+    there; the prefix carry must stay EXACTLY equal regardless of
+    bucket width."""
+    from dump1090_stream_parser_spark.operators.statistics import (
+        acf_segmented,
+        acf_single_sort,
     )
-    per_bucket = defaultdict(int)
-    for r in rows:
-        bucket = r["ts"].timestamp() // (2 * 86400)
-        per_bucket[(r["event_type"], bucket)] += 1
-    finals = {}
-    for (etype, bucket), _ in per_bucket.items():
-        if etype not in finals or bucket > finals[etype]:
-            finals[etype] = bucket
-    for (etype, bucket), n in per_bucket.items():
-        if bucket != finals[etype]:
-            assert n >= 3, (etype, bucket, n)
+
+    single = {
+        (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
+        for r in acf_single_sort(spark, SF_DIR).collect()
+    }
+    for width in ("1 day", "12 hours", "30 days"):
+        seg = {
+            (r["event_type"], r["k"]): (r["n_pairs"], r["acf"])
+            for r in acf_segmented(spark, SF_DIR, width).collect()
+        }
+        assert seg == single, width
 
 
 def test_abtest_matches_python(spark):

@@ -45,6 +45,37 @@ def test_ema_matches_python_recurrence(spark):
     assert math.isclose(got[1], expect, rel_tol=0, abs_tol=5e-7)
 
 
+def test_ema_dispatch_picks_single_fold_below_threshold(spark):
+    """q_ema is density-dispatched (VERDICT r8 ask #2): at every test
+    SF the max per-user series is far below the measured crossover
+    threshold, so the registered query must execute the single fold --
+    the plan whose fold the oracle hash-certifies bit-for-bit."""
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        EMA_SEGMENT_MAX_TASK_ROWS,
+        ema_single_fold,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    longest = (
+        load_table(spark, SF_DIR, "events")
+        .filter("value IS NOT NULL")
+        .groupBy("user_id")
+        .count()
+        .agg({"count": "max"})
+        .first()[0]
+    )
+    assert longest <= EMA_SEGMENT_MAX_TASK_ROWS
+    got = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in q_ema(spark, SF_DIR).collect()
+    }
+    single = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in ema_single_fold(spark, SF_DIR).collect()
+    }
+    assert got == single
+
+
 def test_ema_segmented_matches_single_fold(spark):
     """The affine-composition two-level fold equals the parity fold to
     float-reassociation tolerance, for every key, at two segment
@@ -223,6 +254,36 @@ def test_cusum_matches_python(spark):
         )
         assert g[2] == pos
         assert g[1] >= 0 and 1 <= g[2] <= n
+
+
+def test_cusum_segmented_equals_single_sort(spark):
+    """The registered q_cusum IS the segmented plan (VERDICT r8 ask
+    #2); its five-integer segment summaries must reproduce the single
+    sort EXACTLY -- including the first-attained change position --
+    at several widths (many small segments, segment == whole series,
+    and a width leaving sparse/empty buckets)."""
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        cusum_segmented,
+        cusum_single_sort,
+        q_cusum,
+    )
+    from .conftest import SF_DIR
+
+    single = {
+        r["event_type"]: (r["n_events"], r["cusum"], r["change_pos"])
+        for r in cusum_single_sort(spark, SF_DIR).collect()
+    }
+    registered = {
+        r["event_type"]: (r["n_events"], r["cusum"], r["change_pos"])
+        for r in q_cusum(spark, SF_DIR).collect()
+    }
+    assert registered == single
+    for width in ("12 hours", "30 days", "3650 days"):
+        seg = {
+            r["event_type"]: (r["n_events"], r["cusum"], r["change_pos"])
+            for r in cusum_segmented(spark, SF_DIR, width).collect()
+        }
+        assert seg == single, width
 
 
 def test_holt_matches_python(spark):
