@@ -122,6 +122,12 @@ HEADLINE = [
     "q_holt",              # coupled level+trend fold (list accumulator)
     "q_benford",           # first-digit law screen (string-digit, no libm)
     "q_paths",             # 3-step path mining (one sort, both lags)
+    "q_streaks",           # date-grain gaps-and-islands streaks
+    "q_dup_spans_bloom",   # Bloom-prefiltered dup-side span join
+    "q_seasonality",       # day-of-week chi-square profile screen
+    "q_winsorize",         # exact p01/p99 clipped robust means
+    "q_pmi",               # bounded-vocab collocation PMI
+    "q_novelty",           # first-occurrence gram freshness score
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -43,14 +43,68 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
-    "q_streaks": (
-        "registered DIRECTLY to the tail (round 8 close; no window"
-        " slot was ever consumed): the date-grain gaps-and-islands"
-        " shape is held in-window by q_dup_spans (the identical"
-        " rank-difference island merge at token-position grain) and"
-        " the user-keyed ordered-window tier by q_transitions /"
-        " q_cdc_apply; the streak contract is pinned by the local"
-        " parity gate and a pure-Python recompute from day one"
+    "q_containment": (
+        "rotated OUT round 9 first wave (green driver rows r7+r8,"
+        " text.py's winnowing code untouched this round so the r8 row"
+        " covers byte-identical code): exact cross-document substring"
+        " evidence is held in-window by q_dup_spans / q_dup_spans_bloom"
+        " (the positional-gram form that reports the overlapping"
+        " REGION itself) and the first-occurrence gram measure by the"
+        " new q_novelty over the same span_grams front end; the"
+        " winnowed-fingerprint selection contract stays re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_ngram_top": (
+        "rotated OUT round 9 first wave (green driver rows r6+r7+r8,"
+        " text.py's n-gram code untouched this round so the r8 row"
+        " covers byte-identical code): the token-statistics top-k tier"
+        " is held in-window by q_pmi (the same presence explode +"
+        " deterministic (count DESC, token) total order, extended with"
+        " association scoring) and the corpus-bigram aggregation by"
+        " q_lm_score; the n-gram ranking stays re-proven every round"
+        " by the local parity gate"
+    ),
+    "q_random_projection": (
+        "rotated OUT round 9 first wave (green driver rows r7+r8,"
+        " similarity.py's JL code untouched this round so the r8 row"
+        " covers byte-identical code): the narrow per-vector map tier"
+        " it exemplifies is held in-window by the batch vector"
+        " consumers it front-ends -- q_knn_join and q_ann_ivf_join --"
+        " and its distance-preservation contract stays re-proven every"
+        " round by tests/test_approx.py and the local parity gate"
+        " (the oracle regenerates the sign matrix from the portable"
+        " hash family, so the pin is bit-exact)"
+    ),
+    "q_sbs1_gold_deadletter": (
+        "rotated OUT round 9 first wave (green driver rows r6+r7+r8,"
+        " sources/sbs1.py untouched this round so the r8 row covers"
+        " byte-identical code): the wire-line -> production-parse path"
+        " it certifies keeps its in-window representative in"
+        " q_sbs1_gold_latest (the same parse_lines call, gold-agg"
+        " form), and the arity/dead-letter routing split stays pinned"
+        " by tests/test_sbs1_parser.py e2e and the local parity gate"
+    ),
+    "q_source_divergence": (
+        "rotated OUT round 9 first wave (green driver rows r7+r8,"
+        " text.py's JS fold untouched this round so the r8 row covers"
+        " byte-identical code): the distribution-comparison tier keeps"
+        " two in-window representatives -- q_mutual_info (the joint-"
+        "distribution information fold over the same exact-count +"
+        " shared-ln discipline) and the new q_seasonality (profile-vs-"
+        "expectation chi-square over a literal domain) -- and the"
+        " per-source token distributions stay re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_semantic_dedup": (
+        "rotated OUT round 9 first wave (green driver rows r7+r8,"
+        " similarity.py's SemDeDup code untouched this round so the r8"
+        " row covers byte-identical code): the embedding near-dup tier"
+        " keeps q_near_dedup_embedding_lsh in-window (banded"
+        " hyperplane blocking, the measured-fastest pair generator)"
+        " and the survivor clustering q_dedup_clusters_lsh; the"
+        " quantize-prune-keeper manifest stays pinned by the semsweep"
+        " scaling tables (docs/SCALE.md), the numpy third-engine test,"
+        " and its streaming twin's bit-exact pytest e2e"
     ),
     "q_dedup_incremental": (
         "rotated OUT round 8 twenty-fifth wave (green driver rows"
@@ -209,9 +263,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_lang_id": (
         "rotated OUT round 8 twelfth wave (green driver rows"
-        " r1+r3+r4+r5+r6+r7 -- a six-green history -- text.py's"
-        " profile scorer untouched this round so the r7 row covers"
-        " byte-identical code): char-bigram profile classification is"
+        " r1+r3+r4+r5+r6+r7 -- a six-green history; post-green change"
+        " acknowledged, block d361ebb9: the round-8 ADVICE lang-drift"
+        " guard keys profile partials on OBSERVED lang values instead"
+        " of a pre-baked index -- the r8 VERDICT verified the fix and"
+        " the parity gate re-proves bit-equal output every round):"
+        " char-bigram profile classification is"
         " held in-window by q_lm_score (the same corpus-bigram"
         " aggregation, scoring documents instead of languages) and"
         " the broadcast-profile argmax shape by q_source_divergence's"
@@ -441,7 +498,9 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_near_dedup_embedding": (
         "rotated OUT round 6 (green driver rows r1+r3+r4+r5; swapped per"
-        " VERDICT r5 'What's wrong' #3): the driver-certified embedding"
+        " VERDICT r5 'What's wrong' #3; post-green change acknowledged,"
+        " block 772a8669: docstring-only cross-reference edit, zero"
+        " executable lines): the driver-certified embedding"
         " near-dup is now q_near_dedup_embedding_lsh -- the"
         " bounded-by-construction hyperplane-LSH blocking a 100 TB run"
         " would use; this label-blocked form stays as the exact-block"
@@ -665,6 +724,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_near_dedup_ngram": (
         "near-dup capability held in-window by the simhash and"
         " embedding-LSH variants; ngram is the survivor-verify pass"
+        " (post-green change acknowledged, block 9416f41d: the body"
+        " was refactored onto the shared ngram_jaccard_pairs /"
+        " _NGRAM_PAIRS_CTES pair core that q_dedup_clusters then ran"
+        " VERBATIM for its r3+r4 green rows, and the parity gate"
+        " re-proves the threshold contract every round)"
     ),
 }
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
@@ -757,6 +821,18 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # as text with the oracle, parity at sf0.001-0.1) enters for an
 # immediate driver row; q_join_full parks on a four-green history with
 # the join tier double-held in-window.
+# Round-9 rotation (per VERDICT r8 asks #1-#3): q_streaks leaves the
+# tail for its FIRST driver row (the only registry entry without one
+# -- restoring the "every entry earns a green driver row" invariant),
+# joined by the five round-9 operators: q_dup_spans_bloom (the wired
+# Bloom prefilter fork, ask #3), q_seasonality (day-of-week chi-square
+# screen), q_winsorize (exact clipped robust means), q_pmi (bounded-
+# vocabulary collocation PMI), q_novelty (first-occurrence gram
+# freshness). Six incumbents park, each with >= 2 green driver rows on
+# code untouched this round. The round-9 registered-plan swaps (q_acf,
+# q_ema, q_cusum -> segmented/dispatched forms; q_benford -> single
+# scan) deliberately STAY in-window: their implementations changed, so
+# they must re-earn green rows on the code as it stands.
 # Round-6 second wave: the two operators built mid-round
 # (q_dedup_incremental, q_lm_score -- both full-oracle,
 # parity-verified at sf0.001/0.01/0.1 and under a vanilla session)

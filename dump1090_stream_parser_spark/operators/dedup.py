@@ -989,10 +989,10 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collisions out while real boilerplate (>= 5 shared tokens) registers.
 SPAN_GRAM = 5
 
-
-@query(
-    "q_dup_spans",
-    oracle="""
+#: Shared by q_dup_spans and q_dup_spans_bloom: the Bloom prefilter is
+#: a plan-shape fork with the identical answer, so both certify
+#: against one oracle text (the q_contamination/_bloom precedent).
+_DUP_SPANS_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1024,8 +1024,10 @@ SPAN_GRAM = 5
            CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_grams
     FROM islands GROUP BY doc_id, isl
-    """,
-)
+    """
+
+
+@query("q_dup_spans", oracle=_DUP_SPANS_ORACLE)
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans: every run of
     positions whose SPAN_GRAM-token gram also appears in at least one
@@ -1061,7 +1063,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 (third-engine check) and pins the chaining invariant
     (span_tokens == n_grams + SPAN_GRAM - 1).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    grams = span_grams(load_table(spark, sf_dir, "documents"))
+    marked = grams.join(_dup_gram_set(grams), "ghash").select(
+        "doc_id", "pos"
+    )
+    return spans_from_marked(marked)
+
+
+def span_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, ghash) positional SPAN_GRAM-token gram hashes --
+    the narrow-map front end shared by q_dup_spans, its Bloom fork,
+    and the spansweep probe. Text is reduced to the portable 60-bit
+    hash BEFORE the explode leaves the row, so no exchange ever
+    carries document text."""
     staged = docs.select("doc_id", tokens_col().alias("t")).filter(
         F.size("t") >= SPAN_GRAM
     )
@@ -1070,23 +1084,32 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> struct(i AS pos,"
         " concat_ws(' ', slice(t, i + 1, 5)) AS gram))"
     )
-    grams = (
-        staged.select("doc_id", F.explode(gram_structs).alias("g"))
-        .select(
-            "doc_id",
-            F.col("g.pos").cast("long").alias("pos"),
-            portable_hash64(F.col("g.gram")).alias("ghash"),
-        )
+    return staged.select(
+        "doc_id", F.explode(gram_structs).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.pos").cast("long").alias("pos"),
+        portable_hash64(F.col("g.gram")).alias("ghash"),
     )
-    dup = (
+
+
+def _dup_gram_set(grams: DataFrame) -> DataFrame:
+    """Gram hashes shared by >= 2 distinct documents (one mergeable
+    aggregation keyed on the hash)."""
+    return (
         grams.groupBy("ghash")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("ghash")
     )
+
+
+def spans_from_marked(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands tail: merge duplicated positions into maximal
+    spans with one doc-keyed window pass (bounded by document length,
+    never corpus size)."""
     from pyspark.sql.window import Window
 
-    marked = grams.join(dup, "ghash").select("doc_id", "pos")
     isl = F.col("pos") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")
     )
@@ -1100,4 +1123,155 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_grams"),
         )
         .drop("isl")
+    )
+
+
+@query("q_dup_spans_bloom", oracle=_DUP_SPANS_ORACLE)
+def q_dup_spans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection with a Bloom-prefiltered dup-side
+    join -- the 100 TB form of q_dup_spans, same exact answer (shared
+    oracle), completing the remedy q_dup_spans' docstring cites
+    (VERDICT r8 ask #3).
+
+    Why it exists: q_dup_spans must get every (doc_id, pos, ghash)
+    gram row through TWO wide operations -- the duplicate-detection
+    aggregation (unavoidable: that IS the operator) and the join-back
+    that marks duplicated positions. At boilerplate-rate corpora the
+    duplicated subset is a few percent of positions, yet the join-back
+    shuffles the FULL gram stream once the dup set outgrows the
+    broadcast budget. This fork compresses the dup-gram set into the
+    fixed-size Bloom bitmap (pipeline_ops' BLOOM_WORDS bit_or
+    machinery, byte-identical layout to the contamination gate),
+    broadcast-joins the gram stream against it on the word index, and
+    bit-tests BEFORE the join-back -- so only survivors (true
+    duplicated positions + the few-percent false positives) ride the
+    second wide operation. Bloom filters have no false negatives and
+    the verify join against the true dup set removes false positives,
+    so the span output is bit-identical.
+
+    The dup set is lazily localCheckpoint'ed: the bitmap aggregation
+    and the verify join both read it, and the checkpoint cuts the
+    duplicate gram-aggregation pass (the contamination_bloom
+    precedent; at cluster scale prefer reliable checkpoint()).
+
+    Measured crossover: tools/scale_probe.py spansweep synthesizes a
+    corpus at a realistic boilerplate rate and reports wall +
+    stage-level shuffle volume for both forks (docs/SCALE.md round-9
+    table) -- at sf-scale the dup set broadcasts and the forks level,
+    exactly like the contamination pair."""
+    from .pipeline_ops import _bloom_word_bit, bloom_bitmap_from_grams
+
+    grams = span_grams(load_table(spark, sf_dir, "documents"))
+    dup = _dup_gram_set(grams).localCheckpoint(eager=False)
+    bloom = bloom_bitmap_from_grams(
+        dup.select(F.col("ghash").alias("gh"))
+    )
+    w, mask = _bloom_word_bit("ghash")
+    survivors = (
+        grams.select(
+            "doc_id", "pos", "ghash", w.alias("w"), mask.alias("mask")
+        )
+        .join(F.broadcast(bloom), "w")
+        .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+        .select("doc_id", "pos", "ghash")
+    )
+    # INNER against the distinct dup set, not left_semi -- the same
+    # PushDownLeftSemiAntiJoin hazard q_contamination_bloom documents:
+    # a semi would be pushed below the bloom join the moment dup
+    # outgrows the broadcast threshold, resurrecting the full-stream
+    # shuffle the bitmap exists to remove. dup is DISTINCT on ghash,
+    # so the inner join multiplies each survivor by exactly 0 or 1.
+    marked = survivors.join(dup, "ghash").select("doc_id", "pos")
+    return spans_from_marked(marked)
+
+
+# --------------------------------------------------------------------------
+# Gram novelty: what fraction of each document's SPAN_GRAM-token grams
+# appears here FIRST (no lower doc_id contains the gram)? The
+# freshness meter of a curation pipeline -- Lee et al.'s observation
+# that later near-copies contribute little novel text, turned into a
+# per-document score over the same positional-gram front end as
+# q_dup_spans (ingestion order stands in for time; swap the MIN key to
+# a timestamp for true arrival order).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(0, len(t) - 4),
+               i -> CAST('0x' || substring(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) AS BIGINT)
+             )) AS ghash
+      FROM toks WHERE len(t) >= 5
+    ),
+    firsts AS (
+      SELECT ghash, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams g JOIN firsts f ON f.ghash = g.ghash
+    GROUP BY g.doc_id
+    """,
+)
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document gram novelty: over each document's DISTINCT
+    SPAN_GRAM-token gram hashes, the count and fraction first
+    introduced by this document (no smaller doc_id contains the gram).
+
+    Shares q_dup_spans' front end -- positional grams reduced to the
+    portable 60-bit hash before any exchange -- then DISTINCTs per
+    document (repeated phrases inside one document are one gram,
+    making the score a set measure): (1) the distinct is one mergeable
+    exchange keyed on (doc, hash); (2) first-introduction is a MIN
+    aggregation keyed on the hash -- fully mergeable, the cheapest
+    possible global pass; (3) the join back is hash-keyed and the
+    per-doc rollup is an ordinary count/sum aggregation. Text never
+    rides a shuffle, and every stage is partial-aggregable -- no
+    window, no sort, nothing keyed wider than the gram hash.
+
+    Scale: the same posture as q_dup_spans minus the island window;
+    the join-back side (ALL distinct grams with their first doc) is
+    corpus-proportional, so at boilerplate-rate corpora the Bloom
+    prefilter does NOT apply here (every gram matches -- the join is
+    dense by construction); the honest cost is one hash-keyed
+    co-partitioned join, which AQE plans as a shuffled hash join.
+
+    tests/test_dup_spans.py recomputes novelty in pure Python
+    (third-engine check) and pins the identities n_novel <= n_grams
+    and sum(n_novel) == count(distinct gram hashes corpus-wide).
+    """
+    grams = span_grams(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "ghash").distinct()
+    firsts = grams.groupBy("ghash").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(
+        F.col("first_doc") == F.col("doc_id"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        grams.join(firsts, "ghash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
     )

@@ -1130,3 +1130,306 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("expected_p"),
         F.round(F.expr(_CHI2_TERM), 6).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly seasonality screen: day-of-week activity profile per event
+# type with a chi-square uniformity statistic -- the "is this metric's
+# rhythm real or noise" question a telemetry pipeline answers before
+# trusting any day-grain comparison (and the categorical sibling of
+# q_benford's digit-law screen: same literal-domain LEFT JOIN, same
+# exact-count chi-square discipline).
+# --------------------------------------------------------------------------
+
+#: Day-of-week derived from pure DATE ARITHMETIC, not an engine dow()
+#: convention: days since Monday 2020-01-06 modulo 7, so 0 = Monday ...
+#: 6 = Sunday in BOTH engines regardless of their Sunday-0/Sunday-1
+#: disagreement (the same class of cross-engine trap as libm log10,
+#: quarantined the same way -- by not calling it). The double-pmod
+#: keeps pre-2020 timestamps correct under negative remainders.
+_DOW_ANCHOR = "2020-01-06"
+
+
+@query(
+    "q_seasonality",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             ((((CAST(ts AS DATE) - DATE '{_DOW_ANCHOR}') % 7) + 7) % 7)
+               AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2
+    ),
+    dom(dow) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+    types AS (
+      SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n FROM obs
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT t.event_type, d.dow, t.n,
+             COALESCE(o.n_obs, 0) AS n_obs
+      FROM types t CROSS JOIN dom d
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.dow = d.dow
+    ),
+    scored AS (
+      SELECT event_type, MAX(n) AS n_events,
+             SUM((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+                 / (CAST(n AS DOUBLE) / 7.0)) AS chi2,
+             MAX(CASE WHEN rmax = 1 THEN dow END) AS peak_dow,
+             MAX(CASE WHEN rmax = 1 THEN n_obs END) AS peak_n
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY n_obs DESC, dow
+        ) AS rmax FROM grid
+      ) GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           ROUND(chi2, 6) AS chi2,
+           CAST(peak_dow AS INTEGER) AS peak_dow,
+           ROUND(CAST(peak_n AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+             AS peak_share
+    FROM scored
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: the exact activity
+    counts over the 7-day domain, the chi-square statistic against the
+    uniform profile (6 degrees of freedom), and the peak day with its
+    share.
+
+    Discipline notes: the day-of-week is date ARITHMETIC (days since a
+    Monday anchor mod 7) because Spark and DuckDB disagree on dow
+    numbering conventions -- derived integers, not engine calls, are
+    the cross-engine contract. Counts are ONE mergeable hash
+    aggregation collapsing to <= |types| x 7 rows; absent days still
+    score (literal 7-row domain joined in, the q_benford shape) so the
+    statistic is complete; the peak is an integer argmax with the dow
+    tiebreak shared via a ranked subquery in both engines; chi-square
+    is one shared IEEE text over exact counts.
+
+    Scale: map-side partials collapse every partition to <= 35 rows;
+    everything downstream is domain-sized. The same shape screens
+    hour-of-day (swap the modulus) or month-of-year seasonality.
+
+    tests/test_statistics.py recomputes the profile in pure Python
+    (third-engine check) and pins sum(shares) <= 1 and chi2 >= 0.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.lit(_DOW_ANCHOR)),
+            F.lit(7),
+        )
+        + 7,
+        F.lit(7),
+    )
+    obs = (
+        events.select("event_type", dow.alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    types = obs.groupBy("event_type").agg(F.sum("n_obs").alias("n"))
+    dom = spark.range(7).select(F.col("id").cast("int").alias("dow"))
+    grid = (
+        types.crossJoin(F.broadcast(dom))
+        .join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+        )
+    )
+    rmax = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("n_obs"), F.asc("dow")
+        )
+    )
+    term = (
+        (F.col("n_obs").cast("double") - F.col("n").cast("double") / 7.0)
+        * (F.col("n_obs").cast("double") - F.col("n").cast("double") / 7.0)
+        / (F.col("n").cast("double") / 7.0)
+    )
+    scored = (
+        grid.withColumn("rmax", rmax)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(term).alias("chi2"),
+            F.max(F.when(F.col("rmax") == 1, F.col("dow"))).alias(
+                "peak_dow"
+            ),
+            F.max(F.when(F.col("rmax") == 1, F.col("n_obs"))).alias(
+                "peak_n"
+            ),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "n_events",
+        F.round("chi2", 6).alias("chi2"),
+        F.col("peak_dow").cast("int").alias("peak_dow"),
+        F.round(
+            F.col("peak_n").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("peak_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics: per-group means after clipping at the exact
+# p01/p99 order statistics -- the robust-mean primitive a quality
+# dashboard uses when a handful of fat-finger rows would otherwise own
+# the average. Exactness comes free on 2-decimal money columns: the
+# percentile SELECTION is integer cumulative-count comparisons over the
+# collapsed value domain (the q_weighted_median machinery with weight =
+# row count), and the clipped sum is integer arithmetic.
+# --------------------------------------------------------------------------
+
+#: Winsorization cut points, in percent (integers so the selection
+#: predicate 100*cum >= p*n stays pure integer arithmetic).
+WINSOR_LO = 1
+WINSOR_HI = 99
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT rf, price_c, cnt,
+             SUM(cnt) OVER (
+               PARTITION BY rf ORDER BY price_c
+               ROWS UNBOUNDED PRECEDING
+             ) AS cumn,
+             SUM(cnt) OVER (PARTITION BY rf) AS n
+      FROM c
+    ),
+    cuts AS (
+      SELECT rf, MAX(n) AS n,
+             MIN(CASE WHEN 100 * cumn >= {WINSOR_LO} * n
+                      THEN price_c END) AS lo_c,
+             MIN(CASE WHEN 100 * cumn >= {WINSOR_HI} * n
+                      THEN price_c END) AS hi_c
+      FROM cum GROUP BY rf
+    )
+    SELECT c.rf AS l_returnflag,
+           CAST(MAX(cuts.n) AS BIGINT) AS n_rows,
+           MAX(cuts.lo_c) / 100.0 AS p01,
+           MAX(cuts.hi_c) / 100.0 AS p99,
+           ROUND(CAST(SUM(c.cnt * c.price_c) AS DOUBLE)
+                 / CAST(MAX(cuts.n) AS DOUBLE) / 100.0, 6) AS raw_mean,
+           ROUND(CAST(SUM(c.cnt * CASE
+                   WHEN c.price_c < cuts.lo_c THEN cuts.lo_c
+                   WHEN c.price_c > cuts.hi_c THEN cuts.hi_c
+                   ELSE c.price_c END) AS DOUBLE)
+                 / CAST(MAX(cuts.n) AS DOUBLE) / 100.0, 6)
+             AS winsor_mean
+    FROM c JOIN cuts ON cuts.rf = c.rf
+    GROUP BY c.rf
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of extended price per return flag: clip every
+    value at the exact lower-{WINSOR_LO}% / upper-{WINSOR_HI}% order
+    statistics, then average -- emitted next to the raw mean so the
+    tail influence is visible.
+
+    Three exact stages: (1) the q_weighted_median value collapse (one
+    hash aggregation to (group, DISTINCT cent-price, count) rows --
+    the corpus-proportional step, after which everything is bounded by
+    the value domain); (2) cut-point selection as pure integer
+    predicates over one per-group cumulative-count window pass
+    (100*cum >= p*n -- the smallest value at or above the p-th
+    percentile, no interpolation policy to share cross-engine);
+    (3) the clipped aggregation reuses the SAME collapsed rows (counts
+    times clipped values -- integer products), broadcast-joined to the
+    3-row cut table. Only the two final display divisions are floats,
+    shared as one text.
+
+    Scale: identical posture to q_weighted_median -- the window scans
+    distinct values per group, groups hash-spread, and an unbounded
+    continuous domain takes the documented fixed-width quantization
+    swap with the plan shape unchanged.
+
+    tests/test_statistics.py recomputes cuts and the clipped mean in
+    pure Python (third-engine check) and pins the invariants
+    p01 <= p99 and min <= winsor_mean <= max.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("price_c"),
+        )
+        .groupBy("rf", "price_c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = c.select(
+        "rf",
+        "price_c",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("rf")
+            .orderBy("price_c")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cumn"),
+        F.sum("cnt").over(Window.partitionBy("rf")).alias("n"),
+    )
+    cuts = cum.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                100 * F.col("cumn") >= WINSOR_LO * F.col("n"),
+                F.col("price_c"),
+            )
+        ).alias("lo_c"),
+        F.min(
+            F.when(
+                100 * F.col("cumn") >= WINSOR_HI * F.col("n"),
+                F.col("price_c"),
+            )
+        ).alias("hi_c"),
+    )
+    clipped = F.when(
+        F.col("price_c") < F.col("lo_c"), F.col("lo_c")
+    ).when(F.col("price_c") > F.col("hi_c"), F.col("hi_c")).otherwise(
+        F.col("price_c")
+    )
+    return (
+        c.join(F.broadcast(cuts), "rf")
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.max("n").alias("n_rows"),
+            (F.max("lo_c") / 100.0).alias("p01"),
+            (F.max("hi_c") / 100.0).alias("p99"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("price_c")).cast("double")
+                / F.max("n").cast("double")
+                / 100.0,
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(F.col("cnt") * clipped).cast("double")
+                / F.max("n").cast("double")
+                / 100.0,
+                6,
+            ).alias("winsor_mean"),
+        )
+    )

@@ -1473,3 +1473,139 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
         portable_hash64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining: pointwise mutual information between vocabulary
+# tokens over document co-presence -- the association score behind
+# phrase detection and topic seeding in a curation pipeline (PMI >> 0
+# means the pair co-occurs far above chance; the classic Church & Hanks
+# collocation measure). The pair space is bounded BY CONSTRUCTION to
+# the top-PMI_VOCAB vocabulary, so the self-join is domain-sized no
+# matter the corpus.
+# --------------------------------------------------------------------------
+
+#: Vocabulary cap for the pair space (<= V*(V-1)/2 candidate pairs) and
+#: the minimum co-document support a reported pair needs.
+PMI_VOCAB = 100
+PMI_MIN_SUP = 3
+
+#: PMI closed form over exact integer counts, one shared text (the
+#: q_source_divergence precedent for ln over shared-rounded inputs).
+_PMI = (
+    "ln((CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    " / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE)))"
+)
+
+
+@query(
+    "q_pmi",
+    oracle=f"""
+    WITH presence AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+      )
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM presence),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM presence GROUP BY 1
+      ORDER BY df DESC, token
+      LIMIT {PMI_VOCAB}
+    ),
+    fp AS (
+      SELECT p.doc_id, p.token, v.df
+      FROM presence p JOIN vocab v ON v.token = p.token
+    ),
+    pairs AS (
+      SELECT a.token AS token_1, b.token AS token_2,
+             CAST(MAX(a.df) AS BIGINT) AS df1,
+             CAST(MAX(b.df) AS BIGINT) AS df2,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM fp a JOIN fp b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_SUP}
+    )
+    SELECT token_1, token_2, df1, df2, n_both,
+           ROUND({_PMI}, 6) AS pmi
+    FROM pairs CROSS JOIN nd
+    """,
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-{PMI_VOCAB} vocabulary
+    tokens over document co-presence: every pair co-occurring in at
+    least {PMI_MIN_SUP} documents, with both document frequencies and
+    ln(P(a,b) / (P(a)P(b))) over the exact integer counts.
+
+    Bounded-pair-space discipline (the q_cooccur argument, applied to
+    text): (1) DISTINCT (doc, token) presence -- one mergeable
+    exchange, the corpus-proportional step; (2) the vocabulary is the
+    top-{PMI_VOCAB} tokens under the deterministic (df DESC, token)
+    total order -- a TakeOrdered, broadcast everywhere downstream, so
+    the per-document basket after the vocabulary semi-join is <=
+    {PMI_VOCAB} tokens and the doc-keyed self-join enumerates at most
+    V*(V-1)/2 distinct pairs regardless of corpus size; (3) marginals
+    ride the broadcast vocabulary, the count aggregation is mergeable,
+    and the only float is the final shared-text ln (round-6, the
+    q_source_divergence precedent).
+
+    Scale: the presence distinct bounds everything -- pair enumeration
+    rows grow with corpus size but collapse map-side to the fixed
+    vocabulary-pair domain; no shuffle ever carries more than
+    (doc x vocab-presence) rows. Hour-grain windows or per-source PMI
+    are a groupBy-key swap.
+
+    tests/test_batch_fns.py recomputes PMI for the top pair in pure
+    Python (third-engine check) and pins symmetry-free ordering
+    (token_1 < token_2) and support >= {PMI_MIN_SUP}.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    presence = (
+        docs.select(
+            "doc_id", F.explode(tokens_col()).alias("token")
+        )
+        .distinct()
+    )
+    n_docs = presence.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    vocab = (
+        presence.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(PMI_VOCAB)
+    )
+    fp = presence.join(F.broadcast(vocab), "token").select(
+        "doc_id", "token", "df"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_1"),
+            F.col("b.token").alias("token_2"),
+        )
+        .agg(
+            F.max("a.df").alias("df1"),
+            F.max("b.df").alias("df2"),
+            F.count(F.lit(1)).alias("n_both"),
+        )
+        .filter(F.col("n_both") >= PMI_MIN_SUP)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "token_1",
+        "token_2",
+        "df1",
+        "df2",
+        "n_both",
+        F.round(F.expr(_PMI), 6).alias("pmi"),
+    )

@@ -192,3 +192,55 @@ def test_cell_pair_scores_blocked_equals_bruteforce():
     for k, v in expected.items():
         assert got[k] == v, (k, got[k], v)  # bit-exact, not approx
     assert set(out["cell_id"]) == {7}
+
+
+def test_pmi_matches_python(spark):
+    """q_pmi third-engine check: recompute document frequencies,
+    co-presence, and PMI for every reported pair in pure Python."""
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.text import (
+        PMI_MIN_SUP,
+        PMI_VOCAB,
+        q_pmi,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = {
+        (r["token_1"], r["token_2"]): r
+        for r in q_pmi(spark, SF_DIR).collect()
+    }
+    assert got, "pmi pairs expected"
+
+    docs = {
+        r["doc_id"]: {t for t in r["text"].split(" ") if t}
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    df = defaultdict(int)
+    for toks in docs.values():
+        for t in toks:
+            df[t] += 1
+    n_docs = sum(1 for toks in docs.values() if toks)
+    vocab = set(
+        sorted(df, key=lambda t: (-df[t], t))[:PMI_VOCAB]
+    )
+    both = defaultdict(int)
+    for toks in docs.values():
+        hits = sorted(toks & vocab)
+        for i, a in enumerate(hits):
+            for b in hits[i + 1:]:
+                both[(a, b)] += 1
+    expect = {
+        p: c for p, c in both.items() if c >= PMI_MIN_SUP
+    }
+    assert got.keys() == expect.keys()
+    for (a, b), r in got.items():
+        assert (r["df1"], r["df2"], r["n_both"]) == (
+            df[a], df[b], expect[(a, b)]
+        )
+        ref = math.log(expect[(a, b)] * n_docs / (df[a] * df[b]))
+        assert math.isclose(r["pmi"], ref, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert a < b and r["n_both"] >= PMI_MIN_SUP

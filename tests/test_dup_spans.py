@@ -60,3 +60,54 @@ def test_dup_spans_match_python(spark):
     for _, start, end, span_tokens, n_grams in got:
         assert span_tokens == end - start + 1
         assert span_tokens == n_grams + SPAN_GRAM - 1
+
+def test_dup_spans_bloom_equals_exact(spark):
+    """The Bloom-prefiltered fork (VERDICT r8 ask #3) must be
+    span-for-span identical: Bloom filters have no false negatives and
+    the verify join scrubs false positives, so the shared oracle is
+    honest."""
+    from dump1090_stream_parser_spark.operators.dedup import (
+        q_dup_spans_bloom,
+    )
+
+    exact = {tuple(r) for r in q_dup_spans(spark, SF_DIR).collect()}
+    bloom = {tuple(r) for r in q_dup_spans_bloom(spark, SF_DIR).collect()}
+    assert exact == bloom
+    assert exact, "non-empty span set expected"
+
+
+def test_novelty_matches_python(spark):
+    """q_novelty third-engine check: distinct-gram novelty per doc,
+    plus the corpus identity sum(n_novel) == distinct gram hashes."""
+    from dump1090_stream_parser_spark.operators.dedup import q_novelty
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in q_novelty(spark, SF_DIR).collect()
+    }
+    assert got, "novelty rows expected"
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    first = {}
+    by_doc = {}
+    for doc in sorted(docs):
+        toks = docs[doc]
+        grams = {
+            " ".join(toks[i:i + SPAN_GRAM])
+            for i in range(len(toks) - SPAN_GRAM + 1)
+        }
+        if not grams:
+            continue
+        by_doc[doc] = grams
+        for g in grams:
+            first.setdefault(g, doc)
+    assert got.keys() == by_doc.keys()
+    for doc, grams in by_doc.items():
+        novel = sum(1 for g in grams if first[g] == doc)
+        n, nn, frac = got[doc]
+        assert n == len(grams)
+        assert nn == novel
+        assert abs(frac - round(novel / len(grams), 6)) < 1e-9
+    assert sum(nn for _, nn, _ in got.values()) == len(first)

@@ -1,0 +1,43 @@
+"""Mechanized parking-claims guard (tools/parking_guard.py, VERDICT r8
+ask #5): every tail rationale's "code unchanged since its last green
+driver row" claim is checked against git history, at function-block
+granularity, every test run -- removing the one manual trust link in
+the rotation protocol. A failure means a parked query's certified
+source block (decorator + oracle + body) drifted after the round the
+driver last hash-certified it: re-read the change, then stamp the
+rationale with the block fingerprint the guard names."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def test_no_unacknowledged_parked_drift():
+    from parking_guard import check_parked
+
+    violations = check_parked()
+    assert violations == [], violations
+
+
+def test_guard_detects_block_granularity():
+    """The guard must compare FUNCTION BLOCKS, not files: modules
+    accrete new operators every round, and a file-level diff would
+    flag every parked sibling. Pin the extractor on a module that
+    changed this round around an unchanged parked query."""
+    from parking_guard import _block
+
+    src = subprocess.run(
+        ["git", "show", "HEAD:dump1090_stream_parser_spark/operators/dedup.py"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    ).stdout
+    blk = _block(src, "q_dedup_events")
+    assert blk is not None
+    assert blk.startswith("@query(")
+    assert "def q_dedup_events(" in blk
+    # the block ends before the next top-level section
+    assert "q_dedup_incremental" not in blk.split("def ", 2)[-1]

@@ -384,3 +384,90 @@ def test_benford_matches_python(spark):
         )
         share_sum += o / n
     assert math.isclose(share_sum, 1.0, rel_tol=1e-12)
+
+
+def test_seasonality_matches_python(spark):
+    import math
+    from collections import defaultdict
+    from datetime import date
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        q_seasonality,
+    )
+
+    got = {
+        r["event_type"]: r for r in q_seasonality(spark, SF_DIR).collect()
+    }
+    assert got, "per-type seasonality rows expected"
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    anchor = date(2020, 1, 6)  # a Monday
+    counts = defaultdict(lambda: [0] * 7)
+    for r in rows:
+        counts[r["event_type"]][(r["ts"].date() - anchor).days % 7] += 1
+    assert counts.keys() == got.keys()
+    for etype, per_dow in counts.items():
+        n = sum(per_dow)
+        exp = n / 7.0
+        chi2 = sum((c - exp) ** 2 / exp for c in per_dow)
+        peak = max(range(7), key=lambda d: (per_dow[d], -d))
+        g = got[etype]
+        assert g["n_events"] == n
+        assert math.isclose(g["chi2"], chi2, rel_tol=1e-9, abs_tol=5.01e-7)
+        assert g["peak_dow"] == peak
+        assert math.isclose(
+            g["peak_share"], per_dow[peak] / n, rel_tol=0, abs_tol=5.01e-7
+        )
+        assert g["chi2"] >= 0 and 0 < g["peak_share"] <= 1
+
+
+def test_winsorize_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        WINSOR_HI,
+        WINSOR_LO,
+        q_winsorize,
+    )
+
+    got = {
+        r["l_returnflag"]: r for r in q_winsorize(spark, SF_DIR).collect()
+    }
+    assert got, "per-flag winsorized rows expected"
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_rf = defaultdict(list)
+    for r in rows:
+        by_rf[r["l_returnflag"]].append(round(r["l_extendedprice"] * 100))
+    assert by_rf.keys() == got.keys()
+    for rf, vals in by_rf.items():
+        vals.sort()
+        n = len(vals)
+
+        def cut(p):
+            cum = 0
+            seen = 0
+            for v in vals:
+                seen += 1
+                if 100 * seen >= p * n:
+                    return v
+            return vals[-1]
+
+        lo, hi = cut(WINSOR_LO), cut(WINSOR_HI)
+        wmean = sum(min(max(v, lo), hi) for v in vals) / n / 100.0
+        g = got[rf]
+        assert g["n_rows"] == n
+        assert math.isclose(g["p01"], lo / 100.0, rel_tol=1e-12)
+        assert math.isclose(g["p99"], hi / 100.0, rel_tol=1e-12)
+        assert math.isclose(
+            g["winsor_mean"], wmean, rel_tol=0, abs_tol=5.01e-7
+        )
+        assert g["p01"] <= g["p99"]
+        assert vals[0] / 100.0 <= g["winsor_mean"] <= vals[-1] / 100.0

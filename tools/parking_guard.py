@@ -1,0 +1,212 @@
+"""Mechanized parking-claims guard (VERDICT r8 ask #5).
+
+Every parked query's tail rationale asserts its code is unchanged
+since its last green driver row -- a claim that was, until round 9,
+maintained BY HAND. This tool checks it against git history:
+
+1. For each parked query, find the round of its last green driver row
+   (the CORRECTNESS_r*.json artifacts are the ledger).
+2. Resolve that round's close commit (the driver artifacts land in a
+   commit whose subject is "round N: verdict/advice/correctness/bench";
+   the code it records is the tree the driver evaluated).
+3. Extract the query's SOURCE BLOCK -- the @query decorator (which
+   carries the oracle contract) through the end of the registered
+   function -- from that commit's version of the module, and compare
+   it to the working tree's block.
+4. A changed block is a violation UNLESS the rationale acknowledges
+   the CURRENT block by carrying its fingerprint -- the literal token
+   ``block <8-hex>`` where the hex is sha256 of the current source
+   block. The acknowledgement is self-maintaining: if the block drifts
+   again, the fingerprint stops matching and the guard fails until a
+   human re-reads the change and re-stamps the rationale.
+
+Granularity is the function block, not the file: modules accrete new
+operators every round, and a file-level diff would flag every parked
+sibling of a new query. The block covers the decorator (oracle text)
+and the function body; behavior drift through SHARED HELPERS is out of
+scope here by design -- that is exactly what the full parity gate
+(tests/test_parity.py, every round, every query) exists to catch. The
+two checks compose: the guard pins the claim "this code is the code
+the driver certified", the parity gate pins "whatever the code is, it
+still matches the oracle".
+
+    python tools/parking_guard.py          # report + exit code
+
+tests/test_parking_guard.py runs check_parked() in the suite, so a
+rotation that forgets to update a rationale fails CI locally.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+REPO = "/root/repo"
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query -> newest round with a green (rows+schema+hash) row."""
+    out: dict[str, int] = {}
+    for path in glob.glob(f"{REPO}/CORRECTNESS_r*.json"):
+        n = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for q, v in rows.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("hash_match")
+            ):
+                out[q] = max(out.get(q, 0), n)
+    return out
+
+
+def current_round() -> int:
+    greens = last_green_rounds()
+    return (max(greens.values()) + 1) if greens else 1
+
+
+def round_commit(n: int) -> str | None:
+    """The commit recording round n's driver artifacts (its tree is
+    the code the round-n driver evaluated, plus the artifacts)."""
+    got = subprocess.run(
+        ["git", "log", "--format=%H", "-1", "--fixed-strings",
+         "--grep", f"round {n}: verdict"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    return got or None
+
+
+def _block(source: str, fn_name: str) -> str | None:
+    """The decorator-through-function source block for ``fn_name``:
+    from the nearest preceding top-level decorator (oracle contract
+    included) to the next top-level statement."""
+    lines = source.splitlines()
+    start = None
+    for i, line in enumerate(lines):
+        if re.match(rf"def {re.escape(fn_name)}\(", line):
+            start = i
+            break
+    if start is None:
+        return None
+    deco = start
+    j = start - 1
+    # walk up through the contiguous decorator block (its continuation
+    # lines are indented; its openers start with @ at column 0)
+    while j >= 0:
+        line = lines[j]
+        if line.startswith("@"):
+            deco = j
+            j -= 1
+            continue
+        if line.strip() == "" or line[:1] in (" ", ")", "]", "}"):
+            j -= 1
+            continue
+        break
+    end = len(lines)
+    for i in range(start + 1, len(lines)):
+        line = lines[i]
+        if line and not line[0].isspace() and not line.startswith(")"):
+            end = i
+            break
+    return "\n".join(lines[deco:end]).rstrip()
+
+
+def _module_relpath(fn) -> str:
+    import inspect
+
+    path = inspect.getsourcefile(fn)
+    return os.path.relpath(path, REPO)
+
+
+def check_parked() -> list[dict]:
+    """Violations: parked queries whose certified source block changed
+    since their last green round without a rationale update."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    greens = last_green_rounds()
+    commits: dict[int, str | None] = {}
+    violations: list[dict] = []
+    for q, rationale in ops.EVAL_TAIL_RATIONALE.items():
+        entry = ops.REGISTRY[q]
+        r = greens.get(q)
+        if r is None:
+            # capability-held entries with no driver row of their own:
+            # the rationale must say so (every such rationale names the
+            # in-window holder and the parity gate)
+            if "parity gate" not in rationale and "held" not in rationale:
+                violations.append(
+                    {"query": q, "reason": "no green row and no holder"}
+                )
+            continue
+        if r not in commits:
+            commits[r] = round_commit(r)
+        commit = commits[r]
+        if commit is None:
+            continue  # history trimmed; nothing to diff against
+        rel = _module_relpath(entry.fn)
+        old = subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if old.returncode != 0:
+            violations.append(
+                {"query": q, "reason": f"module {rel} absent at r{r}"}
+            )
+            continue
+        fn_name = entry.fn.__name__
+        old_block = _block(old.stdout, fn_name)
+        with open(os.path.join(REPO, rel)) as f:
+            new_block = _block(f.read(), fn_name)
+        if old_block is None:
+            violations.append(
+                {"query": q, "reason": f"{fn_name} absent at r{r}"}
+            )
+            continue
+        if old_block != new_block:
+            import hashlib
+
+            stamp = hashlib.sha256(
+                (new_block or "").encode()
+            ).hexdigest()[:8]
+            if f"block {stamp}" not in rationale:
+                violations.append(
+                    {
+                        "query": q,
+                        "reason": (
+                            f"source block changed since green r{r};"
+                            f" acknowledge with 'block {stamp}' in the"
+                            " rationale after re-reading the change"
+                        ),
+                        "module": rel,
+                    }
+                )
+    return violations
+
+
+def main() -> None:
+    violations = check_parked()
+    print(
+        json.dumps(
+            {
+                "current_round": current_round(),
+                "violations": violations,
+            },
+            indent=1,
+        )
+    )
+    raise SystemExit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()

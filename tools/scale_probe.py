@@ -886,6 +886,131 @@ def sem_main() -> None:
     spark.stop()
 
 
+def span_main() -> None:
+    """Measure the exact-vs-Bloom duplicated-span fork (VERDICT r8 #3).
+
+    q_dup_spans' join-back shuffles the FULL positional gram stream on
+    ghash once the duplicated-gram set outgrows the broadcast budget;
+    q_dup_spans_bloom bit-tests the stream against a fixed-size bitmap
+    first so only survivors ride that exchange. This probe synthesizes
+    the regime the argument is about -- a REALISTIC boilerplate rate,
+    not the replication probe's all-duplicated ceiling:
+
+    - n = 25k * factor documents of 50 doc-unique tokens each (their
+      grams are never duplicated -- the ~95% a Bloom test drops);
+    - 5% of documents carry a 12-token boilerplate block drawn from a
+      template pool that scales as n/100 (boilerplate DIVERSITY grows
+      with a real corpus), each template shared by ~5 documents, so
+      the dup-gram set grows linearly and eventually outgrows any
+      broadcast budget while staying a few percent of positions;
+    - broadcast joins disabled (embsweep's rationale: at probe sizes
+      the dup set broadcasts, hiding the exchange structure; at 100 TB
+      it cannot -- the explicit F.broadcast on the Bloom bitmap is
+      exempt, being fixed-size by construction).
+
+    Reports min-of-2 wall + stage-level shuffle volume per fork, plus
+    a span-set equality check (both forks share one oracle).
+
+        python tools/scale_probe.py spansweep [max_factor]
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/span_probe"
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="span_fork_probe",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: int, out_dir: str) -> None:
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        uniq = F.transform(
+            F.sequence(F.lit(1), F.lit(50)),
+            lambda i: F.concat(
+                F.lit("w"), F.col("doc_id"), F.lit("x"), i.cast("string")
+            ),
+        )
+        tid = (F.col("doc_id") / 20).cast("long") % F.lit(max(n // 100, 1))
+        boiler = F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.concat(
+                F.lit("b"), tid.cast("string"), F.lit("y"),
+                i.cast("string"),
+            ),
+        )
+        text = F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat_ws(" ", F.concat(boiler, uniq)),
+        ).otherwise(F.concat_ws(" ", uniq))
+        ids.select(
+            "doc_id",
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("s"), F.pmod("doc_id", F.lit(4))).alias(
+                "source"
+            ),
+            F.length(text).alias("n_chars"),
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+
+    exact = e.queries()["q_dup_spans"]
+    bloom = e.queries()["q_dup_spans_bloom"]
+    out: dict[str, dict] = {}
+    for factor in [f for f in (1, 4, 16) if f <= max_factor]:
+        n = 25_000 * factor
+        sf_dir = f"{scratch}/x{factor}"
+        synth(n, sf_dir)
+        row: dict = {
+            "docs": n,
+            "boiler_docs": n // 20,
+            "templates": max(n // 100, 1),
+        }
+        for label, fn in (("exact", exact), ("bloom", bloom)):
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            times = []
+            snap0 = stage_shuffle_snapshot(spark)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(snap0, stage_shuffle_snapshot(spark))
+            row[label] = round(min(times), 3)
+            row[f"{label}_shuffle"] = {
+                "records": delta["shuffle_records"] // 2,
+                "bytes": delta["shuffle_bytes"] // 2,
+            }
+        a = {tuple(r) for r in exact(spark, sf_dir).collect()}
+        b = {tuple(r) for r in bloom(spark, sf_dir).collect()}
+        row["agree"] = a == b
+        row["spans"] = len(a)
+        out[f"x{factor}"] = row
+        print(json.dumps({f"x{factor}": row}), flush=True)
+
+    print(json.dumps({"dup_spans_fork": out}, indent=1))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def cms_main() -> None:
     """Measure the count-min grid's fixed-exchange claim against exact
     per-key counting as key cardinality grows (round 7).
@@ -971,5 +1096,7 @@ if __name__ == "__main__":
         sem_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "cmssweep":
         cms_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "spansweep":
+        span_main()
     else:
         main()
