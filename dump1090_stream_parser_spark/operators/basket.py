@@ -229,16 +229,22 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum d*(d-1)/2, exact integers), and the coefficient is one
     shared IEEE division.
 
-    Scale: the path join's cost is sum over nodes of d_in*d_out under
-    the a<b<c orientation -- the textbook mitigation for graph skew
-    (a hot node's quadratic wedge space splits by the total order
-    instead of landing on one key; full degree-ordering, orienting
-    each edge low-degree->high-degree, is the same join with a
-    different comparator and drops in here if the id order correlates
-    badly with degree). All three legs are hash equi-joins on node
-    keys -- shuffles carry (node, node) integer pairs, AQE handles
-    residual skew. The edge derivation inherits q_cooccur's
-    basket-bounded argument; everything downstream is
+    Scale: the path join's cost is sum over nodes of d_in*d_out, and
+    since round 9 the registered orientation is DEGREE order (each
+    edge low-(degree, node) -> high, the comparator the round-8
+    docstring documented): a hub then receives all its edges as
+    targets, its out-degree stays bounded by its higher-degree
+    neighbor count, and total path count is O(m^1.5) regardless of
+    skew -- measured on a scrambled-label power-law graph in
+    tools/scale_probe.py trisweep (docs/SCALE.md round-9 table),
+    where id order is uncorrelated with degree and the id-ordered
+    join's wedge-path input is the quadratic hub term. The orientation
+    cannot change the answer (any acyclic total order counts each
+    triangle exactly once -- tests/test_basket.py pins id == degree
+    census equality), so the oracle is unchanged. All legs are hash
+    equi-joins on node keys -- shuffles carry (node, node) integer
+    pairs, AQE handles residual skew. The edge derivation inherits
+    q_cooccur's basket-bounded argument; everything downstream is
     edge-proportional, never basket-proportional.
 
     tests/test_basket.py brute-forces the triangle count from the
@@ -270,6 +276,55 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=False)
     )
+    return triangle_census(edges, orient="degree")
+
+
+def _orient_edges(edges: DataFrame, orient: str) -> DataFrame:
+    """Acyclic orientation of an undirected (u < v) edge set. "id"
+    keeps the id order; "degree" re-orients each edge from the
+    lower-(degree, node) endpoint to the higher -- the comparator that
+    splits a hub's quadratic wedge space (measured: tools/scale_probe
+    trisweep, docs/SCALE.md round-9 table). Any total order counts
+    each triangle exactly once, so the census is orientation-
+    independent; only the closing join's input size changes."""
+    if orient == "id":
+        return edges
+    if orient != "degree":
+        raise ValueError(f"orient must be 'id' or 'degree': {orient}")
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = edges.join(
+        deg.withColumnsRenamed({"node": "u", "d": "du"}), "u"
+    ).join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v")
+    # (d, node) lexicographic; u < v by id, so ties keep id order
+    swap = (F.col("dv") < F.col("du")) | (
+        (F.col("dv") == F.col("du")) & (F.col("v") < F.col("u"))
+    )
+    return e.select(
+        F.when(swap, F.col("v")).otherwise(F.col("u")).alias("u"),
+        F.when(swap, F.col("u")).otherwise(F.col("v")).alias("v"),
+    )
+
+
+def triangle_census(
+    edges: DataFrame,
+    orient: str = "degree",
+    _oriented_only: bool = False,
+) -> DataFrame:
+    """Node/edge/wedge/triangle counts + global clustering coefficient
+    for an undirected (u < v) edge frame. The wedge/degree statistics
+    come from the UNDIRECTED set (orientation-independent by
+    definition); the 3-clique join runs over the chosen acyclic
+    orientation. ``_oriented_only`` exposes the oriented edge frame so
+    the skew probe can measure the closing join's exact input size."""
+    oriented = _orient_edges(edges, orient)
+    if _oriented_only:
+        return oriented
+    oriented = oriented.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -283,9 +338,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_wedges"),
     )
     ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = (
         e1.join(e2, "b")
         .join(e3, ["a", "c"])

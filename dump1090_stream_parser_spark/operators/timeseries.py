@@ -852,11 +852,19 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-add tree in both engines, so the emitted doubles are
     bit-identical before the final round(6).
 
-    Scale: identical posture to q_ema -- the parity fold carries one
-    task per user; the 100 TB form composes per-segment AFFINE MAPS,
-    because each Holt step is affine in (l, b): segments summarize to
-    a 2x2 matrix + offset vector (six doubles), matrices compose
-    associatively exactly as ema_segmented's scalar (A, B) pairs do.
+    Scale -- DENSITY-DISPATCHED since round 9, the q_ema twin: one
+    mergeable max-count probe, then this single fold while every key's
+    series fits a task (the hash-certified plan at every driver SF) or
+    :func:`holt_segmented` beyond the same measured
+    EMA_SEGMENT_MAX_TASK_ROWS crossover -- the fold cost class is
+    identical (user-keyed sorted-array fold over the same rows), so
+    the EMA crossover table governs both. Each Holt step is AFFINE in
+    (l, b): segments summarize to a 2x2 matrix + offset vector (six
+    doubles) composing associatively exactly as ema_segmented's scalar
+    (A, B) pairs do; the seed state [x1, 0] is a FIXED POINT of the
+    first step (A·[x1,0] + k·x1 = [x1,0]), so no seed special-case
+    survives into the algebra. Segmented equals this fold modulo float
+    reassociation (pinned to tolerance in tests/test_timeseries.py).
     A streaming twin keeps (l, b, n) per key -- O(1) state, same
     ordered-arrival contract as streaming/ema.py.
 
@@ -864,6 +872,34 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same simultaneous update (third-engine check) and pins
     forecast_h3 == level + 3*trend.
     """
+    events = load_table(spark, sf_dir, "events")
+    longest = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    if longest is not None and longest > EMA_SEGMENT_MAX_TASK_ROWS:
+        seg = holt_segmented(spark, sf_dir)
+        return seg.select(
+            "user_id",
+            "n_events",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("level") + 3.0 * F.col("trend"), 6).alias(
+                "forecast_h3"
+            ),
+        )
+    return holt_single_fold(spark, sf_dir)
+
+
+def holt_single_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-shaped single fold (see q_holt's docstring): one
+    hash shuffle on user_id, flat-list accumulator, bit-identical to
+    DuckDB list_reduce -- bounded by one task per key, so the
+    registered q_holt dispatches away from it past the measured
+    crossover."""
     events = load_table(spark, sf_dir, "events")
     srt = (
         events.filter(F.col("value").isNotNull())
@@ -903,4 +939,140 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s")[0] + 3.0 * F.col("s")[1], 6).alias(
             "forecast_h3"
         ),
+    )
+
+
+def holt_segmented(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "1 hour",
+) -> DataFrame:
+    """The 100 TB Holt shape: two-level affine-MATRIX composition (the
+    2-dimensional generalization of ema_segmented).
+
+    Each observation x acts on the state v = (l, b) as v -> A v + k x
+    with A = [[0.75, 0.75], [-0.0625, 0.9375]] and k = (0.25, 0.0625)
+    (alpha = beta = 0.25 in expanded form). Affine maps compose
+    associatively, so stage 1 folds each (user, time_bucket) segment
+    into (P, q) -- P the 2x2 matrix product, q the accumulated offset
+    vector, six doubles -- plus the segment's first value; stage 2
+    shuffles only those summaries to the key level, composes them in
+    bucket order ((P2, q2) o (P1, q1) = (P2 P1, P2 q1 + q2)), and
+    applies v_n = P_total [x_first, 0] + q_total. The seed works with
+    NO special case because [x1, 0] is a fixed point of the first
+    step: A [x1, 0] + k x1 = [x1, 0], so folding every observation
+    uniformly from v0 = [x_first, 0] reproduces the textbook seeding
+    exactly.
+
+    Equal to :func:`holt_single_fold` up to float reassociation
+    (tests/test_timeseries.py pins the tolerance); returned unrounded
+    for that pin, with the same (user_id, n_events, level, trend)
+    columns."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    seg = events.withColumn("bucket", F.window("ts", segment)["start"])
+    ordered = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    # Per-segment fold of (p00, p01, p10, p11, q0, q1, first_x):
+    # left-multiply by A and add k*x each step.
+    summary = F.aggregate(
+        F.transform(ordered, lambda s: s["value"]),
+        F.struct(
+            F.lit(1.0).alias("p00"),
+            F.lit(0.0).alias("p01"),
+            F.lit(0.0).alias("p10"),
+            F.lit(1.0).alias("p11"),
+            F.lit(0.0).alias("q0"),
+            F.lit(0.0).alias("q1"),
+            F.lit(None).cast("double").alias("first_x"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(0.75) * acc["p00"] + F.lit(0.75) * acc["p10"]).alias(
+                "p00"
+            ),
+            (F.lit(0.75) * acc["p01"] + F.lit(0.75) * acc["p11"]).alias(
+                "p01"
+            ),
+            (
+                F.lit(-0.0625) * acc["p00"] + F.lit(0.9375) * acc["p10"]
+            ).alias("p10"),
+            (
+                F.lit(-0.0625) * acc["p01"] + F.lit(0.9375) * acc["p11"]
+            ).alias("p11"),
+            (
+                F.lit(0.75) * acc["q0"]
+                + F.lit(0.75) * acc["q1"]
+                + F.lit(0.25) * x
+            ).alias("q0"),
+            (
+                F.lit(-0.0625) * acc["q0"]
+                + F.lit(0.9375) * acc["q1"]
+                + F.lit(0.0625) * x
+            ).alias("q1"),
+            F.coalesce(acc["first_x"], x).alias("first_x"),
+        ),
+    )
+    segs = seg.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("k"), summary.alias("s")
+    )
+    per_key = F.sort_array(
+        F.collect_list(F.struct(F.col("bucket"), F.col("s").alias("s")))
+    )
+    # (P2, q2) o (P1, q1): 2x2 matrix product + transformed offset.
+    composed = F.aggregate(
+        per_key,
+        F.struct(
+            F.lit(1.0).alias("p00"),
+            F.lit(0.0).alias("p01"),
+            F.lit(0.0).alias("p10"),
+            F.lit(1.0).alias("p11"),
+            F.lit(0.0).alias("q0"),
+            F.lit(0.0).alias("q1"),
+            F.lit(None).cast("double").alias("first_x"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                e["s"]["p00"] * acc["p00"] + e["s"]["p01"] * acc["p10"]
+            ).alias("p00"),
+            (
+                e["s"]["p00"] * acc["p01"] + e["s"]["p01"] * acc["p11"]
+            ).alias("p01"),
+            (
+                e["s"]["p10"] * acc["p00"] + e["s"]["p11"] * acc["p10"]
+            ).alias("p10"),
+            (
+                e["s"]["p10"] * acc["p01"] + e["s"]["p11"] * acc["p11"]
+            ).alias("p11"),
+            (
+                e["s"]["p00"] * acc["q0"]
+                + e["s"]["p01"] * acc["q1"]
+                + e["s"]["q0"]
+            ).alias("q0"),
+            (
+                e["s"]["p10"] * acc["q0"]
+                + e["s"]["p11"] * acc["q1"]
+                + e["s"]["q1"]
+            ).alias("q1"),
+            F.coalesce(acc["first_x"], e["s"]["first_x"]).alias(
+                "first_x"
+            ),
+        ),
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(F.sum("k").alias("n_events"), composed.alias("c"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("c")["p00"] * F.col("c")["first_x"]
+                + F.col("c")["q0"]
+            ).alias("level"),
+            (
+                F.col("c")["p10"] * F.col("c")["first_x"]
+                + F.col("c")["q1"]
+            ).alias("trend"),
+        )
     )

@@ -104,3 +104,63 @@ def test_triangles_match_python(spark):
     if wedges:
         assert abs(row["gcc"] - 3 * tri / wedges) < 5.01e-7
         assert 0.0 <= row["gcc"] <= 1.0
+
+
+def test_triangle_census_orientation_independent(spark):
+    """Any acyclic orientation counts each triangle exactly once: the
+    id-ordered and degree-ordered censuses must be row-identical (the
+    argument that lets the degree comparator promote into the
+    registered plan without touching the oracle)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.basket import (
+        MIN_CO,
+        triangle_census,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_CO)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    by_id = triangle_census(edges, orient="id").collect()
+    by_deg = triangle_census(edges, orient="degree").collect()
+    assert [tuple(r) for r in by_id] == [tuple(r) for r in by_deg]
+    # the degree orientation really is acyclic over (d, node): every
+    # oriented edge ascends in that order
+    oriented = triangle_census(
+        edges, orient="degree", _oriented_only=True
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    checked = (
+        oriented.join(
+            deg.withColumnsRenamed({"node": "u", "d": "du"}), "u"
+        )
+        .join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v")
+        .filter(
+            (F.col("du") > F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") > F.col("v")))
+        )
+        .count()
+    )
+    assert checked == 0

@@ -341,3 +341,44 @@ def test_holt_tracks_linear_ramp():
         l, b = l2, b2
     assert abs(b - 5.0) < 0.5
     assert abs(l - 5.0 * 199) < 25.0
+
+
+def test_holt_segmented_matches_single_fold(spark):
+    """The 2x2 affine-matrix composition equals the flat-list parity
+    fold to float-reassociation tolerance at several widths (including
+    one-containing-everything, which must reduce to the single fold),
+    and the registered q_holt dispatches to the single fold below the
+    measured crossover."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        holt_segmented,
+        holt_single_fold,
+        q_holt,
+    )
+    from .conftest import SF_DIR
+
+    single = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"])
+        for r in holt_single_fold(spark, SF_DIR).collect()
+    }
+    registered = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"])
+        for r in q_holt(spark, SF_DIR).collect()
+    }
+    assert registered == single  # sub-threshold dispatch
+    for width in ("30 minutes", "3650 days"):
+        seg = {
+            r["user_id"]: (r["n_events"], r["level"], r["trend"])
+            for r in holt_segmented(spark, SF_DIR, width).collect()
+        }
+        assert seg.keys() == single.keys()
+        for uid, (n, lv, tr) in single.items():
+            ns, lvs, trs = seg[uid]
+            assert ns == n
+            assert math.isclose(lvs, lv, rel_tol=0, abs_tol=5.01e-7), (
+                uid, width,
+            )
+            assert math.isclose(trs, tr, rel_tol=0, abs_tol=5.01e-7), (
+                uid, width,
+            )

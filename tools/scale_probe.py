@@ -1011,6 +1011,134 @@ def span_main() -> None:
     spark.stop()
 
 
+def tri_main() -> None:
+    """Measure q_triangles' orientation comparator under REAL skew
+    (VERDICT r8 ask #6).
+
+    The replication probe is inapplicable to the triangle census (it
+    changes the graph's density class, not its scale), so this probe
+    synthesizes a power-law graph directly: M = 8N candidate edges
+    whose endpoints follow a 1/rank (Zipf) law via the inverse-CDF
+    floor(exp(u*ln N)), then NODE LABELS are scrambled through a hash
+    so id order is uncorrelated with degree -- the adversarial case
+    the q_triangles docstring names ("if the id order correlates
+    badly with degree"). The same edge set runs through both
+    orientations:
+
+    - id-ordered (the registered plan's u < v): a hub's edges split
+      arbitrarily between in and out, so the wedge-path join input
+      includes ~(d/2)^2 paths centered on every hub;
+    - degree-ordered (orient low-(degree, node) -> high): every hub
+      receives its edges as TARGETS, its out-degree stays small, and
+      total path count is O(m^1.5) by the classic argument.
+
+    Reported per factor and orientation: the exact wedge-path count
+    sum_b in(b)*out(b) (the closing join's input size -- computed by
+    aggregation, not estimated), min-of-2 wall, stage-level shuffle,
+    and the triangle count (which MUST agree: any acyclic orientation
+    counts each triangle exactly once).
+
+        python tools/scale_probe.py trisweep [max_factor]
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.operators.basket import (
+        triangle_census,
+    )
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    N0, EDGE_MULT = 30_000, 8
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="triangle_skew_probe",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n_nodes: int):
+        m = EDGE_MULT * n_nodes
+        draws = spark.range(m)
+        unif = lambda tag: (
+            F.xxhash64(F.concat(F.lit(tag), F.col("id").cast("string")))
+            % 1_000_000
+        ).cast("double") / 1_000_000.0 + 0.5e-6
+        rank = lambda tag: F.least(
+            F.floor(F.exp(unif(tag) * F.log(F.lit(float(n_nodes))))),
+            F.lit(n_nodes),
+        ).cast("long")
+        # scrambled, effectively collision-free labels: id order is
+        # then uncorrelated with degree (the adversarial case)
+        label = lambda r: F.pmod(
+            F.xxhash64(F.concat(F.lit("n"), r.cast("string"))),
+            F.lit(1 << 40),
+        )
+        e = draws.select(
+            label(rank("a")).alias("x"), label(rank("b")).alias("y")
+        ).filter(F.col("x") != F.col("y"))
+        return (
+            e.select(
+                F.least("x", "y").alias("u"),
+                F.greatest("x", "y").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    out: dict[str, dict] = {}
+    for factor in [f for f in (1, 4, 16) if f <= max_factor]:
+        n = N0 * factor
+        edges = synth(n)
+        row: dict = {"nodes_target": n, "edges": edges.count()}
+        for orient in ("id", "degree"):
+            tri = triangle_census(edges, orient=orient)
+            # exact closing-join input: sum over centers of in*out
+            oriented = triangle_census(
+                edges, orient=orient, _oriented_only=True
+            )
+            paths = (
+                oriented.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("din"))
+                .join(
+                    oriented.groupBy("u").agg(
+                        F.count(F.lit(1)).alias("dout")
+                    ),
+                    F.col("v") == F.col("u"),
+                )
+                .agg(F.sum(F.col("din") * F.col("dout")))
+                .collect()[0][0]
+            )
+            v: dict = {"wedge_paths": int(paths or 0)}
+            tri.write.format("noop").mode("overwrite").save()  # warm
+            times = []
+            snap0 = stage_shuffle_snapshot(spark)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                tri.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(snap0, stage_shuffle_snapshot(spark))
+            v["wall_s"] = round(min(times), 3)
+            v["shuffle"] = {
+                "records": delta["shuffle_records"] // 2,
+                "bytes": delta["shuffle_bytes"] // 2,
+            }
+            v["n_triangles"] = tri.collect()[0]["n_triangles"]
+            row[orient] = v
+            print(json.dumps({f"x{factor}": {orient: v}}), flush=True)
+        row["agree"] = (
+            row["id"]["n_triangles"] == row["degree"]["n_triangles"]
+        )
+        out[f"x{factor}"] = row
+
+    print(json.dumps({"triangle_orientation": out}, indent=1))
+    spark.stop()
+
+
 def cms_main() -> None:
     """Measure the count-min grid's fixed-exchange claim against exact
     per-key counting as key cardinality grows (round 7).
@@ -1098,5 +1226,7 @@ if __name__ == "__main__":
         cms_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "spansweep":
         span_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "trisweep":
+        tri_main()
     else:
         main()
