@@ -128,6 +128,9 @@ HEADLINE = [
     "q_winsorize",         # exact p01/p99 clipped robust means
     "q_pmi",               # bounded-vocab collocation PMI
     "q_novelty",           # first-occurrence gram freshness score
+    "q_text_entropy",      # char-bigram entropy (sorted-fold float)
+    "q_source_overlap",    # source-pair gram containment matrix
+    "q_burst",             # trailing-baseline z on zero-filled spine
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

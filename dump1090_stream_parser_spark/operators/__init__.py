@@ -43,6 +43,41 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_label_pca": (
+        "rotated OUT round 9 second wave (green driver rows r6+r7+r8,"
+        " inference.py untouched this round so the r8 row covers"
+        " byte-identical code): the grouped-map applyInPandas tier"
+        " keeps q_multimodal_resize in-window (mapInPandas, the same"
+        " Arrow batch contract) and the certificate-exporting sketch"
+        " shape is held by q_approx_percentile / q_countmin /"
+        " q_set_overlap_kmv in-window; the per-label eigendecomposition"
+        " contract stays re-proven every round by the local parity"
+        " gate and its numpy third-engine test"
+    ),
+    "q_pipeline_funnel": (
+        "rotated OUT round 9 second wave (green driver rows r6+r7+r8,"
+        " composite.py untouched this round so the r8 row covers"
+        " byte-identical code): every stage of its composed curation"
+        " lineage keeps a stronger in-window representative -- the"
+        " filter cascade's features feed q_lm_score (in-window), the"
+        " dedup stage is q_dedup_clusters_lsh / q_dup_spans_bloom, the"
+        " decontamination stage is q_contamination_bloom, and the"
+        " split stage's hash bucketing is q_weighted_sample's"
+        " portable-draw family; the end-to-end lineage accounting"
+        " stays re-proven every round by the local parity gate"
+    ),
+    "q_knn_join": (
+        "rotated OUT round 9 second wave (green driver rows r7+r8,"
+        " similarity.py's batch-kNN code untouched this round so the"
+        " r8 row covers byte-identical code): the batch vector-scoring"
+        " tier keeps q_ann_ivf_join in-window (the same query-TABLE"
+        " probe through one cell_id equi-join, with a per-query"
+        " exact-recall gate that RE-RUNS the exact scorer as its"
+        " ground truth) and the WindowGroupLimit rank shape is"
+        " q_weighted_sample's; the norm-hoisted broadcast batch join"
+        " stays re-proven every round by the local parity gate and"
+        " tests/test_approx.py"
+    ),
     "q_containment": (
         "rotated OUT round 9 first wave (green driver rows r7+r8,"
         " text.py's winnowing code untouched this round so the r8 row"
@@ -821,6 +856,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # as text with the oracle, parity at sf0.001-0.1) enters for an
 # immediate driver row; q_join_full parks on a four-green history with
 # the join tier double-held in-window.
+# Round-9 second wave: three more operators built mid-round enter for
+# immediate driver rows -- q_text_entropy (char-bigram Shannon
+# entropy, the sorted-fold float discipline), q_source_overlap
+# (pairwise gram containment/Jaccard matrix at source grain),
+# q_burst (trailing-baseline z-scores on a zero-filled day spine).
+# q_label_pca, q_pipeline_funnel and q_knn_join park, each with >= 2
+# green driver rows on code untouched this round.
 # Round-9 rotation (per VERDICT r8 asks #1-#3): q_streaks leaves the
 # tail for its FIRST driver row (the only registry entry without one
 # -- restoring the "every entry earns a green driver row" invariant),

@@ -1275,3 +1275,143 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source overlap matrix: how much SPAN_GRAM-token gram content every
+# source pair shares -- the provenance diagnostic behind "is crawl B a
+# re-scrape of crawl A" and the source-level roll-up of q_dup_spans'
+# document-level evidence. Directional containments distinguish
+# "B copies A" from "A and B overlap a little".
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               range(0, len(t) - 4),
+               i -> CAST('0x' || substring(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) AS BIGINT)
+             )) AS ghash
+      FROM toks WHERE len(t) >= 5
+    ),
+    nt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS g FROM grams
+      GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM grams a JOIN grams b
+        ON a.ghash = b.ghash AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.g AS grams_a, b.g AS grams_b,
+           COALESCE(i.shared, 0) AS shared,
+           ROUND(CAST(COALESCE(i.shared, 0) AS DOUBLE)
+                 / CAST(a.g + b.g - COALESCE(i.shared, 0) AS DOUBLE),
+                 6) AS jaccard,
+           ROUND(CAST(COALESCE(i.shared, 0) AS DOUBLE)
+                 / CAST(a.g AS DOUBLE), 6) AS containment_a,
+           ROUND(CAST(COALESCE(i.shared, 0) AS DOUBLE)
+                 / CAST(b.g AS DOUBLE), 6) AS containment_b
+    FROM nt a JOIN nt b ON a.source < b.source
+    LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise gram-content overlap between sources: for every source
+    pair, both distinct-gram set sizes, the shared-gram count, Jaccard
+    similarity, and BOTH directional containments (shared / |a| and
+    shared / |b| -- a high containment_a with low containment_b says
+    "a is mostly inside b", the re-scrape signature).
+
+    Shapes: (1) DISTINCT (source, gram-hash) presence -- the
+    corpus-proportional exchange, text already reduced to the portable
+    60-bit hash in the row (the span_grams discipline at source
+    grain); (2) set sizes are one mergeable aggregation to |sources|
+    rows; (3) the intersection self-join keys on the gram hash, and
+    each gram contributes at most |sources|^2 pairs -- with S sources
+    the candidate space is bounded by S(S-1)/2 per gram, collapsing
+    map-side to the S^2-row pair domain; (4) the pair domain itself
+    (cross of source totals, LEFT JOIN so zero-overlap pairs still
+    report) is broadcast-sized. Every ratio is exact integers under
+    one shared division text.
+
+    Scale: the only corpus-proportional stages are the distinct and
+    the hash-keyed self-join; both shuffle 8-byte hashes. At web scale
+    the same plan bounds to (gram, source-set) rows; sources are
+    typically O(100), keeping the pair fan-out trivial. Swap source
+    for (source, month) to get drift-over-time overlap with the same
+    plan.
+
+    tests/test_dup_spans.py recomputes the matrix from Python gram
+    sets (third-engine check) and pins containment/Jaccard identities.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", tokens_col().alias("t")).filter(
+        F.size("t") >= SPAN_GRAM
+    )
+    gram_strs = F.expr(
+        "transform(sequence(0, size(t) - 5),"
+        " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+    )
+    grams = (
+        staged.select("source", F.explode(gram_strs).alias("gram"))
+        .select("source", portable_hash64(F.col("gram")).alias("ghash"))
+        .distinct()
+    )
+    nt = grams.groupBy("source").agg(F.count(F.lit(1)).alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ghash") == F.col("b.ghash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na, nb = nt.alias("na"), nt.alias("nb")
+    dom = na.join(
+        nb, F.col("na.source") < F.col("nb.source")
+    ).select(
+        F.col("na.source").alias("sa"),
+        F.col("nb.source").alias("sb"),
+        F.col("na.g").alias("grams_a"),
+        F.col("nb.g").alias("grams_b"),
+    )
+    shared = F.coalesce("shared", F.lit(0).cast("long"))
+    return (
+        dom.join(F.broadcast(inter), ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "grams_a",
+            "grams_b",
+            shared.alias("shared"),
+            F.round(
+                shared.cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - shared).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                shared.cast("double") / F.col("grams_a").cast("double"), 6
+            ).alias("containment_a"),
+            F.round(
+                shared.cast("double") / F.col("grams_b").cast("double"), 6
+            ).alias("containment_b"),
+        )
+    )

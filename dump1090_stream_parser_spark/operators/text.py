@@ -1609,3 +1609,119 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_both",
         F.round(F.expr(_PMI), 6).alias("pmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-bigram entropy: the information-density quality signal
+# (template/boilerplate text has low entropy, natural prose sits in a
+# band, random noise saturates) -- the Shannon complement to
+# q_repetition_score's top-share heuristic, computed with the house
+# exact-count + sorted-fold discipline so the float is engine-stable.
+# --------------------------------------------------------------------------
+
+#: Per-bigram fold term and the entropy closed form over (n, s) with
+#: s = fold of c*ln(c): H = ln(n) - s/n (nats). Shared texts; the fold
+#: runs over the bigram-SORTED term list in both engines (the
+#: q_source_divergence cosine-fold discipline).
+_ENT_TERM = "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+_ENT = "ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)"
+_ENT_RATIO = (
+    "CASE WHEN vocab > 1 THEN"
+    f" ({_ENT}) / ln(CAST(vocab AS DOUBLE)) ELSE 0.0 END"
+)
+
+
+@query(
+    "q_text_entropy",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, length(text)),
+               i -> substring(text, i, 2)
+             )) AS b
+      FROM documents WHERE length(text) >= 2
+    ),
+    c AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             list_reduce(
+               list_prepend(0.0, list({_ENT_TERM} ORDER BY b)),
+               (acc, x) -> acc + x
+             ) AS s
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_bigrams, vocab AS distinct_bigrams,
+           ROUND({_ENT}, 6) AS entropy,
+           ROUND({_ENT_RATIO}, 6) AS entropy_ratio
+    FROM folded
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's character-bigram
+    distribution, with the bigram count, distinct-bigram vocabulary,
+    and the [0, 1] ratio against the uniform maximum ln(vocab) --
+    the quality gate that catches template spam (low ratio) and
+    mojibake/noise (ratio near 1 with a bloated vocabulary) that
+    token-level filters miss.
+
+    Exactness: bigram counts are one mergeable (doc, bigram) hash
+    aggregation over a narrow explode; the identity
+    H = ln(n) - (1/n) * sum c*ln(c) needs ONE float reduction, and it
+    folds the bigram-SORTED term list left-to-right in both engines
+    (Spark ``aggregate`` over ``sort_array`` with a 0.0 seed, DuckDB
+    ``list_reduce`` over a 0.0-prepended ``list(... ORDER BY b)`` --
+    adding to a 0.0 seed is exact, so the fold orders are identical;
+    the q_source_divergence discipline). The per-term c*ln(c) and
+    both closed forms are shared SQL texts, rounded to 6.
+
+    Scale: the explode is corpus x length but narrow (doc_id + 2
+    chars); the aggregation collapses map-side to per-doc vocabulary
+    (bounded by the alphabet squared); each doc's fold is
+    vocabulary-bounded and docs hash-spread across tasks -- no stage
+    sees more than (doc, bigram) rows, text never rides a shuffle
+    wider than 2 characters.
+
+    tests/test_batch_fns.py recomputes the entropy for every doc in
+    pure Python (third-engine check) and pins 0 <= ratio <= 1 and
+    entropy <= ln(vocab).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    c = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    folded = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("b"), F.expr(_ENT_TERM).alias("t"))
+                    )
+                ),
+                lambda e: e["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        F.col("vocab").alias("distinct_bigrams"),
+        F.round(F.expr(_ENT), 6).alias("entropy"),
+        F.round(F.expr(_ENT_RATIO), 6).alias("entropy_ratio"),
+    )

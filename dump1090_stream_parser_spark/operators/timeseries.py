@@ -1076,3 +1076,142 @@ def holt_segmented(
             ).alias("trend"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection: trailing-baseline z-scores over the zero-filled
+# daily rate -- the "did this metric spike today" alarm that CUSUM's
+# whole-series drift statistic deliberately is not (CUSUM finds the
+# one change point; this scores every day against its own local
+# baseline). Counts are exact integers on a calendar spine, so the
+# baseline moments are integer sums and the z closed form is one
+# shared IEEE text.
+# --------------------------------------------------------------------------
+
+#: Trailing window length (full calendar days of history required
+#: before a day is scored) and the two-sided alert threshold.
+BURST_WINDOW = 7
+BURST_Z = 3.0
+
+#: z over (c, s, ss) with mean = s/7 and the population variance of
+#: the trailing window, (7*ss - s*s)/49 -- all from exact integers,
+#: cast once. Degenerate (constant) baselines emit NULL z.
+_BURST_Z_EXPR = (
+    "CASE WHEN (7.0 * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+    " * CAST(s AS DOUBLE)) > 0 THEN"
+    " (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / 7.0)"
+    " / sqrt((7.0 * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+    " * CAST(s AS DOUBLE)) / 49.0)"
+    " ELSE NULL END"
+)
+
+
+@query(
+    "q_burst",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.event_type, s.day, COALESCE(d.c, 0) AS c
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+    ),
+    w AS (
+      SELECT event_type, day, c,
+             SUM(c) OVER tw AS s,
+             SUM(c * c) OVER tw AS ss,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS k
+      FROM filled
+      WINDOW tw AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN {BURST_WINDOW} PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, day, c AS n_events,
+           ROUND(CAST(s AS DOUBLE) / 7.0, 6) AS base_mean,
+           ROUND({_BURST_Z_EXPR}, 6) AS z,
+           COALESCE(({_BURST_Z_EXPR}) > {BURST_Z}, FALSE) AS is_burst
+    FROM w WHERE k = {BURST_WINDOW}
+    """,
+)
+def q_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily burst scores per event type: each calendar day's count
+    against the mean/stddev of its own trailing {BURST_WINDOW} full
+    days, with the z-score and the > {BURST_Z} alert flag. Days whose
+    trailing baseline is constant (zero variance) score NULL and never
+    alert; days without {BURST_WINDOW} full days of history are not
+    scored.
+
+    The calendar matters: a groupBy alone skips silent days, and a
+    trailing ROWS frame over present-days-only would stretch the
+    baseline across gaps -- so the counts land on a zero-filled day
+    SPINE (the q_gapfill shape: per-type bounds -> sequence ->
+    explode; |days| x |types| rows at any corpus size). Baseline
+    moments are integer sums over the frame; the z and the alert
+    predicate are one shared SQL text evaluated on both engines.
+
+    Scale: the daily aggregation is the only corpus-proportional
+    stage (mergeable, collapsing map-side to the day-domain); the
+    window runs over the bounded spine. Hour-grain bursts swap the
+    truncation and interval; per-user bursts swap the partition key
+    and inherit the q_ema density argument instead of the domain
+    bound.
+
+    tests/test_timeseries.py recomputes every day's z in pure Python
+    (third-engine check) and pins flag/threshold consistency.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+    )
+    from pyspark.sql.window import Window as W
+
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-BURST_WINDOW, -1)
+    )
+    w = filled.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(tw).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
+        F.count(F.lit(1)).over(tw).alias("k"),
+    )
+    return w.filter(F.col("k") == BURST_WINDOW).select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        F.round(F.col("s").cast("double") / 7.0, 6).alias("base_mean"),
+        F.round(F.expr(_BURST_Z_EXPR), 6).alias("z"),
+        F.coalesce(
+            F.expr(_BURST_Z_EXPR) > BURST_Z, F.lit(False)
+        ).alias("is_burst"),
+    )

@@ -244,3 +244,47 @@ def test_pmi_matches_python(spark):
         ref = math.log(expect[(a, b)] * n_docs / (df[a] * df[b]))
         assert math.isclose(r["pmi"], ref, rel_tol=1e-9, abs_tol=5.01e-7)
         assert a < b and r["n_both"] >= PMI_MIN_SUP
+
+
+def test_text_entropy_matches_python(spark):
+    """q_text_entropy third-engine check: recompute the bigram
+    entropy for every document with math.log."""
+    import math
+    from collections import Counter
+
+    from dump1090_stream_parser_spark.operators.text import (
+        q_text_entropy,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: r for r in q_text_entropy(spark, SF_DIR).collect()
+    }
+    assert got, "entropy rows expected"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        if len(r["text"]) >= 2
+    }
+    assert got.keys() == docs.keys()
+    for doc_id, text in docs.items():
+        counts = Counter(text[i:i + 2] for i in range(len(text) - 1))
+        n = sum(counts.values())
+        ent = math.log(n) - sum(
+            c * math.log(c) for c in counts.values()
+        ) / n
+        g = got[doc_id]
+        assert g["n_bigrams"] == n
+        assert g["distinct_bigrams"] == len(counts)
+        assert math.isclose(
+            g["entropy"], ent, rel_tol=1e-9, abs_tol=5.01e-7
+        )
+        if len(counts) > 1:
+            ratio = ent / math.log(len(counts))
+            assert math.isclose(
+                g["entropy_ratio"], ratio, rel_tol=1e-9, abs_tol=5.01e-7
+            )
+            assert -1e-9 <= g["entropy_ratio"] <= 1 + 1e-9
+        assert g["entropy"] <= math.log(max(len(counts), 1)) + 1e-9

@@ -111,3 +111,53 @@ def test_novelty_matches_python(spark):
         assert nn == novel
         assert abs(frac - round(novel / len(grams), 6)) < 1e-9
     assert sum(nn for _, nn, _ in got.values()) == len(first)
+
+
+def test_source_overlap_matches_python(spark):
+    """q_source_overlap third-engine check: gram sets per source in
+    pure Python, then every pair statistic."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.dedup import (
+        q_source_overlap,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_overlap(spark, SF_DIR).collect()
+    }
+    assert got, "source pairs expected"
+    rows = load_table(spark, SF_DIR, "documents").collect()
+    gsets: dict[str, set] = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        grams = {
+            " ".join(toks[i:i + SPAN_GRAM])
+            for i in range(len(toks) - SPAN_GRAM + 1)
+        }
+        if grams:
+            gsets.setdefault(r["source"], set()).update(grams)
+    srcs = sorted(gsets)
+    expect_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    }
+    assert got.keys() == expect_pairs
+    for (a, b), r in got.items():
+        ga, gb = gsets[a], gsets[b]
+        shared = len(ga & gb)
+        assert (r["grams_a"], r["grams_b"], r["shared"]) == (
+            len(ga), len(gb), shared
+        )
+        assert math.isclose(
+            r["jaccard"], shared / len(ga | gb), rel_tol=0,
+            abs_tol=5.01e-7,
+        )
+        assert math.isclose(
+            r["containment_a"], shared / len(ga), rel_tol=0,
+            abs_tol=5.01e-7,
+        )
+        assert math.isclose(
+            r["containment_b"], shared / len(gb), rel_tol=0,
+            abs_tol=5.01e-7,
+        )
+        assert r["jaccard"] <= min(r["containment_a"], r["containment_b"]) + 1e-9

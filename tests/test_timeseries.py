@@ -382,3 +382,60 @@ def test_holt_segmented_matches_single_fold(spark):
             assert math.isclose(trs, tr, rel_tol=0, abs_tol=5.01e-7), (
                 uid, width,
             )
+
+
+def test_burst_matches_python(spark):
+    """q_burst third-engine check: zero-filled day spine + trailing
+    7-day z-scores recomputed in pure Python."""
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        BURST_WINDOW,
+        BURST_Z,
+        q_burst,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from .conftest import SF_DIR
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in q_burst(spark, SF_DIR).collect()
+    }
+    assert got, "burst rows expected"
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["event_type"]][r["ts"].date()] += 1
+    expect = {}
+    for etype, days in daily.items():
+        lo, hi = min(days), max(days)
+        spine = []
+        d = lo
+        while d <= hi:
+            spine.append((d, days.get(d, 0)))
+            d += timedelta(days=1)
+        for i in range(BURST_WINDOW, len(spine)):
+            day, c = spine[i]
+            trail = [c2 for _, c2 in spine[i - BURST_WINDOW:i]]
+            s, ss = sum(trail), sum(x * x for x in trail)
+            var = (7 * ss - s * s) / 49.0
+            z = (c - s / 7.0) / math.sqrt(var) if var > 0 else None
+            expect[(etype, day)] = (c, s / 7.0, z)
+    assert {(t, d.date()) for t, d in got.keys()} == expect.keys()
+    for (etype, day), r in got.items():
+        c, mean, z = expect[(etype, day.date())]
+        assert r["n_events"] == c
+        assert math.isclose(
+            r["base_mean"], mean, rel_tol=0, abs_tol=5.01e-7
+        )
+        if z is None:
+            assert r["z"] is None and r["is_burst"] is False
+        else:
+            assert math.isclose(r["z"], z, rel_tol=1e-9, abs_tol=5.01e-7)
+            assert r["is_burst"] == (z > BURST_Z)
