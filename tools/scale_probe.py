@@ -128,6 +128,28 @@ PROBE = [
     "q_cusum",
     "q_holt",
     "q_paths",
+    # Round-9 entrants. Document-riders: novelty (agg+join on gram
+    # hashes -- replicas make every gram non-novel, the slope is the
+    # distinct + min-agg absorb), text entropy (narrow explode +
+    # per-doc vocab-bounded fold), PMI (presence distinct grows
+    # linearly, vocab fixed at 100 so the pair stream collapses to a
+    # constant domain), source overlap (replicas duplicate grams per
+    # source, so the DISTINCT absorbs all growth -- near-flat
+    # expected), dup-spans-bloom (the same all-duplicated ceiling as
+    # q_dup_spans, now with the bitmap prefilter in front). Events-
+    # riders: seasonality/burst/streaks (day-domain bounded after one
+    # mergeable agg -- flat expected; streaks' DISTINCT (user, day)
+    # absorbs replication entirely). Lineitem-rider: winsorize (the
+    # weighted-median value-collapse argument verbatim).
+    "q_novelty",
+    "q_text_entropy",
+    "q_pmi",
+    "q_source_overlap",
+    "q_dup_spans_bloom",
+    "q_seasonality",
+    "q_burst",
+    "q_streaks",
+    "q_winsorize",
     # q_interval_peak is NOT probed by replication: it joins orders
     # (not replicated -- offsetting o_orderkey and l_orderkey by
     # different table sizes would break referential integrity); its
