@@ -131,6 +131,8 @@ HEADLINE = [
     "q_text_entropy",      # char-bigram entropy (sorted-fold float)
     "q_source_overlap",    # source-pair gram containment matrix
     "q_burst",             # trailing-baseline z on zero-filled spine
+    "q_ks_test",           # exact two-sample KS (integer CDF gaps)
+    "q_hill",              # Hill tail index from top-K order stats
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

@@ -43,6 +43,28 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    "q_set_overlap_kmv": (
+        "rotated OUT round 9 third wave (green driver rows r7+r8,"
+        " pipeline_ops.py's KMV code untouched this round so the r8"
+        " row covers byte-identical code): the set-overlap capability"
+        " gains a stronger EXACT in-window representative in"
+        " q_source_overlap (full containment/Jaccard matrix over gram"
+        " sets -- the statistic KMV estimates, computed exactly), the"
+        " sketch tier keeps q_approx_percentile and q_countmin"
+        " in-window, and the sketch-rebuilding oracle contract stays"
+        " re-proven every round by the local parity gate plus the"
+        " streaming twin's bit-identical-sketch pytest e2e"
+    ),
+    "q_rolling_fingerprint": (
+        "rotated OUT round 9 third wave (green driver rows r6+r7+r8,"
+        " text.py's hash-chain code untouched this round so the r8 row"
+        " covers byte-identical code): the rolling-hash chain tier is"
+        " held in-window by q_dup_spans / q_dup_spans_bloom (positional"
+        " gram hashing over the same token windows) and q_novelty"
+        " (first-occurrence accounting over the same span_grams front"
+        " end); the chain-identity contract stays re-proven every"
+        " round by the local parity gate"
+    ),
     "q_label_pca": (
         "rotated OUT round 9 second wave (green driver rows r6+r7+r8,"
         " inference.py untouched this round so the r8 row covers"
@@ -856,6 +878,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
 # as text with the oracle, parity at sf0.001-0.1) enters for an
 # immediate driver row; q_join_full parks on a four-green history with
 # the join tier double-held in-window.
+# Round-9 third wave: q_ks_test (pairwise two-sample
+# Kolmogorov-Smirnov over cohort spend distributions -- the CDF gap
+# compares as the exact integer |cum1*n2 - cum2*n1|, so supremum and
+# location are float-free) and q_hill (Hill tail-index from the top-K
+# order statistics, K-bounded sorted fold) enter for immediate driver
+# rows; q_set_overlap_kmv and q_rolling_fingerprint park, each with
+# >= 2 green rows on code untouched this round.
 # Round-9 second wave: three more operators built mid-round enter for
 # immediate driver rows -- q_text_entropy (char-bigram Shannon
 # entropy, the sorted-fold float discipline), q_source_overlap

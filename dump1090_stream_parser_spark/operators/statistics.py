@@ -1433,3 +1433,311 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsor_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test: the distribution-shape companion
+# to q_abtest's proportion z-test (did the whole SPEND DISTRIBUTION
+# shift between cohorts, not just a rate?) and the order-statistics
+# complement of q_source_divergence's token-frequency JS. Exact by
+# cross-multiplication: the CDF gap |F1 - F2| compares as the integer
+# |cum1*n2 - cum2*n1|, so the supremum, its location, and every
+# comparison are pure integer arithmetic -- floats appear only in the
+# final shared-text display division and threshold.
+# --------------------------------------------------------------------------
+
+#: Two-sided 5% asymptotic KS coefficient: reject when
+#: D > KS_C * sqrt((n1+n2)/(n1*n2)); in integer form
+#: dint > KS_C * sqrt((n1+n2) * n1 * n2).
+KS_C = 1.358
+
+_KS_D = "CAST(dint AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+_KS_SIG = (
+    f"CAST(dint AS DOUBLE) > {KS_C}"
+    " * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    " * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+)
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    nt AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+    pairs AS (
+      SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2
+      FROM nt a JOIN nt b ON a.grp < b.grp
+    ),
+    m AS (
+      SELECT p.g1, p.g2, c.v, c.cnt AS c1, CAST(0 AS BIGINT) AS c2
+      FROM pairs p JOIN c ON c.grp = p.g1
+      UNION ALL
+      SELECT p.g1, p.g2, c.v, CAST(0 AS BIGINT) AS c1, c.cnt AS c2
+      FROM pairs p JOIN c ON c.grp = p.g2
+    ),
+    u AS (
+      SELECT g1, g2, v,
+             CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(c2) AS BIGINT) AS c2
+      FROM m GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT g1, g2, v,
+             SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+      FROM u
+      WINDOW w AS (PARTITION BY g1, g2 ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    gaps AS (
+      SELECT cum.g1, cum.g2, p.n1, p.n2, cum.v,
+             abs(cum1 * p.n2 - cum2 * p.n1) AS gap
+      FROM cum JOIN pairs p ON p.g1 = cum.g1 AND p.g2 = cum.g2
+    ),
+    top AS (
+      SELECT g1, g2, n1, n2, gap AS dint, v AS d_at,
+             row_number() OVER (
+               PARTITION BY g1, g2 ORDER BY gap DESC, v
+             ) AS r
+      FROM gaps
+    )
+    SELECT g1 AS grp1, g2 AS grp2, n1, n2,
+           ROUND({_KS_D}, 6) AS ks_d,
+           d_at / 100.0 AS d_at,
+           ({_KS_SIG}) AS significant
+    FROM top WHERE r = 1
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov tests between order
+    priority cohorts on the total-price distribution: the supremum CDF
+    gap D, the (smallest) price where it is attained, and the 5%
+    asymptotic significance verdict.
+
+    Integer-exact throughout: values collapse to (cohort, DISTINCT
+    cent-price, count) rows (the q_weighted_median discipline); pair
+    assembly stacks both cohorts' counts onto the union value grid
+    (the q_source_divergence shape); one per-pair window pass
+    accumulates both CDF numerators; and the gap compares as
+    |cum1*n2 - cum2*n1| -- an exact integer, so the argmax and its
+    tie-break (smallest attaining value, via (gap DESC, v) ranking
+    shared with the oracle) involve no floats. Only the display D and
+    the threshold comparison are IEEE, both one shared text.
+
+    Scale: post-collapse cost is |pairs| x |distinct values| --
+    independent of row count; the per-pair window scans distinct
+    values only, and an unbounded continuous domain takes the
+    fixed-width quantization swap documented at q_weighted_median
+    with this plan unchanged. The same shape tests any numeric drift:
+    latency by release, document length by crawl, value by source.
+
+    tests/test_statistics.py recomputes D and its location in pure
+    Python (third-engine check) and pins 0 <= D <= 1 and the scipy
+    asymptotic identity on the significance cut.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nt = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    a, b = nt.alias("a"), nt.alias("b")
+    pairs = a.join(b, F.col("a.grp") < F.col("b.grp")).select(
+        F.col("a.grp").alias("g1"),
+        F.col("b.grp").alias("g2"),
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+    ).localCheckpoint(eager=False)
+    sides = pairs.select("g1", "g2")
+    m = (
+        c.join(F.broadcast(sides), c["grp"] == sides["g1"])
+        .select(
+            "g1", "g2", "v",
+            F.col("cnt").alias("c1"),
+            F.lit(0).cast("long").alias("c2"),
+        )
+        .unionAll(
+            c.join(F.broadcast(sides), c["grp"] == sides["g2"]).select(
+                "g1", "g2", "v",
+                F.lit(0).cast("long").alias("c1"),
+                F.col("cnt").alias("c2"),
+            )
+        )
+    )
+    u = m.groupBy("g1", "g2", "v").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    w = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = u.select(
+        "g1",
+        "g2",
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    gaps = cum.join(F.broadcast(pairs), ["g1", "g2"]).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        "v",
+        F.abs(
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+        ).alias("gap"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("g1", "g2").orderBy(F.desc("gap"), F.asc("v"))
+    )
+    top = gaps.withColumn("r", r).filter(F.col("r") == 1).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.col("gap").alias("dint"),
+        F.col("v").alias("d_at"),
+    )
+    return top.select(
+        F.col("g1").alias("grp1"),
+        F.col("g2").alias("grp2"),
+        "n1",
+        "n2",
+        F.round(F.expr(_KS_D), 6).alias("ks_d"),
+        (F.col("d_at") / 100.0).alias("d_at"),
+        F.expr(_KS_SIG).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator: how heavy is the upper tail? The
+# extreme-value statistic behind "can one document/order/user dominate
+# an aggregate" -- alpha < 2 means infinite variance (plan for skew
+# mitigation), alpha > 3 means tails are tame. Selection of the top
+# order statistics is exact integer work; the single float reduction
+# folds a K-bounded sorted list (the q_source_divergence discipline at
+# a fixed, tiny K).
+# --------------------------------------------------------------------------
+
+#: Order statistics used (the top HILL_K values above the k+1-th).
+HILL_K = 100
+
+#: Hill mean -> tail index: alpha = k / sum(ln(x_i / x_thr)).
+_HILL_ALPHA = "CAST(k AS DOUBLE) / s"
+
+
+@query(
+    "q_hill",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)
+                 DESC
+             ) AS r
+      FROM lineitem
+    ),
+    thr AS (
+      SELECT rf, x AS x_thr FROM v WHERE r = {HILL_K} + 1
+    ),
+    folded AS (
+      SELECT v.rf, CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(t.x_thr) AS x_thr,
+             list_reduce(
+               list_prepend(0.0,
+                 list(ln(CAST(v.x AS DOUBLE)
+                         / CAST(t.x_thr AS DOUBLE)) ORDER BY v.r)),
+               (acc, e) -> acc + e
+             ) AS s
+      FROM v JOIN thr t ON t.rf = v.rf
+      WHERE v.r <= {HILL_K}
+      GROUP BY v.rf
+    )
+    SELECT rf AS l_returnflag, k, x_thr / 100.0 AS x_threshold,
+           ROUND(s / CAST(k AS DOUBLE), 6) AS hill_mean,
+           ROUND({_HILL_ALPHA}, 6) AS tail_index
+    FROM folded
+    """,
+)
+def q_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of extended price per return flag: over each
+    group's top {HILL_K} order statistics x_1 >= ... >= x_k and the
+    threshold x_(k+1), the Hill mean (1/k) * sum ln(x_i / x_thr) and
+    the tail index alpha = 1 / mean. Small alpha = heavy (power-law)
+    tail; the capacity-planning dial for skew mitigation.
+
+    Stages: (1) per-group descending row_number over cent-integers
+    selects the top k+1 order statistics -- exact integer ranking
+    whose WindowGroupLimit pushdown keeps per-partition state at k+1
+    rows (the q_weighted_sample shape), and duplicate values rank
+    arbitrarily among themselves WITHOUT affecting the result (the
+    selected multiset is identical under any tie order); (2) the one
+    float reduction folds the RANK-ORDERED k-term list identically in
+    both engines (0.0-seeded, the q_text_entropy discipline) with the
+    per-term ln a shared text; (3) closed forms are shared texts over
+    (k, s).
+
+    Scale: the rank selection is the only corpus-proportional stage
+    and it is top-k, not sort -- bounded per-task state, groups
+    hash-spread; everything after is K-bounded per group.
+
+    tests/test_statistics.py recomputes the estimator in pure Python
+    (third-engine check) and pins alpha > 0 and the k/threshold
+    contract.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("rf").orderBy(F.desc("x"))
+        ),
+    ).filter(F.col("r") <= HILL_K + 1)
+    thr = v.filter(F.col("r") == HILL_K + 1).select(
+        "rf", F.col("x").alias("x_thr")
+    )
+    top = v.filter(F.col("r") <= HILL_K).join(F.broadcast(thr), "rf")
+    term = F.expr("ln(CAST(x AS DOUBLE) / CAST(x_thr AS DOUBLE))")
+    folded = top.groupBy("rf").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("x_thr").alias("x_thr"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("r"), term.alias("t")))
+                ),
+                lambda e: e["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        F.col("rf").alias("l_returnflag"),
+        "k",
+        (F.col("x_thr") / 100.0).alias("x_threshold"),
+        F.round(F.col("s") / F.col("k").cast("double"), 6).alias(
+            "hill_mean"
+        ),
+        F.round(F.expr(_HILL_ALPHA), 6).alias("tail_index"),
+    )

@@ -471,3 +471,90 @@ def test_winsorize_matches_python(spark):
         )
         assert g["p01"] <= g["p99"]
         assert vals[0] / 100.0 <= g["winsor_mean"] <= vals[-1] / 100.0
+
+
+def test_ks_test_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        KS_C,
+        q_ks_test,
+    )
+
+    got = {
+        (r["grp1"], r["grp2"]): r
+        for r in q_ks_test(spark, SF_DIR).collect()
+    }
+    assert got, "cohort pairs expected"
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r["o_orderpriority"]].append(round(r["o_totalprice"] * 100))
+    groups = sorted(by_g)
+    assert got.keys() == {
+        (a, b) for i, a in enumerate(groups) for b in groups[i + 1:]
+    }
+    for (g1, g2), r in got.items():
+        v1, v2 = sorted(by_g[g1]), sorted(by_g[g2])
+        n1, n2 = len(v1), len(v2)
+        grid = sorted(set(v1) | set(v2))
+        best, best_at = -1, None
+        import bisect
+        for v in grid:
+            c1 = bisect.bisect_right(v1, v)
+            c2 = bisect.bisect_right(v2, v)
+            gap = abs(c1 * n2 - c2 * n1)
+            if gap > best:
+                best, best_at = gap, v
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        d = best / (n1 * n2)
+        assert math.isclose(r["ks_d"], d, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(r["d_at"], best_at / 100.0, rel_tol=1e-12)
+        thr = KS_C * math.sqrt((n1 + n2) / (n1 * n2))
+        assert r["significant"] == (d > thr)
+        assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_hill_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        HILL_K,
+        q_hill,
+    )
+
+    got = {
+        r["l_returnflag"]: r for r in q_hill(spark, SF_DIR).collect()
+    }
+    assert got, "per-flag hill rows expected"
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_rf = defaultdict(list)
+    for r in rows:
+        by_rf[r["l_returnflag"]].append(round(r["l_extendedprice"] * 100))
+    for rf, vals in by_rf.items():
+        vals.sort(reverse=True)
+        if len(vals) <= HILL_K:
+            assert rf not in got
+            continue
+        top, thr = vals[:HILL_K], vals[HILL_K]
+        s = sum(math.log(x / thr) for x in top)
+        g = got[rf]
+        assert g["k"] == HILL_K
+        assert math.isclose(g["x_threshold"], thr / 100.0, rel_tol=1e-12)
+        assert math.isclose(
+            g["hill_mean"], s / HILL_K, rel_tol=1e-6, abs_tol=5.01e-7
+        )
+        assert math.isclose(
+            g["tail_index"], HILL_K / s, rel_tol=1e-6, abs_tol=5.01e-7
+        )
+        assert g["tail_index"] > 0
