@@ -77,5 +77,12 @@ def test_bench_emits_driver_contract_json():
     assert payload["queries"].keys() == detail["queries_min"].keys()
     for name, vmin in detail["queries_min"].items():
         assert vmin <= detail["queries_mean"][name] + 1e-9
-        # contract line carries the same min at 2-decimal grain
-        assert abs(payload["queries"][name] - round(vmin, 2)) < 1e-9
+        # contract line carries the same min at 2-decimal grain, or at
+        # the 1-decimal degrade grain when the 2-decimal line would
+        # outgrow the driver's 2000-char tail (the armed fallback --
+        # it fires at sf0.001 with the full headline set, where every
+        # line is sub-second and the per-query grain is irrelevant)
+        assert (
+            abs(payload["queries"][name] - round(vmin, 2)) < 1e-9
+            or abs(payload["queries"][name] - round(vmin, 1)) < 1e-9
+        ), (name, vmin, payload["queries"][name])

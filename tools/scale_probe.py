@@ -150,6 +150,14 @@ PROBE = [
     "q_burst",
     "q_streaks",
     "q_winsorize",
+    # q_ks_test is NOT probed by replication: it reads orders (the
+    # q_benford referential exclusion), and replication would
+    # duplicate every distinct value so the post-collapse pair grid --
+    # the only stage past the scan -- would not change. q_hill is
+    # likewise structural: the top-(K+1) selection is the only
+    # corpus-proportional stage and it is bounded per task by
+    # construction (the q_weighted_sample WindowGroupLimit argument);
+    # past it everything is K-bounded per group.
     # q_interval_peak is NOT probed by replication: it joins orders
     # (not replicated -- offsetting o_orderkey and l_orderkey by
     # different table sizes would break referential integrity); its
