@@ -735,8 +735,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_bm25 (term scoring)"
     ),
     "q_doc_fingerprint": (
-        "the same portable 60-bit hash is the groupBy key of in-window"
-        " q_contamination and the chain inside q_rolling_fingerprint"
+        "the same portable 60-bit hash is the groupBy/join key of"
+        " in-window q_dup_spans / q_dup_spans_bloom / q_novelty (its"
+        " original holders q_contamination and q_rolling_fingerprint"
+        " parked in rounds 8-9 with their own rationales); the"
+        " fingerprint contract stays re-proven every round by the"
+        " local parity gate"
     ),
     "q_agg_conditional": (
         "COUNT(CASE WHEN) shape held in-window by q_stratified_sample /"
