@@ -1253,9 +1253,15 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (third-engine check) and pins the identities n_novel <= n_grams
     and sum(n_novel) == count(distinct gram hashes corpus-wide).
     """
-    grams = span_grams(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "ghash").distinct()
+    # lazy localCheckpoint: the distinct per-doc gram set feeds the
+    # first-occurrence aggregation AND the join-back -- one gram
+    # explode instead of two (cluster scale: reliable checkpoint())
+    grams = (
+        span_grams(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "ghash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     firsts = grams.groupBy("ghash").agg(
         F.min("doc_id").alias("first_doc")
     )
@@ -1364,10 +1370,15 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(t) - 5),"
         " i -> concat_ws(' ', slice(t, i + 1, 5)))"
     )
+    # lazy localCheckpoint: the distinct gram set feeds the totals and
+    # BOTH self-join sides -- without it the gram explode re-runs four
+    # times (plan-snapshot-measured); cluster scale prefers reliable
+    # checkpoint() (the contamination_bloom note)
     grams = (
         staged.select("source", F.explode(gram_strs).alias("gram"))
         .select("source", portable_hash64(F.col("gram")).alias("ghash"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nt = grams.groupBy("source").agg(F.count(F.lit(1)).alias("g"))
     a, b = grams.alias("a"), grams.alias("b")

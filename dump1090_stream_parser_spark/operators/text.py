@@ -1565,11 +1565,19 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token_1 < token_2) and support >= {PMI_MIN_SUP}.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Lazy localCheckpoint: presence feeds THREE consumers (the doc
+    # count, the vocabulary ranking, and the filtered pair stream) and
+    # fp feeds both self-join sides -- without the cuts the corpus
+    # explode+distinct re-runs five times (measured in the plan
+    # snapshot: 5 Generates). Materialized once at the first action;
+    # at cluster scale prefer reliable checkpoint() (the
+    # contamination_bloom note).
     presence = (
         docs.select(
             "doc_id", F.explode(tokens_col()).alias("token")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_docs = presence.select(
         F.countDistinct("doc_id").alias("n_docs")
@@ -1580,8 +1588,10 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(PMI_VOCAB)
     )
-    fp = presence.join(F.broadcast(vocab), "token").select(
-        "doc_id", "token", "df"
+    fp = (
+        presence.join(F.broadcast(vocab), "token")
+        .select("doc_id", "token", "df")
+        .localCheckpoint(eager=False)
     )
     a, b = fp.alias("a"), fp.alias("b")
     pairs = (
