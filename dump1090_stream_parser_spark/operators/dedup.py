@@ -1054,10 +1054,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mergeable aggregation; text never rides a shuffle (the
     q_dedup/q_contamination fingerprint discipline). The per-doc
     island window partitions on doc_id -- bounded by document length,
-    never corpus size. At 100 TB the dup-side join is the Bloom
-    candidate (q_contamination_bloom's measured crossover applies
-    verbatim: duplicated-gram hashes are MiB-class for boilerplate-
-    rate corpora).
+    never corpus size. At 100 TB the dup-side join takes the WIRED
+    Bloom prefilter (:func:`q_dup_spans_bloom`, round 9 -- same exact
+    answer, shared oracle): the spansweep probe measures a 33% row /
+    43% byte shuffle cut at a realistic boilerplate rate
+    (docs/SCALE.md round-9 table).
 
     tests/test_dup_spans.py recomputes spans in pure Python at
     sf0.001 (third-engine check) and pins the chaining invariant
