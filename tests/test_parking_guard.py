@@ -22,6 +22,18 @@ def test_no_unacknowledged_parked_drift():
     assert violations == [], violations
 
 
+def test_every_holder_chain_reaches_the_window():
+    """Every parked rationale's holder-citation chain must terminate
+    at a currently-in-window query (liveness is transitive: a holder
+    that later parks names ITS holder). This is the structural
+    invariant behind the rotation protocol -- no capability tier may
+    be stranded with only parked representatives."""
+    from parking_guard import holder_liveness
+
+    stranded = holder_liveness()
+    assert stranded == [], stranded
+
+
 def test_guard_detects_block_granularity():
     """The guard must compare FUNCTION BLOCKS, not files: modules
     accrete new operators every round, and a file-level diff would

@@ -194,6 +194,47 @@ def check_parked() -> list[dict]:
     return violations
 
 
+def holder_liveness() -> list[dict]:
+    """Report-only companion check: parked rationales whose cited
+    holder CHAIN never reaches a currently-in-window query. Holder
+    citations are transitive by construction -- a query parks by
+    naming a holder, which may itself later park by naming ITS holder
+    -- so liveness follows the chain (bounded by the tail size). Not a
+    failure: rationales may legitimately lean on the parity gate or
+    streaming pytest e2e alone; but a rotation that strands a whole
+    capability tier shows up here first, so read this before choosing
+    the next round's parks."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    names = list(ops.queries_map())
+    in_window = set(names[:50])
+    cites = {
+        q: set(re.findall(r"q_\w+", r)) - {q}
+        for q, r in ops.EVAL_TAIL_RATIONALE.items()
+    }
+
+    def chain_live(q: str) -> bool:
+        seen = set()
+        frontier = set(cites.get(q, ()))
+        while frontier:
+            if frontier & in_window:
+                return True
+            seen |= frontier
+            frontier = {
+                n
+                for f in frontier
+                for n in cites.get(f, ())
+                if n not in seen
+            }
+        return False
+
+    return [
+        {"query": q, "cited": sorted(c)}
+        for q, c in cites.items()
+        if c and not chain_live(q)
+    ]
+
+
 def main() -> None:
     violations = check_parked()
     print(
@@ -201,6 +242,7 @@ def main() -> None:
             {
                 "current_round": current_round(),
                 "violations": violations,
+                "stranded_holder_chains": holder_liveness(),
             },
             indent=1,
         )
