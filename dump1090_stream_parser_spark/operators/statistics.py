@@ -1539,8 +1539,6 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins 0 <= D <= 1 and the scipy
     asymptotic identity on the significance cut.
     """
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders")
     # lazy localCheckpoint: the value collapse feeds the totals and
     # both stacked pair legs -- one corpus aggregation instead of
@@ -1556,6 +1554,17 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    return ks_pairs_from_counts(c)
+
+
+def ks_pairs_from_counts(c: DataFrame) -> DataFrame:
+    """q_ks_test's pair stage over a (grp, v, cnt) count-collapse
+    frame -- factored out so the streaming drift monitor
+    (streaming/drift.py) computes the identical integer algebra from
+    its histogram-state snapshots. ``c`` must hold one row per
+    (group, distinct value) with exact integer counts."""
+    from pyspark.sql.window import Window
+
     nt = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
     a, b = nt.alias("a"), nt.alias("b")
     pairs = a.join(b, F.col("a.grp") < F.col("b.grp")).select(
