@@ -1419,14 +1419,22 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_rows"),
             (F.max("lo_c") / 100.0).alias("p01"),
             (F.max("hi_c") / 100.0).alias("p99"),
+            # Sum the cnt*price products as decimal(38,0): DuckDB's
+            # SUM(BIGINT) promotes to HUGEINT, and at web scale the
+            # int64 product sum would wrap in Spark only (r9 ADVICE).
+            # Same sufficient-statistics discipline as q_acf/q_cusum.
             F.round(
-                F.sum(F.col("cnt") * F.col("price_c")).cast("double")
+                F.sum(
+                    (F.col("cnt") * F.col("price_c")).cast("decimal(38,0)")
+                ).cast("double")
                 / F.max("n").cast("double")
                 / 100.0,
                 6,
             ).alias("raw_mean"),
             F.round(
-                F.sum(F.col("cnt") * clipped).cast("double")
+                F.sum(
+                    (F.col("cnt") * clipped).cast("decimal(38,0)")
+                ).cast("double")
                 / F.max("n").cast("double")
                 / 100.0,
                 6,
@@ -1604,6 +1612,12 @@ def ks_pairs_from_counts(c: DataFrame) -> DataFrame:
         F.sum("c1").over(w).alias("cum1"),
         F.sum("c2").over(w).alias("cum2"),
     )
+    # Cross-multiply in decimal(38,0): cum*n in int64 overflows past
+    # cohort sizes of ~3e9 rows, silently breaking the "exact integer
+    # CDF gap" claim at the scale the docstring advertises (r9 ADVICE).
+    # decimal(19,0) holds any int64; the product is exact in
+    # decimal(38,0) up to (2^63)^2 ~ 8.5e37 < 10^38. DuckDB's BIGINT
+    # product promotes to HUGEINT, so both engines stay exact.
     gaps = cum.join(F.broadcast(pairs), ["g1", "g2"]).select(
         "g1",
         "g2",
@@ -1611,7 +1625,10 @@ def ks_pairs_from_counts(c: DataFrame) -> DataFrame:
         "n2",
         "v",
         F.abs(
-            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            F.col("cum1").cast("decimal(19,0)")
+            * F.col("n2").cast("decimal(19,0)")
+            - F.col("cum2").cast("decimal(19,0)")
+            * F.col("n1").cast("decimal(19,0)")
         ).alias("gap"),
     )
     r = F.row_number().over(

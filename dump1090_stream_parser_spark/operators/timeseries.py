@@ -33,6 +33,8 @@ the mandated training-data extension surface, not a port.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,15 +100,7 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query under ordered replay (tests/test_ema_stream.py, incl.
     restart).
     """
-    events = load_table(spark, sf_dir, "events")
-    longest = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("m"))
-        .first()["m"]
-    )
-    if longest is not None and longest > EMA_SEGMENT_MAX_TASK_ROWS:
+    if _series_exceeds_task_bound(spark, sf_dir):
         return ema_segmented(spark, sf_dir).select(
             "user_id",
             "n_events",
@@ -120,6 +114,52 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and 6,336 rows/key (segmented wins, 1.95 s vs 4.16 s) -- the
 #: docs/SCALE.md round-8 table. 4096 is the midpoint on the 2^k grid.
 EMA_SEGMENT_MAX_TASK_ROWS = 4096
+
+#: Memoized density-probe results, keyed on the events directory. The
+#: probe is an eager full-table aggregation; without the cache every
+#: plan-only consumer (plan snapshots, repeated bench reps, tooling
+#: that just builds the DataFrame) paid a corpus scan per CALL of
+#: q_ema/q_holt (r9 ADVICE). Test fixtures are read-only / unique-per-
+#: test temp dirs, so a path-keyed cache cannot go stale in practice;
+#: ``_probe_cache.clear()`` resets it if a fixture is ever rewritten
+#: in place.
+_probe_cache: dict[str, bool] = {}
+
+
+def _series_exceeds_task_bound(spark: SparkSession, sf_dir: str) -> bool:
+    """Shared q_ema/q_holt density probe: does any user's series exceed
+    EMA_SEGMENT_MAX_TASK_ROWS (the measured single-fold/segmented
+    crossover)? One mergeable column-pruned max-count aggregation (the
+    dedup.py scalar-probe precedent), memoized per sf_dir.
+
+    The dispatch decision is LOGGED when the segmented branch is taken
+    (r9 ADVICE): past the crossover the registered query switches to a
+    plan that is only tolerance-equal to the hash-certified oracle, so
+    an oracle-hash failure must be immediately attributable to the
+    plan switch rather than a regression.
+    """
+    cached = _probe_cache.get(sf_dir)
+    if cached is not None:
+        return cached
+    events = load_table(spark, sf_dir, "events")
+    longest = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    exceeds = longest is not None and longest > EMA_SEGMENT_MAX_TASK_ROWS
+    if exceeds:
+        warnings.warn(
+            f"q_ema/q_holt density probe: max series length {longest} > "
+            f"{EMA_SEGMENT_MAX_TASK_ROWS} rows/key at {sf_dir}; "
+            "dispatching to the SEGMENTED plan (tolerance-equal, not "
+            "hash-identical, to the single-fold oracle form)",
+            stacklevel=3,
+        )
+    _probe_cache[sf_dir] = exceeds
+    return exceeds
 
 
 def ema_single_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,15 +912,7 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same simultaneous update (third-engine check) and pins
     forecast_h3 == level + 3*trend.
     """
-    events = load_table(spark, sf_dir, "events")
-    longest = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("m"))
-        .first()["m"]
-    )
-    if longest is not None and longest > EMA_SEGMENT_MAX_TASK_ROWS:
+    if _series_exceeds_task_bound(spark, sf_dir):
         seg = holt_segmented(spark, sf_dir)
         return seg.select(
             "user_id",

@@ -539,9 +539,21 @@ def test_zorder_layout_skips_files_on_the_trailing_dimension(spark, tmp_path):
         zorder_layout,
     )
 
-    df = spark.range(100_000).select(
-        (F.col("id") % 1000).cast("double").alias("x"),
-        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+    # coalesce(1): zorder_layout's approxQuantile merges per-partition
+    # Greenwald-Khanna partials in task-COMPLETION order (treeAggregate),
+    # so with >1 partition the bucket boundaries shift a hair under
+    # session load and a boundary-straddling file can flip in or out.
+    # One input partition = one GK partial = deterministic boundaries,
+    # which lets the skip bound below stay tight instead of loosened
+    # for sketch jitter (r9 ADVICE). repartitionByRange inside the
+    # layout still fans back out to 16 files.
+    df = (
+        spark.range(100_000)
+        .select(
+            (F.col("id") % 1000).cast("double").alias("x"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("y"),
+        )
+        .coalesce(1)
     )
     z_dir, s_dir = str(tmp_path / "z"), str(tmp_path / "s")
     zorder_layout(df, ("x", "y"), z_dir, n_files=16)
@@ -564,15 +576,11 @@ def test_zorder_layout_skips_files_on_the_trailing_dimension(spark, tmp_path):
     z_touch, s_touch = files_overlapping(z_dir), files_overlapping(s_dir)
     # the sorted layout cannot skip at all on y
     assert s_touch == 16
-    # The z layout must skip a solid fraction of the files. The exact
-    # count jitters by +-1 around 8 run to run: approxQuantile merges
-    # per-partition Greenwald-Khanna partials in task-COMPLETION order
-    # (treeAggregate), so bucket boundaries shift a hair under session
-    # load and a boundary-straddling file can flip in or out -- a
-    # sketch property, not a layout regression (measured: 8 alone,
-    # 9 inside the full suite, same code). The structural claim is
-    # the gap against the sorted layout's 16, pinned with margin.
-    assert z_touch <= 10, z_touch
+    # The z layout must skip half the files. With the single-partition
+    # quantile input above the boundaries are deterministic, so the
+    # bound is tight again: a genuine one-to-two-file layout regression
+    # now fails instead of hiding inside a jitter allowance.
+    assert z_touch <= 8, z_touch
     # both layouts hold the full table, and band rows survive intact
     assert spark.read.parquet(z_dir).count() == df.count()
     band = df.filter(F.col("y").between(y_lo, y_hi)).count()
