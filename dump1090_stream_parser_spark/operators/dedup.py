@@ -1427,3 +1427,271 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV-sketched source overlap: the sub-corpus-cost fork of
+# q_source_overlap. The exact form distincts and self-joins the FULL
+# gram set per source pair -- at 100 TB that hash-keyed self-join is
+# the bill. The KMV fork answers the same questions (union, Jaccard,
+# both containments) from K_KMV-long bottom-k sketches: per-source
+# artifacts of 64 longs that merge by union+trim (associative,
+# commutative, duplicate-insensitive), so any pair -- including pairs
+# across corpora sketched at different times -- costs sketch-sized
+# work, never a corpus rescan. Registered with the exact legs alongside
+# as the certificate (the q_set_overlap_kmv discipline): at test SF the
+# driver hash-compares exact AND estimated columns; at production the
+# exact legs drop and only sketches ride.
+# --------------------------------------------------------------------------
+
+#: Sketch size for source-overlap sketches (shared with the KMV
+#: audience-overlap family in pipeline_ops: rsd ~ 1/sqrt(K-2) ~ 13%).
+SOV_K = 64
+
+#: 2^60 as an exact double literal (the portable hash range).
+_SOV_TWO60 = "1152921504606846976.0"
+
+# Estimator arithmetic as SHARED TEXT (Spark F.expr == DuckDB SQL over
+# identically-named columns) so the emitted doubles are bit-identical:
+# distinct-count estimate is exact below K (the sketch holds the whole
+# set), else the classic (K-1)/F(h_K); jaccard is the match fraction
+# inside the trimmed union sketch; intersection is their product; the
+# containments divide it by each side's own sketch estimate.
+_SOV_UNION_EST = (
+    f"CASE WHEN cnt_u < {SOV_K} THEN CAST(cnt_u AS DOUBLE)"
+    f" ELSE ({SOV_K - 1}.0 * {_SOV_TWO60}) / CAST(h_k AS DOUBLE) END"
+)
+_SOV_EST_A = (
+    f"CASE WHEN cnt_a < {SOV_K} THEN CAST(cnt_a AS DOUBLE)"
+    f" ELSE ({SOV_K - 1}.0 * {_SOV_TWO60}) / CAST(h_ka AS DOUBLE) END"
+)
+_SOV_EST_B = (
+    f"CASE WHEN cnt_b < {SOV_K} THEN CAST(cnt_b AS DOUBLE)"
+    f" ELSE ({SOV_K - 1}.0 * {_SOV_TWO60}) / CAST(h_kb AS DOUBLE) END"
+)
+_SOV_JACC_EST = "CAST(c AS DOUBLE) / CAST(cnt_u AS DOUBLE)"
+_SOV_INTER_EST = f"({_SOV_JACC_EST}) * ({_SOV_UNION_EST})"
+_SOV_CONT_A_EST = f"({_SOV_INTER_EST}) / ({_SOV_EST_A})"
+_SOV_CONT_B_EST = f"({_SOV_INTER_EST}) / ({_SOV_EST_B})"
+
+
+@query(
+    "q_source_overlap_kmv",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               range(0, len(t) - 4),
+               i -> CAST('0x' || substring(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) AS BIGINT)
+             )) AS ghash
+      FROM toks WHERE len(t) >= 5
+    ),
+    nt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS g FROM grams
+      GROUP BY 1
+    ),
+    ks AS (
+      SELECT source, ghash AS h FROM (
+        SELECT source, ghash,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY ghash)
+                 AS rn
+        FROM grams) t
+      WHERE rn <= {SOV_K}
+    ),
+    sk AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt_s, MAX(h) AS h_s
+      FROM ks GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb,
+             a.g AS grams_a, b.g AS grams_b,
+             x.cnt_s AS cnt_a, x.h_s AS h_ka,
+             y.cnt_s AS cnt_b, y.h_s AS h_kb
+      FROM nt a JOIN nt b ON a.source < b.source
+      JOIN sk x ON x.source = a.source
+      JOIN sk y ON y.source = b.source
+    ),
+    m AS (
+      SELECT p.sa, p.sb, s.h, 1 AS ia, 0 AS ib
+      FROM pairs p JOIN ks s ON s.source = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, s.h, 0 AS ia, 1 AS ib
+      FROM pairs p JOIN ks s ON s.source = p.sb
+    ),
+    u AS (
+      SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib
+      FROM m GROUP BY 1, 2, 3
+    ),
+    uk AS (
+      SELECT * FROM (
+        SELECT u.*, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h)
+                 AS rn
+        FROM u) t
+      WHERE rn <= {SOV_K}
+    ),
+    st AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS cnt_u,
+             CAST(SUM(ia * ib) AS BIGINT) AS c, MAX(h) AS h_k
+      FROM uk GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM grams a JOIN grams b
+        ON a.ghash = b.ghash AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.grams_a, p.grams_b,
+           COALESCE(i.shared, CAST(0 AS BIGINT)) AS shared,
+           {_SOV_UNION_EST} AS union_est,
+           {_SOV_JACC_EST} AS jaccard_est,
+           {_SOV_INTER_EST} AS inter_est,
+           {_SOV_CONT_A_EST} AS containment_a_est,
+           {_SOV_CONT_B_EST} AS containment_b_est
+    FROM pairs p
+    JOIN st ON st.sa = p.sa AND st.sb = p.sb
+    LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    """,
+)
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap from KMV bottom-k sketches, with the
+    exact gram counts and exact shared-gram count alongside as the
+    certificate (VERDICT r9 ask #6).
+
+    Sketch construction: per source, the SOV_K smallest distinct
+    portable 60-bit gram hashes -- a bottom-k uniform sample of the
+    source's distinct-gram set, built through row_number + filter so
+    WindowGroupLimit forwards at most SOV_K rows per source from each
+    map partition BELOW the exchange. Pair estimation merges the two
+    sketches (union, trim to SOV_K), counts keys present in both, and
+    evaluates union / Jaccard / intersection / both-containment
+    estimators as shared expression text the DuckDB oracle runs
+    verbatim -- the ESTIMATES hash-compare cross-engine, not just the
+    exact legs.
+
+    Scale: the exact legs (full-gram DISTINCT + hash-keyed self-join,
+    q_source_overlap's bill) exist here only as the test-SF
+    certificate. Drop them and the plan reads the corpus ONCE to build
+    S sketches of SOV_K longs, after which every pairwise question --
+    S(S-1)/2 of them, or pairs against a corpus sketched last month --
+    is sketch-sized: union+trim is associative and commutative, and
+    re-observing a gram cannot change a min, so sketches also merge
+    across shards/partitions/days for free. docs/SCALE.md's sovsweep
+    table measures the crossover against the exact self-join.
+
+    tests/test_dup_spans.py recomputes sketches and estimators from
+    Python gram sets (third-engine check) and pins the estimates
+    against the 1/sqrt(K-2) error envelope.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", tokens_col().alias("t")).filter(
+        F.size("t") >= SPAN_GRAM
+    )
+    gram_strs = F.expr(
+        "transform(sequence(0, size(t) - 5),"
+        " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+    )
+    # lazy localCheckpoint: the distinct gram set feeds the totals,
+    # the sketch build, and both exact-self-join sides -- without it
+    # the gram explode re-runs per consumer (the q_source_overlap /
+    # q_pmi lesson; plan-snapshot-measured).
+    grams = (
+        staged.select("source", F.explode(gram_strs).alias("gram"))
+        .select("source", portable_hash64(F.col("gram")).alias("ghash"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql.window import Window
+
+    nt = grams.groupBy("source").agg(F.count(F.lit(1)).alias("g"))
+    w = Window.partitionBy("source").orderBy("ghash")
+    ks = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOV_K)
+        .select("source", F.col("ghash").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    sk = ks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt_s"), F.max("h").alias("h_s")
+    )
+    pairs = (
+        nt.alias("a")
+        .join(nt.alias("b"), F.col("a.source") < F.col("b.source"))
+        .join(
+            sk.alias("x"), F.col("x.source") == F.col("a.source")
+        )
+        .join(
+            sk.alias("y"), F.col("y.source") == F.col("b.source")
+        )
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.g").alias("grams_a"),
+            F.col("b.g").alias("grams_b"),
+            F.col("x.cnt_s").alias("cnt_a"),
+            F.col("x.h_s").alias("h_ka"),
+            F.col("y.cnt_s").alias("cnt_b"),
+            F.col("y.h_s").alias("h_kb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sides = pairs.select("sa", "sb")
+    m = (
+        sides.join(F.broadcast(ks), ks["source"] == sides["sa"])
+        .select(
+            "sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+        )
+        .unionAll(
+            sides.join(F.broadcast(ks), ks["source"] == sides["sb"]).select(
+                "sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+            )
+        )
+    )
+    u = m.groupBy("sa", "sb", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("h")
+    st = (
+        u.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= SOV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_u"),
+            F.sum(F.col("ia") * F.col("ib")).alias("c"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ga.ghash") == F.col("gb.ghash"))
+            & (F.col("ga.source") < F.col("gb.source")),
+        )
+        .groupBy(
+            F.col("ga.source").alias("sa"), F.col("gb.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(st), ["sa", "sb"])
+        .join(F.broadcast(inter), ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "grams_a",
+            "grams_b",
+            F.coalesce("shared", F.lit(0).cast("long")).alias("shared"),
+            F.expr(_SOV_UNION_EST).alias("union_est"),
+            F.expr(_SOV_JACC_EST).alias("jaccard_est"),
+            F.expr(_SOV_INTER_EST).alias("inter_est"),
+            F.expr(_SOV_CONT_A_EST).alias("containment_a_est"),
+            F.expr(_SOV_CONT_B_EST).alias("containment_b_est"),
+        )
+    )

@@ -838,3 +838,50 @@ def test_source_divergence_matches_numpy_and_bounds(spark):
         assert abs(r["js_div"] - ref) < 2e-6, (
             r["source_a"], r["source_b"], r["js_div"], ref,
         )
+
+
+def test_ann_trained_quantizer_fixture_and_recall(spark):
+    """q_ann_ivf_trained quality gates: (1) the persisted centroid
+    fixture is well-formed -- N_CELLS unit-norm vectors of the corpus
+    dim; (2) the trained quantizer beats the seed quantizer on the
+    spherical-k-means objective (mean best-cos -- the thing training
+    optimizes; 0.268 vs 0.194 at fixture-build time on sf0.01);
+    (3) the nprobe=2 probe still clears the random-scan recall floor
+    (a 2/8-cell random scan would recall ~0.25 on average; the
+    near-uniform corpus makes per-query recall noisy, so the floor is
+    the LSH-tier 0.3)."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        _IVF_FIXTURE,
+        N_CELLS,
+        _seed_centroid_rows,
+        q_ann_ivf_trained,
+        q_knn_cosine,
+        quantizer_quality,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    cents = sorted(
+        spark.read.parquet(_IVF_FIXTURE).collect(),
+        key=lambda r: r["cell_id"],
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    assert [r["cell_id"] for r in cents] == list(range(N_CELLS))
+    for r in cents:
+        assert len(r["cv"]) == dim
+        assert math.isclose(
+            math.sqrt(sum(v * v for v in r["cv"])), 1.0, abs_tol=1e-9
+        )
+
+    seed = [[float(v) for v in r["embedding"]] for r in _seed_centroid_rows(emb)]
+    trained = [[float(v) for v in r["cv"]] for r in cents]
+    assert quantizer_quality(emb, trained) > quantizer_quality(emb, seed)
+
+    truth = set(
+        [r["vec_id"] for r in q_knn_cosine(spark, SF_DIR).collect()][:10]
+    )
+    got = {r["vec_id"] for r in q_ann_ivf_trained(spark, SF_DIR).collect()}
+    assert len(got & truth) / 10 >= 0.3, sorted(got & truth)

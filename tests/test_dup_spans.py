@@ -161,3 +161,76 @@ def test_source_overlap_matches_python(spark):
             abs_tol=5.01e-7,
         )
         assert r["jaccard"] <= min(r["containment_a"], r["containment_b"]) + 1e-9
+
+
+def test_source_overlap_kmv_matches_python(spark):
+    """q_source_overlap_kmv third-engine check: sketches AND estimators
+    recomputed from Python gram sets with the identical IEEE arithmetic,
+    plus the 1/sqrt(K-2) error envelope against the exact values."""
+    import hashlib
+    import math
+
+    from dump1090_stream_parser_spark.operators.dedup import (
+        SOV_K,
+        q_source_overlap_kmv,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_overlap_kmv(spark, SF_DIR).collect()
+    }
+    assert got, "source pairs expected"
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = load_table(spark, SF_DIR, "documents").collect()
+    hsets: dict[str, set] = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        grams = {
+            h60(" ".join(toks[i:i + SPAN_GRAM]))
+            for i in range(len(toks) - SPAN_GRAM + 1)
+        }
+        if grams:
+            hsets.setdefault(r["source"], set()).update(grams)
+    sketches = {s: sorted(hs)[:SOV_K] for s, hs in hsets.items()}
+    two60 = 1152921504606846976.0
+
+    def est(cnt, hk):
+        if cnt < SOV_K:
+            return float(cnt)
+        return (float(SOV_K - 1) * two60) / float(hk)
+
+    srcs = sorted(hsets)
+    assert got.keys() == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    }
+    rsd = 1.0 / math.sqrt(SOV_K - 2)
+    for (a, b), r in got.items():
+        ka, kb = sketches[a], sketches[b]
+        # exact certificate legs
+        shared = len(hsets[a] & hsets[b])
+        assert (r["grams_a"], r["grams_b"], r["shared"]) == (
+            len(hsets[a]), len(hsets[b]), shared
+        )
+        # sketch recompute: merged trim, match count, estimators --
+        # identical float ops, so equality is exact
+        uk = sorted(set(ka) | set(kb))[:SOV_K]
+        both = set(ka) & set(kb)
+        c = sum(1 for h in uk if h in both)
+        union_est = est(len(uk), uk[-1])
+        jacc_est = float(c) / float(len(uk))
+        inter_est = jacc_est * union_est
+        assert r["union_est"] == union_est
+        assert r["jaccard_est"] == jacc_est
+        assert r["inter_est"] == inter_est
+        assert r["containment_a_est"] == inter_est / est(
+            len(ka), ka[-1] if ka else 0
+        )
+        assert r["containment_b_est"] == inter_est / est(
+            len(kb), kb[-1] if kb else 0
+        )
+        # error envelope: union estimate within 5 rsd of exact union
+        exact_union = len(hsets[a] | hsets[b])
+        assert abs(union_est - exact_union) <= 5 * rsd * exact_union
