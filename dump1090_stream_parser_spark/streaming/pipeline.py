@@ -68,6 +68,24 @@ def bronze_from_sbs1(
     return reader.load()
 
 
+def bronze_from_sbs1_multi(
+    spark: SparkSession, hosts: list[tuple[str, int]], **options
+) -> DataFrame:
+    """Multi-receiver ``sbs1`` source: the partitioned reader
+    (one concurrent drain thread + one executor partition per
+    receiver -- sources/sbs1_source.py Sbs1PartitionedStreamReader).
+    ``hosts`` is a list of (host, port) pairs."""
+    from ..sources.sbs1_source import register
+
+    register(spark)
+    reader = spark.readStream.format("sbs1").option(
+        "hosts", ",".join(f"{h}:{p}" for h, p in hosts)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
 # --------------------------------------------------------------------------
 # Silver
 # --------------------------------------------------------------------------

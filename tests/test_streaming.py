@@ -386,3 +386,261 @@ def test_sbs1_reader_replay_protocol():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_sbs1_partitioned_source_end_to_end(spark, tmp_path):
+    """The multi-receiver partitioned reader (hosts=...): every
+    receiver's lines arrive exactly once, partial-line carry reassembles
+    per receiver, and per-row ingest_ts is stamped. Each server tags its
+    callsign so delivery can be attributed per receiver."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_multi,
+    )
+
+    n_receivers = 3
+    per_recv = {}
+    servers = []
+    hosts = []
+    try:
+        for i in range(n_receivers):
+            lines = [
+                f"MSG,1,1,1,4CA2D{i},1,2026/08/13,10:00:01.000,"
+                f"2026/08/13,10:00:01.050,RX{i}N{j},,,,,,,,,,,"
+                for j in range(40)
+            ]
+            per_recv[i] = lines
+            payload = ("\n".join(lines) + "\n").encode()
+            cut = len(payload) // 2  # mid-stream split: carry per receiver
+
+            class Handler(socketserver.BaseRequestHandler):
+                _payload = payload
+                _cut = cut
+
+                def handle(self):
+                    self.request.sendall(self._payload[: self._cut])
+                    time.sleep(0.2)
+                    self.request.sendall(self._payload[self._cut:])
+                    time.sleep(30)
+
+            server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+            server.daemon_threads = True
+            servers.append(server)
+            hosts.append(("127.0.0.1", server.server_address[1]))
+            threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        bronze = bronze_from_sbs1_multi(
+            spark, hosts, connect_attempt_limit=5, connect_attempt_delay=0.2
+        )
+        q = (
+            bronze.writeStream.format("memory")
+            .queryName("sbs1_part_test")
+            .option("checkpointLocation", str(tmp_path / "pckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            want = n_receivers * 40
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                n = spark.sql(
+                    "SELECT count(*) FROM sbs1_part_test"
+                ).collect()[0][0]
+                if n >= want:
+                    break
+                time.sleep(1)
+            rows = spark.sql("SELECT * FROM sbs1_part_test").collect()
+            got = sorted(r["value"] for r in rows)
+            expect = sorted(l for ls in per_recv.values() for ls in [ls] for l in ls)
+            assert got == expect  # exactly once per line, all receivers
+            assert all(r["ingest_ts"] is not None for r in rows)
+        finally:
+            q.stop()
+    finally:
+        for s in servers:
+            s.shutdown()
+            s.server_close()
+
+
+def test_sbs1_partitioned_reader_replay_and_commit():
+    """Unit-level offset protocol: partitions(start, end) re-reads the
+    same rows for the same range (task-retry exactly-once), commit
+    prunes the replay buffer, and a checkpoint-ahead restart
+    fast-forwards instead of wedging."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.sources.sbs1_source import (
+        Sbs1PartitionedStreamReader,
+    )
+
+    lines = [f"MSG,8,1,1,ABC00{i},1,,,,,,,,,,,,,,,,0" for i in range(25)]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload)
+            time.sleep(30)
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    reader = None
+    try:
+        reader = Sbs1PartitionedStreamReader(
+            {
+                "hosts": f"127.0.0.1:{port}",
+                "connect_attempt_limit": "5",
+                "connect_attempt_delay": "0.2",
+            }
+        )
+        assert reader.initialOffset() == {"r0": 0}
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            end = reader.latestOffset()
+            if end["r0"] >= len(lines):
+                break
+            time.sleep(0.1)
+        assert end["r0"] == len(lines)
+        start = {"r0": 0}
+
+        def materialize(parts):
+            out = []
+            for p in parts:
+                for batch in reader.read(p):
+                    out.extend(
+                        (r["value"], r["ingest_ts"])
+                        for r in batch.to_pylist()
+                    )
+            return out
+
+        parts1 = reader.partitions(start, end)
+        parts2 = reader.partitions(start, end)  # task retry: same rows
+        rows1 = materialize(parts1)
+        rows2 = materialize(parts2)
+        assert [v for v, _ in rows1] == lines
+        assert rows1 == rows2
+        assert all(ts is not None for _, ts in rows1)
+        # commit prunes: a re-plan of the committed range is now empty
+        reader.commit(end)
+        assert not materialize(reader.partitions(start, end))
+        # checkpoint-ahead restart: fast-forward, no wedge, no rows
+        ahead = {"r0": end["r0"] + 1000}
+        assert reader.partitions(ahead, ahead) == []
+        later = reader.latestOffset()
+        assert later["r0"] >= end["r0"]
+    finally:
+        if reader is not None:
+            reader.stop()
+        server.shutdown()
+        server.server_close()
+
+
+def test_sbs1_partitioned_reader_connect_failure_raises():
+    """A9 parity for the partitioned form: a receiver that exhausts its
+    connect attempts surfaces the ConnectionError on latestOffset."""
+    from dump1090_stream_parser_spark.sources.sbs1_source import (
+        Sbs1PartitionedStreamReader,
+    )
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    reader = Sbs1PartitionedStreamReader(
+        {
+            "hosts": f"127.0.0.1:{dead_port}",
+            "connect_attempt_limit": "2",
+            "connect_attempt_delay": "0.05",
+        }
+    )
+    try:
+        deadline = time.time() + 10
+        raised = False
+        while time.time() < deadline:
+            try:
+                reader.latestOffset()
+            except ConnectionError:
+                raised = True
+                break
+            time.sleep(0.05)
+        assert raised
+    finally:
+        reader.stop()
+
+
+def test_sbs1_partitioned_source_silver_parity(spark, tmp_path):
+    """The simple-reader end-to-end contract re-run on the PARTITIONED
+    reader: the same GOLDEN + INVALID fixture lines (served across two
+    receivers, each split mid-stream to exercise per-receiver carry)
+    through silver_stream -- good rows parse, invalid rows dead-letter,
+    parsed_time is stamped per row."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_multi,
+        silver_stream,
+    )
+
+    shards = [GOLDEN, INVALID]
+    servers, hosts = [], []
+    try:
+        for lines in shards:
+            payload = ("\n".join(lines) + "\n").encode()
+            cut = len(payload) // 2
+
+            class Handler(socketserver.BaseRequestHandler):
+                _payload = payload
+                _cut = cut
+
+                def handle(self):
+                    self.request.sendall(self._payload[: self._cut])
+                    time.sleep(0.2)
+                    self.request.sendall(self._payload[self._cut:])
+                    time.sleep(30)
+
+            server = socketserver.ThreadingTCPServer(
+                ("127.0.0.1", 0), Handler
+            )
+            server.daemon_threads = True
+            servers.append(server)
+            hosts.append(("127.0.0.1", server.server_address[1]))
+            threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        bronze = bronze_from_sbs1_multi(
+            spark, hosts, connect_attempt_limit=5, connect_attempt_delay=0.2
+        )
+        parsed = silver_stream(bronze)
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("sbs1_part_silver")
+            .option("checkpointLocation", str(tmp_path / "psckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            want = len(GOLDEN) + len(INVALID)
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                n = spark.sql(
+                    "SELECT count(*) FROM sbs1_part_silver"
+                ).collect()[0][0]
+                if n >= want:
+                    break
+                time.sleep(1)
+            rows = spark.sql("SELECT * FROM sbs1_part_silver").collect()
+            good = [r for r in rows if r["_corrupt_record"] is None]
+            bad = [r for r in rows if r["_corrupt_record"] is not None]
+            assert len(good) == len(GOLDEN)
+            assert len(bad) == len(INVALID)
+            assert all(r["parsed_time"] is not None for r in good)
+            msg3 = [r for r in good if r["transmission_type"] == 3]
+            assert any(abs(r["lat"] - 51.46720) < 1e-9 for r in msg3)
+        finally:
+            q.stop()
+    finally:
+        for s in servers:
+            s.shutdown()
+            s.server_close()

@@ -202,8 +202,130 @@ def source_main() -> None:
     spark.stop()
 
 
+def multi_main() -> None:
+    """Multi-receiver source-inclusive throughput (VERDICT r9 ask #1):
+    the same deterministic MSG,3 lines sharded over N localhost TCP
+    servers, read by the PARTITIONED ``sbs1`` reader (one concurrent
+    drain thread + one executor partition per receiver) into
+    ``parse_lines`` -> ``silver`` under Structured Streaming. The
+    figure to beat is the single-receiver ``source`` mode's ~78k
+    rows/s -- the drain loop there is single-threaded and serialized
+    with batch processing; here N receivers drain concurrently while
+    executors decode and parse in parallel.
+
+        python tools/ingest_bench.py multi [n_rows] [n_receivers]
+    """
+    import socket
+    import threading
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_recv = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="ingest_bench_multi",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    events = synth_events(spark, n, int(cpus))
+    lines = sbs1_lines_from_events(events).toPandas()["value"]
+    shard = (len(lines) + n_recv - 1) // n_recv
+    payloads = [
+        ("\n".join(lines[i * shard:(i + 1) * shard]).encode() + b"\n")
+        for i in range(n_recv)
+    ]
+
+    servers, hosts = [], []
+    for payload in payloads:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        servers.append(srv)
+        hosts.append(("127.0.0.1", srv.getsockname()[1]))
+
+        def serve(sock=srv, data=payload) -> None:
+            conn, _ = sock.accept()
+            try:
+                conn.sendall(data)
+                conn.recv(1)  # hold open until the bench closes
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+        threading.Thread(target=serve, daemon=True).start()
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_multi,
+    )
+
+    bronze = bronze_from_sbs1_multi(
+        # batch << buffer so the drain threads keep filling while a
+        # batch processes (buffer-sized batches serialize drain against
+        # processing -- measured 106k rows/s vs ~180k decoupled)
+        spark, hosts, max_lines_per_batch=250_000, replay_capacity=2_000_000
+    )
+    sq = silver(parse_lines(bronze, parsed_time=F.col("ingest_ts")))
+
+    got = {"rows": 0}
+    lock = threading.Lock()
+
+    def count_batch(df, _epoch) -> None:
+        c = df.count()
+        with lock:
+            got["rows"] += c
+
+    import tempfile
+
+    t0 = time.perf_counter()
+    query = (
+        sq.writeStream.foreachBatch(count_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ingest_bench_multi_"),
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        with lock:
+            if got["rows"] >= n:
+                break
+        time.sleep(0.2)
+    sec = time.perf_counter() - t0
+    query.stop()
+    for srv in servers:
+        srv.close()
+    assert got["rows"] >= n, f"stream delivered {got['rows']}/{n} rows"
+    print(
+        json.dumps(
+            {
+                "metric": "silver_ingest_multi_source_rows_per_sec",
+                "value": round(n / sec),
+                "unit": "rows/sec",
+                "n_rows": n,
+                "n_receivers": n_recv,
+                "seconds": round(sec, 3),
+                "cpus": int(cpus),
+                "note": (
+                    "end-to-end incl. TCP socket drain + streaming "
+                    "micro-batches; partitioned reader, one concurrent "
+                    "drain thread + one executor partition per receiver"
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "source":
         source_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "multi":
+        multi_main()
     else:
         main()
