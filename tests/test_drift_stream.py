@@ -97,3 +97,53 @@ def test_drift_restart_carries_histograms(spark, tmp_path):
     got = _rows(ks_from_snapshots(spark.read.parquet(out)))
     expect = _rows(q_ks_test(spark, SF_DIR))
     assert got == expect
+
+
+def test_drift_stream_on_rocksdb_state_store(spark, tmp_path):
+    """VERDICT r9 ask #3, drift leg: the histogram-state monitor runs
+    on the RocksDB provider with a bit-equal KS matrix, provider
+    engagement proven from progress metrics."""
+    src = tmp_path / "vals_in"
+    _split_shuffled(spark, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            drift_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        state_rows, sst_bytes = 0, 0
+        for p in q.recentProgress:
+            for s in p["stateOperators"] or []:
+                state_rows = max(state_rows, s["numRowsTotal"] or 0)
+                sst_bytes = max(
+                    sst_bytes,
+                    int(
+                        (s["customMetrics"] or {}).get(
+                            "rocksdbSstFileSize", 0
+                        )
+                    ),
+                )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = _rows(ks_from_snapshots(spark.read.parquet(out)))
+    expect = _rows(q_ks_test(spark, SF_DIR))
+    assert got == expect
+    assert state_rows > 0
+    assert sst_bytes > 0  # RocksDB actually held the histogram state
