@@ -90,3 +90,30 @@ def stage_shuffle_delta(
         "shuffle_bytes": sum(after[s][1] for s in new),
         "n_stages": len(new),
     }
+
+
+def executed_stage_signature(spark, build_fn) -> dict[str, int]:
+    """Build AND run a query (noop sink) under the stage meter and
+    return what actually EXECUTED: completed stage count and total
+    shuffle-write records. ``build_fn`` is a zero-arg callable
+    returning the DataFrame.
+
+    This is the lineage-duplication detector the plan-shape snapshot
+    cannot be: a multi-consumer frame whose lineage silently re-runs
+    (alias self-joins, shared staging without a checkpoint -- the
+    q_pmi 5x-explode class found by hand in round 9) has an innocent
+    PLAN, but its executed shuffle records multiply by the re-run
+    count. Records, not stage counts, carry the strict contract:
+    they are data-deterministic at a fixed SF, while stage counts can
+    shift with planner details.
+
+    The window brackets the BUILD as well as the action because
+    ``localCheckpoint(eager=False)`` materializes part of its lineage
+    at DataFrame-construction time (measured: the checkpointed
+    subtree's shuffle map stage runs during the build; an
+    action-only window undercounted a checkpointed distinct to 0
+    shuffle records)."""
+    before = stage_shuffle_snapshot(spark)
+    build_fn().write.format("noop").mode("overwrite").save()
+    after = stage_shuffle_snapshot(spark)
+    return stage_shuffle_delta(before, after)

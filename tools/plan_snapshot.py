@@ -57,6 +57,47 @@ def build_snapshot(spark) -> dict[str, dict]:
     return out
 
 
+#: Queries whose EXECUTED shuffle volume is pinned (VERDICT r9 ask #4)
+#: -- the lineage-duplication watchlist: every registered query whose
+#: plan consumes a shared staged frame from more than one side (alias
+#: self-joins, pair stages, checkpointed fan-outs). The plan-shape
+#: signature above cannot see a silent lineage re-run (the q_pmi
+#: 5x-explode class); the executed shuffle-record total multiplies
+#: with it, and at a fixed SF it is data-deterministic.
+EXEC_PINNED = (
+    "q_pmi",
+    "q_text_entropy",
+    "q_lm_score",
+    "q_ks_test",
+    "q_dup_spans",
+    "q_dup_spans_bloom",
+    "q_source_overlap",
+    "q_source_overlap_kmv",
+)
+
+
+def build_exec_snapshot(spark, names=EXEC_PINNED) -> dict[str, dict]:
+    import __spark_entry__ as e
+
+    from dump1090_stream_parser_spark.plans.metrics import (
+        executed_stage_signature,
+    )
+
+    qs = e.queries()
+    out = {}
+    for name in sorted(names):
+        sig = executed_stage_signature(
+            spark, lambda n=name: qs[n](spark, SF_DIR)
+        )
+        # records are the strict data-deterministic contract; stage
+        # counts ride along informationally (planner-detail-sensitive)
+        out[name] = {
+            "shuffle_records": sig["shuffle_records"],
+            "n_stages": sig["n_stages"],
+        }
+    return out
+
+
 def main() -> None:
     from dump1090_stream_parser_spark.session import get_spark
 
@@ -66,10 +107,17 @@ def main() -> None:
     spark = get_spark(
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "1MB"},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "1MB",
+            "spark.ui.enabled": "true",  # the executed meter needs it
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(build_snapshot(spark), indent=1, sort_keys=True))
+    if "--executed" in sys.argv:
+        print(json.dumps(build_exec_snapshot(spark), indent=1,
+                         sort_keys=True))
+    else:
+        print(json.dumps(build_snapshot(spark), indent=1, sort_keys=True))
     spark.stop()
 
 
