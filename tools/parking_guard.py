@@ -194,6 +194,95 @@ def check_parked() -> list[dict]:
     return violations
 
 
+#: Green-age bound (VERDICT r9 ask #2): every registry entry must earn
+#: a driver row at least once per MAX_GREEN_AGE rounds. The window
+#: cannot hold everything at once, so the enforceable per-round form
+#: is a DRAIN-RATE invariant: whenever parked entries are overdue, the
+#: current window must devote at least the rotation quota
+#: (ceil(tail / MAX_GREEN_AGE) slots) to overdue entries -- draining
+#: oldest-first at the rate that makes the 5-round period hold in
+#: steady state.
+MAX_GREEN_AGE = 5
+
+
+def green_ages() -> dict[str, int | None]:
+    """query -> rounds since its last green driver row (1 = green last
+    round); None for entries with no green row yet."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    greens = last_green_rounds()
+    cur = current_round()
+    return {
+        q: (cur - greens[q]) if q in greens else None
+        for q in ops.queries_map()
+    }
+
+
+def rotation_quota() -> int:
+    import math
+
+    import dump1090_stream_parser_spark.operators as ops
+
+    tail = max(0, len(ops.queries_map()) - 50)
+    return math.ceil(tail / MAX_GREEN_AGE)
+
+
+def check_green_age() -> list[dict]:
+    """Violations of the green-age drain-rate invariant."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    names = list(ops.queries_map())
+    window, tail = names[:50], names[50:]
+    ages = green_ages()
+
+    def overdue(q: str) -> bool:
+        a = ages.get(q)
+        return a is not None and a > MAX_GREEN_AGE
+
+    parked_overdue = sorted(
+        (q for q in tail if overdue(q)), key=lambda q: -ages[q]
+    )
+    draining = [q for q in window if overdue(q)]
+    quota = rotation_quota()
+    required = min(quota, len(parked_overdue) + len(draining))
+    if len(draining) < required:
+        return [
+            {
+                "reason": (
+                    f"window drains {len(draining)} overdue entries but"
+                    f" the rotation quota is {required} (tail"
+                    f" {len(tail)}, max age {MAX_GREEN_AGE}); rotate in"
+                    " the oldest parked entries"
+                ),
+                "oldest_parked_overdue": [
+                    {"query": q, "age": ages[q]}
+                    for q in parked_overdue[: required - len(draining)]
+                ],
+            }
+        ]
+    return []
+
+
+def age_table() -> list[dict]:
+    """Per-query green-age report (oldest first) -- the ledger feed."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    names = list(ops.queries_map())
+    window = set(names[:50])
+    ages = green_ages()
+    return sorted(
+        (
+            {
+                "query": q,
+                "age": ages[q],
+                "in_window": q in window,
+            }
+            for q in names
+        ),
+        key=lambda r: (r["age"] is not None, -(r["age"] or 0), r["query"]),
+    )
+
+
 def holder_liveness() -> list[dict]:
     """Report-only companion check: parked rationales whose cited
     holder CHAIN never reaches a currently-in-window query. Holder
@@ -237,17 +326,31 @@ def holder_liveness() -> list[dict]:
 
 def main() -> None:
     violations = check_parked()
+    age_violations = check_green_age()
+    ages = green_ages()
+    dist: dict[int | None, int] = {}
+    for a in ages.values():
+        dist[a] = dist.get(a, 0) + 1
     print(
         json.dumps(
             {
                 "current_round": current_round(),
                 "violations": violations,
+                "green_age_violations": age_violations,
+                "green_age_distribution": {
+                    str(k): v
+                    for k, v in sorted(
+                        dist.items(),
+                        key=lambda t: (t[0] is None, t[0] or 0),
+                    )
+                },
+                "rotation_quota": rotation_quota(),
                 "stranded_holder_chains": holder_liveness(),
             },
             indent=1,
         )
     )
-    raise SystemExit(1 if violations else 0)
+    raise SystemExit(1 if (violations or age_violations) else 0)
 
 
 if __name__ == "__main__":
