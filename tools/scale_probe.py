@@ -1245,6 +1245,219 @@ def cms_main() -> None:
     spark.stop()
 
 
+def sov_main() -> None:
+    """Measure the exact-vs-KMV source-overlap fork (VERDICT r9 #6).
+
+    q_source_overlap's bill is the full distinct-gram set: one
+    corpus-proportional DISTINCT plus a hash-keyed self-join whose
+    input is every distinct (source, gram) pair. The KMV fork answers
+    the same pair questions from SOV_K-long bottom-k sketches. This
+    probe measures BOTH arms at growing corpus size:
+
+    - exact arm: the registered q_source_overlap;
+    - sketch arm: the at-scale KMV plan -- bottom-k directly over the
+      RAW gram stream (no distinct: a min-sketch is duplicate-
+      insensitive, so the partial WindowGroupLimit pass forwards at
+      most K rows per source per map partition and the corpus-sized
+      distinct exchange disappears entirely), then the sketch-sized
+      pair merge. The registered q_source_overlap_kmv carries exact
+      certificate legs ON TOP of this plan for driver certification;
+      the probe measures what remains when they drop.
+
+    Synthesis: S=8 sources, each document 40 source-unique tokens;
+    20% of documents append a 12-token shared block drawn from a
+    CROSS-SOURCE template pool scaling n/200, so pairwise overlap is
+    real and grows with the corpus. Broadcast joins disabled (the
+    embsweep rationale). Reports min-of-2 wall + stage shuffle per
+    arm, plus the sketch's mean absolute Jaccard error vs exact.
+
+        python tools/scale_probe.py sovsweep [max_factor]
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dump1090_stream_parser_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from dump1090_stream_parser_spark.operators.dedup import (
+        SOV_K,
+        SPAN_GRAM,
+        _SOV_JACC_EST,
+        _SOV_UNION_EST,
+    )
+    from dump1090_stream_parser_spark.operators.text import tokens_col
+    from dump1090_stream_parser_spark.plans.metrics import (
+        stage_shuffle_delta,
+        stage_shuffle_snapshot,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+    from dump1090_stream_parser_spark.tables import load_table
+
+    import __spark_entry__ as e
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sov_probe"
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="sov_fork_probe",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: int, out_dir: str) -> None:
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        uniq = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.concat(
+                F.lit("w"), F.col("doc_id"), F.lit("x"), i.cast("string")
+            ),
+        )
+        tid = (F.col("doc_id") / 5).cast("long") % F.lit(max(n // 200, 1))
+        shared = F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.concat(
+                F.lit("t"), tid.cast("string"), F.lit("y"),
+                i.cast("string"),
+            ),
+        )
+        text = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.concat(uniq, shared)),
+        ).otherwise(F.concat_ws(" ", uniq))
+        ids.select(
+            "doc_id",
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("s"), F.pmod("doc_id", F.lit(8))).alias(
+                "source"
+            ),
+            F.length(text).alias("n_chars"),
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+
+    def sketch_arm(sf_dir: str):
+        """The at-scale KMV plan: bottom-k over the RAW gram stream."""
+        docs = load_table(spark, sf_dir, "documents")
+        staged = docs.select("source", tokens_col().alias("t")).filter(
+            F.size("t") >= SPAN_GRAM
+        )
+        gram_strs = F.expr(
+            "transform(sequence(0, size(t) - 5),"
+            " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+        )
+        raw = staged.select(
+            "source", F.explode(gram_strs).alias("gram")
+        ).select("source", portable_hash64(F.col("gram")).alias("ghash"))
+        # partial WindowGroupLimit bounds the exchange at K rows per
+        # source per map partition; duplicates survive it, so dedupe
+        # AFTER the (sketch-sized) exchange and trim to K
+        w = Window.partitionBy("source").orderBy("ghash")
+        ks = (
+            raw.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SOV_K)
+            .select("source", "ghash")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SOV_K)
+            .select("source", F.col("ghash").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        sides = (
+            ks.select("source").distinct().alias("a")
+            .join(
+                ks.select("source").distinct().alias("b"),
+                F.col("a.source") < F.col("b.source"),
+            )
+            .select(
+                F.col("a.source").alias("sa"),
+                F.col("b.source").alias("sb"),
+            )
+        )
+        m = (
+            sides.join(ks, ks["source"] == sides["sa"])
+            .select(
+                "sa", "sb", "h",
+                F.lit(1).alias("ia"), F.lit(0).alias("ib"),
+            )
+            .unionAll(
+                sides.join(ks, ks["source"] == sides["sb"]).select(
+                    "sa", "sb", "h",
+                    F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+                )
+            )
+        )
+        u = m.groupBy("sa", "sb", "h").agg(
+            F.max("ia").alias("ia"), F.max("ib").alias("ib")
+        )
+        wu = Window.partitionBy("sa", "sb").orderBy("h")
+        st = (
+            u.withColumn("rn", F.row_number().over(wu))
+            .filter(F.col("rn") <= SOV_K)
+            .groupBy("sa", "sb")
+            .agg(
+                F.count(F.lit(1)).alias("cnt_u"),
+                F.sum(F.col("ia") * F.col("ib")).alias("c"),
+                F.max("h").alias("h_k"),
+            )
+        )
+        return st.select(
+            "sa",
+            "sb",
+            F.expr(_SOV_UNION_EST).alias("union_est"),
+            F.expr(_SOV_JACC_EST).alias("jaccard_est"),
+        )
+
+    exact = e.queries()["q_source_overlap"]
+    out: dict[str, dict] = {}
+    for factor in [f for f in (1, 4, 16) if f <= max_factor]:
+        n = 25_000 * factor
+        sf_dir = f"{scratch}/x{factor}"
+        synth(n, sf_dir)
+        row: dict = {"docs": n, "sources": 8}
+        for label, fn in (
+            ("exact", lambda d=sf_dir: exact(spark, d)),
+            ("kmv", lambda d=sf_dir: sketch_arm(d)),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            times = []
+            snap0 = stage_shuffle_snapshot(spark)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            delta = stage_shuffle_delta(
+                snap0, stage_shuffle_snapshot(spark)
+            )
+            row[label] = round(min(times), 3)
+            row[f"{label}_shuffle"] = {
+                "records": delta["shuffle_records"] // 2,
+                "bytes": delta["shuffle_bytes"] // 2,
+            }
+        ex = {
+            (r["source_a"], r["source_b"]): r["jaccard"]
+            for r in exact(spark, sf_dir).collect()
+        }
+        est = {
+            (r["sa"], r["sb"]): r["jaccard_est"]
+            for r in sketch_arm(sf_dir).collect()
+        }
+        errs = [abs(est[k] - ex[k]) for k in ex if k in est]
+        row["pairs"] = len(ex)
+        row["jaccard_mae"] = round(sum(errs) / len(errs), 4) if errs else None
+        out[f"x{factor}"] = row
+        print(json.dumps({f"x{factor}": row}), flush=True)
+
+    print(json.dumps({"source_overlap_fork": out}, indent=1))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
@@ -1258,5 +1471,7 @@ if __name__ == "__main__":
         span_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "trisweep":
         tri_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sovsweep":
+        sov_main()
     else:
         main()
