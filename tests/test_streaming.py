@@ -644,3 +644,80 @@ def test_sbs1_partitioned_source_silver_parity(spark, tmp_path):
         for s in servers:
             s.shutdown()
             s.server_close()
+
+
+def test_sbs1_partitioned_source_restart_no_duplicates(spark, tmp_path):
+    """Restart-from-checkpoint e2e on the partitioned reader: a fresh
+    run against the same checkpoint must never re-emit committed rows
+    (the fresh connection fast-forwards to the checkpointed offset) and
+    must keep delivering rows served after the restart. Loss of rows
+    served across the restart gap is inherent to ephemeral TCP and
+    documented; duplication would be a bug."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_multi,
+    )
+
+    counter = {"n": 0}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                while True:
+                    i = counter["n"]
+                    counter["n"] += 1
+                    line = f"MSG,8,1,1,AB{i:04d},1,,,,,,,,,,,,,,,,0\n"
+                    self.request.sendall(line.encode())
+                    time.sleep(0.05)
+            except OSError:
+                pass
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    out = tmp_path / "restart_out"
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_phase(seconds: float) -> None:
+        bronze = bronze_from_sbs1_multi(
+            spark,
+            [("127.0.0.1", port)],
+            connect_attempt_limit=5,
+            connect_attempt_delay=0.2,
+        )
+        q = (
+            bronze.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    try:
+        run_phase(14)
+        phase1 = [r["value"] for r in spark.read.parquet(str(out)).collect()]
+        assert phase1, "phase 1 delivered nothing"
+        served_before_restart = counter["n"]
+        run_phase(14)
+        rows = [r["value"] for r in spark.read.parquet(str(out)).collect()]
+        # exactly-once across the restart: no value appears twice
+        assert len(rows) == len(set(rows)), "duplicate rows after restart"
+        # and the restarted query delivered NEW data (ids the server
+        # only produced after phase 1 ended)
+        new_ids = {
+            int(v.split(",")[4][2:])
+            for v in rows
+            if int(v.split(",")[4][2:]) >= served_before_restart
+        }
+        assert new_ids, "restarted query delivered no post-restart rows"
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -73,6 +73,14 @@ EXEC_PINNED = (
     "q_dup_spans_bloom",
     "q_source_overlap",
     "q_source_overlap_kmv",
+    # Python-eval lineages feeding multiple consumers -- the class
+    # where AQE stage reuse genuinely FAILS (the round-10 calibration
+    # finding), so their checkpoints are load-bearing and their
+    # executed volume is the contract that proves it:
+    "q_containment",   # winnowed prints -> FOUR consumers
+    "q_lang_id",       # two Arrow passes over one checkpointed exchange
+    "q_semantic_dedup",  # applyInPandas cell scorer -> keeper manifest
+    "q_label_pca",     # grouped-map eigendecomposition per label
 )
 
 
