@@ -163,25 +163,47 @@ def ivf_cell_bucketed_layout(
     )
 
 
+def _ivf_centroid_rows(spark: SparkSession, emb, centroids: str) -> list:
+    """Centroid rows for the IVF layout/probe pair: ``"seed"`` = the
+    deterministic vec_id-1..N_CELLS convention (oracle-reconstructible),
+    ``"trained"`` = the persisted k-means artifact
+    (fixtures/ivf_centroids.parquet -- the q_ann_ivf_trained
+    quantizer). Layout and probe MUST use the same set: assignment and
+    probe ranking against different quantizers silently turns pruning
+    into wrong answers, which is why the choice is one shared string
+    parameter rather than two call sites."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _IVF_FIXTURE, _seed_centroid_rows
+
+    if centroids == "trained":
+        return sorted(
+            spark.read.parquet(_IVF_FIXTURE)
+            .select("cell_id", F.col("cv").alias("embedding"))
+            .collect(),
+            key=lambda r: r["cell_id"],
+        )
+    return _seed_centroid_rows(emb)
+
+
 def ivf_cell_partitioned_layout(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, centroids: str = "seed"
 ) -> None:
     """One-time IVF index layout: embeddings written to ``cell_id=N/``
-    directories keyed by the nearest seed centroid. An nprobe search
-    then reads only the probed cells -- partition pruning at
-    file-listing time, the at-rest half of q_ann_ivf's design (its
-    in-query form computes the assignment on the fly; the BUCKETED
-    variant above serves the exchange-free within-cell grouping
-    instead -- directory pruning and bucket co-location are different
-    levers, so they are different layouts)."""
-    from ..operators.similarity import (
-        _nearest_cell_expr,
-        _seed_centroid_rows,
-    )
+    directories keyed by the nearest centroid (seed convention by
+    default; ``centroids="trained"`` uses the persisted k-means
+    quantizer -- the production pairing with q_ann_ivf_trained). An
+    nprobe search then reads only the probed cells -- partition
+    pruning at file-listing time, the at-rest half of q_ann_ivf's
+    design (its in-query form computes the assignment on the fly; the
+    BUCKETED variant above serves the exchange-free within-cell
+    grouping instead -- directory pruning and bucket co-location are
+    different levers, so they are different layouts)."""
+    from ..operators.similarity import _nearest_cell_expr
     from ..tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _seed_centroid_rows(emb)
+    cents = _ivf_centroid_rows(spark, emb, centroids)
     (
         emb.select(
             "vec_id",
@@ -202,18 +224,19 @@ def ivf_probe_pruned(
     query_vec_id: int,
     k: int = 10,
     nprobe: int | None = None,
+    centroids: str = "seed",
 ) -> DataFrame:
-    """q_ann_ivf's probe over the partitioned layout: rank the seed
-    centroids against the query driver-side (same left-fold double
-    arithmetic), then scan ONLY the winning ``cell_id=N/`` directories
-    -- the filter compiles to PartitionFilters, pruned at file-listing
-    time (asserted in tests/test_plans.py together with result
-    equality against the on-the-fly query)."""
+    """q_ann_ivf's probe over the partitioned layout: rank the
+    centroids (same set the layout assigned with -- pass the same
+    ``centroids``) against the query driver-side (same left-fold
+    double arithmetic), then scan ONLY the winning ``cell_id=N/``
+    directories -- the filter compiles to PartitionFilters, pruned at
+    file-listing time (asserted in tests/test_plans.py together with
+    result equality against the on-the-fly query)."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import (
         IVF_NPROBE,
-        N_CELLS,
         _array_literal,
         _cos_py,
         cosine_similarity,
@@ -221,26 +244,20 @@ def ivf_probe_pruned(
 
     nprobe = IVF_NPROBE if nprobe is None else nprobe
     emb = spark.read.parquet(layout_dir)
-    seed_rows = emb.filter(
-        F.col("vec_id").between(1, N_CELLS)
-        | (F.col("vec_id") == query_vec_id)
-    ).select("vec_id", "embedding").collect()
+    cents = _ivf_centroid_rows(spark, emb, centroids)
     qv = [
         float(v)
-        for r in seed_rows
-        if r["vec_id"] == query_vec_id
+        for r in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()
         for v in r["embedding"]
     ]
-    cents = sorted(
-        (r for r in seed_rows if r["vec_id"] != query_vec_id),
-        key=lambda r: r["vec_id"],
-    )
     qcells = [
         cid
         for cid, _ in sorted(
             (
                 (
-                    r["vec_id"],
+                    int(r["cell_id"]),
                     round(
                         _cos_py(qv, [float(v) for v in r["embedding"]]),
                         6,

@@ -939,3 +939,43 @@ def test_kmv_bottomk_prunes_before_exchange_and_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_trained_layout_prunes_and_matches_query(spark, tmp_path):
+    """The production pairing of round 10's trained quantizer: a
+    cell_id-partitioned layout assigned with the PERSISTED centroids,
+    probed with the same artifact -- PartitionFilters prune at
+    file-listing time and the pruned scan returns exactly
+    q_ann_ivf_trained's rows."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        q_ann_ivf_trained,
+    )
+    from dump1090_stream_parser_spark.plans.layout import (
+        ivf_cell_partitioned_layout,
+        ivf_probe_pruned,
+    )
+
+    out = str(tmp_path / "emb_by_trained_cell")
+    ivf_cell_partitioned_layout(spark, SF_DIR, out, centroids="trained")
+    probe = ivf_probe_pruned(
+        spark, out, QUERY_VEC_ID, centroids="trained"
+    )
+
+    plan = formatted_plan(probe)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_lines and any(
+        "cell_id" in line for line in part_lines
+    ), plan
+
+    got = [
+        (r.vec_id, r.label, r.cell_id, r.cos_sim)
+        for r in probe.collect()
+    ]
+    want = [
+        (r.vec_id, r.label, r.cell_id, r.cos_sim)
+        for r in q_ann_ivf_trained(spark, SF_DIR).collect()
+    ]
+    assert got == want
