@@ -1680,52 +1680,74 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mojibake/noise (ratio near 1 with a bloated vocabulary) that
     token-level filters miss.
 
-    Exactness: bigram counts are one mergeable (doc, bigram) hash
-    aggregation over a narrow explode; the identity
-    H = ln(n) - (1/n) * sum c*ln(c) needs ONE float reduction, and it
-    folds the bigram-SORTED term list left-to-right in both engines
-    (Spark ``aggregate`` over ``sort_array`` with a 0.0 seed, DuckDB
-    ``list_reduce`` over a 0.0-prepended ``list(... ORDER BY b)`` --
-    adding to a 0.0 seed is exact, so the fold orders are identical;
-    the q_source_divergence discipline). The per-term c*ln(c) and
-    both closed forms are shared SQL texts, rounded to 6.
+    Exactness: the identity H = ln(n) - (1/n) * sum c*ln(c) needs ONE
+    float reduction, and it folds the c*ln(c) terms in bigram-sorted
+    order with a 0.0 seed in both engines (adding to a 0.0 seed is
+    exact, so the fold orders are identical; the q_source_divergence
+    discipline). The per-term text and both closed forms are shared
+    SQL, rounded to 6.
 
-    Scale: the explode is corpus x length but narrow (doc_id + 2
-    chars); the aggregation collapses map-side to per-doc vocabulary
-    (bounded by the alphabet squared); each doc's fold is
-    vocabulary-bounded and docs hash-spread across tasks -- no stage
-    sees more than (doc, bigram) rows, text never rides a shuffle
-    wider than 2 characters.
+    Scale -- ZERO-EXCHANGE since round 10: a document's bigram
+    distribution is a per-row fact, so the whole computation is one
+    narrow codegen'd projection -- ``array_sort`` the row's bigrams,
+    then a single ``aggregate`` run-length scan closes each run of
+    equal bigrams by adding its c*ln(c) term. Closing runs while
+    scanning the SORTED array adds exactly the oracle's
+    ``list(c*ln(c) ORDER BY b)`` terms in the same order, so the
+    rewrite is a physical change only (the r9 plan exploded corpus x
+    length rows through two hash exchanges to group what was never
+    cross-row data; oracle and output are unchanged, and the r9 row's
+    hash certifies the same values). Nothing leaves the row: no
+    Generate, no shuffle, text never rides an exchange at all.
 
     tests/test_batch_fns.py recomputes the entropy for every doc in
     pure Python (third-engine check) and pins 0 <= ratio <= 1 and
-    entropy <= ln(vocab).
+    entropy <= ln(vocab); tests/test_plans.py pins the
+    exchange-and-generate-free plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.filter(F.length("text") >= 2).select(
+    # The fold lambda names its element ``c``, so the shared per-term
+    # text applies verbatim.
+    term = _ENT_TERM
+    # Three staged projections over PRIMITIVE arrays (a struct
+    # accumulator per element measured ~20% slower): the sorted bigram
+    # array A, the 1-based run-END positions E (boundaries of equal
+    # runs in A; IF, not OR, so the out-of-range probe at i = size(A)
+    # is never evaluated -- ANSI mode throws on it), run lengths R as
+    # adjacent differences of E, then one primitive fold over R adds
+    # the oracle's c*ln(c) terms in the identical sorted order.
+    staged = docs.filter(F.length("text") >= 2).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("b"),
+        (F.length("text") - 1).cast("long").alias("n"),
+        F.expr(
+            "array_sort(transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2)))"
+        ).alias("A"),
     )
-    c = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    folded = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("vocab"),
-        F.aggregate(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("b"), F.expr(_ENT_TERM).alias("t"))
-                    )
-                ),
-                lambda e: e["t"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    ends = staged.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "filter(sequence(1, size(A)),"
+            " i -> IF(i = size(A), true, A[i - 1] <> A[i]))"
+        ).alias("E"),
+    )
+    runs = ends.select(
+        "doc_id",
+        "n",
+        F.size("E").cast("long").alias("vocab"),
+        F.expr(
+            "transform(sequence(1, size(E)),"
+            " j -> E[j - 1] - IF(j = 1, CAST(0 AS BIGINT), E[j - 2]))"
+        ).alias("R"),
+    )
+    folded = runs.select(
+        "doc_id",
+        "n",
+        "vocab",
+        F.expr(
+            "aggregate(R, CAST(0.0 AS DOUBLE),"
+            f" (acc, c) -> acc + {term})"
         ).alias("s"),
     )
     return folded.select(

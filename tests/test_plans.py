@@ -979,3 +979,19 @@ def test_ivf_trained_layout_prunes_and_matches_query(spark, tmp_path):
         for r in q_ann_ivf_trained(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_text_entropy_is_exchange_and_generate_free(spark):
+    """q_text_entropy's round-10 physical form: a document's bigram
+    entropy is a per-row fact, so the plan must be one narrow
+    projection -- no Generate (the r9 plan exploded corpus x length
+    rows), no Exchange (it then hash-aggregated them twice), nothing
+    leaving the row."""
+    from dump1090_stream_parser_spark.operators.text import (
+        q_text_entropy,
+    )
+
+    plan = formatted_plan(q_text_entropy(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert ") Generate" not in final, final
+    assert ") Exchange" not in final, final
