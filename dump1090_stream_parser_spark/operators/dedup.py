@@ -1039,34 +1039,46 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over an index sequence -- the q_ngram_top shape, no
     positional self-join) and immediately reduced to the portable
     60-bit hash, so the explode and every later exchange carry
-    (doc_id, pos, hash) rows, never text; (2) one hash aggregation
-    finds grams with >= 2 distinct docs -- the shuffle key is the gram
-    hash, count-distinct collapses map-side per partition; (3) a join
-    back marks duplicated positions (the dup side is count-filtered
-    and hash-keyed -- at real corpus scale it stays data-proportional
-    to the DUPLICATED subset only); (4) gaps-and-islands (pos minus
+    (doc_id, pos, hash) rows, never text; (2) SINGLE-PASS duplicate
+    marking (round 10): "appears in >= 2 distinct docs" is exactly
+    min(doc_id) != max(doc_id) over the ghash window partition, so one
+    exchange on the gram hash marks every duplicated position -- the
+    r9 form aggregated the dup-gram set and joined it back, which
+    re-ran the gram explode for BOTH sides (narrow maps have no
+    exchange for AQE to reuse; stage-meter-measured) and paid a second
+    corpus-sized exchange; the rewrite is 2.2x at sf0.1 (2.84 ->
+    1.27 s) with identical spans; (3) gaps-and-islands (pos minus
     per-doc rank) merges adjacent positions into maximal spans with
     one doc-keyed window pass. Overlapping grams chain: a 12-token
     copied passage yields 8 consecutive duplicated positions and comes
     out as ONE span of span_tokens = 12.
 
-    Scale: gram construction is a narrow map; the duplicate filter is
-    a mergeable aggregation; text never rides a shuffle (the
-    q_dedup/q_contamination fingerprint discipline). The per-doc
-    island window partitions on doc_id -- bounded by document length,
-    never corpus size. At 100 TB the dup-side join takes the WIRED
-    Bloom prefilter (:func:`q_dup_spans_bloom`, round 9 -- same exact
-    answer, shared oracle): the spansweep probe measures a 33% row /
-    43% byte shuffle cut at a realistic boilerplate rate
-    (docs/SCALE.md round-9 table).
+    Scale: gram construction is a narrow map; text never rides a
+    shuffle (the q_dedup/q_contamination fingerprint discipline); the
+    per-doc island window partitions on doc_id -- bounded by document
+    length, never corpus size. A mega-hot gram makes one hot window
+    partition, but min/max need no sort beyond the partition hash and
+    process it in one linear task -- the same exposure the r9 form's
+    hash-keyed join had on the same key. The 100 TB shuffle-VOLUME
+    remedy stays :func:`q_dup_spans_bloom` (same exact answer, shared
+    oracle): its Bloom prefilter cuts the exchange to the duplicated
+    subset (33% row / 43% byte cut at a realistic boilerplate rate,
+    docs/SCALE.md round-9 table), where this exact form ships every
+    gram row through the one exchange it has.
 
     tests/test_dup_spans.py recomputes spans in pure Python at
     sf0.001 (third-engine check) and pins the chaining invariant
     (span_tokens == n_grams + SPAN_GRAM - 1).
     """
+    from pyspark.sql.window import Window
+
     grams = span_grams(load_table(spark, sf_dir, "documents"))
-    marked = grams.join(_dup_gram_set(grams), "ghash").select(
-        "doc_id", "pos"
+    w = Window.partitionBy("ghash")
+    marked = (
+        grams.withColumn("d_lo", F.min("doc_id").over(w))
+        .withColumn("d_hi", F.max("doc_id").over(w))
+        .filter(F.col("d_lo") != F.col("d_hi"))
+        .select("doc_id", "pos")
     )
     return spans_from_marked(marked)
 
