@@ -1248,47 +1248,47 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable 60-bit hash before any exchange -- then DISTINCTs per
     document (repeated phrases inside one document are one gram,
     making the score a set measure): (1) the distinct is one mergeable
-    exchange keyed on (doc, hash); (2) first-introduction is a MIN
-    aggregation keyed on the hash -- fully mergeable, the cheapest
-    possible global pass; (3) the join back is hash-keyed and the
-    per-doc rollup is an ordinary count/sum aggregation. Text never
-    rides a shuffle, and every stage is partial-aggregable -- no
-    window, no sort, nothing keyed wider than the gram hash.
+    exchange keyed on (doc, hash); (2) SINGLE-PASS first-introduction
+    marking (round 10, the q_dup_spans rewrite's sibling):
+    "this document introduced the gram" is exactly
+    doc_id == min(doc_id) over the ghash window partition, so one
+    exchange on the hash marks every row -- the r9 form aggregated a
+    first_doc table and joined it back, paying the firsts exchange,
+    BOTH join-side exchanges, and a checkpoint to stop the lineage
+    re-running (1.45x at sf0.1: 1.78 -> 1.23 s, identical rows, and
+    the checkpoint is gone because nothing consumes the frame twice
+    anymore); (3) the per-doc rollup is an ordinary count/sum
+    aggregation. Text never rides a shuffle.
 
-    Scale: the same posture as q_dup_spans minus the island window;
-    the join-back side (ALL distinct grams with their first doc) is
-    corpus-proportional, so at boilerplate-rate corpora the Bloom
-    prefilter does NOT apply here (every gram matches -- the join is
-    dense by construction); the honest cost is one hash-keyed
-    co-partitioned join, which AQE plans as a shuffled hash join.
+    Scale: the same posture as q_dup_spans; a mega-hot gram makes one
+    hot window partition processed by one linear min/max task -- the
+    same exposure the join form had on the same key. The Bloom
+    prefilter does NOT apply here (every gram has a first occurrence
+    -- the marking is dense by construction).
 
     tests/test_dup_spans.py recomputes novelty in pure Python
     (third-engine check) and pins the identities n_novel <= n_grams
     and sum(n_novel) == count(distinct gram hashes corpus-wide).
     """
-    # lazy localCheckpoint: the distinct per-doc gram set feeds the
-    # first-occurrence aggregation AND the join-back -- one gram
-    # explode instead of two (cluster scale: reliable checkpoint())
+    from pyspark.sql.window import Window
+
     grams = (
         span_grams(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "ghash")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    firsts = grams.groupBy("ghash").agg(
-        F.min("doc_id").alias("first_doc")
-    )
+    w = Window.partitionBy("ghash")
     novel = F.when(
-        F.col("first_doc") == F.col("doc_id"), F.lit(1)
+        F.col("doc_id") == F.min("doc_id").over(w), F.lit(1)
     ).otherwise(F.lit(0))
     return (
-        grams.join(firsts, "ghash")
+        grams.withColumn("nv", novel)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).cast("long").alias("n_novel"),
+            F.sum("nv").cast("long").alias("n_novel"),
             F.round(
-                F.sum(novel).cast("double")
+                F.sum("nv").cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("novelty"),
