@@ -1059,12 +1059,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, never corpus size. A mega-hot gram makes one hot window
     partition, but min/max need no sort beyond the partition hash and
     process it in one linear task -- the same exposure the r9 form's
-    hash-keyed join had on the same key. The 100 TB shuffle-VOLUME
-    remedy stays :func:`q_dup_spans_bloom` (same exact answer, shared
-    oracle): its Bloom prefilter cuts the exchange to the duplicated
-    subset (33% row / 43% byte cut at a realistic boilerplate rate,
-    docs/SCALE.md round-9 table), where this exact form ships every
-    gram row through the one exchange it has.
+    hash-keyed join had on the same key. The round-10 spansweep
+    re-measure makes this windowed form the at-scale recommendation
+    outright: one exchange of the gram stream beats the Bloom fork's
+    total (whose bitmap BUILD itself aggregates the full stream --
+    exact 7.7 s / 18.8M shuffled rows vs bloom 17.5 s / 37.8M at x16,
+    docs/SCALE.md round-10 table); the Bloom prefilter's real niche
+    is a filter set built from a DIFFERENT, smaller corpus (the
+    contamination gate), not self-dedup.
 
     tests/test_dup_spans.py recomputes spans in pure Python at
     sf0.001 (third-engine check) and pins the chaining invariant
@@ -1142,36 +1144,36 @@ def spans_from_marked(marked: DataFrame) -> DataFrame:
 @query("q_dup_spans_bloom", oracle=_DUP_SPANS_ORACLE)
 def q_dup_spans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span detection with a Bloom-prefiltered dup-side
-    join -- the 100 TB form of q_dup_spans, same exact answer (shared
-    oracle), completing the remedy q_dup_spans' docstring cites
+    join -- same exact answer as q_dup_spans (shared oracle), built
+    round 9 to cut the join-back exchange to the duplicated subset
     (VERDICT r8 ask #3).
 
-    Why it exists: q_dup_spans must get every (doc_id, pos, ghash)
-    gram row through TWO wide operations -- the duplicate-detection
-    aggregation (unavoidable: that IS the operator) and the join-back
-    that marks duplicated positions. At boilerplate-rate corpora the
-    duplicated subset is a few percent of positions, yet the join-back
-    shuffles the FULL gram stream once the dup set outgrows the
-    broadcast budget. This fork compresses the dup-gram set into the
-    fixed-size Bloom bitmap (pipeline_ops' BLOOM_WORDS bit_or
-    machinery, byte-identical layout to the contamination gate),
-    broadcast-joins the gram stream against it on the word index, and
-    bit-tests BEFORE the join-back -- so only survivors (true
-    duplicated positions + the few-percent false positives) ride the
-    second wide operation. Bloom filters have no false negatives and
-    the verify join against the true dup set removes false positives,
-    so the span output is bit-identical.
+    How it works: the dup-gram set compresses into the fixed-size
+    Bloom bitmap (pipeline_ops' BLOOM_WORDS bit_or machinery,
+    byte-identical layout to the contamination gate); the gram stream
+    broadcast-joins against it on the word index and bit-tests BEFORE
+    the join-back, so only survivors (true duplicated positions + the
+    few-percent false positives) ride that exchange. No false
+    negatives; the verify join removes false positives; spans are
+    bit-identical.
+
+    HISTORICAL STATUS since round 10: against the r9 exact form
+    (dup-set aggregation + full-stream join-back) this fork measured a
+    33% row / 43% byte shuffle cut. The round-10 exact rewrite
+    (windowed min/max marking, ONE exchange of the gram stream)
+    changed the race: the bitmap BUILD here still aggregates the full
+    gram stream before any prefiltering can pay, so the windowed exact
+    form now wins outright (7.7 s / 18.8M shuffled rows vs 17.5 s /
+    37.8M at x16, docs/SCALE.md round-10 spansweep). The fork stays
+    registered as the Bloom-prefilter capability demonstration over a
+    shared oracle; its production niche is the asymmetric case where
+    the filter set comes from a DIFFERENT, smaller corpus -- exactly
+    q_contamination_bloom, whose crossover argument is unaffected.
 
     The dup set is lazily localCheckpoint'ed: the bitmap aggregation
     and the verify join both read it, and the checkpoint cuts the
     duplicate gram-aggregation pass (the contamination_bloom
-    precedent; at cluster scale prefer reliable checkpoint()).
-
-    Measured crossover: tools/scale_probe.py spansweep synthesizes a
-    corpus at a realistic boilerplate rate and reports wall +
-    stage-level shuffle volume for both forks (docs/SCALE.md round-9
-    table) -- at sf-scale the dup set broadcasts and the forks level,
-    exactly like the contamination pair."""
+    precedent; at cluster scale prefer reliable checkpoint())."""
     from .pipeline_ops import _bloom_word_bit, bloom_bitmap_from_grams
 
     grams = span_grams(load_table(spark, sf_dir, "documents"))
