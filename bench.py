@@ -135,6 +135,7 @@ HEADLINE = [
     "q_hill",              # Hill tail index from top-K order stats
     "q_source_overlap_kmv",  # KMV source-overlap sketch + exact legs
     "q_ann_ivf_trained",   # IVF probe over the persisted trained quantizer
+    "q_ann_ivf_trained_join",  # batch probe join over the trained quantizer
 ]
 # q_dedup_clusters is benched separately (BASELINE.md): an iterative
 # operator's wall-clock is dominated by per-round driver scheduling at

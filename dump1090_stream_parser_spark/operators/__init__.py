@@ -53,6 +53,19 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # rows (r8+r9 minimum) on code untouched this round, enforced by
     # parking_guard block diffs; ages are now guard-enforced via the
     # drain-rate invariant (tools/parking_guard.py check_green_age).
+    "q_pii_scrub": (
+        "rotated OUT round 10 third wave (green driver rows"
+        " r3+r4+r5+r6+r7+r8+r9 -- a seven-green history, the deepest"
+        " in the registry -- text.py's scrub block untouched this"
+        " round): the regex/string-scan tier is double-held in-window"
+        " by q_chunk_docs (the same narrow text pass with sequence"
+        " windowing) and the re-entered q_string_clean; its window"
+        " slot funds q_ann_ivf_trained_join's first driver row (the"
+        " batch form completing the round-10 trained-quantizer"
+        " trilogy); the zero-exchange scrub plan stays pinned by its"
+        " plan test and re-proven every round by the local parity"
+        " gate"
+    ),
     "q_approx_percentile": (
         "rotated OUT round 10 age rotation (green driver rows"
         " r6+r7+r8+r9, statistics untouched this round): the"

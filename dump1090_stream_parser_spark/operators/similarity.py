@@ -717,6 +717,145 @@ def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The persisted trained-quantizer artifact both engines read
+#: (tools/train_quantizer.py; committed so the k-means float sums
+#: can never drift).
+_IVF_FIXTURE = str(
+    Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "ivf_centroids.parquet"
+)
+
+
+@query(
+    "q_ann_ivf_trained_join",
+    oracle=f"""
+    WITH cents AS (
+      SELECT cell_id, cv FROM read_parquet('{_IVF_FIXTURE}')
+    ),
+    assign AS (
+      SELECT vec_id, label, embedding, cell_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql("e.embedding", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e, cents c
+        WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+    ),
+    qprobe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos_sql("q.qv", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q, cents c
+      ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.label, a.cell_id,
+             ROUND({_cos_sql("a.embedding", "q.qv")}, 6) AS cos_sim
+      FROM assign a
+      JOIN qprobe p ON a.cell_id = p.cell_id
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, label, cell_id, cos_sim, rn FROM (
+      SELECT cand.*, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    ) t WHERE rn <= {ANN_JOIN_K}
+    """,
+)
+def q_ann_ivf_trained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF probe JOIN over the TRAINED persisted quantizer --
+    the production search API completing the round-10 trilogy
+    (q_ann_ivf_trained single-query search, the at-rest
+    cell-partitioned layout, and this: a TABLE of query vectors, each
+    re-ranking only its IVF_NPROBE nearest trained cells, as ONE
+    broadcast-hash equi-join on ``cell_id``).
+
+    Plan shape is q_ann_ivf_join's verbatim -- quantizer inlined as
+    literals so assignment is a narrow shuffle-free projection,
+    per-query probe cells ranked in-plan over the literal centroid
+    matrix (array_sort on (neg-cos, cell_id) structs, the oracle's
+    row_number tie-break), per-corpus-row norm hoisted, embeddings
+    dropped before the rank exchange whose partial WindowGroupLimit
+    caps it at Q*k narrow tuples per task. The ONE difference is
+    provenance: both engines read the centroids from
+    ``fixtures/ivf_centroids.parquet`` (tools/train_quantizer.py's
+    committed k-means artifact), so the driver certifies batch search
+    over a quantizer that ships as a table. Recall vs the exact
+    per-query top-k is gated in tests/test_approx.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        spark.read.parquet(_IVF_FIXTURE)
+        .select("cell_id", F.col("cv").alias("embedding"))
+        .collect(),
+        key=lambda r: r["cell_id"],
+    )
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    cell = _nearest_cell_expr(cent_rows)
+    assign = emb.filter(~is_query).select(
+        "vec_id",
+        "label",
+        "embedding",
+        cell.alias("cell_id"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    probe_cells = F.expr(
+        "transform(slice(array_sort(array("
+        + ",".join(
+            "named_struct('nc', -round("
+            + _cos_expr_sql(
+                "qv", tuple(float(v) for v in r["embedding"])
+            )
+            + f", 6), 'cell_id', {int(r['cell_id'])})"
+            for r in cent_rows
+        )
+        + f")), 1, {IVF_NPROBE}), s -> s.cell_id)"
+    )
+    probe = (
+        emb.filter(is_query)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(probe_cells).alias("cell_id"),
+        )
+    )
+    scored = assign.join(F.broadcast(probe), "cell_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        "cell_id",
+        F.round(
+            dot(F.col("embedding"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_JOIN_K)
+        .select("query_id", "vec_id", "label", "cell_id", "cos_sim", "rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Trained-quantizer IVF: same search as q_ann_ivf but over centroids a
 # real training run produced (spherical k-means, train_ivf_centroids),
@@ -731,11 +870,6 @@ def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against brute force).
 # --------------------------------------------------------------------------
 
-_IVF_FIXTURE = str(
-    Path(__file__).resolve().parents[2]
-    / "fixtures"
-    / "ivf_centroids.parquet"
-)
 
 
 @query(

@@ -885,3 +885,49 @@ def test_ann_trained_quantizer_fixture_and_recall(spark):
     )
     got = {r["vec_id"] for r in q_ann_ivf_trained(spark, SF_DIR).collect()}
     assert len(got & truth) / 10 >= 0.3, sorted(got & truth)
+
+
+def test_ann_trained_join_recall_vs_exact_per_query(spark):
+    """q_ann_ivf_trained_join quality gate: per-query recall@k against
+    the exact top-k over the same corpus exclusion, with the LSH-tier
+    mean floor (near-uniform corpus; nprobe=2 of 8 trained cells)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        q_ann_ivf_trained_join,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_q = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    queries = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(is_q).collect()
+    }
+    corpus = emb.filter(~is_q)
+    truth = {}
+    for qid, qv in queries.items():
+        arr = F.array(*[F.lit(float(v)) for v in qv])
+        top = (
+            corpus.select(
+                "vec_id",
+                cosine_similarity(F.col("embedding"), arr).alias("c"),
+            )
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(ANN_JOIN_K)
+            .collect()
+        )
+        truth[qid] = {r["vec_id"] for r in top}
+
+    got: dict[int, set] = {}
+    for r in q_ann_ivf_trained_join(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = {q: len(got.get(q, set()) & t) / ANN_JOIN_K for q, t in truth.items()}
+    mean = sum(recalls.values()) / len(recalls)
+    assert mean >= 0.3, recalls
