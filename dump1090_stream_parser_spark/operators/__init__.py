@@ -27,6 +27,7 @@ from . import basket  # noqa: F401
 from . import sequence  # noqa: F401
 from . import skyline  # noqa: F401
 from . import cdc  # noqa: F401
+from . import spatial  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -43,6 +44,24 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-10 mid-round wave: four new operators built this
+    # session (q_spatial_join, q_pagerank, q_chi2, q_pq_encode) enter
+    # the window immediately (no registry entry waits a round for its
+    # first driver row); four multi-green incumbents park to fund the
+    # slots, and the fifth slot swap re-enters q_token_count -- the
+    # oldest-aged parked entry (last green r1) -- keeping the drain
+    # invariant satisfied as the tail grows past the next quota step.
+    "q_contamination_bloom": (
+        "rotated OUT round 10 mid-round wave (green driver rows"
+        " r4+r5+r6+r7+r8+r9 -- six consecutive -- pipeline_ops'"
+        " bloom-gate block untouched this round): the Bloom-prefilter"
+        " capability is held in-window by q_dup_spans_bloom (the same"
+        " fixed-size bitmap broadcast ahead of a join-back, re-earning"
+        " its row on the round-10 plan); the asymmetric"
+        " eval-set-sized-filter crossover stays measured in"
+        " docs/SCALE.md and re-proven every round by the local parity"
+        " gate"
+    ),
     # ---- round-10 green-age rotation (VERDICT r9 ask #2): the window
     # reserves its rotation quota (ceil(tail/5) = 19 slots) for the
     # OLDEST-aged parked entries -- the 14 whose last driver row was
