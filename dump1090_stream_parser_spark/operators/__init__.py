@@ -28,6 +28,7 @@ from . import sequence  # noqa: F401
 from . import skyline  # noqa: F401
 from . import cdc  # noqa: F401
 from . import spatial  # noqa: F401
+from . import graph  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 
@@ -51,6 +52,18 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # slots, and the fifth slot swap re-enters q_token_count -- the
     # oldest-aged parked entry (last green r1) -- keeping the drain
     # invariant satisfied as the tail grows past the next quota step.
+    "q_multimodal_resize": (
+        "rotated OUT round 10 mid-round wave (green driver rows"
+        " r6+r7+r8+r9 -- four consecutive -- multimodal.py untouched"
+        " this session): the Arrow-tier mapInPandas decode/transform"
+        " capability is held in-window by q_multimodal_meta (the same"
+        " binary-column batch plumbing, itself draining its green"
+        " age); the r9 VERDICT watch item on this family"
+        " (q_multimodal_features' box-epoch slowdown) was re-profiled"
+        " standalone this round -- see the round-10 ledger; re-proven"
+        " every round by the local parity gate and the value-exact"
+        " codec unit tests"
+    ),
     "q_contamination_bloom": (
         "rotated OUT round 10 mid-round wave (green driver rows"
         " r4+r5+r6+r7+r8+r9 -- six consecutive -- pipeline_ops'"
