@@ -52,6 +52,17 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # slots, and the fifth slot swap re-enters q_token_count -- the
     # oldest-aged parked entry (last green r1) -- keeping the drain
     # invariant satisfied as the tail grows past the next quota step.
+    "q_ann_ivf_join": (
+        "rotated OUT round 10 mid-round wave (green driver rows"
+        " r7+r8+r9 -- three consecutive -- its similarity.py block"
+        " untouched this session): the batch IVF probe-join capability"
+        " is held in-window by q_ann_ivf_trained_join, which runs the"
+        " VERBATIM plan shape (broadcast-hash equi-join on cell_id,"
+        " in-plan probe ranking, partial WindowGroupLimit) over the"
+        " persisted trained quantizer -- the production form of the"
+        " same search; recall floors stay gated by tests/test_approx.py"
+        " and re-proven every round by the local parity gate"
+    ),
     "q_multimodal_resize": (
         "rotated OUT round 10 mid-round wave (green driver rows"
         " r6+r7+r8+r9 -- four consecutive -- multimodal.py untouched"

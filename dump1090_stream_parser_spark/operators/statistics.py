@@ -1782,3 +1782,165 @@ def q_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.expr(_HILL_ALPHA), 6).alias("tail_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (SURVEY.md §2 statistics tier): the
+# categorical-association companion to q_mutual_info (information units)
+# and q_abtest (two-sample z) -- the test a curation pipeline runs to ask
+# "is this metadata column independent of that one" with a classical
+# significance statistic. Same physical discipline as q_mutual_info:
+# everything data-proportional is ONE hash aggregation to domain-sized
+# integer cells; the float reduction folds value-sorted terms.
+# --------------------------------------------------------------------------
+
+#: Per-grid-cell chi-square contribution over (c, n, rm, cm):
+#: (o - e)^2 / e with e = rm*cm/n, cleared of the division as
+#: (c*n - rm*cm)^2 / (n*rm*cm). Products run in double: identical
+#: int64 inputs cast identically in both engines, so the doubles (and
+#: the round(6) hash) agree at any scale; the products are also EXACT
+#: below 2^53 (c*n here peaks ~3.6e9 at sf0.1), past which the
+#: statistic keeps cross-engine parity but carries ~1-ulp float error.
+_CHI2_TERM = (
+    "((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))"
+    " * (CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)))"
+    " / (CAST(n AS DOUBLE) * CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))"
+)
+
+
+@query(
+    "q_chi2",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    rmarg AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS rm
+              FROM cells GROUP BY 1),
+    cmarg AS (SELECT st, CAST(SUM(c) AS BIGINT) AS cm
+              FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rmarg) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cmarg) AS cc
+    ),
+    grid AS (
+      SELECT rmarg.pr, cmarg.st, rmarg.rm, cmarg.cm,
+             COALESCE(cells.c, 0) AS c
+      FROM rmarg CROSS JOIN cmarg
+      LEFT JOIN cells
+        ON cells.pr = rmarg.pr AND cells.st = cmarg.st
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(
+                 0.0, list({_CHI2_TERM} ORDER BY pr, st)),
+               (a, x) -> a + x) AS chi2
+      FROM (SELECT g.*, tot.n FROM grid g CROSS JOIN tot)
+    )
+    SELECT tot.n AS n_rows, dims.r AS n_levels_a, dims.cc AS n_levels_b,
+           (dims.r - 1) * (dims.cc - 1) AS dof,
+           ROUND(folded.chi2, 6) AS chi2,
+           ROUND(sqrt(folded.chi2
+                      / (CAST(tot.n AS DOUBLE)
+                         * least(dims.r - 1, dims.cc - 1))), 6)
+             AS cramers_v
+    FROM tot, dims, folded
+    """,
+)
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status, with Cramer's V effect size -- the classical
+    categorical-association gate (q_mutual_info measures the same
+    dependence in nats; chi2 is what a significance-threshold pipeline
+    step consumes).
+
+    The full r x c grid INCLUDING empty observed cells contributes
+    (expected counts are positive wherever both marginals are), so the
+    grid is the cross join of the two domain-sized marginal frames
+    with observed cells LEFT-joined on -- never a corpus pass: the
+    corpus collapses to |priority| x |status| integer cells in one
+    partial+final hash aggregation and everything downstream is
+    domain-sized (the q_mutual_info discipline). The single float
+    reduction folds grid terms in (pr, st) order from a 0.0 seed with
+    the term text shared verbatim with the oracle (_CHI2_TERM), so the
+    round(6) doubles hash-compare.
+
+    Scale: post-cells cost is fixed by the two domains; marginal
+    joins and the 1-row n/dims attachments are broadcast by
+    construction. tests/test_statistics.py recomputes the statistic in
+    pure Python (third engine) and pins chi2 >= 0 and
+    0 <= cramers_v <= 1."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rmarg = (
+        cells.groupBy("pr")
+        .agg(F.sum("c").alias("rm"))
+        .localCheckpoint(eager=False)
+    )
+    cmarg = (
+        cells.groupBy("st")
+        .agg(F.sum("c").alias("cm"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("c").alias("n")).localCheckpoint(eager=False)
+    dims = (
+        rmarg.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(cmarg.agg(F.count(F.lit(1)).alias("cc")))
+        .localCheckpoint(eager=False)
+    )
+    grid = (
+        rmarg.crossJoin(cmarg)
+        .join(cells, ["pr", "st"], "left")
+        .select(
+            "pr", "st", "rm", "cm",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    folded = (
+        grid.crossJoin(F.broadcast(tot))
+        .select("pr", "st", F.expr(_CHI2_TERM).alias("t"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pr", "st", "t"))
+                    ),
+                    lambda e: e["t"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("chi2")
+        )
+    )
+    return (
+        tot.crossJoin(dims)
+        .crossJoin(folded)
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("r").alias("n_levels_a"),
+            F.col("cc").alias("n_levels_b"),
+            ((F.col("r") - 1) * (F.col("cc") - 1)).alias("dof"),
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("cc") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -558,3 +558,44 @@ def test_hill_matches_python(spark):
             g["tail_index"], HILL_K / s, rel_tol=1e-6, abs_tol=5.01e-7
         )
         assert g["tail_index"] > 0
+
+
+def test_chi2_third_engine(spark):
+    """Recompute the chi-square statistic in pure Python from the raw
+    contingency table (third engine) and pin the bounds."""
+    import math
+    from collections import Counter
+
+    from dump1090_stream_parser_spark.operators.statistics import q_chi2
+
+    row = q_chi2(spark, SF_DIR).collect()
+    assert len(row) == 1
+    got = row[0]
+
+    raw = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    cells = Counter((r[0], r[1]) for r in raw)
+    n = sum(cells.values())
+    rs = Counter()
+    cs = Counter()
+    for (a, b), c in cells.items():
+        rs[a] += c
+        cs[b] += c
+    chi2 = 0.0
+    for a in rs:
+        for b in cs:
+            o = cells.get((a, b), 0)
+            e = rs[a] * cs[b] / n
+            chi2 += (o - e) ** 2 / e
+    assert got["n_rows"] == n
+    assert got["n_levels_a"] == len(rs)
+    assert got["n_levels_b"] == len(cs)
+    assert got["dof"] == (len(rs) - 1) * (len(cs) - 1)
+    assert math.isclose(got["chi2"], chi2, rel_tol=1e-9, abs_tol=1e-5)
+    assert got["chi2"] >= 0
+    assert 0.0 <= got["cramers_v"] <= 1.0
+    v = math.sqrt(chi2 / (n * min(len(rs) - 1, len(cs) - 1)))
+    assert math.isclose(got["cramers_v"], v, rel_tol=1e-6, abs_tol=5.01e-7)
