@@ -75,6 +75,17 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " every round by the local parity gate and the value-exact"
         " codec unit tests"
     ),
+    "q_near_dedup_embedding_lsh": (
+        "rotated OUT round 10 mid-round wave (green driver rows"
+        " r6+r7+r8+r9 -- four consecutive -- its similarity.py block"
+        " untouched this session): the banded hyperplane-LSH bucket"
+        " join is held in-window by q_dedup_clusters_lsh, whose pair"
+        " stage IS this query's bucket-keyed self-join (first-agreeing"
+        "-band emission and all), extended with the component fold;"
+        " the embsweep blocking measurements stay recorded in"
+        " docs/SCALE.md and re-proven every round by the local parity"
+        " gate"
+    ),
     "q_contamination_bloom": (
         "rotated OUT round 10 mid-round wave (green driver rows"
         " r4+r5+r6+r7+r8+r9 -- six consecutive -- pipeline_ops'"
@@ -917,11 +928,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " date_trunc bucket agg is contained verbatim in in-window"
         " q_gapfill (same bucketing plus the spine join)"
     ),
-    "q_token_count": (
-        "rotated OUT round 4 (green driver rows r1+r3): its tokenize ->"
-        " count pipeline is the first stage of in-window q_bm25;"
-        " token statistics also held in-window by q_quality_filter and"
-        " q_lm_score (per-doc bigram aggregation)"
+    # q_token_count re-entered the window mid-round 10: the OLDEST
+    # green age in the registry (last driver row r3), funded by
+    # q_lm_score's park below -- the age-rotation drain continuing at
+    # the quota the guard enforces as the tail grows past 95.
+    "q_lm_score": (
+        "rotated OUT round 10 mid-round wave (green driver rows"
+        " r6+r7+r8+r9 -- four consecutive -- text.py's LM block"
+        " untouched this session): the n-gram language-model scoring"
+        " tier is held in-window by q_pmi (the same bigram/unigram"
+        " association fold over shared gram streams) and q_text_entropy"
+        " (the same shared-ln float discipline per document); its"
+        " window slot funds the re-entry of q_token_count, the oldest"
+        " green age in the registry; re-proven every round by the"
+        " local parity gate"
     ),
     "q_length_hist": (
         "rotated OUT round 4 (green driver rows r1+r3): width-bucket"

@@ -1933,3 +1933,135 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.select(
         "vec_id", F.posexplode("_y").alias("out_dim", "y")
     ).orderBy("vec_id", "out_dim")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (the billion-scale ANN memory path): split the
+# embedding into PQ_M contiguous subspaces and snap each to its nearest
+# codeword from a TRAINED per-subspace codebook, so a 64-dim float
+# vector stores as PQ_M uint8 codes -- 256 bytes -> 4 (64x) -- while
+# asymmetric-distance search scans codes against per-query lookup
+# tables. Completes the quantization family: q_quantize_embeddings
+# (scalar), q_ann_ivf_trained (coarse cells), and this (residual-free
+# PQ codes over the same shipped-artifact contract).
+# --------------------------------------------------------------------------
+
+#: PQ geometry: PQ_M subspaces x PQ_DSUB dims, PQ_KSUB codes each.
+PQ_M = 4
+PQ_DSUB = 16
+PQ_KSUB = 16
+
+#: The persisted PQ codebook both engines read
+#: (tools/train_quantizer.py pq; committed so the k-means float sums
+#: can never drift).
+_PQ_FIXTURE = str(
+    Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "pq_codebook.parquet"
+)
+
+#: Shared per-element squared-difference fold (index order, 0.0 seed):
+#: the embedding elements are float32 promoted to double identically in
+#: both engines, the codeword elements are the fixture's doubles, so
+#: every term and the fold sum are bit-identical.
+_PQ_D2_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}),"
+    " i -> (CAST(e.embedding[cb.m * {d} + i] AS DOUBLE) - cb.cv[i])"
+    " * (CAST(e.embedding[cb.m * {d} + i] AS DOUBLE) - cb.cv[i]))),"
+    " (a, t) -> a + t)"
+).format(n=PQ_DSUB + 1, d=PQ_DSUB)
+
+
+def _pq_code_expr(m: int, codewords: list[tuple[int, tuple[float, ...]]]):
+    """Nearest-codeword struct for subspace ``m`` as ONE parsed
+    expression: least() over per-code named_structs of (round(d2, 6),
+    code_id), mirroring the oracle's row_number ORDER BY d, code_id
+    tie-break (the _nearest_cell_expr discipline). The squared
+    distance is an index-ordered aggregate fold over
+    zip_with(slice(embedding), literal codeword), 0.0-seeded -- the
+    same float op sequence as the oracle's list_reduce."""
+    structs = []
+    for code_id, cv in codewords:
+        lits = ",".join(repr(float(v)) + "D" for v in cv)
+        d2 = (
+            f"aggregate(zip_with(slice(embedding, {m * PQ_DSUB + 1},"
+            f" {PQ_DSUB}), array({lits}),"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0D, (a, t) -> a + t)"
+        )
+        structs.append(
+            f"named_struct('d', round({d2}, 6), 'code_id', {code_id})"
+        )
+    return F.expr(
+        f"named_struct('m', {m}, 'best', least(" + ",".join(structs) + "))"
+    )
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+    WITH cb AS (
+      SELECT m, code_id, cv FROM read_parquet('{_PQ_FIXTURE}')
+    ),
+    d AS (
+      SELECT e.vec_id, cb.m, cb.code_id,
+             ROUND({_PQ_D2_DUCK}, 6) AS d
+      FROM embeddings e CROSS JOIN cb
+    )
+    SELECT vec_id, m, code_id, d AS sq_err FROM (
+      SELECT vec_id, m, code_id, d,
+             row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+      FROM d
+    ) t WHERE rn = 1
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding over the committed trained
+    codebook: one output row per (vector, subspace) with the chosen
+    code and its squared reconstruction error -- the codes table an
+    ADC search scans in place of raw embeddings.
+
+    Plan: the codebook inlines as literals (PQ_M x PQ_KSUB x PQ_DSUB
+    doubles -- bytes at any corpus scale), so encoding is a NARROW
+    shuffle-free projection: per subspace a least() over PQ_KSUB
+    (round(d2, 6), code_id) structs, then one bounded x{PQ_M} Generate
+    unpacks the per-subspace results to rows. No join, no exchange;
+    the embedding column never leaves its scan task. The oracle reads
+    the same parquet fixture (the q_ann_ivf_trained provenance
+    contract) and breaks distance ties the same way.
+
+    Exactness: module-constant discipline -- float32 elements promote
+    to double identically in both engines, codeword doubles come from
+    the shared fixture bytes, and both engines fold squared diffs in
+    index order from a 0.0 seed, so the round(6) distances and the
+    argmin hash-compare.
+
+    Scale: 64x memory compression (PQ_M bytes of codes per 64-dim
+    float32 vector) is the point -- a 100 TB embedding corpus's codes
+    fit hot storage, and the per-row cost is PQ_M * PQ_KSUB * PQ_DSUB
+    fused multiply-adds inside whole-stage codegen. Recodebooking is a
+    fixture swap: better centroids change WHICH codes rows get, never
+    what the scan costs. tests/test_pq.py pins fixture geometry,
+    full-coverage encoding, and that the trained codebook beats the
+    1-centroid baseline on reconstruction error per subspace.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        spark.read.parquet(_PQ_FIXTURE).collect(),
+        key=lambda r: (r["m"], r["code_id"]),
+    )
+    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
+    for r in cb_rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
+        )
+    subs = F.array(*[_pq_code_expr(m, by_m[m]) for m in sorted(by_m)])
+    return emb.select(
+        "vec_id", F.explode(subs).alias("e")
+    ).select(
+        "vec_id",
+        F.col("e.m").alias("m"),
+        F.col("e.best.code_id").alias("code_id"),
+        F.col("e.best.d").alias("sq_err"),
+    )
