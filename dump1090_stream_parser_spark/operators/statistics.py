@@ -1005,7 +1005,7 @@ BENFORD_P = (
 
 #: Per-digit chi-square contribution over (n_obs, n, p): (o - n*p)^2 /
 #: (n*p), one shared IEEE text.
-_CHI2_TERM = (
+_CHI2_GOF_TERM = (
     "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)"
     " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)"
     " / (CAST(n AS DOUBLE) * p)"
@@ -1128,7 +1128,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_obs").cast("double") / F.col("n").cast("double"), 6
         ).alias("observed_p"),
         F.col("p").alias("expected_p"),
-        F.round(F.expr(_CHI2_TERM), 6).alias("chi2_term"),
+        F.round(F.expr(_CHI2_GOF_TERM), 6).alias("chi2_term"),
     )
 
 
@@ -1801,7 +1801,7 @@ def q_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the round(6) hash) agree at any scale; the products are also EXACT
 #: below 2^53 (c*n here peaks ~3.6e9 at sf0.1), past which the
 #: statistic keeps cross-engine parity but carries ~1-ulp float error.
-_CHI2_TERM = (
+_CHI2_INDEP_TERM = (
     "((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
     " - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))"
     " * (CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
@@ -1837,7 +1837,7 @@ _CHI2_TERM = (
     folded AS (
       SELECT list_reduce(
                list_prepend(
-                 0.0, list({_CHI2_TERM} ORDER BY pr, st)),
+                 0.0, list({_CHI2_INDEP_TERM} ORDER BY pr, st)),
                (a, x) -> a + x) AS chi2
       FROM (SELECT g.*, tot.n FROM grid g CROSS JOIN tot)
     )
@@ -1866,7 +1866,8 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregation and everything downstream is
     domain-sized (the q_mutual_info discipline). The single float
     reduction folds grid terms in (pr, st) order from a 0.0 seed with
-    the term text shared verbatim with the oracle (_CHI2_TERM), so the
+    the term text shared verbatim with the oracle (_CHI2_INDEP_TERM),
+    so the
     round(6) doubles hash-compare.
 
     Scale: post-cells cost is fixed by the two domains; marginal
@@ -1909,7 +1910,7 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     folded = (
         grid.crossJoin(F.broadcast(tot))
-        .select("pr", "st", F.expr(_CHI2_TERM).alias("t"))
+        .select("pr", "st", F.expr(_CHI2_INDEP_TERM).alias("t"))
         .agg(
             F.aggregate(
                 F.transform(
