@@ -45,6 +45,20 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-10 fourth wave: q_ann_pq (ADC shortlist + exact
+    # re-rank over the committed PQ codebook -- the read path the
+    # q_pq_encode codes table exists for) enters the window for an
+    # immediate driver row; q_countmin funds the slot.
+    "q_countmin": (
+        "rotated OUT round 10 fourth wave (green driver rows"
+        " r7+r8+r9 -- three consecutive -- its pipeline_ops.py block"
+        " untouched this round): the mergeable-sketch tier is held"
+        " in-window by q_source_overlap_kmv (bottom-k KMV sketches"
+        " with the same rebuild-the-sketch-in-SQL oracle discipline"
+        " and exact certificate legs); the count-min grid's portable"
+        " hash family stays pinned by its own pytest error-envelope"
+        " legs and re-proven every round by the local parity gate"
+    ),
     # ---- round-10 mid-round wave: four new operators built this
     # session (q_spatial_join, q_pagerank, q_chi2, q_pq_encode) enter
     # the window immediately (no registry entry waits a round for its

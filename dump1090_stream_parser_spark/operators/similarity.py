@@ -2065,3 +2065,218 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.best.code_id").alias("code_id"),
         F.col("e.best.d").alias("sq_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# ADC search over the PQ codes -- the read path the q_pq_encode codes
+# table exists for: a query never touches raw embeddings, only the
+# PQ_M-byte codes plus a per-query lookup table of PQ_M x PQ_KSUB
+# partial inner products against the committed codebook. Completes the
+# PQ story the way q_ann_ivf_trained_join completes IVF's: encode
+# (q_pq_encode), then search the encoded artifact.
+# --------------------------------------------------------------------------
+
+#: Shared per-subspace inner-product fold (index order, 0.0 seed)
+#: between a query-vector slice and a codeword: the ADC lookup-table
+#: entry. Both engines derive it from the same fixture bytes and the
+#: same float32->double promotions, so the doubles are bit-identical.
+_PQ_IP_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}),"
+    " i -> CAST(q.qv[cb.m * {d} + i] AS DOUBLE) * cb.cv[i])),"
+    " (a, t) -> a + t)"
+).format(n=PQ_DSUB + 1, d=PQ_DSUB)
+
+
+def _pq_lut_py(qv: list[float], m: int, cv: list[float]) -> float:
+    """The oracle's _PQ_IP_DUCK fold in Python: left fold from a 0.0
+    seed over index-ordered products. CPython floats are IEEE doubles
+    with strict left-to-right evaluation, so the result is
+    bit-identical to DuckDB's list_reduce (the _cos_py precedent,
+    driver-certified since round 7)."""
+    t = 0.0
+    for i in range(PQ_DSUB):
+        t = t + float(qv[m * PQ_DSUB + i]) * float(cv[i])
+    return t
+
+
+#: ADC shortlist size: the codes-only scan keeps the top-S candidates
+#: per query, and only those S rows' raw embeddings are ever fetched
+#: for the exact re-rank. The recall/cost dial of the PQ read path.
+PQ_SHORTLIST = 64
+
+#: Shared exact inner-product fold for the re-rank leg (index order,
+#: 0.0 seed) -- the SQL twin of functions.vector.dot.
+_PQ_RERANK_IP_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}),"
+    " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),"
+    " (a, t) -> a + t)"
+).format(n=PQ_M * PQ_DSUB + 1)
+
+
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH cb AS (
+      SELECT m, code_id, cv FROM read_parquet('{_PQ_FIXTURE}')
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT e.vec_id, cb.m, cb.code_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.m
+                 ORDER BY ROUND({_PQ_D2_DUCK}, 6), cb.code_id) AS rn
+        FROM embeddings e CROSS JOIN cb
+        WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+    ),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.code_id,
+             {_PQ_IP_DUCK} AS part
+      FROM q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT c.vec_id, l.query_id,
+             ROUND(list_reduce(
+               list_prepend(0.0, list(l.part ORDER BY l.m)),
+               (a, t) -> a + t), 6) AS adc
+      FROM codes c
+      JOIN lut l ON l.m = c.m AND l.code_id = c.code_id
+      GROUP BY c.vec_id, l.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, adc FROM (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc DESC, vec_id) AS srn
+        FROM scored
+      ) t WHERE srn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.vec_id, s.adc,
+             ROUND({_PQ_RERANK_IP_DUCK}, 6) AS ip
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, adc, ip, rn FROM (
+      SELECT query_id, vec_id, adc, ip,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ip DESC, vec_id) AS rn
+      FROM rer
+    ) t WHERE rn <= {ANN_JOIN_K}
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ read path, complete: ADC shortlist over codes, exact re-rank
+    over raw vectors. The same query table as q_ann_ivf_join is ranked
+    against the corpus by approximate inner product computed from PQ_M
+    codes and per-query lookup tables against the committed codebook;
+    the top-PQ_SHORTLIST candidates per query -- and ONLY those -- get
+    their raw embeddings fetched for an exact inner-product re-rank
+    that emits the final top-k. This two-stage shape is the production
+    PQ pipeline: the corpus scan never touches floats, and float
+    fetches are bounded at |Q| * PQ_SHORTLIST rows regardless of
+    corpus size.
+
+    Plan: the corpus side is the q_pq_encode narrow projection kept
+    COLUMNAR (one code column per subspace -- no Generate), and each
+    query's lookup table inlines as PQ_M element_at()s over
+    PQ_KSUB-literal arrays, so ADC-scoring all queries is one
+    shuffle-free projection over the codes scan: per row, PQ_M * |Q|
+    array indexings and a seeded PQ_M-term fold (left-to-right,
+    matching the oracle's ordered list_reduce). The shortlist rank is
+    the plan's only data-proportional exchange, entered by narrow
+    (query_id, vec_id, adc) tuples with a partial WindowGroupLimit
+    capping each task at |Q| * PQ_SHORTLIST rows. The re-rank is a
+    broadcast join of that bounded shortlist back to the embeddings
+    scan plus a |Q|-row broadcast for the query vectors; the exact dot
+    product is the functions.vector.dot fold, shared as text with the
+    oracle. Lookup-table doubles are computed driver-side in Python
+    with the identical index-ordered 0.0-seeded fold as the oracle's
+    SQL (_pq_lut_py), the proven _cos_py inlining discipline.
+
+    Scale: this is the billion-vector read path -- the scan touches
+    PQ_M bytes per vector instead of PQ_M * PQ_DSUB floats (64x), the
+    lookup tables are |Q| * PQ_M * PQ_KSUB doubles of driver-side
+    bytes at any corpus size, and recall is a (codebook, PQ_SHORTLIST)
+    dial gated against exact search in tests/test_pq.py (the corpus is
+    near-uniform -- the hardest ANN regime -- so the floor is modest
+    but 2-3x the random-shortlist baseline). Composes with the IVF
+    layout: cell-prune first, ADC-scan the survivors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        spark.read.parquet(_PQ_FIXTURE).collect(),
+        key=lambda r: (r["m"], r["code_id"]),
+    )
+    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
+    for r in cb_rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
+        )
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    q_rows = sorted(
+        emb.filter(is_query).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # Corpus codes, columnar: each subspace's nearest-code expression
+    # only evaluates ITS PQ_KSUB codewords (no shared-array indexing,
+    # no duplicated subexpressions across columns).
+    corpus = emb.filter(~is_query).select(
+        "vec_id",
+        *[
+            _pq_code_expr(m, by_m[m])["best"]["code_id"].alias(f"c{m}")
+            for m in sorted(by_m)
+        ],
+    )
+    # Per-query ADC score: fold the PQ_M table lookups in subspace
+    # order from a 0D seed -- the oracle's list_reduce shape.
+    per_q = []
+    for qr in q_rows:
+        qv = [float(v) for v in qr["embedding"]]
+        terms = []
+        for m in sorted(by_m):
+            lits = ",".join(
+                repr(_pq_lut_py(qv, m, list(cv))) + "D"
+                for _, cv in by_m[m]
+            )
+            terms.append(f"element_at(array({lits}), c{m} + 1)")
+        per_q.append(
+            f"named_struct('query_id', CAST({int(qr['vec_id'])} AS BIGINT),"
+            f" 'adc', round(aggregate(array({','.join(terms)}), 0D,"
+            " (a, x) -> a + x), 6))"
+        )
+    cand = corpus.select(
+        "vec_id", F.explode(F.expr("array(" + ",".join(per_q) + ")")).alias("s")
+    ).select(F.col("s.query_id").alias("query_id"), "vec_id", F.col("s.adc").alias("adc"))
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc")
+    )
+    qtab = emb.filter(is_query).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rer = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qtab), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc",
+            F.round(dot(F.col("embedding"), F.col("qv")), 6).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_JOIN_K)
+        .select("query_id", "vec_id", "adc", "ip", "rn")
+    )

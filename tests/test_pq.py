@@ -87,3 +87,49 @@ def test_pq_encode_plan_is_narrow(spark):
     assert plan.count(") Exchange") == 0, plan
     assert "Join" not in plan, plan
     assert plan.count(") Generate") == 1, plan
+
+
+def test_ann_pq_recall_vs_exact_and_shape(spark):
+    """q_ann_pq quality + contract: (1) exactly ANN_JOIN_K ranked rows
+    per query with rn dense from 1; (2) the re-rank leg's ip is the
+    true inner product (numpy-checked within fp tolerance); (3) mean
+    recall@k against exact full-scan inner-product search clears a
+    floor ~2x the random-shortlist baseline (PQ_SHORTLIST/corpus ~13%
+    at this SF, so random recall ~0.13; the corpus is near-uniform,
+    the hardest ANN regime)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        q_ann_pq,
+    )
+
+    rows = q_ann_pq(spark, SF_DIR).collect()
+    emb = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    qmask = (ids >= ANN_JOIN_Q_LO) & (ids <= ANN_JOIN_Q_HI)
+    QI, Q = ids[qmask], X[qmask]
+    CI, C = ids[~qmask], X[~qmask]
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(QI.tolist())
+    recalls = []
+    for qi, qv in zip(QI, Q):
+        got = sorted(by_q[qi], key=lambda r: r["rn"])
+        assert [r["rn"] for r in got] == list(range(1, ANN_JOIN_K + 1))
+        ip = C @ qv
+        lookup = dict(zip(CI.tolist(), ip))
+        for r in got:
+            assert abs(r["ip"] - lookup[r["vec_id"]]) < 1e-5, r
+        exact = set(CI[np.argsort(-ip, kind="stable")][:ANN_JOIN_K])
+        recalls.append(
+            len(exact & {r["vec_id"] for r in got}) / ANN_JOIN_K
+        )
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
