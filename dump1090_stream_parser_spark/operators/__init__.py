@@ -59,6 +59,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 fifth wave: q_mann_whitney (tie-corrected rank-sum
+    # test over the q_ks_test count-collapse machinery) enters the
+    # window for an immediate driver row; q_weighted_sample funds it.
+    "q_weighted_sample": (
+        "rotated OUT round 10 fifth wave (green driver rows r7+r8+r9"
+        " -- three consecutive -- its pipeline_ops.py block untouched"
+        " this round): the Efraimidis-Spirakis priority-sampling"
+        " plan's portable-hash key tier is held in-window by"
+        " q_source_overlap_kmv (the same portable unit-float hash"
+        " family driving its bottom-k selection); the deterministic"
+        " bias pytest and the streaming twin's bit-equality tests"
+        " keep the sampler itself pinned, and the local parity gate"
+        " re-proves it every round"
+    ),
     # ---- round-10 mid-round wave: four new operators built this
     # session (q_spatial_join, q_pagerank, q_chi2, q_pq_encode) enter
     # the window immediately (no registry entry waits a round for its

@@ -1945,3 +1945,194 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum): the nonparametric location test
+# between cohorts -- the rank-based companion to q_ks_test (same
+# count-collapse + pair machinery; KS asks "did the SHAPE shift", this
+# asks "did one cohort stochastically dominate"), robust where
+# q_abtest's z assumes a proportion and the t-family assumes moments.
+# Exact integer sufficient statistics: 2*U1 and the tie-correction sum
+# never touch floats; the z closed form is one shared IEEE text.
+# --------------------------------------------------------------------------
+
+#: Two-sided 5% normal critical value for the rank-sum z.
+MW_Z_CRIT = 1.96
+
+#: Normal-approximation z over the integer sufficient statistics
+#: (u2 = 2*U1, ts = sum(t^3 - t) over tie groups): numerator
+#: (2*U1 - n1*n2)/2, variance n1*n2/12 * ((N+1) - ts/(N*(N-1))).
+#: One shared IEEE text over exact integers cast once.
+_MW_Z = (
+    "(CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " / (2.0 * sqrt("
+    "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+    " * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)"
+    " - CAST(ts AS DOUBLE)"
+    " / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))))"
+)
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    nt AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+    pairs AS (
+      SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2
+      FROM nt a JOIN nt b ON a.grp < b.grp
+    ),
+    m AS (
+      SELECT p.g1, p.g2, c.v, c.cnt AS c1, CAST(0 AS BIGINT) AS c2
+      FROM pairs p JOIN c ON c.grp = p.g1
+      UNION ALL
+      SELECT p.g1, p.g2, c.v, CAST(0 AS BIGINT) AS c1, c.cnt AS c2
+      FROM pairs p JOIN c ON c.grp = p.g2
+    ),
+    u AS (
+      SELECT g1, g2, v,
+             CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(c2) AS BIGINT) AS c2
+      FROM m GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT g1, g2, v, c1, c2,
+             COALESCE(SUM(c2) OVER (
+               PARTITION BY g1, g2 ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS cb2
+      FROM u
+    ),
+    s AS (
+      SELECT g1, g2,
+             SUM(CAST(c1 AS HUGEINT)
+                 * (2 * CAST(cb2 AS HUGEINT) + c2)) AS u2,
+             SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                 - (c1 + c2)) AS ts
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT s.g1 AS grp1, s.g2 AS grp2, p.n1, p.n2,
+           CAST(s.u2 AS DOUBLE) / 2.0 AS u1,
+           ROUND({_MW_Z}, 6) AS z,
+           (abs({_MW_Z}) > {MW_Z_CRIT}) AS significant
+    FROM s JOIN pairs p ON p.g1 = s.g1 AND p.g2 = s.g2
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Mann-Whitney U tests between order priority cohorts on
+    the total-price distribution: U1 (pairs where cohort 1 exceeds
+    cohort 2, ties at half weight), the tie-corrected normal z, and
+    the 5% two-sided verdict.
+
+    Integer-exact sufficient statistics over the q_ks_test machinery:
+    the corpus collapses once to (cohort, DISTINCT cent-price, count)
+    rows, both cohorts' counts stack onto the union value grid per
+    pair, and ONE per-pair window pass supplies the exclusive
+    cumulative opponent count cb2. Then 2*U1 = sum(c1*(2*cb2 + c2))
+    and the tie sum ts = sum(t^3 - t) are exact integer aggregations
+    -- decimal(38,0) in Spark, HUGEINT in DuckDB, exact to cohort
+    sizes of 1e18 (the factor-width bound is documented at the cast
+    site). Floats appear only in the z closed form, one shared IEEE
+    text over doubles cast once, so z AND the significance boolean
+    agree bitwise (the q_abtest discipline).
+
+    Scale: identical posture to q_ks_test -- post-collapse cost is
+    |pairs| x |distinct values|, independent of row count; the window
+    scans distinct values only; everything after is |pairs| rows.
+    Where a t-test needs moments and q_abtest a proportion, this ranks
+    -- the robust default for skewed spend/length/latency comparisons.
+
+    tests/test_statistics.py recomputes U and the tie-corrected z in
+    pure Python (third-engine check) and pins the U1 + U2 = n1*n2
+    identity over the per-value count grid at the test SF.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    nt = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    a, b = nt.alias("a"), nt.alias("b")
+    pairs = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("g1"),
+            F.col("b.grp").alias("g2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sides = pairs.select("g1", "g2")
+    m = (
+        c.join(F.broadcast(sides), c["grp"] == sides["g1"])
+        .select(
+            "g1", "g2", "v",
+            F.col("cnt").alias("c1"),
+            F.lit(0).cast("long").alias("c2"),
+        )
+        .unionAll(
+            c.join(F.broadcast(sides), c["grp"] == sides["g2"]).select(
+                "g1", "g2", "v",
+                F.lit(0).cast("long").alias("c1"),
+                F.col("cnt").alias("c2"),
+            )
+        )
+    )
+    u = m.groupBy("g1", "g2", "v").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    wb = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = u.select(
+        "g1", "g2", "v", "c1", "c2",
+        F.coalesce(F.sum("c2").over(wb), F.lit(0).cast("long")).alias(
+            "cb2"
+        ),
+    )
+    # Exact products: c1 <= N fits decimal(18,0) to N < 1e18;
+    # (2*cb2 + c2) <= 2N computes in long (exact to N < 2^62) and
+    # widens to decimal(19,0); the product is decimal(38,0) -- the
+    # q_winsorize/ks_pairs discipline (DuckDB promotes to HUGEINT).
+    # The tie cube bounds t < 1e12 per distinct value (t^3 < 1e36).
+    t = F.col("c1") + F.col("c2")
+    s = cum.groupBy("g1", "g2").agg(
+        F.sum(
+            F.col("c1").cast("decimal(18,0)")
+            * (F.lit(2) * F.col("cb2") + F.col("c2")).cast("decimal(19,0)")
+        ).alias("u2"),
+        F.sum(
+            t.cast("decimal(12,0)")
+            * t.cast("decimal(12,0)")
+            * t.cast("decimal(12,0)")
+            - t.cast("decimal(38,0)")
+        ).alias("ts"),
+    )
+    return s.join(F.broadcast(pairs), ["g1", "g2"]).select(
+        F.col("g1").alias("grp1"),
+        F.col("g2").alias("grp2"),
+        "n1",
+        "n2",
+        (F.col("u2").cast("double") / 2.0).alias("u1"),
+        F.round(F.expr(_MW_Z), 6).alias("z"),
+        (F.abs(F.expr(_MW_Z)) > MW_Z_CRIT).alias("significant"),
+    )

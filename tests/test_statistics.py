@@ -599,3 +599,72 @@ def test_chi2_third_engine(spark):
     assert 0.0 <= got["cramers_v"] <= 1.0
     v = math.sqrt(chi2 / (n * min(len(rs) - 1, len(cs) - 1)))
     assert math.isclose(got["cramers_v"], v, rel_tol=1e-6, abs_tol=5.01e-7)
+
+
+def test_mann_whitney_matches_python(spark):
+    """Third-engine recomputation of U1, the tie-corrected z and the
+    verdict, plus the U1 + U2 = n1*n2 identity (computing U2 by
+    swapping cohort roles must complement U1 exactly, half-ties and
+    all)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        MW_Z_CRIT,
+        q_mann_whitney,
+    )
+
+    got = {
+        (r["grp1"], r["grp2"]): r
+        for r in q_mann_whitney(spark, SF_DIR).collect()
+    }
+    assert got, "cohort pairs expected"
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r["o_orderpriority"]].append(round(r["o_totalprice"] * 100))
+    groups = sorted(by_g)
+    assert got.keys() == {
+        (a, b) for i, a in enumerate(groups) for b in groups[i + 1:]
+    }
+
+    def u2_of(va, vb):  # 2*U(a over b): wins*2 + ties
+        cb = Counter(vb)
+        grid = sorted(cb)
+        cum = 0
+        below = {}
+        for v in grid:
+            below[v] = cum
+            cum += cb[v]
+        import bisect
+
+        u2 = 0
+        for x in va:
+            i = bisect.bisect_left(grid, x)
+            if i < len(grid) and grid[i] == x:
+                u2 += 2 * below[x] + cb[x]
+            else:
+                wins = sum(cb[v] for v in grid[:i])
+                u2 += 2 * wins
+        return u2
+
+    for (g1, g2), r in got.items():
+        v1, v2 = by_g[g1], by_g[g2]
+        n1, n2 = len(v1), len(v2)
+        u2 = u2_of(v1, v2)
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert math.isclose(r["u1"], u2 / 2.0, rel_tol=1e-12)
+        # complement identity: U1 + U2 = n1*n2 (in 2x units)
+        assert u2 + u2_of(v2, v1) == 2 * n1 * n2
+        tie = Counter(v1)
+        tie.update(v2)
+        ts = sum(t**3 - t for t in tie.values())
+        nn = n1 + n2
+        var = n1 * n2 / 12.0 * ((nn + 1.0) - ts / (nn * (nn - 1.0)))
+        z = (u2 - n1 * n2) / (2.0 * math.sqrt(var))
+        assert math.isclose(r["z"], z, rel_tol=0, abs_tol=5.01e-7)
+        assert r["significant"] == (abs(z) > MW_Z_CRIT)
