@@ -59,6 +59,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 sixth wave: q_compaction_plan (metadata-plane
+    # small-file bin packing -- the table-maintenance planner) enters
+    # the window for an immediate driver row; q_triangles funds it.
+    "q_triangles": (
+        "rotated OUT round 10 sixth wave (green driver rows r8+r9 --"
+        " two consecutive on the degree-oriented plan -- its basket.py"
+        " block untouched this round): the graph-analytics tier is"
+        " held in-window by q_pagerank (fixed-point iterative message"
+        " passing over the same trade graph) and q_dedup_clusters_lsh"
+        " (pointer-jumping components); the trisweep orientation"
+        " measurements stay recorded in docs/SCALE.md and the wedge"
+        " algebra stays pinned by tests/test_basket.py, re-proven"
+        " every round by the local parity gate"
+    ),
     # ---- round-10 fifth wave: q_mann_whitney (tie-corrected rank-sum
     # test over the q_ks_test count-collapse machinery) enters the
     # window for an immediate driver row; q_weighted_sample funds it.

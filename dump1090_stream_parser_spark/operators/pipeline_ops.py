@@ -1552,3 +1552,113 @@ def q_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return dense_index(docs, "doc_id", n_parts=8)
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner: the table-maintenance operator every
+# long-lived 100 TB table needs (Delta OPTIMIZE / Iceberg rewrite_data_
+# _files plan in miniature). Given a fragment inventory -- here derived
+# from the events table at (day, hour) grain; in production the
+# transaction log's file statistics -- assign fragments to output bins
+# by deterministic largest-first sequential packing toward a target
+# size, per table partition. Pure integer arithmetic end to end.
+# --------------------------------------------------------------------------
+
+#: Target rows per compacted output file (the OPTIMIZE file-size dial,
+#: row-denominated here because the inventory carries row counts).
+COMPACT_TARGET_ROWS = 256
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS size_rows
+      FROM events GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT d, hr, size_rows,
+             CAST(COALESCE(SUM(size_rows) OVER (
+               PARTITION BY d ORDER BY size_rows DESC, hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS BIGINT)
+               // {COMPACT_TARGET_ROWS} AS out_bin
+      FROM inv
+    )
+    SELECT d, hr, size_rows, out_bin,
+           CAST(SUM(size_rows) OVER wb AS BIGINT) AS bin_rows,
+           CAST(COUNT(*) OVER wb AS BIGINT) AS bin_frags
+    FROM packed
+    WINDOW wb AS (PARTITION BY d, out_bin)
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over a fragment inventory: per table partition
+    (event day), assign each fragment (hour grain) to an output bin by
+    largest-first sequential packing toward COMPACT_TARGET_ROWS, and
+    report each bin's total rows and fragment count -- the plan a
+    rewrite job executes as one repartition-and-write per bin.
+
+    The packing rule is exclusive-cumulative-sum bucketing: fragments
+    order (size DESC, hr) within their partition -- a total order, so
+    the plan is a pure function of the inventory -- and a fragment
+    lands in bin floor(cum_before / target). Integer end to end
+    (integer division, not float floor: CAST(double AS BIGINT) rounds
+    in DuckDB but truncates in Spark -- the exact cross-engine trap
+    this engine quarantines), so every column hash-compares.
+
+    Scale: the planner is METADATA-plane work -- the inventory here
+    derives from data by one mergeable aggregation (one row per
+    fragment), but a production build reads the transaction log's file
+    statistics instead, making plan cost independent of table bytes.
+    Both windows scan per-partition fragment lists (bounded by
+    fragments-per-partition, never rows); the output is the driver
+    table for a bin-per-task rewrite whose tasks are near-uniform by
+    construction (each bin holds ~target rows except partition tails).
+    Bins can exceed target by one straddling fragment -- the standard
+    OPTIMIZE bound (oversize by < one input file).
+
+    tests/test_compaction.py recomputes the packing greedily in pure
+    Python, pins bin ids dense from 0 per partition, conservation
+    (every fragment assigned exactly once, bin totals summing to
+    partition totals), and the straddle bound bin_rows < target +
+    max fragment size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    inv = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.hour("ts").alias("hr"),
+        )
+        .groupBy("d", "hr")
+        .agg(F.count(F.lit(1)).alias("size_rows"))
+    )
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy(F.desc("size_rows"), F.asc("hr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = inv.select(
+        "d",
+        "hr",
+        "size_rows",
+        F.coalesce(
+            F.sum("size_rows").over(wcum), F.lit(0).cast("long")
+        ).alias("cum_before"),
+    ).select(
+        "d",
+        "hr",
+        "size_rows",
+        F.expr(f"cum_before DIV {COMPACT_TARGET_ROWS}").alias("out_bin"),
+    )
+    wb = Window.partitionBy("d", "out_bin")
+    return packed.select(
+        "d",
+        "hr",
+        "size_rows",
+        "out_bin",
+        F.sum("size_rows").over(wb).alias("bin_rows"),
+        F.count(F.lit(1)).over(wb).alias("bin_frags"),
+    )

@@ -1,0 +1,62 @@
+"""q_compaction_plan: deterministic small-file bin packing.
+
+The registry parity gate pins Spark == DuckDB; these legs pin the
+PLAN'S semantics against a pure-Python greedy recomputation and the
+invariants a rewrite job relies on: dense bin ids, conservation, and
+the one-straddling-fragment oversize bound.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from dump1090_stream_parser_spark.operators.pipeline_ops import (
+    COMPACT_TARGET_ROWS,
+    q_compaction_plan,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_compaction_plan_matches_greedy_python(spark):
+    rows = q_compaction_plan(spark, SF_DIR).collect()
+    assert rows
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("date_trunc('day', ts) AS d", "hour(ts) AS hr")
+        .collect()
+    )
+    inv: dict = defaultdict(int)
+    for r in ev:
+        inv[(r["d"], r["hr"])] += 1
+    # greedy recompute: largest-first exclusive-cumsum bucketing
+    by_part = defaultdict(list)
+    for (d, hr), n in inv.items():
+        by_part[d].append((n, hr))
+    expect = {}
+    for d, frags in by_part.items():
+        cum = 0
+        for n, hr in sorted(frags, key=lambda t: (-t[0], t[1])):
+            expect[(d, hr)] = (n, cum // COMPACT_TARGET_ROWS)
+            cum += n
+    got = {(r["d"], r["hr"]): (r["size_rows"], r["out_bin"]) for r in rows}
+    assert got == expect
+
+    # invariants per partition: dense bins from 0, conservation,
+    # straddle bound (a bin exceeds target only via its last-placed
+    # straddling fragment, so bin_rows < target + max fragment size)
+    bins = defaultdict(lambda: [0, 0])  # (d, bin) -> [rows, frags]
+    for r in rows:
+        b = bins[(r["d"], r["out_bin"])]
+        b[0] += r["size_rows"]
+        b[1] += 1
+    for (d, bin_id), (brows, bfrags) in bins.items():
+        max_frag = max(n for (dd, _), (n, _b) in expect.items() if dd == d)
+        assert brows < COMPACT_TARGET_ROWS + max_frag, (d, bin_id)
+    for d in by_part:
+        ids = sorted({b for (dd, _), (_, b) in expect.items() if dd == d})
+        assert ids == list(range(len(ids))), d
+    for r in rows:
+        assert r["bin_rows"] == bins[(r["d"], r["out_bin"])][0]
+        assert r["bin_frags"] == bins[(r["d"], r["out_bin"])][1]
