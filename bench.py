@@ -137,16 +137,18 @@ HEADLINE = [
     "q_ann_ivf_trained",   # IVF probe over the persisted trained quantizer
     "q_ann_ivf_trained_join",  # batch probe join over the trained quantizer
     "q_spatial_join",      # grid-blocked radius join (lossless cover)
-    "q_pagerank",          # fixed-point integer PageRank (trade graph)
     "q_chi2",              # chi-square independence + Cramer's V
     "q_pq_encode",         # PQ codes over the committed codebook
     "q_ann_pq",            # ADC shortlist + exact re-rank (PQ read path)
     "q_mann_whitney",      # tie-corrected rank-sum z (integer 2*U1)
     "q_compaction_plan",   # metadata-plane small-file bin packing
+    "q_table_digest",      # order-insensitive bucket content digests
 ]
-# q_dedup_clusters is benched separately (BASELINE.md): an iterative
-# operator's wall-clock is dominated by per-round driver scheduling at
-# toy scale, which would swamp the steady-state headline signal.
+# q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
+# an iterative operator's wall-clock is dominated by per-round driver
+# scheduling at toy scale (q_pagerank measured 4.1 s at sf0.1, the
+# slowest headline line, ~all of it fixed-round job latency), which
+# would swamp the steady-state headline signal.
 
 
 def main() -> None:

@@ -59,6 +59,21 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 seventh wave: q_table_digest (order-insensitive
+    # per-bucket content digests -- the replica-verification
+    # primitive) enters the window for an immediate driver row;
+    # q_chunk_docs funds it.
+    "q_chunk_docs": (
+        "rotated OUT round 10 seventh wave (green driver rows"
+        " r3+r4+r5+r6+r7+r8+r9 -- a seven-green history, the deepest"
+        " remaining in the window -- its text.py block untouched this"
+        " round): the narrow text-pass tier is held in-window by"
+        " q_string_clean (the same zero-exchange string projection"
+        " shape) and its sequence-windowing half by q_streaks'"
+        " gaps-and-islands windows; the chunker's boundary algebra"
+        " stays pinned by its pytest legs and re-proven every round"
+        " by the local parity gate"
+    ),
     # ---- round-10 sixth wave: q_compaction_plan (metadata-plane
     # small-file bin packing -- the table-maintenance planner) enters
     # the window for an immediate driver row; q_triangles funds it.

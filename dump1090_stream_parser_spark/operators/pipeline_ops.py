@@ -1662,3 +1662,122 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_rows").over(wb).alias("bin_rows"),
         F.count(F.lit(1)).over(wb).alias("bin_frags"),
     )
+
+
+# --------------------------------------------------------------------------
+# Table digest: order-insensitive per-bucket row-hash digests -- the
+# cross-replica verification primitive. Two sides (a migration source
+# and target, two cluster replicas, batch vs streaming twin) each
+# compute this N_BUCKETS-row table from their copy; equal digests mean
+# equal content, and a mismatch names WHICH key buckets to re-sync --
+# without either side ever shipping rows.
+# --------------------------------------------------------------------------
+
+#: Digest bucket count: the re-sync granularity dial. 64 keeps the
+#: digest table human-diffable; production scales it to match re-sync
+#: chunk sizes (the plan is identical at any value).
+DIGEST_BUCKETS = 64
+
+#: Canonical NULL sentinel for row serialization: concat_ws SKIPS
+#: nulls in both engines, which would collide ('a',NULL,'b') with
+#: ('a','b',NULL); coalescing every column to this sentinel keeps the
+#: serialization injective for the digest's purposes.
+_DIGEST_NULL = "\\u0000"
+
+
+@query(
+    "q_table_digest",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT {portable_hash64_sql(
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+        " CAST(l_linenumber AS VARCHAR),"
+        " COALESCE(CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR),"
+        "   '{_DIGEST_NULL}'),"
+        " COALESCE(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "   AS VARCHAR), '{_DIGEST_NULL}'),"
+        " COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR),"
+        "   '{_DIGEST_NULL}'))"
+      )} AS h
+      FROM lineitem
+    )
+    SELECT CAST(h % {DIGEST_BUCKETS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+           CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS sum_digest
+    FROM rows_h
+    GROUP BY 1
+    """,
+)
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket content digest of the lineitem table: each row
+    serializes canonically (identity key plus the audited columns,
+    NULLs sentinel-coalesced so concat_ws cannot collide them),
+    hashes through the portable 60-bit md5 family, and lands in
+    bucket h % DIGEST_BUCKETS; each bucket emits its row count, an
+    XOR fold and an exact sum of row hashes. XOR and SUM are both
+    commutative-associative, so the digest is ORDER-INSENSITIVE and
+    mergeable -- map-side partials collapse to DIGEST_BUCKETS rows per
+    partition regardless of table size, and two replicas' digest
+    tables diff row-by-row to name exactly which buckets diverge.
+    Carrying both folds is deliberate: XOR alone is blind to
+    even-multiplicity duplicates (a row repeated twice cancels), the
+    sum alone to certain compensating edits; together with the count
+    they make the practical divergence classes visible.
+
+    Exactness: the row hash is the shared md5 discipline (identical
+    hex in both engines); the sum accumulates exactly
+    (decimal(38,0) in Spark, HUGEINT in DuckDB -- 60-bit hashes times
+    1e12 rows sit at ~1e30 of the 1e38 headroom) and REDUCES mod 2^61
+    so the emitted digest is a common BIGINT in both engines (HUGEINT
+    would leave DuckDB's comparison frame as float64); modular
+    reduction keeps order-insensitivity and merges (sums add, then
+    re-reduce). bit_xor is the engines' common BIGINT aggregate. Every output column hash-compares.
+
+    Scale: ONE narrow pass plus one DIGEST_BUCKETS-cardinality hash
+    aggregation -- the cheapest possible full-table statement. The
+    price of cents-integer serialization (l_extendedprice as exact
+    cents, l_quantity rounded to its integer, dates as ISO strings) is what makes the digest portable
+    across engines and file layouts: float formatting is the classic
+    false-mismatch source this quarantines. tests/test_digest.py
+    pins digest algebra: order/partitioning invariance, single-row
+    edit detection, and bucket completeness.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ser = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.coalesce(
+            F.round(F.col("l_quantity"), 0).cast("long").cast("string"),
+            F.lit(_DIGEST_NULL),
+        ),
+        F.coalesce(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            F.lit(_DIGEST_NULL),
+        ),
+        F.coalesce(
+            F.to_date("l_shipdate").cast("string"),
+            F.lit(_DIGEST_NULL),
+        ),
+    )
+    h = portable_hash64(ser)
+    return (
+        li.select(
+            (h % DIGEST_BUCKETS).alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_digest"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(2305843009213693952)
+            )
+            .cast("long")
+            .alias("sum_digest"),
+        )
+    )
