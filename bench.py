@@ -143,6 +143,7 @@ HEADLINE = [
     "q_mann_whitney",      # tie-corrected rank-sum z (integer 2*U1)
     "q_compaction_plan",   # metadata-plane small-file bin packing
     "q_table_digest",      # order-insensitive bucket content digests
+    "q_subsample_ci",      # hash-bit subsampling CI (one-pass bootstrap)
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

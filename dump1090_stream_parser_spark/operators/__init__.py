@@ -59,6 +59,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 eighth wave: q_subsample_ci (deterministic
+    # hash-bit subsampling CI -- the one-pass mergeable bootstrap)
+    # enters the window for an immediate driver row; q_acf funds it.
+    "q_acf": (
+        "rotated OUT round 10 eighth wave (green driver rows r8+r9,"
+        " the r9 one re-earned on the segmented single-sort plan; its"
+        " statistics.py block untouched this round): the segmented"
+        " sufficient-statistics tier is held in-window by q_cusum"
+        " (the same decimal(38,0) exact-sums discipline and segmented"
+        " dispatch) and the lag algebra by q_window_lag_delta; the"
+        " segmented-equality property pins (tests/"
+        " test_segmented_algebra.py) and the local parity gate"
+        " re-prove it every round"
+    ),
     # ---- round-10 seventh wave: q_table_digest (order-insensitive
     # per-bucket content digests -- the replica-verification
     # primitive) enters the window for an immediate driver row;
@@ -1000,10 +1014,24 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " green age in the registry; re-proven every round by the"
         " local parity gate"
     ),
-    "q_length_hist": (
-        "rotated OUT round 4 (green driver rows r1+r3): width-bucket"
-        " histogram = narrow bucketize + hash agg, held in-window by"
-        " q_group_topk; percentile tier by q_approx_percentile"
+    # q_length_hist re-entered the window round-10 eighth wave: the
+    # oldest overdue parked entry (age 7, last green r3) takes the
+    # drain slot the quota step to 21 (tail > 100) demands.
+    # ---- round-10 eighth wave, second slot: q_holt funds
+    # q_length_hist's drain re-entry.
+    "q_holt": (
+        "rotated OUT round 10 eighth wave (green driver rows r8+r9 on"
+        " the coupled level+trend fold; block a9f7a883 -- the one"
+        " drift since the r9 green is the re-read ADVICE fix"
+        " replacing the inline density probe with a call into the"
+        " shared memoized _series_exceeds_task_bound helper, fold"
+        " semantics untouched and re-proven by fresh sf0.001-0.01"
+        " parity this session): the coupled-recurrence"
+        " list-accumulator tier is held in-window by q_ema (the same"
+        " density-dispatched segmented fold family behind the same"
+        " probe) and the exact-sums discipline by q_cusum; the"
+        " segmented-equality property pins and the local parity gate"
+        " re-prove it every round"
     ),
 }
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and

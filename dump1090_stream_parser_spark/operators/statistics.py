@@ -2136,3 +2136,155 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_MW_Z), 6).alias("z"),
         (F.abs(F.expr(_MW_Z)) > MW_Z_CRIT).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic subsampling confidence intervals: the scalable
+# bootstrap. B half-sample replicas are carved by the BITS of one
+# portable row hash (replica b keeps the rows whose hash bit b is
+# set), so membership is reproducible in any engine, needs no RNG
+# state, and the whole estimate is ONE mergeable aggregation -- the
+# shape that survives 100 TB where resample-and-recompute bootstraps
+# cannot. CI by Politis-Romano subsampling: quantiles of the replica
+# means, deviations rescaled by sqrt(b/n) = sqrt(1/2).
+# --------------------------------------------------------------------------
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+
+#: Replica count: one per usable hash bit (the 60-bit portable hash
+#: gives independent low bits; 32 keeps the aggregate width and the
+#: order-statistics array fixed and tiny).
+SS_REPLICAS = 32
+
+#: sqrt(1/2) as a literal double (no libm near data): the subsampling
+#: rescale sqrt(b/n) for half-sample replicas.
+SS_SQRT_HALF = "0.7071067811865476"
+
+#: Full-cohort mean over exact integers, one shared text.
+_SS_MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+def _subsample_oracle() -> str:
+    """The DuckDB twin, generated over the replica index (the
+    q_benford literal-generation discipline): same hash, same bit
+    predicates, same exact integer sums, same sorted replica-mean
+    fold and the same CI closed-form text."""
+    aggs = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cents"
+        f" ELSE 0 END) AS BIGINT) AS s{b},"
+        f" CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1"
+        f" ELSE 0 END) AS BIGINT) AS c{b}"
+        for b in range(SS_REPLICAS)
+    )
+    means = ", ".join(
+        f"(CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE))"
+        for b in range(SS_REPLICAS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {portable_hash64_sql("o_orderkey")} AS h
+      FROM orders
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             {aggs}
+      FROM base GROUP BY 1
+    ),
+    r AS (
+      SELECT grp, n, s, list_sort([{means}]) AS ms
+      FROM g
+    )
+    SELECT grp, n,
+           ROUND({_SS_MEAN}, 6) AS mean_cents,
+           ROUND(ms[2], 6) AS rep_lo,
+           ROUND(ms[{SS_REPLICAS - 1}], 6) AS rep_hi,
+           ROUND({_SS_MEAN} - {SS_SQRT_HALF}
+                 * (ms[{SS_REPLICAS - 1}] - {_SS_MEAN}), 6) AS ci_lo,
+           ROUND({_SS_MEAN} - {SS_SQRT_HALF}
+                 * (ms[2] - {_SS_MEAN}), 6) AS ci_hi
+    FROM r
+    """
+
+
+@query("q_subsample_ci", oracle=_subsample_oracle())
+def q_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort confidence interval for mean spend, by deterministic
+    hash-bit subsampling: SS_REPLICAS half-sample replicas (replica b
+    = rows whose portable-hash bit b is set), each contributing an
+    exact (sum, count) pair from the SAME single aggregation pass;
+    the CI rescales the outer replica-mean deviations by sqrt(1/2)
+    (Politis-Romano subsampling with b = n/2), using the 2nd and
+    (B-1)th order statistics (~6%/94% of 32 replicas).
+
+    Why this shape at scale: a classical bootstrap resamples and
+    re-aggregates B times -- B corpus passes, or corpus-sized resample
+    state. Hash-bit replicas need ZERO extra passes: every row folds
+    into its replicas' (sum, count) cells inside the one partial+final
+    hash aggregation (2*B+2 mergeable cells per cohort, bytes at any
+    corpus size), membership is a pure row-hash function -- no RNG
+    state, reproducible across engines, stable under repartitioning
+    -- and replicas are pairwise half-overlapping by construction,
+    which subsampling theory (unlike the iid-resample bootstrap)
+    prices in via the sqrt(b/n) rescale.
+
+    Exactness: sums and counts are exact integers; replica means, the
+    sorted order-statistics fold (sort_array/list_sort over 32
+    doubles), and the CI closed form are shared IEEE texts -- every
+    emitted double hash-compares. The sqrt(1/2) rescale is a literal,
+    not libm. Replica emptiness is a non-issue by construction at any
+    n >= ~hundreds (P(empty) = 2^-n); the division would surface as
+    NULL, never a wrong number.
+
+    tests/test_statistics.py recomputes replicas, means and the CI in
+    pure Python (third-engine check), pins mean inside [ci_lo, ci_hi],
+    ci_lo <= ci_hi, and that replica membership matches the hash bits.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = portable_hash64(F.col("o_orderkey"))
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        h.alias("h"),
+    )
+    bit = [
+        (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1)
+        for b in range(SS_REPLICAS)
+    ]
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")]
+    for b in range(SS_REPLICAS):
+        aggs.append(
+            F.sum(F.when(bit[b], F.col("cents")).otherwise(0)).alias(f"s{b}")
+        )
+        aggs.append(
+            F.sum(F.when(bit[b], F.lit(1)).otherwise(0)).alias(f"c{b}")
+        )
+    g = base.groupBy("grp").agg(*aggs)
+    means = ", ".join(
+        f"(CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE))"
+        for b in range(SS_REPLICAS)
+    )
+    r = g.withColumn("ms", F.expr(f"sort_array(array({means}))"))
+    lo_i, hi_i = 2, SS_REPLICAS - 1
+    return r.select(
+        "grp",
+        "n",
+        F.round(F.expr(_SS_MEAN), 6).alias("mean_cents"),
+        F.round(F.expr(f"ms[{lo_i - 1}]"), 6).alias("rep_lo"),
+        F.round(F.expr(f"ms[{hi_i - 1}]"), 6).alias("rep_hi"),
+        F.round(
+            F.expr(
+                f"{_SS_MEAN} - {SS_SQRT_HALF} * (ms[{hi_i - 1}] - {_SS_MEAN})"
+            ),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(
+                f"{_SS_MEAN} - {SS_SQRT_HALF} * (ms[{lo_i - 1}] - {_SS_MEAN})"
+            ),
+            6,
+        ).alias("ci_hi"),
+    )

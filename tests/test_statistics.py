@@ -668,3 +668,58 @@ def test_mann_whitney_matches_python(spark):
         z = (u2 - n1 * n2) / (2.0 * math.sqrt(var))
         assert math.isclose(r["z"], z, rel_tol=0, abs_tol=5.01e-7)
         assert r["significant"] == (abs(z) > MW_Z_CRIT)
+
+
+def test_subsample_ci_matches_python(spark):
+    """Third-engine recomputation: hash-bit replica membership, exact
+    replica sums/counts, sorted replica means, and the sqrt(1/2)
+    Politis-Romano CI; plus the containment sanity mean in [ci_lo,
+    ci_hi] and ci_lo <= ci_hi."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        SS_REPLICAS,
+        q_subsample_ci,
+    )
+
+    got = {r["grp"]: r for r in q_subsample_ci(spark, SF_DIR).collect()}
+    assert got
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .collect()
+    )
+    sums = defaultdict(lambda: [0, 0])  # grp -> [n, s]
+    reps = defaultdict(lambda: [[0, 0] for _ in range(SS_REPLICAS)])
+    for r in rows:
+        g = r["o_orderpriority"]
+        cents = round(r["o_totalprice"] * 100)
+        h = int(
+            hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:15],
+            16,
+        )
+        sums[g][0] += 1
+        sums[g][1] += cents
+        for b in range(SS_REPLICAS):
+            if (h >> b) & 1:
+                reps[g][b][0] += 1
+                reps[g][b][1] += cents
+    assert set(got) == set(sums)
+    sqrt_half = 0.7071067811865476
+    for g, r in got.items():
+        n, s = sums[g]
+        mean = s / n
+        ms = sorted(sb / cb if cb else float("nan")
+                    for cb, sb in reps[g])
+        rep_lo, rep_hi = ms[1], ms[SS_REPLICAS - 2]
+        assert r["n"] == n
+        assert math.isclose(r["mean_cents"], mean, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(r["rep_lo"], rep_lo, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(r["rep_hi"], rep_hi, rel_tol=0, abs_tol=5.01e-7)
+        ci_lo = mean - sqrt_half * (rep_hi - mean)
+        ci_hi = mean - sqrt_half * (rep_lo - mean)
+        assert math.isclose(r["ci_lo"], ci_lo, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(r["ci_hi"], ci_hi, rel_tol=0, abs_tol=5.01e-7)
+        assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"]
