@@ -59,6 +59,24 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 ninth wave: q_theil_sen (median-of-pairwise-slopes
+    # robust trend over the day-grain collapse) enters the window for
+    # an immediate driver row; q_ema funds it.
+    "q_ema": (
+        "rotated OUT round 10 ninth wave (green driver rows r8+r9 on"
+        " the density-dispatched fold; block 8fc1a8c5 -- the one"
+        " drift since the r9 green is the re-read ADVICE fix"
+        " replacing the inline density probe with the shared memoized"
+        " _series_exceeds_task_bound helper, the same reviewed change"
+        " stamped on q_holt, fold semantics untouched and re-proven"
+        " by fresh sf0.001-0.01 parity this session): the segmented"
+        " exponential-fold tier is held in-window by q_cusum (the"
+        " same segmented dispatch and exact-sums discipline) and the"
+        " trailing-window family by q_window_trailing's holder chain;"
+        " the segmented-equality property pins, the streaming EMA"
+        " twin's bit-equality tests, and the local parity gate"
+        " re-prove it every round"
+    ),
     # ---- round-10 eighth wave: q_subsample_ci (deterministic
     # hash-bit subsampling CI -- the one-pass mergeable bootstrap)
     # enters the window for an immediate driver row; q_acf funds it.

@@ -2288,3 +2288,155 @@ def q_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of all pairwise slopes -- the
+# outlier-proof complement of q_regression's OLS (one wild day cannot
+# move it; breakdown point ~29%). Runs over the DAY-GRAIN aggregate,
+# so the pair set is time-bounded (|days|^2 per series), never
+# row-proportional; selection of the median slope is a deterministic
+# rank over doubles computed identically in both engines, with an
+# exact integer tie-break chain.
+# --------------------------------------------------------------------------
+
+#: Pairwise slope and residual texts, shared with the oracle.
+_TS_SLOPE = "(CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE))"
+_TS_RESID = "(CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE))"
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             b.y - a.y AS dy, b.x - a.x AS dx, a.x AS x1, b.x AS x2,
+             {_TS_SLOPE.replace('dy', '(b.y - a.y)').replace('dx', '(b.x - a.x)')} AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY slope, dy, dx, x1, x2) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT event_type, slope, np FROM ranked
+      WHERE r = (np + 1) // 2
+    ),
+    resid AS (
+      SELECT d.event_type, m.slope, m.np,
+             {_TS_RESID} AS resid,
+             row_number() OVER (
+               PARTITION BY d.event_type
+               ORDER BY {_TS_RESID}, d.x) AS r,
+             COUNT(*) OVER (PARTITION BY d.event_type) AS nd
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           ROUND(slope, 6) AS slope,
+           ROUND(resid, 6) AS intercept
+    FROM resid WHERE r = (nd + 1) // 2
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per event type:
+    the median pairwise slope over the day-grain counts, and the
+    matching intercept as the median residual y - slope*x -- the
+    trend estimate a single anomalous day cannot drag (contrast
+    q_regression's OLS, which any heavy tail owns).
+
+    The corpus collapses FIRST to (type, day-index, count) by one
+    mergeable aggregation; all pair work happens on that domain-sized
+    frame, so the pair set is |days|^2 per type -- time-bounded,
+    independent of row volume (the q_ks_test posture). Slope doubles
+    divide identical exact integers in both engines, so the rank order
+    is identical; ties break by the exact integer chain (dy, dx, x1,
+    x2) and the LOWER median is selected by rank (np+1)/2 -- both
+    deterministic, shared with the oracle. The intercept pass ranks
+    day residuals under the chosen slope the same way.
+
+    Scale: for long horizons the |days|^2 pair grid grows -- the
+    standard remedies (windowed Theil-Sen over trailing buckets, or
+    the repeated-median variant per anchor day) keep the same collapse
+    + domain-pair shape; swap the pair predicate. Counts never leave
+    exact integers until the slope division.
+
+    tests/test_statistics.py recomputes the median slope and intercept
+    in pure Python over the same sort keys (third-engine check) and
+    pins the robustness property: corrupting one day's count by 10x
+    moves the OLS slope at least 2x (typically 3-10x at the test SF's
+    single-digit daily counts) more than the Theil-Sen slope.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    ).withColumn("slope", F.expr(_TS_SLOPE))
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("event_type").orderBy(
+        "slope", "dy", "dx", "x1", "x2"
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    med = ranked.filter(F.expr("r = (np + 1) DIV 2")).select(
+        "event_type", "slope", "np"
+    )
+    resid = daily.join(F.broadcast(med), "event_type").withColumn(
+        "resid", F.expr(_TS_RESID)
+    )
+    wr2 = Window.partitionBy("event_type").orderBy("resid", "x")
+    ranked2 = resid.select(
+        "event_type",
+        "slope",
+        "np",
+        "resid",
+        F.row_number().over(wr2).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    )
+    return ranked2.filter(F.expr("r = (nd + 1) DIV 2")).select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("slope"),
+        F.round("resid", 6).alias("intercept"),
+    )

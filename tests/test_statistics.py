@@ -723,3 +723,67 @@ def test_subsample_ci_matches_python(spark):
         assert math.isclose(r["ci_lo"], ci_lo, rel_tol=0, abs_tol=5.01e-7)
         assert math.isclose(r["ci_hi"], ci_hi, rel_tol=0, abs_tol=5.01e-7)
         assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"]
+
+
+def test_theil_sen_matches_python_and_is_robust(spark):
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.statistics import (
+        q_theil_sen,
+    )
+
+    got = {r["event_type"]: r for r in q_theil_sen(spark, SF_DIR).collect()}
+    assert got
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(to_date(ts), to_date('2024-01-01')) AS LONG)"
+            " AS x",
+        )
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["event_type"]][r["x"]] += 1
+
+    def ts_fit(pts):  # [(x, y)] -> (slope, intercept, n_pairs)
+        pts = sorted(pts)
+        pairs = []
+        for i, (x1, y1) in enumerate(pts):
+            for x2, y2 in pts[i + 1:]:
+                dy, dx = y2 - y1, x2 - x1
+                pairs.append((dy / dx, dy, dx, x1, x2))
+        pairs.sort()
+        slope = pairs[(len(pairs) + 1) // 2 - 1][0]
+        res = sorted((y - slope * x, x) for x, y in pts)
+        inter = res[(len(res) + 1) // 2 - 1][0]
+        return slope, inter, len(pairs)
+
+    def ols_slope(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    import math
+
+    for et, r in got.items():
+        pts = list(daily[et].items())
+        slope, inter, n_pairs = ts_fit(pts)
+        assert r["n_days"] == len(pts)
+        assert r["n_pairs"] == n_pairs
+        assert math.isclose(r["slope"], slope, rel_tol=0, abs_tol=5.01e-7)
+        assert math.isclose(
+            r["intercept"], inter, rel_tol=0, abs_tol=5.01e-7
+        )
+        # robustness: 10x one day's count; OLS must move at least
+        # 2x more than Theil-Sen (at sf0.001 the daily counts are
+        # single digits, so the median itself shifts a little; the
+        # GAP is the property)
+        bad = [(x, y * 10 if x == pts[0][0] else y) for x, y in pts]
+        ts_move = abs(ts_fit(bad)[0] - slope)
+        ols_move = abs(ols_slope(bad) - ols_slope(pts))
+        assert ols_move > 2 * ts_move, (et, ols_move, ts_move)
