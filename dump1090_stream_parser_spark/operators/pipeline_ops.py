@@ -1743,7 +1743,19 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins digest algebra: order/partitioning invariance, single-row
     edit detection, and bucket completeness.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    return digest_cells(load_table(spark, sf_dir, "lineitem"))
+
+
+#: Modulus of the sum digest: 2^61 (fits BIGINT in both engines with
+#: headroom for one more pre-reduction addition).
+DIGEST_SUM_MOD = 2305843009213693952
+
+
+def digest_row_hash() -> Column:
+    """The canonical lineitem row hash: NULL-sentinel serialization of
+    (identity key, audited columns) through the portable 60-bit md5.
+    Factored out so the streaming twin (streaming/digest.py) hashes
+    rows with the EXACT expression the batch digest uses."""
     ser = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
@@ -1763,7 +1775,13 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_DIGEST_NULL),
         ),
     )
-    h = portable_hash64(ser)
+    return portable_hash64(ser)
+
+
+def digest_cells(li: DataFrame) -> DataFrame:
+    """q_table_digest's aggregation stage over a lineitem-shaped frame
+    -- shared verbatim with the streaming twin's batch-equality leg."""
+    h = digest_row_hash()
     return (
         li.select(
             (h % DIGEST_BUCKETS).alias("bucket"),
@@ -1775,7 +1793,7 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("xor_digest"),
             (
                 F.sum(F.col("h").cast("decimal(38,0)"))
-                % F.lit(2305843009213693952)
+                % F.lit(DIGEST_SUM_MOD)
             )
             .cast("long")
             .alias("sum_digest"),
