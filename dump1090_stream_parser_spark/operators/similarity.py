@@ -2211,6 +2211,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout: cell-prune first, ADC-scan the survivors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    by_m = pq_codebook_by_m(spark)
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    codes = pq_codes_projection(emb.filter(~is_query), by_m)
+    return adc_search(codes, emb, by_m)
+
+
+def pq_codebook_by_m(spark: SparkSession):
+    """The committed codebook as {m: [(code_id, codeword), ...]} --
+    the driver-side artifact every PQ stage inlines from."""
     cb_rows = sorted(
         spark.read.parquet(_PQ_FIXTURE).collect(),
         key=lambda r: (r["m"], r["code_id"]),
@@ -2220,20 +2229,32 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_m.setdefault(int(r["m"]), []).append(
             (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
         )
-    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
-    q_rows = sorted(
-        emb.filter(is_query).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    # Corpus codes, columnar: each subspace's nearest-code expression
-    # only evaluates ITS PQ_KSUB codewords (no shared-array indexing,
-    # no duplicated subexpressions across columns).
-    corpus = emb.filter(~is_query).select(
+    return by_m
+
+
+def pq_codes_projection(emb: DataFrame, by_m) -> DataFrame:
+    """Corpus codes, columnar: each subspace's nearest-code expression
+    only evaluates ITS PQ_KSUB codewords (no shared-array indexing, no
+    duplicated subexpressions across columns). Shared by the in-query
+    form and the at-rest ``pq_codes_layout`` writer."""
+    return emb.select(
         "vec_id",
         *[
             _pq_code_expr(m, by_m[m])["best"]["code_id"].alias(f"c{m}")
             for m in sorted(by_m)
         ],
+    )
+
+
+def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
+    """q_ann_pq's search stages over an arbitrary codes frame: ADC
+    scoring via inlined per-query lookup tables, the shortlist rank,
+    and the exact re-rank join-back against ``emb`` (which supplies
+    both the raw vectors and the query table)."""
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    q_rows = sorted(
+        emb.filter(is_query).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
     # Per-query ADC score: fold the PQ_M table lookups in subspace
     # order from a 0D seed -- the oracle's list_reduce shape.
@@ -2252,7 +2273,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 'adc', round(aggregate(array({','.join(terms)}), 0D,"
             " (a, x) -> a + x), 6))"
         )
-    cand = corpus.select(
+    cand = codes.select(
         "vec_id", F.explode(F.expr("array(" + ",".join(per_q) + ")")).alias("s")
     ).select(F.col("s.query_id").alias("query_id"), "vec_id", F.col("s.adc").alias("adc"))
     ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))

@@ -534,3 +534,54 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def pq_codes_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """One-time PQ codes table: ``vec_id`` plus one small-int code
+    column per subspace, written WITHOUT the embedding column -- the
+    ~64x-smaller artifact the ADC scan reads at rest (q_ann_pq's
+    in-query form computes the same codes on the fly from raw
+    vectors; materializing them is what actually realizes the PQ
+    bytes saving on a 100 TB corpus). Codes for EVERY vector -- the
+    layout doesn't know which ids a future search will use as
+    queries."""
+    from ..operators.similarity import (
+        pq_codebook_by_m,
+        pq_codes_projection,
+    )
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_m = pq_codebook_by_m(spark)
+    pq_codes_projection(emb, by_m).write.mode("overwrite").parquet(
+        out_dir
+    )
+
+
+def ann_pq_over_layout(
+    spark: SparkSession, codes_dir: str, sf_dir: str
+) -> "DataFrame":
+    """q_ann_pq's search over the at-rest codes table: the ADC scan
+    reads ONLY the codes parquet (no embedding column anywhere in its
+    scan schema); raw vectors are touched exclusively by the bounded
+    |Q| x PQ_SHORTLIST re-rank join-back. Row-exact against the
+    on-the-fly q_ann_pq (same codebook, same lookup tables, same
+    ranks) -- asserted with the size ratio in tests/test_pq.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        adc_search,
+        pq_codebook_by_m,
+    )
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_m = pq_codebook_by_m(spark)
+    codes = spark.read.parquet(codes_dir).filter(
+        ~F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    )
+    return adc_search(codes, emb, by_m)

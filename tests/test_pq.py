@@ -133,3 +133,56 @@ def test_ann_pq_recall_vs_exact_and_shape(spark):
             len(exact & {r["vec_id"] for r in got}) / ANN_JOIN_K
         )
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_pq_codes_layout_row_exact_and_small(spark, tmp_path):
+    """The at-rest codes table: (1) search over it is ROW-EXACT vs
+    the on-the-fly q_ann_pq; (2) its scan schema carries no embedding
+    column (the 64x read saving is real, not asserted); (3) the codes
+    parquet is a small fraction of the embeddings parquet on disk."""
+    import os
+
+    from dump1090_stream_parser_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from dump1090_stream_parser_spark.plans.layout import (
+        ann_pq_over_layout,
+        pq_codes_layout,
+    )
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_ann_pq,
+    )
+
+    codes_dir = str(tmp_path / "pq_codes")
+    pq_codes_layout(spark, SF_DIR, codes_dir)
+    got = ann_pq_over_layout(spark, codes_dir, SF_DIR)
+    expect = sorted(
+        map(tuple, q_ann_pq(spark, SF_DIR).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expect
+
+    plan = formatted_plan(got)
+    code_scans = [
+        blk
+        for blk in plan.split("\n\n")
+        if "pq_codes" in blk and "ReadSchema" in blk
+    ]
+    assert code_scans, plan
+    for blk in code_scans:
+        schema = [
+            ln for ln in blk.splitlines() if ln.startswith("ReadSchema")
+        ]
+        assert schema and "embedding" not in schema[0], blk
+
+    def tree_bytes(d):
+        if os.path.isfile(d):
+            return os.path.getsize(d)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    emb_bytes = tree_bytes(f"{SF_DIR}/embeddings.parquet")
+    code_bytes = tree_bytes(codes_dir)
+    assert code_bytes < 0.25 * emb_bytes, (code_bytes, emb_bytes)
