@@ -81,6 +81,10 @@ EXEC_PINNED = (
     "q_lang_id",       # two Arrow passes over one checkpointed exchange
     "q_semantic_dedup",  # applyInPandas cell scorer -> keeper manifest
     "q_label_pca",     # grouped-map eigendecomposition per label
+    # round-10 late-wave multi-consumer lineages (each checkpointed at
+    # its collapse frame; the pin proves the collapse runs once):
+    "q_mann_whitney",  # count-collapse feeds totals + both pair legs
+    "q_theil_sen",     # day-grain collapse feeds pairs twice + resid
 )
 
 
