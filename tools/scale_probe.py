@@ -31,6 +31,10 @@ SRC = "/root/testdata/sf0.1"
 #: Operators probed: scan/agg, narrow maps, dedup (exact + LSH), ANN,
 #: chunking, quantization -- the shapes whose slope matters.
 PROBE = [
+    # round 10: the digest's one-pass/flat-exchange claim and the
+    # subsampling CI's one-aggregation claim, measured as slopes
+    "q_table_digest",
+    "q_subsample_ci",
     "q_dedup",
     "q_near_dedup_simhash",
     "q_knn_cosine",
@@ -210,6 +214,10 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         # keeps replicas disjoint while the value distribution (the
         # thing the percentile math sees) replicates exactly
         ("lineitem", "l_orderkey"),
+        # orders: q_subsample_ci's input; offset orderkeys give every
+        # replica row a fresh hash, i.e. genuinely new data for the
+        # hash-bit replicas, not duplicate membership
+        ("orders", "o_orderkey"),
     ):
         base = load_table(spark, SRC, name)
         n = base.count()
