@@ -104,3 +104,34 @@ def test_table_digest_matches_python_and_detects_edits(spark):
         n_before = got.get(b, (0, 0, 0))[0]
         n_after = after.get(b, (0, 0, 0))[0]
         assert abs(n_before - n_after) <= 1
+
+
+def test_digest_merge_algebra_property():
+    """Mergeability, property-tested: digest(A ++ B) must equal the
+    cell-wise merge of digest(A) and digest(B) -- count add, xor fold,
+    modular sum add -- for arbitrary hash multisets in any split. This
+    is the algebra that makes the digest map-side-combinable AND lets
+    two replicas' partial digests union without re-scanning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    hashes = st.lists(
+        st.integers(min_value=0, max_value=2**60 - 1), max_size=60
+    )
+
+    def merge(d1, d2):
+        out = dict(d1)
+        for b, (n, x, s) in d2.items():
+            if b in out:
+                n0, x0, s0 = out[b]
+                out[b] = (n0 + n, x0 ^ x, (s0 + s) % _MOD)
+            else:
+                out[b] = (n, x, s)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(hashes, hashes)
+    def check(a, b):
+        assert _digest(a + b) == merge(_digest(a), _digest(b))
+
+    check()
