@@ -86,6 +86,31 @@ def bronze_from_sbs1_multi(
     return reader.load()
 
 
+def bronze_from_sbs1_fanin(
+    spark: SparkSession,
+    host_groups: list[list[tuple[str, int]]],
+    **options,
+) -> DataFrame:
+    """Fan-in past the per-source drain ceiling: one partitioned
+    ``sbs1`` source INSTANCE per host group, unioned. The receiver-
+    scaling curve (BASELINE.md round-10 row) saturates near 4 drain
+    threads per source because all of a source's receivers share its
+    one Python runner process (GIL); separate source instances each
+    get their OWN runner, so aggregate drain capacity scales with
+    groups, not threads. Union of streaming DataFrames keeps
+    per-source offsets independent in the checkpoint -- exactly-once
+    delivery per receiver is preserved (pinned end-to-end in
+    tests/test_streaming.py)."""
+    streams = [
+        bronze_from_sbs1_multi(spark, group, **options)
+        for group in host_groups
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionAll(s)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Silver
 # --------------------------------------------------------------------------

@@ -803,3 +803,77 @@ def test_sbs1_partitioned_source_survives_server_kill(spark, tmp_path):
         server.server_close()
         steady_server.shutdown()
         steady_server.server_close()
+
+
+def test_sbs1_fanin_union_of_source_instances(spark, tmp_path):
+    """The past-the-drain-ceiling fan-in form: TWO partitioned sbs1
+    source INSTANCES (each its own runner process / offset log)
+    unioned into one stream -- every group's lines arrive exactly
+    once, attributable per group by callsign."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_fanin,
+    )
+
+    groups, servers, per_group = [], [], {}
+    try:
+        for g in range(2):
+            lines = [
+                f"MSG,1,1,1,4CB{g}D0,1,2026/08/13,11:00:01.000,"
+                f"2026/08/13,11:00:01.050,FG{g}N{j},,,,,,,,,,,"
+                for j in range(25)
+            ]
+            per_group[g] = lines
+            payload = ("\n".join(lines) + "\n").encode()
+
+            class Handler(socketserver.BaseRequestHandler):
+                _payload = payload
+
+                def handle(self):
+                    self.request.sendall(self._payload)
+                    time.sleep(30)
+
+            server = socketserver.ThreadingTCPServer(
+                ("127.0.0.1", 0), Handler
+            )
+            server.daemon_threads = True
+            servers.append(server)
+            groups.append([("127.0.0.1", server.server_address[1])])
+            threading.Thread(
+                target=server.serve_forever, daemon=True
+            ).start()
+
+        bronze = bronze_from_sbs1_fanin(
+            spark,
+            groups,
+            connect_attempt_limit=5,
+            connect_attempt_delay=0.2,
+        )
+        q = (
+            bronze.writeStream.format("memory")
+            .queryName("sbs1_fanin_test")
+            .option("checkpointLocation", str(tmp_path / "fckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            want = sum(len(v) for v in per_group.values())
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                n = spark.sql(
+                    "SELECT count(*) FROM sbs1_fanin_test"
+                ).collect()[0][0]
+                if n >= want:
+                    break
+                time.sleep(1)
+            rows = spark.sql("SELECT * FROM sbs1_fanin_test").collect()
+            got = sorted(r["value"] for r in rows)
+            expect = sorted(l for ls in per_group.values() for l in ls)
+            assert got == expect  # exactly once across both instances
+        finally:
+            q.stop()
+    finally:
+        for server in servers:
+            server.shutdown()
+            server.server_close()
