@@ -2263,6 +2263,15 @@ def q_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bit[b], F.lit(1)).otherwise(0)).alias(f"c{b}")
         )
     g = base.groupBy("grp").agg(*aggs)
+    return subsample_ci_tail(g)
+
+
+def subsample_ci_tail(g: DataFrame) -> DataFrame:
+    """q_subsample_ci's closed-form tail over a sufficient-statistics
+    frame (grp, n, s, s0..c{B-1}) -- factored out so the streaming
+    twin (streaming/subsample.py) evaluates the IDENTICAL Spark
+    expressions over its state snapshots and bit-equals the batch
+    output by construction."""
     means = ", ".join(
         f"(CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE))"
         for b in range(SS_REPLICAS)
