@@ -585,3 +585,129 @@ def ann_pq_over_layout(
         ~F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     )
     return adc_search(codes, emb, by_m)
+
+
+def pq_ivf_codes_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    centroids: str = "trained",
+) -> None:
+    """The composed production ANN index: PQ codes written to
+    ``cell_id=N/`` directories keyed by the IVF quantizer -- cell
+    pruning at file-listing time AND 64x-smaller bytes inside every
+    cell. The embedding column appears nowhere in the artifact."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        _nearest_cell_expr,
+        pq_codebook_by_m,
+        pq_codes_projection,
+    )
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroid_rows(spark, emb, centroids)
+    by_m = pq_codebook_by_m(spark)
+    codes = pq_codes_projection(emb, by_m).join(
+        emb.select(
+            "vec_id", _nearest_cell_expr(cents).alias("cell_id")
+        ),
+        "vec_id",
+    )
+    (
+        codes.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(out_dir)
+    )
+
+
+def ann_pq_probe_pruned(
+    spark: SparkSession,
+    layout_dir: str,
+    sf_dir: str,
+    query_vec_id: int,
+    k: int = 3,
+    nprobe: int | None = None,
+    centroids: str = "trained",
+) -> "DataFrame":
+    """The full production ANN read path over the composed index:
+    (1) rank centroids against the query driver-side and keep nprobe
+    cells -- compiles to PartitionFilters, pruned at file-listing
+    time; (2) ADC-score ONLY the surviving cells' codes (no embedding
+    bytes touched); (3) exact inner-product re-rank of the bounded
+    top-PQ_SHORTLIST join-back. Pass the SAME ``centroids`` the
+    layout was written with (the _ivf_centroid_rows contract)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        IVF_NPROBE,
+        PQ_SHORTLIST,
+        _array_literal,
+        _cos_py,
+        _pq_lut_py,
+        pq_codebook_by_m,
+    )
+    from ..functions.vector import dot
+    from ..tables import load_table
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroid_rows(spark, emb, centroids)
+    qv = [
+        float(v)
+        for r in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()
+        for v in r["embedding"]
+    ]
+    qcells = [
+        cid
+        for cid, _ in sorted(
+            (
+                (
+                    int(r["cell_id"]),
+                    round(
+                        _cos_py(qv, [float(v) for v in r["embedding"]]),
+                        6,
+                    ),
+                )
+                for r in cents
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+    by_m = pq_codebook_by_m(spark)
+    terms = []
+    for m in sorted(by_m):
+        lits = ",".join(
+            repr(_pq_lut_py(qv, m, list(cv))) + "D" for _, cv in by_m[m]
+        )
+        terms.append(f"element_at(array({lits}), c{m} + 1)")
+    adc = (
+        f"round(aggregate(array({','.join(terms)}), 0D,"
+        " (a, x) -> a + x), 6)"
+    )
+    shortlist = (
+        spark.read.parquet(layout_dir)
+        .filter(
+            F.col("cell_id").isin(qcells)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id", "cell_id", F.expr(adc).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+    )
+    qv_lit = _array_literal(tuple(qv))
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            "adc",
+            F.round(dot(F.col("embedding"), qv_lit), 6).alias("ip"),
+        )
+        .orderBy(F.desc("ip"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -186,3 +186,61 @@ def test_pq_codes_layout_row_exact_and_small(spark, tmp_path):
     emb_bytes = tree_bytes(f"{SF_DIR}/embeddings.parquet")
     code_bytes = tree_bytes(codes_dir)
     assert code_bytes < 0.25 * emb_bytes, (code_bytes, emb_bytes)
+
+
+def test_pq_ivf_composed_index_prunes_and_reranks(spark, tmp_path):
+    """The composed production ANN index (IVF directories x PQ codes):
+    (1) the probe's codes scan carries cell_id PartitionFilters (file-
+    listing-time pruning) and an embedding-free ReadSchema; (2) every
+    result comes from a probed cell; (3) the re-rank ip is the true
+    inner product; (4) k rows, ip-descending."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        QUERY_VEC_ID,
+    )
+    from dump1090_stream_parser_spark.plans.inspect import formatted_plan
+    from dump1090_stream_parser_spark.plans.layout import (
+        ann_pq_probe_pruned,
+        pq_ivf_codes_layout,
+    )
+
+    out = str(tmp_path / "pq_by_cell")
+    pq_ivf_codes_layout(spark, SF_DIR, out, centroids="trained")
+    probe = ann_pq_probe_pruned(
+        spark, out, SF_DIR, QUERY_VEC_ID, k=3, centroids="trained"
+    )
+
+    plan = formatted_plan(probe)
+    code_scans = [
+        blk
+        for blk in plan.split("\n\n")
+        if "pq_by_cell" in blk and "ReadSchema" in blk
+    ]
+    assert code_scans, plan
+    for blk in code_scans:
+        assert any(
+            "PartitionFilters" in ln and "cell_id" in ln
+            for ln in blk.splitlines()
+        ), blk
+        schema = [
+            ln for ln in blk.splitlines() if ln.startswith("ReadSchema")
+        ]
+        assert schema and "embedding" not in schema[0], blk
+
+    rows = probe.collect()
+    assert len(rows) == 3
+    ips = [r["ip"] for r in rows]
+    assert ips == sorted(ips, reverse=True)
+
+    emb = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], float) for r in emb}
+    qv = vecs[QUERY_VEC_ID]
+    for r in rows:
+        assert r["vec_id"] != QUERY_VEC_ID
+        assert abs(r["ip"] - float(vecs[r["vec_id"]] @ qv)) < 1e-5
