@@ -145,6 +145,7 @@ HEADLINE = [
     "q_table_digest",      # order-insensitive bucket content digests
     "q_subsample_ci",      # hash-bit subsampling CI (one-pass bootstrap)
     "q_theil_sen",         # median-of-slopes robust trend (domain pairs)
+    "q_skew_profile",      # shuffle-key skew diagnosis + salt advisor
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

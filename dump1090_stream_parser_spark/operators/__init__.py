@@ -59,6 +59,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 tenth wave: q_skew_profile (the scale advisor:
+    # key-skew diagnosis + leveling salt factor) enters the window for
+    # an immediate driver row; q_cusum funds it.
+    "q_cusum": (
+        "rotated OUT round 10 tenth wave (green driver rows r8+r9, the"
+        " r9 one re-earned on the segmented/dispatched plan; its"
+        " timeseries.py block untouched this round): the exact-integer"
+        " drift tier is held in-window by q_burst (trailing-baseline z"
+        " over the same zero-filled day spine, integer counts to the"
+        " final closed form) and the decimal(38,0) sufficient-sums"
+        " discipline by q_mann_whitney; the segmented-equality"
+        " property pins (tests/test_segmented_algebra.py) and the"
+        " local parity gate re-prove it every round"
+    ),
     # ---- round-10 ninth wave: q_theil_sen (median-of-pairwise-slopes
     # robust trend over the day-grain collapse) enters the window for
     # an immediate driver row; q_ema funds it.

@@ -1799,3 +1799,122 @@ def digest_cells(li: DataFrame) -> DataFrame:
             .alias("sum_digest"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler: the scale advisor. Before a 100 TB job shuffles
+# on a key, this one cheap pass answers the questions that decide the
+# plan: how many distinct values, how much mass does the heaviest key
+# carry, and what salt factor would level it -- the diagnosis that
+# picks between a plain shuffle, a broadcast, AQE skew-join, or
+# explicit salting (the q_group_salted remedy, whose dial this
+# computes instead of guessing).
+# --------------------------------------------------------------------------
+
+#: Target rows per task the salt recommendation levels toward, as a
+#: share denominator: a key carrying more than 1/SKEW_TARGET_TASKS of
+#: all rows cannot spread across SKEW_TARGET_TASKS tasks unsalted.
+SKEW_TARGET_TASKS = 32
+
+#: Shared texts: heaviest-key share and the salt factor that levels it
+#: (ceil of share * target tasks; 1 = no salting needed).
+_SKEW_SHARE = "(CAST(top_n AS DOUBLE) / CAST(n AS DOUBLE))"
+_SKEW_SALT = (
+    f"CAST(ceil({_SKEW_SHARE} * {SKEW_TARGET_TASKS}.0) AS BIGINT)"
+)
+
+
+@query(
+    "q_skew_profile",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS k
+      FROM events
+      UNION ALL
+      SELECT 'event_type' AS key_name, event_type AS k FROM events
+      UNION ALL
+      SELECT 'day' AS key_name,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+      FROM events
+    ),
+    per_key AS (
+      SELECT key_name, k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM keyed GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT key_name,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(MAX(c) AS BIGINT) AS top_n
+      FROM per_key GROUP BY 1
+    )
+    SELECT key_name, n_distinct, n, top_n,
+           ROUND({_SKEW_SHARE}, 6) AS top_share,
+           {_SKEW_SALT} AS salt_factor
+    FROM prof
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile of the events table over its three
+    join/group key candidates (user_id, event_type, day): distinct
+    count, total rows, the heaviest key's count and share, and the
+    salt factor that would level that key across SKEW_TARGET_TASKS
+    tasks (1 = no salting needed; the q_group_salted dial, computed
+    instead of guessed).
+
+    One union of three narrow key projections collapses to (key, value,
+    count) cells in a single mergeable hash aggregation, then to one
+    row per key candidate -- the profile costs one scan regardless of
+    key count (Catalyst rewrites the three-leg union over the same
+    scan into one pass at the file level; each leg is column-pruned).
+    Counts stay exact integers; the share and the ceil'd salt factor
+    are one shared IEEE text each.
+
+    Scale: this is the query you run BEFORE the expensive one. The
+    per-key cells are map-side-combinable (bounded by per-task
+    distinct values), the profile is |keys| rows, and the output
+    feeds directly into mechanical decisions: share ~ 1/n_distinct =>
+    uniform, fine; top_share > 1/SKEW_TARGET_TASKS => that key pins a
+    task, salt by salt_factor or let AQE skew-join split it;
+    n_distinct small enough => broadcast the other side instead.
+
+    tests/test_compaction.py (the table-ops suite) recomputes the
+    profile in pure Python and pins the salt-factor algebra: a uniform
+    key yields 1, and the recommended factor always levels the top
+    key to <= target share.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        ev.select(
+            F.lit("user_id").alias("key_name"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("event_type").alias("key_name"),
+                F.col("event_type").alias("k"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("day").alias("key_name"),
+                F.to_date("ts").cast("string").alias("k"),
+            )
+        )
+    )
+    per_key = keyed.groupBy("key_name", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    prof = per_key.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n"),
+        F.max("c").alias("top_n"),
+    )
+    return prof.select(
+        "key_name",
+        "n_distinct",
+        "n",
+        "top_n",
+        F.round(F.expr(_SKEW_SHARE), 6).alias("top_share"),
+        F.expr(_SKEW_SALT).alias("salt_factor"),
+    )

@@ -60,3 +60,46 @@ def test_compaction_plan_matches_greedy_python(spark):
     for r in rows:
         assert r["bin_rows"] == bins[(r["d"], r["out_bin"])][0]
         assert r["bin_frags"] == bins[(r["d"], r["out_bin"])][1]
+
+
+def test_skew_profile_matches_python_and_salt_levels(spark):
+    """Third-engine recompute of the skew profile plus the salt
+    algebra: top_share * n / salt_factor <= n / SKEW_TARGET_TASKS
+    (the recommended factor levels the heaviest key to at most the
+    target per-task share), and a near-uniform key recommends ~1."""
+    import math
+    from collections import Counter
+
+    from dump1090_stream_parser_spark.operators.pipeline_ops import (
+        SKEW_TARGET_TASKS,
+        q_skew_profile,
+    )
+
+    got = {r["key_name"]: r for r in q_skew_profile(spark, SF_DIR).collect()}
+    assert set(got) == {"user_id", "event_type", "day"}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(user_id AS STRING) AS u",
+            "event_type AS t",
+            "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        )
+        .collect()
+    )
+    for key_name, vals in (
+        ("user_id", [r["u"] for r in ev]),
+        ("event_type", [r["t"] for r in ev]),
+        ("day", [r["d"] for r in ev]),
+    ):
+        c = Counter(vals)
+        r = got[key_name]
+        assert r["n_distinct"] == len(c)
+        assert r["n"] == len(vals)
+        assert r["top_n"] == max(c.values())
+        share = max(c.values()) / len(vals)
+        assert math.isclose(
+            r["top_share"], share, rel_tol=0, abs_tol=5.01e-7
+        )
+        assert r["salt_factor"] == math.ceil(share * SKEW_TARGET_TASKS)
+        # the recommendation levels the top key to <= target share
+        assert share / r["salt_factor"] <= 1.0 / SKEW_TARGET_TASKS + 1e-12
