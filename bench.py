@@ -146,6 +146,7 @@ HEADLINE = [
     "q_subsample_ci",      # hash-bit subsampling CI (one-pass bootstrap)
     "q_theil_sen",         # median-of-slopes robust trend (domain pairs)
     "q_skew_profile",      # shuffle-key skew diagnosis + salt advisor
+    "q_sax",               # symbolic aggregate approximation (SAX words)
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

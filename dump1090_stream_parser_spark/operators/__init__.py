@@ -59,6 +59,21 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 eleventh wave: q_sax (symbolic aggregate
+    # approximation of the daily series -- the shape-indexing
+    # primitive) enters the window for an immediate driver row;
+    # q_seasonality funds it.
+    "q_seasonality": (
+        "rotated OUT round 10 eleventh wave (green driver row r9 on"
+        " the code as it stands -- its statistics.py block untouched"
+        " this round): the chi-square screen tier is held in-window"
+        " by q_chi2 (the independence test over the same"
+        " literal-domain LEFT JOIN + shared-term-text discipline;"
+        " q_benford holds the goodness-of-fit sibling while"
+        " re-earning on its renamed term constant); the day-of-week"
+        " profile algebra stays pinned by its pytest leg and the"
+        " local parity gate re-proves it every round"
+    ),
     # ---- round-10 tenth wave: q_skew_profile (the scale advisor:
     # key-skew diagnosis + leveling salt factor) enters the window for
     # an immediate driver row; q_cusum funds it.

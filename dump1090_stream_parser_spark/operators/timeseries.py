@@ -1247,3 +1247,165 @@ def q_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BURST_Z_EXPR) > BURST_Z, F.lit(False)
         ).alias("is_burst"),
     )
+
+
+# --------------------------------------------------------------------------
+# SAX: symbolic aggregate approximation of the daily-volume series --
+# the time-series compression that makes series INDEXABLE (equal
+# words bucket together for similarity search, the q_near_dedup
+# blocking idea applied to shapes). z-normalize, piecewise-aggregate
+# into SAX_SEGMENTS, discretize by literal Gaussian breakpoints; all
+# aggregation happens in EXACT integers (daily counts, segment sums)
+# with floats only in per-row closed forms, so the word is
+# hash-stable cross-engine.
+# --------------------------------------------------------------------------
+
+#: SAX geometry: 30-day horizon -> SAX_SEGMENTS of SAX_SEG_DAYS each;
+#: 4-letter alphabet split at the standard Gaussian quartile
+#: breakpoints (literals -- no distribution functions near data).
+SAX_SEGMENTS = 6
+SAX_SEG_DAYS = 5
+SAX_BREAKS = ("-0.6744897501960817", "0.0", "0.6744897501960817")
+
+#: Shared closed forms over exact integer sufficient statistics:
+#: population mean/std of the 30 daily counts, the segment's PAA value
+#: in z-space, and the 0-3 bucket via breakpoint comparisons (ties go
+#: DOWN: bucket = count of breakpoints strictly below).
+_SAX_MEAN = "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+_SAX_STD = (
+    "(sqrt(CAST(nd AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / CAST(nd AS DOUBLE))"
+)
+_SAX_PAA = (
+    "((CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE) - mean) / std)"
+)
+_SAX_BUCKET = " + ".join(
+    f"(CASE WHEN paa > {b} THEN 1 ELSE 0 END)" for b in SAX_BREAKS
+)
+
+
+@query(
+    "q_sax",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(y) AS BIGINT) AS sx,
+             CAST(SUM(y * y) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    ),
+    seg AS (
+      SELECT event_type, x // {SAX_SEG_DAYS} AS seg,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT s.event_type, s.seg,
+             {_SAX_PAA.replace('mean', f'({_SAX_MEAN})')
+                      .replace('std', f'({_SAX_STD})')} AS paa
+      FROM seg s JOIN stats ON stats.event_type = s.event_type
+    ),
+    lettered AS (
+      SELECT event_type, seg,
+             chr(97 + ({_SAX_BUCKET})) AS ch,
+             ROUND(paa, 6) AS paa
+      FROM z
+    )
+    SELECT l.event_type,
+           stats.nd AS n_days,
+           string_agg(l.ch, '' ORDER BY l.seg) AS word,
+           ROUND({_SAX_MEAN}, 6) AS mean_daily,
+           ROUND({_SAX_STD}, 6) AS std_daily
+    FROM lettered l JOIN stats ON stats.event_type = l.event_type
+    GROUP BY l.event_type, stats.nd, stats.sx, stats.sxx
+    """,
+)
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX word per event type over the 30-day daily-volume series:
+    z-normalize against the series' own mean/std, average into
+    SAX_SEGMENTS piecewise segments (PAA), discretize by the literal
+    Gaussian quartile breakpoints into a 4-letter word -- the symbolic
+    form under which similar shapes collide (equal words = candidate
+    pairs for shape similarity, the blocking primitive for indexing a
+    million series).
+
+    Exactness discipline end to end: daily counts, the series'
+    (n, sum, sum-of-squares) and each segment's (sum, count) are exact
+    integer aggregations; mean, std, and each segment's PAA z-value
+    are per-row shared IEEE texts over those integers; the letter is
+    integer comparisons against breakpoint literals (ties bucket DOWN
+    deterministically -- no libm, no float aggregation anywhere). The
+    word assembles by an explicitly seg-ordered fold in both engines.
+
+    Scale: the corpus collapses to (type, day) in one mergeable pass;
+    everything after is |types| x SAX_SEGMENTS rows. Longer horizons
+    change SAX_SEG_DAYS, not the shape; per-entity series (SAX per
+    user, indexing millions of words) swap the grouping key and feed
+    the word into the q_dedup blocking machinery unchanged.
+
+    tests/test_timeseries.py recomputes the words in pure Python
+    (third-engine check) and pins the SAX contract: words are
+    lowercase a-d of length SAX_SEGMENTS, and a z-shifted copy of a
+    series (same shape, different scale) yields the SAME word.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("y").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+    )
+    seg = daily.groupBy(
+        "event_type", F.expr(f"x DIV {SAX_SEG_DAYS}").alias("seg")
+    ).agg(F.sum("y").alias("sy"), F.count(F.lit(1)).alias("cnt"))
+    mean_t = f"({_SAX_MEAN})"
+    std_t = f"({_SAX_STD})"
+    z = seg.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "seg",
+        "nd",
+        "sx",
+        "sxx",
+        F.expr(
+            _SAX_PAA.replace("mean", mean_t).replace("std", std_t)
+        ).alias("paa"),
+    )
+    lettered = z.select(
+        "event_type",
+        "seg",
+        "nd",
+        "sx",
+        "sxx",
+        F.expr(f"chr(97 + ({_SAX_BUCKET}))").alias("ch"),
+    )
+    return lettered.groupBy("event_type", "nd", "sx", "sxx").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(seg, ch))), s -> s.ch), '')"
+        ).alias("word")
+    ).select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        "word",
+        F.round(F.expr(_SAX_MEAN), 6).alias("mean_daily"),
+        F.round(F.expr(_SAX_STD), 6).alias("std_daily"),
+    )

@@ -439,3 +439,65 @@ def test_burst_matches_python(spark):
         else:
             assert math.isclose(r["z"], z, rel_tol=1e-9, abs_tol=5.01e-7)
             assert r["is_burst"] == (z > BURST_Z)
+
+
+def test_sax_matches_python_and_is_scale_invariant(spark):
+    """Third-engine SAX recompute, the word-contract pin (lowercase
+    a-d, length SAX_SEGMENTS), and the property SAX exists for: an
+    affine-rescaled copy of a series (same shape, different scale and
+    offset) yields the SAME word."""
+    import math
+    from collections import defaultdict
+
+    from dump1090_stream_parser_spark.operators.timeseries import (
+        SAX_BREAKS,
+        SAX_SEG_DAYS,
+        SAX_SEGMENTS,
+        q_sax,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = {r["event_type"]: r for r in q_sax(spark, SF_DIR).collect()}
+    assert got
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(to_date(ts), to_date('2024-01-01')) AS LONG)"
+            " AS x",
+        )
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["event_type"]][r["x"]] += 1
+    breaks = [float(b) for b in SAX_BREAKS]
+
+    def sax_word(series):  # {x: y} -> word
+        nd = len(series)
+        sx = sum(series.values())
+        sxx = sum(y * y for y in series.values())
+        mean = sx / nd
+        std = math.sqrt(nd * sxx - sx * sx) / nd
+        segs = defaultdict(lambda: [0, 0])
+        for x, y in series.items():
+            s = segs[x // SAX_SEG_DAYS]
+            s[0] += y
+            s[1] += 1
+        word = ""
+        for seg in sorted(segs):
+            sy, cnt = segs[seg]
+            paa = (sy / cnt - mean) / std
+            word += chr(97 + sum(1 for b in breaks if paa > b))
+        return word
+
+    for et, r in got.items():
+        series = daily[et]
+        assert r["word"] == sax_word(series)
+        assert len(r["word"]) == SAX_SEGMENTS
+        assert all("a" <= c <= "d" for c in r["word"])
+        # shape invariance: y -> 7y + 300 preserves the word
+        scaled = {x: 7 * y + 300 for x, y in series.items()}
+        assert sax_word(scaled) == r["word"]
