@@ -59,6 +59,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 twelfth wave: q_decile_lift (the model-eval lift
+    # table over the certified q_model_score frame) enters the window
+    # for an immediate driver row; q_hill funds it.
+    "q_hill": (
+        "rotated OUT round 10 twelfth wave (green driver row r9 on"
+        " the code as it stands -- its statistics.py block untouched"
+        " this round): the order-statistics tail tier is held"
+        " in-window by q_winsorize (exact rank-selected clipping over"
+        " the same value collapse -- the heavy-tail defense the Hill"
+        " index diagnoses for) and the deterministic rank-then-select"
+        " machinery by q_theil_sen; the K-bounded sorted-fold float"
+        " discipline stays pinned by its pytest leg and the local"
+        " parity gate re-proves it every round"
+    ),
     # ---- round-10 eleventh wave: q_sax (symbolic aggregate
     # approximation of the daily series -- the shape-indexing
     # primitive) enters the window for an immediate driver row;

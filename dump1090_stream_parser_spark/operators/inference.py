@@ -465,3 +465,150 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.desc("rrf"), F.asc("doc_id")
     ).limit(HYBRID_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Decile lift table: the model-eval primitive. Rank the scored corpus,
+# cut into ten equal-count bins, and report per-bin response rate,
+# lift over the base rate, and cumulative capture -- the table that
+# decides whether a quality model's THRESHOLD is placed well and what
+# a top-k% selection actually buys. Target here is a deterministic
+# binary stand-in (lang = 'en'); a labeled eval set drops into the
+# same machinery by swapping the target column.
+# --------------------------------------------------------------------------
+
+#: Lift-table closed forms over exact integers, shared as text.
+_LIFT_RATE = "(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))"
+_LIFT_BASE = "(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))"
+
+
+@query(
+    "q_decile_lift",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          t -> t <> '')) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                             t -> t <> ''))
+             END AS stop_ratio,
+             least(len(list_filter(string_split(text, ' '),
+                       t -> t <> '')), 100) / 100.0 AS len_prior,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text,
+                           '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+             END AS punct_ratio
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             (({MODEL_W[0]}) + ({MODEL_W[1]}) * stop_ratio
+              + ({MODEL_W[2]}) * len_prior
+              + ({MODEL_W[3]}) * punct_ratio) AS z
+      FROM feats
+    ),
+    t AS (
+      SELECT s.doc_id, s.z / (1 + abs(s.z)) AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    dec AS (
+      SELECT pos,
+             CAST(ntile(10) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS decile
+      FROM t
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS npos
+      FROM dec GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(npos) AS BIGINT) AS tp
+      FROM g
+    )
+    SELECT decile, n, npos,
+           ROUND({_LIFT_RATE}, 6) AS response_rate,
+           ROUND({_LIFT_RATE} / {_LIFT_BASE}, 6) AS lift,
+           ROUND(CAST(SUM(npos) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(tp AS DOUBLE), 6) AS cum_capture
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the document quality model: score every
+    document (the q_model_score Arrow forward pass), rank into ten
+    equal-count bins (deterministic ntile over (score DESC, doc_id)),
+    and per decile report size, positives, response rate, lift over
+    the corpus base rate, and cumulative capture -- the top-k%
+    selection curve in ten rows.
+
+    Counts are exact integers; the three doubles are shared IEEE
+    texts over them (the q_abtest discipline), and the score doubles
+    themselves are the already-hash-certified q_model_score values
+    (exact integer features, one shared squash text). The rank
+    exchange carries (pos, score, doc_id) tuples once; everything
+    after is ten rows.
+
+    Scale: a global ntile is a total sort at corpus scale -- the
+    standard remedy is quantile-cut deciles (approx_percentile
+    boundaries broadcast as literals, then a narrow bucketize), which
+    keeps this exact form as its certificate at eval-set sizes; eval
+    sets are sample-sized by construction, so the sort is honest
+    here. Swapping the lang target for a labeled relevance column
+    changes nothing structural.
+
+    tests/test_batch_fns.py recomputes the table in pure Python and
+    pins the lift identities: sum(npos) = total positives, deciles
+    are equal-count (+-1), and cum_capture is monotone reaching 1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = model_score(featurize_docs(docs)).select("doc_id", "score")
+    t = scored.join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        "doc_id",
+    )
+    from pyspark.sql.window import Window
+
+    dec = t.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("npos").alias("tp")
+    ).localCheckpoint(eager=False)
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("npos").over(wcum))
+        .select(
+            "decile",
+            "n",
+            "npos",
+            F.round(F.expr(_LIFT_RATE), 6).alias("response_rate"),
+            F.round(F.expr(f"{_LIFT_RATE} / {_LIFT_BASE}"), 6).alias(
+                "lift"
+            ),
+            F.round(
+                F.col("cum_pos").cast("double")
+                / F.col("tp").cast("double"),
+                6,
+            ).alias("cum_capture"),
+        )
+    )

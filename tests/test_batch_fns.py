@@ -288,3 +288,63 @@ def test_text_entropy_matches_python(spark):
             )
             assert -1e-9 <= g["entropy_ratio"] <= 1 + 1e-9
         assert g["entropy"] <= math.log(max(len(counts), 1)) + 1e-9
+
+
+def test_decile_lift_matches_python(spark):
+    """Third-engine recompute of the lift table from the scored frame,
+    plus the structural identities: equal-count deciles (+-1),
+    positives conserved, cum_capture monotone to 1.0."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.inference import (
+        featurize_docs,
+        model_score,
+        q_decile_lift,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = sorted(
+        q_decile_lift(spark, SF_DIR).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in got] == list(range(1, 11))
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in model_score(featurize_docs(docs)).collect()
+    }
+    pos = {
+        r["doc_id"]: 1 if r["lang"] == "en" else 0
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    order = sorted(scored, key=lambda d: (-scored[d], d))
+    n = len(order)
+    # ntile semantics: first (n % 10) tiles get ceil(n/10)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    idx, expect = 0, []
+    tp = sum(pos.values())
+    cum = 0
+    for i, size in enumerate(sizes, start=1):
+        chunk = order[idx: idx + size]
+        idx += size
+        npos = sum(pos[d] for d in chunk)
+        cum += npos
+        expect.append((i, size, npos, npos / size, cum / tp))
+    base_rate = tp / n
+    for r, (i, size, npos, rate, cap) in zip(got, expect):
+        assert (r["decile"], r["n"], r["npos"]) == (i, size, npos)
+        assert math.isclose(
+            r["response_rate"], rate, rel_tol=0, abs_tol=5.01e-7
+        )
+        assert math.isclose(
+            r["lift"], rate / base_rate, rel_tol=0, abs_tol=5.01e-7
+        )
+        assert math.isclose(
+            r["cum_capture"], cap, rel_tol=0, abs_tol=5.01e-7
+        )
+    caps = [r["cum_capture"] for r in got]
+    assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
+    assert sum(r["npos"] for r in got) == tp
+    assert max(r["n"] for r in got) - min(r["n"] for r in got) <= 1

@@ -35,6 +35,11 @@ PROBE = [
     # subsampling CI's one-aggregation claim, measured as slopes
     "q_table_digest",
     "q_subsample_ci",
+    # round 10: rank statistics -- the claim is that post-collapse
+    # cost rides the DISTINCT-VALUE grid (sublinear under value-dense
+    # replication), not the row count
+    "q_mann_whitney",
+    "q_theil_sen",
     "q_dedup",
     "q_near_dedup_simhash",
     "q_knn_cosine",
