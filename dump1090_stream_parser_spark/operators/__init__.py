@@ -59,6 +59,22 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " hash family stays pinned by its own pytest error-envelope"
         " legs and re-proven every round by the local parity gate"
     ),
+    # ---- round-10 thirteenth wave: q_auc (exact rank-sum ROC AUC --
+    # the threshold-free model gate) enters the window for an
+    # immediate driver row; q_ks_test funds it.
+    "q_ks_test": (
+        "rotated OUT round 10 thirteenth wave (green driver row r9 on"
+        " the code as it stands -- its statistics.py block untouched"
+        " this round; the shared ks_pairs_from_counts helper's"
+        " decimal-cast ADVICE fix is covered by the full parity"
+        " gate): the two-sample distribution-test machinery -- the"
+        " (cohort, distinct value, count) collapse, stacked pair"
+        " legs, per-pair window CDF and exact integer"
+        " cross-multiplication -- is held in-window VERBATIM by"
+        " q_mann_whitney (the same stages ranking instead of"
+        " supremum-gapping) and the streaming KS twin keeps the pair"
+        " stage executing in tests/test_drift_stream.py every round"
+    ),
     # ---- round-10 twelfth wave: q_decile_lift (the model-eval lift
     # table over the certified q_model_score frame) enters the window
     # for an immediate driver row; q_hill funds it.
@@ -1013,11 +1029,19 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " side and q_profile's expand plan; re-proven every round by"
         " the local parity gate"
     ),
-    "q_rollup": (
-        "rotated OUT round 5 (green driver rows r3+r4): grouping-sets"
-        " capability held in-window by q_cube (the superset -- cube emits"
-        " every grouping set, rollup the hierarchical prefix subset; same"
-        " Expand physical plan, same BIGINT-cast oracle fix)"
+    # q_rollup re-entered the window round-10 thirteenth wave: the
+    # oldest overdue parked entry (age 6, last green r4) takes the
+    # drain slot the quota step to 22 (tail > 105) demands; q_streaks
+    # funds the re-entry.
+    "q_streaks": (
+        "rotated OUT round 10 thirteenth wave (green driver row r9 on"
+        " the code as it stands -- its block untouched this round):"
+        " the gaps-and-islands lag-gap core is held in-window by the"
+        " re-entered q_window_lag_delta (the same lag-over-ordered-"
+        "window primitive the island ids integrate) and the date-"
+        "grain spine arithmetic by q_sax's day-index segmentation;"
+        " its pytest leg and the local parity gate re-prove the"
+        " island algebra every round"
     ),
     "q_join_star": (
         "rotated OUT round 5 (green driver rows r1+r3+r4): inner-equi"

@@ -612,3 +612,146 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_capture"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact ROC AUC via the rank-sum identity: AUC = U / (np * nn) with U
+# the Mann-Whitney statistic (ties at half credit) -- the
+# threshold-free companion of q_decile_lift's threshold table, and the
+# number a model gate actually compares across checkpoints. Exact
+# integer sufficient statistics over the (distinct score, label-count)
+# collapse; one shared closed form at the end.
+# --------------------------------------------------------------------------
+
+#: AUC closed form over the exact integers (u2 = 2*U): one shared text.
+_AUC = (
+    "(CAST(u2 AS DOUBLE)"
+    " / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))"
+)
+
+
+@query(
+    "q_auc",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          t -> t <> '')) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                             t -> t <> ''))
+             END AS stop_ratio,
+             least(len(list_filter(string_split(text, ' '),
+                       t -> t <> '')), 100) / 100.0 AS len_prior,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text,
+                           '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+             END AS punct_ratio
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             (({MODEL_W[0]}) + ({MODEL_W[1]}) * stop_ratio
+              + ({MODEL_W[2]}) * len_prior
+              + ({MODEL_W[3]}) * punct_ratio) AS z
+      FROM feats
+    ),
+    t AS (
+      SELECT s.z / (1 + abs(s.z)) AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    u AS (
+      SELECT score,
+             CAST(SUM(pos) AS BIGINT) AS cp,
+             CAST(SUM(1 - pos) AS BIGINT) AS cn
+      FROM t GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, cp, cn,
+             COALESCE(SUM(cn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS below_n
+      FROM u
+    ),
+    s AS (
+      SELECT SUM(CAST(cp AS HUGEINT) * (2 * CAST(below_n AS HUGEINT)
+                 + cn)) AS u2,
+             CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cn) AS BIGINT) AS nn
+      FROM cum
+    )
+    SELECT np, nn,
+           ROUND({_AUC}, 6) AS auc,
+           ROUND(2.0 * {_AUC} - 1.0, 6) AS gini
+    FROM s
+    """,
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (and its Gini rescale) for the document quality
+    model against the lang-based binary target: the probability a
+    random positive outscores a random negative, ties at half credit
+    -- computed by the rank-sum identity 2*U = sum over distinct
+    scores of pos_count * (2 * negatives_below + negatives_tied), so
+    the statistic is EXACT integer arithmetic end to end with one
+    shared closed form at the very end (the q_mann_whitney machinery
+    pointed at model evaluation; q_decile_lift answers "where to
+    cut", this answers "is the ranking any good at all").
+
+    The corpus collapses to one row per DISTINCT score value in a
+    single mergeable aggregation; one window pass accumulates the
+    negatives-below CDF; u2 sums in HUGEINT/decimal(38,0). No
+    pairwise join -- the naive AUC definition is a np x nn pair
+    product; this is the same number in |distinct scores| rows.
+
+    Scale: identical posture to q_mann_whitney -- post-collapse cost
+    rides the distinct-score grid (measured flat under value-dense
+    replication, docs/SCALE.md), never np * nn. tests/test_batch_fns
+    cross-checks against a pure-Python pairwise AUC at the test SF
+    (the O(np*nn) definition, feasible there) and pins the
+    perfect/inverted/constant-score sentinel values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = model_score(featurize_docs(docs)).select("doc_id", "score")
+    t = scored.join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        "doc_id",
+    )
+    u = t.groupBy("score").agg(
+        F.sum("pos").alias("cp"),
+        F.sum(1 - F.col("pos")).alias("cn"),
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = u.select(
+        "score",
+        "cp",
+        "cn",
+        F.coalesce(F.sum("cn").over(wb), F.lit(0).cast("long")).alias(
+            "below_n"
+        ),
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("cp").cast("decimal(18,0)")
+            * (F.lit(2) * F.col("below_n") + F.col("cn")).cast(
+                "decimal(19,0)"
+            )
+        ).alias("u2"),
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+    )
+    return s.select(
+        "np",
+        "nn",
+        F.round(F.expr(_AUC), 6).alias("auc"),
+        F.round(F.expr(f"2.0 * {_AUC} - 1.0"), 6).alias("gini"),
+    )

@@ -348,3 +348,65 @@ def test_decile_lift_matches_python(spark):
     assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
     assert sum(r["npos"] for r in got) == tp
     assert max(r["n"] for r in got) - min(r["n"] for r in got) <= 1
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """Cross-check the rank-sum AUC against the O(np*nn) pairwise
+    definition (feasible at the test SF), plus the sentinel values a
+    broken AUC always betrays: score==target ranking -> 1.0,
+    inverted -> 0.0, constant scores -> 0.5."""
+    import math
+
+    from dump1090_stream_parser_spark.operators.inference import (
+        featurize_docs,
+        model_score,
+        q_auc,
+    )
+    from dump1090_stream_parser_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    row = q_auc(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = {
+        x["doc_id"]: x["score"]
+        for x in model_score(featurize_docs(docs)).collect()
+    }
+    pos = {
+        x["doc_id"]: x["lang"] == "en"
+        for x in docs.select("doc_id", "lang").collect()
+    }
+    ps = [scored[d] for d in scored if pos[d]]
+    ns = [scored[d] for d in scored if not pos[d]]
+    assert (r["np"], r["nn"]) == (len(ps), len(ns))
+    wins = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0)
+        for p in ps
+        for n_ in ns
+    )
+    auc = wins / (len(ps) * len(ns))
+    assert math.isclose(r["auc"], auc, rel_tol=0, abs_tol=5.01e-7)
+    assert math.isclose(
+        r["gini"], 2 * auc - 1, rel_tol=0, abs_tol=1.01e-6
+    )
+
+    def rank_auc(pairs):  # [(score, is_pos)] -> auc via the same algebra
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for s, p in pairs:
+            agg[s][0 if p else 1] += 1
+        below_n, u2 = 0, 0
+        for s in sorted(agg):
+            cp, cn = agg[s]
+            u2 += cp * (2 * below_n + cn)
+            below_n += cn
+        np_ = sum(1 for _, p in pairs if p)
+        nn_ = len(pairs) - np_
+        return u2 / (2 * np_ * nn_)
+
+    assert rank_auc([(1.0, True), (0.0, False)] * 3) == 1.0
+    assert rank_auc([(0.0, True), (1.0, False)] * 3) == 0.0
+    assert rank_auc([(0.5, True), (0.5, False)] * 3) == 0.5
