@@ -708,7 +708,13 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to q_mann_whitney -- post-collapse cost
     rides the distinct-score grid (measured flat under value-dense
-    replication, docs/SCALE.md), never np * nn. tests/test_batch_fns
+    replication, docs/SCALE.md), never np * nn. A truly continuous
+    score domain makes that grid corpus-sized and the CDF window a
+    single-partition sort; the standard swap (the q_weighted_median /
+    q_ks_test remedy) is rounding scores to a fixed grain BEFORE the
+    collapse -- AUC over 1e-6-rounded scores differs from exact AUC
+    by at most the tie mass that rounding creates, and the plan is
+    unchanged. tests/test_batch_fns
     cross-checks against a pure-Python pairwise AUC at the test SF
     (the O(np*nn) definition, feasible there) and pins the
     perfect/inverted/constant-score sentinel values.
