@@ -732,6 +732,14 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").alias("cp"),
         F.sum(1 - F.col("pos")).alias("cn"),
     )
+    return auc_tail(u)
+
+
+def auc_tail(u: DataFrame) -> DataFrame:
+    """q_auc's rank-sum stages over a (score, cp, cn) count-collapse
+    frame -- factored out so the streaming twin (streaming/auc.py)
+    evaluates the IDENTICAL Spark expressions over its state snapshots
+    and bit-equals the batch output by construction."""
     from pyspark.sql.window import Window
 
     wb = Window.orderBy("score").rowsBetween(
