@@ -787,3 +787,48 @@ def test_theil_sen_matches_python_and_is_robust(spark):
         ts_move = abs(ts_fit(bad)[0] - slope)
         ols_move = abs(ols_slope(bad) - ols_slope(pts))
         assert ols_move > 2 * ts_move, (et, ols_move, ts_move)
+
+
+def test_rank_sum_algebra_properties():
+    """The rank-sum algebra that q_mann_whitney and q_auc share,
+    property-tested over arbitrary generated data (no Spark): (1) the
+    count-collapse U equals the O(n1*n2) pairwise definition with
+    half-tie credit; (2) the complement identity U(a,b) + U(b,a) =
+    n1*n2 holds exactly in 2x-integer units; (3) AUC from the same
+    algebra is scale-free in [0, 1] and flips under score negation."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+
+    def u2_collapse(va, vb):  # 2*U(a over b) via the engine's algebra
+        ca, cb = Counter(va), Counter(vb)
+        below_b, u2 = 0, 0
+        for v in sorted(set(ca) | set(cb)):
+            u2 += ca.get(v, 0) * (2 * below_b + cb.get(v, 0))
+            below_b += cb.get(v, 0)
+        return u2
+
+    def u2_pairwise(va, vb):
+        return sum(
+            2 if a > b else (1 if a == b else 0) for a in va for b in vb
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(vals, vals)
+    def check(a, b):
+        u2 = u2_collapse(a, b)
+        assert u2 == u2_pairwise(a, b)
+        assert u2 + u2_collapse(b, a) == 2 * len(a) * len(b)
+        auc = u2 / (2 * len(a) * len(b))
+        assert 0.0 <= auc <= 1.0
+        neg_auc = u2_collapse([-x for x in a], [-x for x in b]) / (
+            2 * len(a) * len(b)
+        )
+        assert abs(auc + neg_auc - 1.0) < 1e-12
+
+    check()
