@@ -60,11 +60,16 @@ def _fold(
     else:
         n, x, s, ver = 0, 0, 0, 0
     for pdf in batches:
-        hs = pdf["h"]
+        hs = pdf["h"].to_numpy()
         n += int(len(hs))
-        for v in hs.to_numpy():
-            x ^= int(v)
-        s = (s + int(sum(int(v) for v in hs.to_numpy()))) % DIGEST_SUM_MOD
+        if len(hs):
+            # XOR is overflow-free in int64 -- vectorized reduce; the
+            # SUM is not (60-bit hashes wrap past ~8e3 rows), so it
+            # folds in arbitrary-precision Python ints
+            import numpy as np
+
+            x ^= int(np.bitwise_xor.reduce(hs))
+            s = (s + int(sum(int(v) for v in hs))) % DIGEST_SUM_MOD
     ver += 1
     state.update((n, x, s, ver))
     yield pd.DataFrame(
