@@ -2403,6 +2403,15 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
         .localCheckpoint(eager=False)
     )
+    return theil_sen_from_daily(daily)
+
+
+def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
+    """q_theil_sen's post-collapse stages over a (event_type, x, y)
+    day-grain frame -- factored out so the streaming twin
+    (streaming/theil_sen.py) runs the IDENTICAL Spark expressions over
+    its state snapshots and bit-equals the batch output by
+    construction."""
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
         b,
