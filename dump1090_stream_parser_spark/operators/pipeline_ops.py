@@ -1635,6 +1635,15 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "hr")
         .agg(F.count(F.lit(1)).alias("size_rows"))
     )
+    return compaction_plan_from_inventory(inv)
+
+
+def compaction_plan_from_inventory(inv: DataFrame) -> DataFrame:
+    """q_compaction_plan's packing stages over a (d, hr, size_rows)
+    inventory frame -- factored out so the streaming twin
+    (streaming/compaction.py) evaluates the IDENTICAL Spark window
+    expressions over its state snapshots and bit-equals the batch
+    plan by construction."""
     wcum = (
         Window.partitionBy("d")
         .orderBy(F.desc("size_rows"), F.asc("hr"))
