@@ -44,7 +44,297 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 # user-facing catalog (tools/make_catalog.py -> docs/QUERIES.md) carries
 # the same capability map; tail order is the rotation order (newest
 # candidates for a future window swap first).
+
+#: The driver round this window registration TARGETS (VERDICT r10 ask
+#: #2). The green-age drain invariant (tools/parking_guard.py
+#: check_green_age) is evaluated at THIS round, not at the ledger-derived
+#: current round -- so the moment a new CORRECTNESS file lands, the suite
+#: reports "rotation pending" as a distinct signal instead of failing,
+#: and only a registration left stale for a FULL round (ledger two or
+#: more rounds ahead) is a violation. Bump this constant as part of every
+#: rotation edit.
+WINDOW_ROUND = 11
+
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-11 green-age rotation (VERDICT r10 asks #1 + #8): all
+    # 21 parked entries past green-age 5 (ages 6-7) re-enter the window
+    # for fresh driver rows, joined by the 10 age-5 entries that would
+    # cross the bound at the round-11 close -- so round 11 is the first
+    # round the whole registry closes at green-age <= 5 -- and by the
+    # new q_ann_pq_pruned (the at-rest codes-layout read path, ask #6).
+    # The 32 incumbents below park to make room; every one carries a
+    # FRESH r10 green row on code untouched since (guard-enforced block
+    # diffs), and 17 of the 18 staying incumbents hold only the single
+    # r10 green row, so staying earns them their second.
+    "q_winsorize": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " statistics.py's winsorize block untouched this round): the"
+        " exact rank-selected clipping is held in-window by the"
+        " re-entering q_percentile (the same cumulative-count cut"
+        " selection over a count-collapsed frame) and the robust"
+        " two-sample tier by q_mann_whitney; re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_burst": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " timeseries.py's burst block untouched this round): the"
+        " zero-filled day-spine aggregation is held in-window by the"
+        " re-entering q_gapfill (the same dense-spine Generate +"
+        " fill join) and the day-grain series discipline by q_sax's"
+        " segmentation; re-proven every round by the local parity gate"
+    ),
+    "q_sbs1_gold_latest": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r6+r7+r8+r9+r10 -- five consecutive -- sbs1_gold.py"
+        " untouched this round): keyed latest-state ranking is held"
+        " in-window by the re-entering q_window_latest (the same"
+        " row_number-over-key-desc-time shape on the same events"
+        " ordering); the ingest-side gold view stays executed every"
+        " round by the streaming pytest e2e legs and the local parity"
+        " gate"
+    ),
+    "q_multimodal_meta": (
+        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
+        " multimodal.py's meta block untouched this round): the"
+        " Arrow-batched binary metadata plumbing is held in-window by"
+        " the re-entering q_multimodal_frames and q_multimodal_features"
+        " (same payload schema, same mapInPandas batch shape);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_knn_per_label": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " similarity.py's per-label block untouched this round): the"
+        " grouped exact top-k cosine scan is held in-window by the"
+        " re-entering q_knn_cosine (the same norm-hoisted scoring core"
+        " and partial WindowGroupLimit, ungrouped form); re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_source_overlap": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " text.py's overlap block untouched this round): the pairwise"
+        " source containment/Jaccard matrix is held in-window by"
+        " q_source_overlap_kmv (the sketch form of the SAME pair"
+        " grid over the same gram streams, staying for its second"
+        " green row); re-proven every round by the local parity gate"
+    ),
+    "q_novelty": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " text.py's novelty block untouched this round):"
+        " first-occurrence gram freshness is held in-window by the"
+        " re-entering q_window_running (the same cumulative"
+        " ordered-window pass that marks first occurrences) and the"
+        " gram-hash family by q_dedup; re-proven every round by the"
+        " local parity gate and the streaming novelty twin's pytest leg"
+    ),
+    "q_dup_spans_bloom": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " dedup.py's bloom fork untouched this round): the"
+        " Bloom-prefiltered corpus-positional gram pipeline is the"
+        " parked q_dup_spans' plan plus a broadcast bitmap gate, whose"
+        " holders (q_near_dedup_minhash's gram hashing, q_window_"
+        "running's windowed marking pass) re-enter the window this"
+        " round; the measured 33%/43% row/byte shuffle cut stays"
+        " pinned in docs/SCALE.md and the local parity gate re-proves"
+        " both forks every round"
+    ),
+    "q_dup_spans": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r8+r9+r10, dedup.py's span block untouched this round): the"
+        " corpus-positional gram hashing is held in-window by the"
+        " re-entering q_near_dedup_minhash (the same shingle-hash"
+        " front end) and the one-pass windowed duplicate marking by"
+        " q_window_running's frame machinery; re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_dedup_clusters_lsh": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r5+r6+r7+r8+r9+r10 -- six consecutive, the deepest live"
+        " streak in the registry -- dedup.py untouched this round):"
+        " the pointer-jumping connected-components core re-enters the"
+        " window directly as q_dedup_clusters, and its LSH"
+        " edge-generation stage as q_near_dedup_minhash; re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_near_dedup_ngram": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " dedup.py's ngram block untouched this round): n-gram Jaccard"
+        " near-dup is held in-window by the re-entering"
+        " q_near_dedup_minhash (the sketched estimator of the SAME"
+        " shingle-set Jaccard) and q_near_dedup_simhash; re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_dedup_events": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " dedup.py's events block untouched this round): the"
+        " fingerprint-keyed exact-dedup shuffle is held in-window by"
+        " the re-entering q_dedup (the same 60-bit content-fingerprint"
+        " groupBy on the documents corpus); re-proven every round by"
+        " the local parity gate and the streaming dedup pytest leg"
+    ),
+    "q_text_entropy": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " text.py's entropy block untouched this round): the"
+        " shared-ln float fold over exact integer counts is held"
+        " in-window by q_benford (the same digit/count goodness-of-fit"
+        " discipline, staying for its fourth green row); the"
+        " zero-exchange per-row sorted scan stays pinned by its"
+        " executed-stage meter row (0 shuffle records) and the local"
+        " parity gate"
+    ),
+    "q_pmi": (
+        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
+        " text.py's pmi block untouched this round): exact-count"
+        " association scoring over a bounded vocabulary is held"
+        " in-window by q_chi2 (the same observed-vs-expected"
+        " contingency fold, staying for its second green row);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_length_hist": (
+        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
+        " relational.py's histogram block untouched this round): the"
+        " fixed-bucket distribution summary is held in-window by the"
+        " re-entering q_percentile (the exact order-statistics view of"
+        " the same length column); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_doc_fingerprint": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " text.py's fingerprint block untouched this round): the"
+        " rolling-hash document fingerprint family is held in-window"
+        " by the re-entering q_dedup (which groups on exactly these"
+        " fingerprints) and q_near_dedup_minhash's shingle hashes;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_token_count": (
+        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
+        " text.py's token-count block untouched this round): the"
+        " regex-split token accounting is held in-window by the"
+        " re-entering q_repetition_score (the same tokenizer feeding"
+        " its bigram statistics); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_quality_score": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r1+r3+r10, text.py's quality block untouched this round):"
+        " heuristic document scoring (length/punct/stopword ratios) is"
+        " held in-window by the re-entering q_repetition_score (the"
+        " same narrow per-document scan discipline over the same"
+        " corpus); re-proven every round by the local parity gate"
+    ),
+    "q_tfidf": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r1+r3+r10, text.py's tfidf block untouched this round): the"
+        " gram-explode + document-frequency join is held in-window by"
+        " the re-entering q_repetition_score (same explode-aggregate"
+        " front end) and the broadcast dim-join shape by q_join_star;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_token_tf": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " text.py's tf block untouched this round): the explode ->"
+        " per-token aggregation front end is held in-window by the"
+        " re-entering q_repetition_score (the same tokenize-explode"
+        " pipeline one statistic deeper); re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_funnel": (
+        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
+        " composite.py's funnel block untouched this round): the"
+        " user-keyed ordered-event staging is held in-window by the"
+        " re-entering q_sessionize (the same per-user time-ordered lag"
+        " machinery its stage gates build on); re-proven every round"
+        " by the local parity gate"
+    ),
+    "q_window_ntile": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " windows.py's ntile block untouched this round): rank-bucket"
+        " windowing is held in-window by the re-entering"
+        " q_window_latest (the same ranking-window family) and exact"
+        " quantile selection by q_percentile; re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_window_lag_delta": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r1+r3+r10, windows.py's lag block untouched this round): the"
+        " lag-over-ordered-window primitive is held in-window by the"
+        " re-entering q_sessionize (whose gap detection IS a lag"
+        " delta) and the frame machinery by q_window_running;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_join_left": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " joins.py's left-outer block untouched this round): the"
+        " outer-join tier is held in-window by the re-entering"
+        " q_join_full (the two-sided generalization of the same"
+        " coalesced-key shape) and q_join_semi_anti; re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_group_salted": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's salted block untouched this round): the"
+        " two-stage salted aggregation is held in-window by"
+        " q_skew_profile (the key-skew diagnosis that computes the"
+        " leveling salt factor it applies, staying for its second"
+        " green row); re-proven every round by the local parity gate"
+    ),
+    "q_stats": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's stats block untouched this round): the"
+        " sufficient-statistics moment fold (avg/stddev/corr partials)"
+        " is held in-window by q_subsample_ci (the same mergeable"
+        " moment aggregation with confidence legs, staying for its"
+        " second green row); re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_haversine": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's haversine block untouched this round): the"
+        " spherical-distance math tier is held in-window by"
+        " q_spatial_join (the same great-circle formula inside its"
+        " grid-blocked join predicate, staying for its second green"
+        " row); re-proven every round by the local parity gate"
+    ),
+    "q_array_explode": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's array block untouched this round): the"
+        " Generate/explode array surface is held in-window by the"
+        " re-entering q_multimodal_frames (explode over sampled frame"
+        " arrays with the same posexplode ordinal discipline);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_sliding_window": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's sliding block untouched this round): the"
+        " overlapping time-bucket rollup is held in-window by the"
+        " re-entering q_time_bucket (the tumbling special case of the"
+        " same date_trunc bucketing) and the frame machinery by"
+        " q_window_running; re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_string_clean": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's string block untouched this round): the"
+        " string-fn projection surface is held in-window by the"
+        " re-entering q_project_cast (the same narrow expression-only"
+        " projection tier) and q_json_extract's extraction functions;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_rollup": (
+        "rotated OUT round 11 age rotation (green driver rows"
+        " r3+r4+r10, relational.py's rollup block untouched this"
+        " round): the multi-grain Expand aggregation is held in-window"
+        " by the re-entering q_group_topk (the same partial+final hash"
+        " agg core) and its grain-union semantics by q_set_ops;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_agg_conditional": (
+        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
+        " relational.py's conditional block untouched this round): the"
+        " case-when conditional aggregate grid is held in-window by"
+        " the re-entering q_pivot (whose cells are exactly these"
+        " filtered aggregates) and the hash-agg tier by q_group_topk;"
+        " re-proven every round by the local parity gate"
+    ),
     # ---- round-10 fourth wave: q_ann_pq (ADC shortlist + exact
     # re-rank over the committed PQ codebook -- the read path the
     # q_pq_encode codes table exists for) enters the window for an
@@ -843,192 +1133,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_heavy_hitters; the HLL rsd certificate stays re-proven"
         " every round by the local parity gate"
     ),
-    "q_join_full": (
-        "rotated OUT round 7 seventh wave (green driver rows"
-        " r3+r4+r5+r6, joins.py untouched this round so the r6 row"
-        " covers byte-identical code): the join tier keeps two"
-        " in-window representatives over the same module"
-        " (q_join_snowflake inner chain, q_join_range theta/range);"
-        " FULL OUTER's coalesced-key union shape stays re-proven"
-        " every round by the local parity gate and its plan pin in"
-        " tests/test_plans.py"
-    ),
-    "q_gapfill": (
-        "rotated OUT round 7 sixth wave (green driver rows r4+r5+r6,"
-        " relational.py untouched this round so the r6 row covers"
-        " byte-identical code): the dense-time Generate surface is"
-        " held in-window by q_countmin's depth explode and"
-        " q_chunk_docs' sequence chunking; the fill/carry-forward"
-        " window mechanics by q_window_trailing and q_scd2_intervals"
-        " over the same events ordering; its own sequence-join shape"
-        " stays re-proven every round by the local parity gate"
-    ),
-    "q_json_extract": (
-        "rotated OUT round 7 fifth wave (green driver rows"
-        " r1+r3+r4+r5+r6 -- the deepest history in the registry --"
-        " relational.py untouched this round, so the r6 row covers"
-        " byte-identical code): the JSON-fn surface"
-        " (get_json_object / typed from_json over the events payload)"
-        " stays re-proven every round by the local parity gate, and"
-        " the broader string/extraction tier is held in-window by"
-        " q_pii_scrub / q_chunk_docs / q_profile"
-    ),
-    "q_multimodal_features": (
-        "rotated OUT round 7 fourth wave (green driver rows r5+r6; the"
-        " r6 row covers byte-identical code -- multimodal.py is"
-        " untouched since): the Arrow-batched binary plumbing is held"
-        " in-window by q_multimodal_resize and q_multimodal_energy"
-        " (same payload schema, same mapInPandas batch shape); the"
-        " stub-codec feature extraction stays pinned by exact-value"
-        " unit tests and the local parity gate"
-    ),
-    "q_group_concat": (
-        "rotated OUT round 7 third wave (green driver rows"
-        " r1+r3+r4+r5+r6, code untouched this round): the order-stable"
-        " aggregation tier (array_sort inside a hash agg) is held"
-        " in-window by q_cube / q_heavy_hitters (partial+final hash"
-        " agg) and q_weighted_sample's deterministic per-group ordering"
-        " contract; the string-fn surface by q_pii_scrub / q_chunk_docs;"
-        " its collation-proof array_sort-then-concat shape stays"
-        " re-proven every round by the local parity gate"
-    ),
-    "q_group_topk": (
-        "rotated OUT round 7 third wave (green driver rows"
-        " r1+r3+r4+r5+r6, code untouched this round): the hash-agg +"
-        " TakeOrderedAndProject core is held in-window by q_cube /"
-        " q_retention_cohorts / q_heavy_hitters (partial+final hash"
-        " agg) and q_ann_ivf / q_bm25 (top-k without a global sort);"
-        " it also remains the entry() flagship, so the driver's smoke"
-        " check still executes it every round, and"
-        " test_topk_avoids_global_sort pins its physical shape"
-    ),
-    "q_sessionize": (
-        "rotated OUT round 7 second wave (green driver rows"
-        " r1+r3+r4+r5+r6, code untouched this round): the lag-gap /"
-        " ordered-staging core is held in-window by q_scd2_intervals"
-        " (lag change detection + lead interval close + row_number"
-        " versioning over the same user-keyed sort); framed"
-        " aggregation by q_window_trailing"
-    ),
-    "q_window_latest": (
-        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
-        " untouched this round): ranking-window capability is held"
-        " in-window by q_weighted_sample (per-source row_number top-K"
-        " through the same WindowGroupLimit pushdown), q_semantic_dedup's"
-        " keeper rank, and q_hybrid_search's rank-fusion stages"
-    ),
-    "q_near_dedup_simhash": (
-        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
-        " untouched this round): hamming-banded signature near-dup is"
-        " held in-window by q_dedup_clusters_lsh (banded minhash"
-        " signature self-join) and q_near_dedup_embedding_lsh"
-        " (hyperplane sign-bucket banding); the 64-bit simhash recall"
-        " contract stays pinned by the local parity gate and the"
-        " headline bench line"
-    ),
-    "q_join_semi_anti": (
-        "rotated OUT round 7 (green driver rows r1+r3+r4+r5+r6, code"
-        " untouched this round): the left-semi physical op is held"
-        " in-window by q_contamination (fact-fact gram-hash semi join)"
-        " and q_contamination_bloom; the IN/NOT-IN rewrite tier by"
-        " q_subquery_scalar's decorrelation machinery"
-    ),
-    "q_distinct_aircraft": (
-        "rotated OUT round 6 second wave (green driver rows"
-        " r1+r3+r4+r5): the exact COUNT(DISTINCT) capability is held"
-        " in-window by q_approx_distinct -- whose self-certifying shape"
-        " computes the SAME exact countDistinct alongside the HLL"
-        " sketch -- and by q_profile's multi-distinct expand plan"
-    ),
-    "q_repetition_score": (
-        "rotated OUT round 6 second wave (green driver rows r3+r4+r5):"
-        " bigram-statistics document scoring is held in-window by"
-        " q_lm_score (the corpus-LM generalization of the same"
-        " per-doc bigram aggregation) and the gating form by"
-        " q_quality_filter"
-    ),
-    "q_near_dedup_embedding": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5; swapped per"
-        " VERDICT r5 'What's wrong' #3; post-green change acknowledged,"
-        " block 772a8669: docstring-only cross-reference edit, zero"
-        " executable lines): the driver-certified embedding"
-        " near-dup is now q_near_dedup_embedding_lsh -- the"
-        " bounded-by-construction hyperplane-LSH blocking a 100 TB run"
-        " would use; this label-blocked form stays as the exact-block"
-        " small-corpus alternative, same pair semantics"
-    ),
-    "q_knn_cosine": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
-        " brute-force cosine top-k is the scoring core of in-window"
-        " q_hybrid_search's vector leg and q_dense_index; the ANN tiers"
-        " it baselines (q_ann_lsh, q_ann_ivf) remain in-window, and its"
-        " recall ground-truth role is re-proven every round by"
-        " tests/test_approx.py"
-    ),
-    "q_centroid_outliers": (
-        "rotated OUT round 6 (green driver rows r3+r4+r5):"
-        " broadcast-centroid distance scoring is the assignment stage of"
-        " in-window q_ann_ivf (same narrow projection over the same"
-        " centroid artifacts)"
-    ),
-    "q_quantize_embeddings": (
-        "rotated OUT round 6 (green driver rows r3+r4+r5): int8"
-        " symmetric quantization's error-bound contract is re-proven"
-        " every round by tests/test_approx.py; the per-vector array"
-        " arithmetic tier is held in-window by q_ann_ivf /"
-        " q_near_dedup_embedding_lsh"
-    ),
-    "q_multimodal_frames": (
-        "rotated OUT round 6 (green driver rows r3+r4+r5): the"
-        " Arrow-batched binary plumbing is held in-window by"
-        " q_multimodal_features / q_multimodal_energy /"
-        " q_multimodal_resize (same payload schema, same mapInPandas"
-        " batch shape)"
-    ),
-    "q_train_split": (
-        "rotated OUT round 6 (green driver rows r3+r4+r5):"
-        " deterministic hash-based splitting is held in-window by"
-        " q_stratified_sample (same portable-hash bucketing family,"
-        " plus the per-stratum gate)"
-    ),
-    "q_pivot": (
-        "rotated OUT round 6 (green driver rows r3+r4+r5): reshape"
-        " capability held in-window by q_unpivot (its exact inverse;"
-        " pivot is the Expand-side, unpivot the Generate-side of the"
-        " same wide/long tier)"
-    ),
-    "q_subquery_in": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5): subquery"
-        " capability held in-window by q_subquery_scalar (correlated"
-        " scalar aggregates -- the deeper decorrelation form of the same"
-        " rewrite-to-join machinery)"
-    ),
-    "q_window_running": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
-        " framed-window capability held in-window by q_window_trailing"
-        " (the time-RANGE generalization of the same frame machinery;"
-        " rowsBetween is its fixed-spacing special case)"
-    ),
-    "q_filter_range": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5): a"
-        " pushed-down predicate scan is the first stage of every"
-        " in-window query; the PushedFilters/partition-pruning evidence"
-        " it pinned is held by tests/test_plans.py and the plan-snapshot"
-        " suite"
-    ),
-    "q_locf": (
-        "rotated OUT round 6 (green driver rows r4+r5): the hourly"
-        " spine + bucket agg is held in-window by q_gapfill (same spine"
-        " join); its last-observation window core by q_dedup_best's"
-        " keep-best ranking (the same row_number-over-key shape)"
-    ),
-    "q_set_ops": (
-        "rotated OUT round 6 (green driver rows r1+r3+r4+r5):"
-        " UNION/INTERSECT/EXCEPT lower to the same distinct-aggregate"
-        " shuffle held in-window by q_approx_distinct's exact-distinct"
-        " side and q_profile's expand plan; re-proven every round by"
-        " the local parity gate"
-    ),
     # q_rollup re-entered the window round-10 thirteenth wave: the
     # oldest overdue parked entry (age 6, last green r4) takes the
     # drain slot the quota step to 22 (tail > 105) demands; q_streaks
@@ -1042,47 +1146,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         "grain spine arithmetic by q_sax's day-index segmentation;"
         " its pytest leg and the local parity gate re-prove the"
         " island algebra every round"
-    ),
-    "q_join_star": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): inner-equi"
-        " star-join capability held in-window by q_join_snowflake (the"
-        " same broadcast-dim star core extended one normalization hop)"
-    ),
-    "q_percentile": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): percentile"
-        " capability held in-window by q_approx_percentile (same column"
-        " set; its bounded-error contract vs this exact query is"
-        " tests/test_approx.py, re-proven every round by the local gate)"
-    ),
-    "q_dedup": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): the"
-        " fingerprint-keyed exact-dedup shuffle is held in-window by"
-        " q_contamination (same 60-bit gram-hash family),"
-        " q_rolling_fingerprint (same hash chain), and"
-        " q_dedup_clusters_lsh (dedup over the survivor graph)"
-    ),
-    "q_near_dedup_minhash": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): the minhash"
-        " signature + band-key self-join is contained verbatim inside"
-        " in-window q_dedup_clusters_lsh (its edge-generation stage);"
-        " simhash and embedding-LSH near-dup remain in-window"
-    ),
-    "q_dedup_clusters": (
-        "rotated OUT round 5 (green driver rows r3+r4): the"
-        " dedup_clusters_from pointer-jumping CC core is exercised"
-        " in-window by q_dedup_clusters_lsh over the LSH survivor graph"
-        " (the 100 TB composition of the same code path)"
-    ),
-    "q_project_cast": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): projection +"
-        " cast is the first stage of every in-window query; the"
-        " ReadSchema/column-pruning evidence it pinned is held by the"
-        " plan-snapshot suite (tests/test_plan_snapshot.py)"
-    ),
-    "q_time_bucket": (
-        "rotated OUT round 5 (green driver rows r1+r3+r4): the"
-        " date_trunc bucket agg is contained verbatim in in-window"
-        " q_gapfill (same bucketing plus the spine join)"
     ),
     # q_token_count re-entered the window mid-round 10: the OLDEST
     # green age in the registry (last driver row r3), funded by

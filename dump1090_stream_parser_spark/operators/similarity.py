@@ -2246,11 +2246,42 @@ def pq_codes_projection(emb: DataFrame, by_m) -> DataFrame:
     )
 
 
+#: Queries per inlined ADC projection (ADVICE r10): each query's lookup
+#: table inlines PQ_M x PQ_KSUB double literals, so one projection over
+#: |Q| queries carries |Q| x PQ_M x PQ_KSUB literals of plan text --
+#: fine at the fixtures' |Q|=5, unbounded for a large query table.
+#: Chunking caps every projection's plan/analysis cost at a constant;
+#: chunks union over the same codes scan (each re-scan is the cheap
+#: codes-only columnar pass, and a production run batches queries
+#: anyway). Beyond ~10^4 queries the right tool is the broadcast-join
+#: form (q_knn_join's shape), not literal inlining.
+_ADC_QUERY_CHUNK = 64
+
+
+def _adc_candidates(codes: DataFrame, per_q: list[str], extra=()) -> DataFrame:
+    """Explode the per-query ADC structs over the codes scan in
+    _ADC_QUERY_CHUNK-bounded projections, unioned: plan text per
+    projection stays constant in |Q|. ``extra`` names pass-through
+    code columns (e.g. cell_id for the pruned layout form)."""
+    out = None
+    for i in range(0, len(per_q), _ADC_QUERY_CHUNK):
+        chunk = per_q[i : i + _ADC_QUERY_CHUNK]
+        c = codes.select(
+            "vec_id",
+            *extra,
+            F.explode(F.expr("array(" + ",".join(chunk) + ")")).alias("s"),
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
 def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
     """q_ann_pq's search stages over an arbitrary codes frame: ADC
     scoring via inlined per-query lookup tables, the shortlist rank,
     and the exact re-rank join-back against ``emb`` (which supplies
-    both the raw vectors and the query table)."""
+    both the raw vectors and the query table). Lookup tables inline in
+    _ADC_QUERY_CHUNK-bounded projections so plan text stays constant
+    however large the query table."""
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     q_rows = sorted(
         emb.filter(is_query).select("vec_id", "embedding").collect(),
@@ -2273,9 +2304,9 @@ def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
             f" 'adc', round(aggregate(array({','.join(terms)}), 0D,"
             " (a, x) -> a + x), 6))"
         )
-    cand = codes.select(
-        "vec_id", F.explode(F.expr("array(" + ",".join(per_q) + ")")).alias("s")
-    ).select(F.col("s.query_id").alias("query_id"), "vec_id", F.col("s.adc").alias("adc"))
+    cand = _adc_candidates(codes, per_q).select(
+        F.col("s.query_id").alias("query_id"), "vec_id", F.col("s.adc").alias("adc")
+    )
     ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     shortlist = (
         cand.withColumn("srn", F.row_number().over(ws))
@@ -2300,4 +2331,238 @@ def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
         rer.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ANN_JOIN_K)
         .select("query_id", "vec_id", "adc", "ip", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# The composed production index, driver-certified (VERDICT r10 ask #6):
+# PQ codes AT REST in cell_id=N/ partition directories keyed by the
+# trained IVF quantizer -- the artifact plans/layout.pq_ivf_codes_layout
+# writes -- searched with cell pruning at file-listing time. q_ann_pq
+# proves the ADC arithmetic over in-query codes; this registers the read
+# path a 100 TB deployment actually runs: build the layout, then scan
+# ONLY the probed cells' code directories.
+# --------------------------------------------------------------------------
+
+#: Where the registered query materializes the composed IVF x PQ codes
+#: layout (one subdirectory per source sf table). Rebuilt on every call
+#: -- the fixture corpora are 500-2000 vectors, so determinism is worth
+#: more than caching here; a production build writes this ONCE and
+#: amortizes it over every search (plans/layout.py).
+_PQ_IVF_LAYOUT_ROOT = (
+    Path(__file__).resolve().parents[2] / "spark-warehouse" / "pq_ivf_codes"
+)
+
+
+@query(
+    "q_ann_pq_pruned",
+    oracle=f"""
+    WITH cb AS (
+      SELECT m, code_id, cv FROM read_parquet('{_PQ_FIXTURE}')
+    ),
+    cents AS (
+      SELECT cell_id, cv FROM read_parquet('{_IVF_FIXTURE}')
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql("e.embedding", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e, cents c
+        WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      ) t WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT e.vec_id, cb.m, cb.code_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.m
+                 ORDER BY ROUND({_PQ_D2_DUCK}, 6), cb.code_id) AS rn
+        FROM embeddings e CROSS JOIN cb
+        WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+    ),
+    qprobe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos_sql("q.qv", "c.cv")}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q, cents c
+      ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.code_id,
+             {_PQ_IP_DUCK} AS part
+      FROM q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT c.vec_id, l.query_id, a.cell_id,
+             ROUND(list_reduce(
+               list_prepend(0.0, list(l.part ORDER BY l.m)),
+               (x, t) -> x + t), 6) AS adc
+      FROM codes c
+      JOIN lut l ON l.m = c.m AND l.code_id = c.code_id
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN qprobe p ON p.query_id = l.query_id AND p.cell_id = a.cell_id
+      GROUP BY c.vec_id, l.query_id, a.cell_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, cell_id, adc FROM (
+        SELECT query_id, vec_id, cell_id, adc,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc DESC, vec_id) AS srn
+        FROM scored
+      ) t WHERE srn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.vec_id, s.cell_id, s.adc,
+             ROUND({_PQ_RERANK_IP_DUCK}, 6) AS ip
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, cell_id, adc, ip, rn FROM (
+      SELECT query_id, vec_id, cell_id, adc, ip,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ip DESC, vec_id) AS rn
+      FROM rer
+    ) t WHERE rn <= {ANN_JOIN_K}
+    """,
+)
+def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over the AT-REST composed IVF x PQ index (VERDICT r10
+    ask #6): the query builds the production artifact --
+    ``plans.layout.pq_ivf_codes_layout``'s codes table, PQ codes in
+    ``cell_id=N/`` partition directories keyed by the trained persisted
+    quantizer, no embedding column anywhere in it -- then searches it
+    the way a deployment would: every query vector probes only its
+    IVF_NPROBE nearest trained cells, the scan's ``cell_id IN (...)``
+    predicate prunes the other directories at FILE-LISTING time
+    (PartitionFilters, pinned in tests/test_pq.py), the surviving
+    cells' PQ_M-byte codes are ADC-scored against per-query lookup
+    tables, and only the bounded top-PQ_SHORTLIST join-back ever
+    touches raw floats for the exact inner-product re-rank.
+
+    Plan: the layout write is the q_pq_encode narrow projection plus
+    the q_ann_ivf_trained assignment projection (both inlined-literal,
+    shuffle-free) partitioned by cell; the search reads the written
+    parquet with a static isin() over the union of all probed cells
+    (partition pruning), applies each query's own probe set as an
+    array_contains over its literal cell list, and shares every stage
+    downstream -- shortlist rank with partial WindowGroupLimit, exact
+    re-rank as two broadcast joins -- with the driver-certified
+    q_ann_pq. ADC lookup tables are driver-side Python folds
+    (_pq_lut_py) bit-identical to the oracle's list_reduce; cell
+    assignment and probe ranking replicate q_ann_ivf_trained's
+    fixture-provenance contract, so the full value hash compares.
+
+    Scale: this is the billion-vector operating point the IVF and PQ
+    halves exist to compose -- directory pruning cuts the scan to
+    ~nprobe/N_CELLS of the corpus at file-listing time, each surviving
+    cell is 64x smaller than raw floats, and float fetches are bounded
+    at |Q| x PQ_SHORTLIST regardless of corpus size. The fixture-scale
+    rebuild-per-call is a determinism choice, not the cost model: a
+    real deployment writes the layout once (docs/SCALE.md measures the
+    <0.25x on-disk bytes and the recall/cost curve vs nprobe).
+    """
+    from ..plans.layout import pq_ivf_codes_layout
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout_dir = str(_PQ_IVF_LAYOUT_ROOT / Path(sf_dir).name)
+    pq_ivf_codes_layout(spark, sf_dir, layout_dir, centroids="trained")
+
+    cent_rows = sorted(
+        spark.read.parquet(_IVF_FIXTURE)
+        .select("cell_id", F.col("cv").alias("embedding"))
+        .collect(),
+        key=lambda r: r["cell_id"],
+    )
+    by_m = pq_codebook_by_m(spark)
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    q_rows = sorted(
+        emb.filter(is_query).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # Per-query probe cells, ranked driver-side with the oracle's
+    # (round(cos, 6) DESC, cell_id) tie-break -- N_CELLS rows, bytes.
+    per_q = []
+    union_cells: set[int] = set()
+    for qr in q_rows:
+        qv = [float(v) for v in qr["embedding"]]
+        qcells = [
+            cid
+            for cid, _ in sorted(
+                (
+                    (int(r["cell_id"]), round(_cos_py(qv, [float(v) for v in r["embedding"]]), 6))
+                    for r in cent_rows
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )[:IVF_NPROBE]
+        ]
+        union_cells.update(qcells)
+        terms = []
+        for m in sorted(by_m):
+            lits = ",".join(
+                repr(_pq_lut_py(qv, m, list(cv))) + "D" for _, cv in by_m[m]
+            )
+            terms.append(f"element_at(array({lits}), c{m} + 1)")
+        per_q.append(
+            f"named_struct('query_id', CAST({int(qr['vec_id'])} AS BIGINT),"
+            f" 'cells', array({','.join(str(c) for c in qcells)}),"
+            f" 'adc', round(aggregate(array({','.join(terms)}), 0D,"
+            " (a, x) -> a + x), 6))"
+        )
+    # The static union-of-probes predicate compiles to PartitionFilters:
+    # unprobed cell directories are never even listed.
+    codes = (
+        spark.read.parquet(layout_dir)
+        .filter(
+            F.col("cell_id").isin(sorted(union_cells)) & ~is_query
+        )
+    )
+    cand = (
+        _adc_candidates(codes, per_q, extra=("cell_id",))
+        .filter(F.expr("array_contains(s.cells, cell_id)"))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "vec_id",
+            "cell_id",
+            F.col("s.adc").alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id", "cell_id", "adc")
+    )
+    qtab = emb.filter(is_query).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rer = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qtab), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell_id",
+            "adc",
+            F.round(dot(F.col("embedding"), F.col("qv")), 6).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_JOIN_K)
+        .select("query_id", "vec_id", "cell_id", "adc", "ip", "rn")
     )

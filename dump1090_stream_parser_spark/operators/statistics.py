@@ -1960,6 +1960,12 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Two-sided 5% normal critical value for the rank-sum z.
 MW_Z_CRIT = 1.96
 
+#: Largest tie group whose cube stays exact in decimal(38,0)
+#: (t^3 < 1e38 -> t <= 4.64e12; kept a round 4e12 for headroom).
+#: Beyond it the plan raises via assert_true -- loud, not the
+#: ANSI-off silent null (ADVICE r10).
+_MW_TIE_BOUND = 4 * 10**12
+
 #: Normal-approximation z over the integer sufficient statistics
 #: (u2 = 2*U1, ts = sum(t^3 - t) over tie groups): numerator
 #: (2*U1 - n1*n2)/2, variance n1*n2/12 * ((N+1) - ts/(N*(N-1))).
@@ -2113,17 +2119,30 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2*cb2 + c2) <= 2N computes in long (exact to N < 2^62) and
     # widens to decimal(19,0); the product is decimal(38,0) -- the
     # q_winsorize/ks_pairs discipline (DuckDB promotes to HUGEINT).
-    # The tie cube bounds t < 1e12 per distinct value (t^3 < 1e36).
-    t = F.col("c1") + F.col("c2")
+    # Tie cube (ADVICE r10): decimal(18,0) factors keep the cube's
+    # (38,0) result exact while t^3 < 1e38, i.e. tie groups to ~4.6e12
+    # rows; past _MW_TIE_BOUND the assert_true fails the job LOUDLY
+    # instead of the ANSI-off silent null that would propagate into z.
+    t_raw = F.col("c1") + F.col("c2")
+    t = t_raw + F.coalesce(
+        F.assert_true(
+            t_raw <= F.lit(_MW_TIE_BOUND),
+            F.lit(
+                "mann_whitney: tie group exceeds the exact decimal"
+                f" cube bound ({_MW_TIE_BOUND} rows)"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     s = cum.groupBy("g1", "g2").agg(
         F.sum(
             F.col("c1").cast("decimal(18,0)")
             * (F.lit(2) * F.col("cb2") + F.col("c2")).cast("decimal(19,0)")
         ).alias("u2"),
         F.sum(
-            t.cast("decimal(12,0)")
-            * t.cast("decimal(12,0)")
-            * t.cast("decimal(12,0)")
+            t.cast("decimal(18,0)")
+            * t.cast("decimal(18,0)")
+            * t.cast("decimal(18,0)")
             - t.cast("decimal(38,0)")
         ).alias("ts"),
     )

@@ -57,14 +57,27 @@ def _fold(
     )
 
 
-def auc_stream(stream: DataFrame) -> DataFrame:
+def auc_stream(stream: DataFrame, score_grain: int | None = None) -> DataFrame:
     """Standing (score, cp, cn) collapse over a documents-shaped
     stream: scores via model_score_expr -- the JVM expression twin of
     the Arrow forward pass (identical IEEE op sequence, so the score
     doubles match the batch path bit-for-bit without a stream-stream
-    join) -- one state row per distinct score."""
+    join) -- one state row per distinct score.
+
+    ``score_grain`` (ADVICE r10): state cardinality is the distinct-
+    score grid, and a continuous production score domain would grow it
+    without bound under GroupStateTimeout.NoTimeout. Pass a decimal
+    grain (e.g. 4) to round scores before the stateful groupBy, capping
+    state at 10^grain * range rows -- the q_auc docstring's fixed-grain
+    remedy, available in the stream path instead of only documented.
+    None (the default) keeps exact scores: bit-equality with the batch
+    q_auc holds only ungrained, so the tests and this corpus's finite
+    feature grid use None."""
+    score = model_score_expr()
+    if score_grain is not None:
+        score = F.round(score, score_grain)
     t = stream.select(
-        model_score_expr().alias("score"),
+        score.alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
     return t.groupBy("score").applyInPandasWithState(

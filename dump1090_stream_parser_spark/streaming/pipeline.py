@@ -101,6 +101,11 @@ def bronze_from_sbs1_fanin(
     per-source offsets independent in the checkpoint -- exactly-once
     delivery per receiver is preserved (pinned end-to-end in
     tests/test_streaming.py)."""
+    if not host_groups:
+        raise ValueError(
+            "bronze_from_sbs1_fanin needs at least one host group"
+            " (got an empty host_groups list)"
+        )
     streams = [
         bronze_from_sbs1_multi(spark, group, **options)
         for group in host_groups

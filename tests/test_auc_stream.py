@@ -67,3 +67,50 @@ def test_stream_auc_equals_batch_and_survives_restart(spark, tmp_path):
     before = want[0]
     assert after["np"] + after["nn"] == before["np"] + before["nn"] + 40
     assert 0.0 <= after["auc"] <= 1.0
+
+
+def test_score_grain_bounds_the_state_grid(spark, tmp_path):
+    """ADVICE r10: auc_stream's score_grain must round scores BEFORE
+    the stateful groupBy, so a continuous score domain maps onto a
+    bounded state grid. Pin (a) the grained stream's distinct-score
+    state rows <= the ungrained run's, (b) every state key sits on the
+    10^-grain lattice, (c) totals are preserved."""
+    docs = load_table(spark, SF_DIR, "documents").select(*_COLS)
+    src = tmp_path / "docs_in"
+    docs.coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    def run(grain, tag):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            auc_stream(stream, score_grain=grain)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    exact = run(None, "exact")
+    grained = run(2, "grained")
+    n_exact = exact.select("score").distinct().count()
+    n_grained = grained.select("score").distinct().count()
+    assert n_grained <= n_exact
+    # every grained key is on the 0.01 lattice
+    off = grained.filter(
+        F.abs(F.col("score") * 100 - F.round(F.col("score") * 100, 0))
+        > 1e-9
+    ).count()
+    assert off == 0
+    # totals preserved: same document mass lands in both grids
+    tot = lambda df: df.agg(  # noqa: E731
+        F.sum("cp").alias("p"), F.sum("cn").alias("n")
+    ).collect()[0]
+    assert tuple(tot(exact)) == tuple(tot(grained))

@@ -69,6 +69,66 @@ def test_green_age_drain_rate_holds():
     assert violations == [], violations
 
 
+def test_window_round_is_current():
+    """The registration stamp must track the ledger: WINDOW_ROUND is
+    the round this window targets, and the ledger may be AT that round
+    (mid-round) or one past it (new CORRECTNESS file just landed --
+    rotation pending, a distinct signal, not a failure). Two or more
+    past means a full driver round ran without a rotation, which
+    check_green_age reports as a violation."""
+    from parking_guard import current_round, window_round
+
+    assert current_round() - window_round() <= 1
+
+
+def test_drain_invariant_survives_round_boundary(tmp_path):
+    """VERDICT r10 ask #2, the done-criterion: the suite must be green
+    both BEFORE and AFTER a new CORRECTNESS ledger file lands. Simulate
+    the drop: copy the real ledger into a temp dir, add a synthetic
+    next-round file that greens every current-window entry, and assert
+    (a) the drain invariant still holds (ages are judged at
+    WINDOW_ROUND, not at the advanced ledger round), (b) the state is
+    reported as rotation_pending, and (c) a ledger TWO rounds ahead
+    becomes a loud stale-registration violation."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from parking_guard import (
+        check_green_age,
+        rotation_pending,
+        window_round,
+    )
+
+    import dump1090_stream_parser_spark.operators as ops
+
+    # green now (the real ledger), not yet pending
+    assert check_green_age() == []
+
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    for p in Path("/root/repo").glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, ledger / p.name)
+    window = list(ops.queries_map())[:50]
+    fake_green = {
+        q: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for q in window
+    }
+    nxt = window_round()
+    (ledger / f"CORRECTNESS_r{nxt}.json").write_text(json.dumps(fake_green))
+
+    # the boundary state: ledger advanced, suite still green, signal up
+    assert check_green_age(str(ledger)) == []
+    assert rotation_pending(str(ledger))
+
+    # a SECOND un-rotated round is the real violation
+    (ledger / f"CORRECTNESS_r{nxt + 1}.json").write_text(
+        json.dumps(fake_green)
+    )
+    stale = check_green_age(str(ledger))
+    assert len(stale) == 1 and "full driver round" in stale[0]["reason"]
+
+
 def test_rotation_quota_sustains_the_bound():
     """Sanity-pin the arithmetic the invariant rests on: draining
     `quota` entries per round cycles the whole tail within

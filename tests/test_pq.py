@@ -244,3 +244,81 @@ def test_pq_ivf_composed_index_prunes_and_reranks(spark, tmp_path):
     for r in rows:
         assert r["vec_id"] != QUERY_VEC_ID
         assert abs(r["ip"] - float(vecs[r["vec_id"]] @ qv)) < 1e-5
+
+
+def test_q_ann_pq_pruned_partition_filters_and_results(spark):
+    """The REGISTERED composed-index read path (q_ann_pq_pruned,
+    VERDICT r10 ask #6): (1) the codes scan over the written
+    cell_id=N/ layout carries cell_id PartitionFilters and an
+    embedding-free ReadSchema; (2) every result row's cell is one of
+    ITS query's probed cells; (3) <= ANN_JOIN_K rows per query,
+    ip-descending; (4) ip is the true inner product."""
+    import numpy as np
+
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        IVF_NPROBE,
+        _IVF_FIXTURE,
+        _cos_py,
+        q_ann_pq_pruned,
+    )
+    from dump1090_stream_parser_spark.plans.inspect import formatted_plan
+
+    df = q_ann_pq_pruned(spark, SF_DIR)
+
+    plan = formatted_plan(df)
+    code_scans = [
+        blk
+        for blk in plan.split("\n\n")
+        if "pq_ivf_codes" in blk and "ReadSchema" in blk
+    ]
+    assert code_scans, plan
+    for blk in code_scans:
+        assert any(
+            "PartitionFilters" in ln and "cell_id" in ln
+            for ln in blk.splitlines()
+        ), blk
+        schema = [
+            ln for ln in blk.splitlines() if ln.startswith("ReadSchema")
+        ]
+        assert schema and "embedding" not in schema[0], blk
+
+    rows = df.collect()
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], float) for r in emb}
+    cents = sorted(
+        spark.read.parquet(_IVF_FIXTURE).collect(),
+        key=lambda r: r["cell_id"],
+    )
+    probed = {}
+    for qid in range(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI + 1):
+        qv = [float(v) for v in vecs[qid]]
+        probed[qid] = {
+            cid
+            for cid, _ in sorted(
+                (
+                    (int(c["cell_id"]),
+                     round(_cos_py(qv, [float(v) for v in c["cv"]]), 6))
+                    for c in cents
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )[:IVF_NPROBE]
+        }
+    by_q = {}
+    for r in rows:
+        assert r["cell_id"] in probed[r["query_id"]], r
+        assert not (ANN_JOIN_Q_LO <= r["vec_id"] <= ANN_JOIN_Q_HI)
+        ip_true = float(vecs[r["vec_id"]] @ vecs[r["query_id"]])
+        assert abs(r["ip"] - ip_true) < 1e-5, r
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI + 1))
+    for qid, rs in by_q.items():
+        assert len(rs) <= ANN_JOIN_K
+        ips = [r["ip"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert ips == sorted(ips, reverse=True), (qid, ips)

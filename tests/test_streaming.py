@@ -805,6 +805,19 @@ def test_sbs1_partitioned_source_survives_server_kill(spark, tmp_path):
         steady_server.server_close()
 
 
+def test_sbs1_fanin_rejects_empty_host_groups(spark):
+    """ADVICE r10: an empty host_groups list must be a clear
+    ValueError, not a bare IndexError from streams[0]."""
+    import pytest
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_fanin,
+    )
+
+    with pytest.raises(ValueError, match="host group"):
+        bronze_from_sbs1_fanin(spark, [])
+
+
 def test_sbs1_fanin_union_of_source_instances(spark, tmp_path):
     """The past-the-drain-ceiling fan-in form: TWO partitioned sbs1
     source INSTANCES (each its own runner process / offset log)

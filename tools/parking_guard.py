@@ -50,10 +50,10 @@ sys.path.insert(0, "/root/repo")
 REPO = "/root/repo"
 
 
-def last_green_rounds() -> dict[str, int]:
+def last_green_rounds(ledger_dir: str = REPO) -> dict[str, int]:
     """query -> newest round with a green (rows+schema+hash) row."""
     out: dict[str, int] = {}
-    for path in glob.glob(f"{REPO}/CORRECTNESS_r*.json"):
+    for path in glob.glob(f"{ledger_dir}/CORRECTNESS_r*.json"):
         n = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as f:
             rows = json.load(f)
@@ -67,9 +67,27 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
-def current_round() -> int:
-    greens = last_green_rounds()
+def current_round(ledger_dir: str = REPO) -> int:
+    greens = last_green_rounds(ledger_dir)
     return (max(greens.values()) + 1) if greens else 1
+
+
+def window_round() -> int:
+    """The round the current window registration TARGETS
+    (operators.WINDOW_ROUND, stamped as part of every rotation edit --
+    VERDICT r10 ask #2). The drain invariant is evaluated at THIS
+    round, so a freshly-landed ledger file flips the report to
+    "rotation pending" instead of failing the suite at every round
+    boundary."""
+    import dump1090_stream_parser_spark.operators as ops
+
+    return ops.WINDOW_ROUND
+
+
+def rotation_pending(ledger_dir: str = REPO) -> bool:
+    """True once the ledger has advanced past the round this window
+    was registered for -- the loud-but-distinct boundary signal."""
+    return current_round(ledger_dir) > window_round()
 
 
 def round_commit(n: int) -> str | None:
@@ -205,13 +223,16 @@ def check_parked() -> list[dict]:
 MAX_GREEN_AGE = 5
 
 
-def green_ages() -> dict[str, int | None]:
+def green_ages(ledger_dir: str = REPO, at_round: int | None = None) -> dict[str, int | None]:
     """query -> rounds since its last green driver row (1 = green last
-    round); None for entries with no green row yet."""
+    round); None for entries with no green row yet. Ages are relative
+    to ``at_round`` (default: the registration's WINDOW_ROUND, NOT the
+    ledger-derived current round -- so the invariant below judges the
+    window against the round it was built for)."""
     import dump1090_stream_parser_spark.operators as ops
 
-    greens = last_green_rounds()
-    cur = current_round()
+    greens = last_green_rounds(ledger_dir)
+    cur = window_round() if at_round is None else at_round
     return {
         q: (cur - greens[q]) if q in greens else None
         for q in ops.queries_map()
@@ -227,13 +248,32 @@ def rotation_quota() -> int:
     return math.ceil(tail / MAX_GREEN_AGE)
 
 
-def check_green_age() -> list[dict]:
-    """Violations of the green-age drain-rate invariant."""
+def check_green_age(ledger_dir: str = REPO) -> list[dict]:
+    """Violations of the green-age drain-rate invariant, evaluated AT
+    THE WINDOW'S TARGET ROUND (VERDICT r10 ask #2). A new ledger file
+    landing no longer fails this check -- that state is the distinct
+    ``rotation_pending`` signal; what fails is (a) a window that does
+    not meet its own round's drain quota, or (b) a registration left
+    stale for a FULL round (ledger >= 2 rounds past WINDOW_ROUND --
+    the driver evaluated the same window twice without a rotation)."""
     import dump1090_stream_parser_spark.operators as ops
 
+    cur = current_round(ledger_dir)
+    wr = window_round()
+    if cur - wr >= 2:
+        return [
+            {
+                "reason": (
+                    f"window registration targets round {wr} but the"
+                    f" ledger is at round {cur}: a full driver round"
+                    " passed without a rotation; rotate and bump"
+                    " operators.WINDOW_ROUND"
+                )
+            }
+        ]
     names = list(ops.queries_map())
     window, tail = names[:50], names[50:]
-    ages = green_ages()
+    ages = green_ages(ledger_dir)
 
     def overdue(q: str) -> bool:
         a = ages.get(q)
@@ -335,6 +375,8 @@ def main() -> None:
         json.dumps(
             {
                 "current_round": current_round(),
+                "window_round": window_round(),
+                "rotation_pending": rotation_pending(),
                 "violations": violations,
                 "green_age_violations": age_violations,
                 "green_age_distribution": {
