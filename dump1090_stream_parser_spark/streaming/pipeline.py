@@ -91,13 +91,27 @@ def bronze_from_sbs1_fanin(
     host_groups: list[list[tuple[str, int]]],
     **options,
 ) -> DataFrame:
-    """Fan-in past the per-source drain ceiling: one partitioned
-    ``sbs1`` source INSTANCE per host group, unioned. The receiver-
-    scaling curve (BASELINE.md round-10 row) saturates near 4 drain
-    threads per source because all of a source's receivers share its
-    one Python runner process (GIL); separate source instances each
-    get their OWN runner, so aggregate drain capacity scales with
-    groups, not threads. Union of streaming DataFrames keeps
+    """Fan-in across receiver groups: one partitioned ``sbs1`` source
+    INSTANCE per host group, unioned into one streaming query.
+
+    MEASURED LIMIT (BASELINE.md round-11 row, correcting this
+    docstring's original claim): source instances do NOT get separate
+    Python processes -- SimpleDataSourceStreamReader prefetch runs in
+    the DRIVER process, so every group's drain threads share the one
+    driver GIL and only the TOTAL thread count matters: 2x4 fan-in
+    measures 155k rows/s ~= the single-source 8-receiver point (145k),
+    and 2x2 measures 250k ~= the single-source 4-receiver point
+    (a process census during the run shows exactly one Python process).
+    Use this form for its real benefits -- per-group source options,
+    per-source offset logs, bounded per-source replay buffers -- and
+    keep total receivers <= ~4 per DRIVER for throughput. Scaling
+    drain capacity past one driver's GIL means separate streaming
+    QUERIES in separate driver processes (one ingest job per receiver
+    group, the deployment shape), or moving framing out of Python;
+    recv() itself releases the GIL -- the ceiling is the Python-side
+    line splitting and offset bookkeeping.
+
+    Union of streaming DataFrames keeps
     per-source offsets independent in the checkpoint -- exactly-once
     delivery per receiver is preserved (pinned end-to-end in
     tests/test_streaming.py)."""

@@ -41,14 +41,20 @@ def test_plan_signature_unchanged(spark, name):
 
 # -- executed-stage contract (VERDICT r9 ask #4) ---------------------------
 
-from plan_snapshot import EXEC_PINNED  # noqa: E402
+from plan_snapshot import EXEC_PINNED, exec_pinned_names  # noqa: E402
 
 with open("/root/repo/docs/PLAN_SNAPSHOT_EXEC.json") as f:
     EXEC_SNAPSHOT = json.load(f)
 
 
-def test_exec_snapshot_covers_the_watchlist():
-    assert set(EXEC_SNAPSHOT) == set(EXEC_PINNED)
+def test_exec_snapshot_covers_watchlist_and_window():
+    """VERDICT r10 ask #3: every multi-consumer watchlist query AND
+    every current driver-window query carries an executed-stage pin,
+    so any per-round bench wobble on an in-window line can be
+    adjudicated against its (shuffle_records, n_stages) record instead
+    of by narrative."""
+    assert set(EXEC_SNAPSHOT) == set(exec_pinned_names())
+    assert set(EXEC_PINNED) <= set(EXEC_SNAPSHOT)
 
 
 @pytest.mark.parametrize("name", sorted(EXEC_SNAPSHOT))

@@ -322,10 +322,143 @@ def multi_main() -> None:
     spark.stop()
 
 
+def fanin_main() -> None:
+    """Fan-in throughput past the single-runner GIL ceiling (VERDICT
+    r10 ask #4): the same deterministic MSG,3 lines sharded over
+    n_groups x recv_per_group localhost TCP servers, read by
+    ``bronze_from_sbs1_fanin`` -- one partitioned ``sbs1`` source
+    INSTANCE per group, unioned. Every group's receivers share that
+    group's Python runner process; separate groups get separate
+    runners, so aggregate drain capacity should scale with groups
+    where the in-source receiver curve saturated (~4 threads/runner).
+
+        python tools/ingest_bench.py fanin [n_rows] [n_groups] [recv_per_group]
+
+    Compare against ``multi`` at the same total receiver count to
+    isolate the runner-process effect (e.g. fanin 8000000 2 4 vs
+    multi 8000000 4 -- BASELINE.md round-11 row).
+    """
+    import socket
+    import tempfile
+    import threading
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_groups = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    per_group = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    n_recv = n_groups * per_group
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="ingest_bench_fanin",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    events = synth_events(spark, n, int(cpus))
+    lines = sbs1_lines_from_events(events).toPandas()["value"]
+    shard = (len(lines) + n_recv - 1) // n_recv
+    payloads = [
+        ("\n".join(lines[i * shard:(i + 1) * shard]).encode() + b"\n")
+        for i in range(n_recv)
+    ]
+
+    servers, hosts = [], []
+    for payload in payloads:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        servers.append(srv)
+        hosts.append(("127.0.0.1", srv.getsockname()[1]))
+
+        def serve(sock=srv, data=payload) -> None:
+            conn, _ = sock.accept()
+            try:
+                conn.sendall(data)
+                conn.recv(1)  # hold open until the bench closes
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+        threading.Thread(target=serve, daemon=True).start()
+
+    host_groups = [
+        hosts[g * per_group:(g + 1) * per_group] for g in range(n_groups)
+    ]
+
+    from dump1090_stream_parser_spark.streaming.pipeline import (
+        bronze_from_sbs1_fanin,
+    )
+
+    bronze = bronze_from_sbs1_fanin(
+        # per-group batch cap: same decoupled drain-vs-processing
+        # sizing as the multi bench, split across group sources
+        spark,
+        host_groups,
+        max_lines_per_batch=max(250_000 // n_groups, 50_000),
+        replay_capacity=2_000_000,
+    )
+    sq = silver(parse_lines(bronze, parsed_time=F.col("ingest_ts")))
+
+    got = {"rows": 0}
+    lock = threading.Lock()
+
+    def count_batch(df, _epoch) -> None:
+        c = df.count()
+        with lock:
+            got["rows"] += c
+
+    t0 = time.perf_counter()
+    query = (
+        sq.writeStream.foreachBatch(count_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ingest_bench_fanin_"),
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        with lock:
+            if got["rows"] >= n:
+                break
+        time.sleep(0.2)
+    sec = time.perf_counter() - t0
+    query.stop()
+    for srv in servers:
+        srv.close()
+    assert got["rows"] >= n, f"stream delivered {got['rows']}/{n} rows"
+    print(
+        json.dumps(
+            {
+                "metric": "silver_ingest_fanin_rows_per_sec",
+                "value": round(n / sec),
+                "unit": "rows/sec",
+                "n_rows": n,
+                "n_groups": n_groups,
+                "recv_per_group": per_group,
+                "seconds": round(sec, 3),
+                "cpus": int(cpus),
+                "note": (
+                    "end-to-end incl. TCP socket drain + streaming "
+                    "micro-batches; one partitioned sbs1 source "
+                    "instance per group (own runner process), unioned"
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "source":
         source_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "multi":
         multi_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "fanin":
+        fanin_main()
     else:
         main()

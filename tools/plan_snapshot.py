@@ -88,7 +88,22 @@ EXEC_PINNED = (
 )
 
 
-def build_exec_snapshot(spark, names=EXEC_PINNED) -> dict[str, dict]:
+def exec_pinned_names() -> list[str]:
+    """The exec-pin coverage set (VERDICT r10 ask #3): the
+    multi-consumer watchlist above PLUS every current driver-window
+    query -- so each in-window line in the per-round bench carries a
+    (shuffle_records, n_stages) pin to adjudicate wobble against (the
+    q_benford r10 lesson: a 1.65x bench swing on a plan-neutral diff
+    could not be settled from pins because it had none). The window
+    rotates; regenerating after a rotation adds the entrants' pins and
+    retires none of the watchlist's."""
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    return sorted(set(EXEC_PINNED) | set(window))
+
+
+def build_exec_snapshot(spark, names=None) -> dict[str, dict]:
     import __spark_entry__ as e
 
     from dump1090_stream_parser_spark.plans.metrics import (
@@ -97,7 +112,7 @@ def build_exec_snapshot(spark, names=EXEC_PINNED) -> dict[str, dict]:
 
     qs = e.queries()
     out = {}
-    for name in sorted(names):
+    for name in sorted(names if names is not None else exec_pinned_names()):
         sig = executed_stage_signature(
             spark, lambda n=name: qs[n](spark, SF_DIR)
         )

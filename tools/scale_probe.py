@@ -1471,6 +1471,174 @@ def sov_main() -> None:
     spark.stop()
 
 
+def pq_main() -> None:
+    """Recall-vs-cost operating curve for the composed IVF x PQ index
+    (VERDICT r10 ask #7): sweep nprobe x PQ_SHORTLIST on a replicated
+    corpus and record recall@10 against exact inner-product search
+    next to the two cost meters that matter at rest -- candidate code
+    rows scanned (the partition-pruned ADC scan) and raw-float fetches
+    (the bounded re-rank join-back). The committed artifacts
+    (fixtures/ivf_centroids.parquet, fixtures/pq_codebook.parquet) are
+    used as-is; corpus = the sf0.01 embeddings replicated xFACTOR with
+    deterministic hash jitter (no RNG), so every number reproduces
+    bit-for-bit.
+
+    Assignment/encoding replicate the engine's exact tie-breaks
+    (round(cos,6) DESC, cell_id; round(d2,6) ASC, code_id). Recall and
+    candidate counts are engine-independent given those semantics, so
+    the sweep runs in numpy -- the pipeline itself is driver-certified
+    (q_ann_pq_pruned); this chooses its operating point.
+
+        python tools/scale_probe.py pqsweep [factor] [n_queries]
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (pyarrow path below)
+    import pyarrow.parquet as pq_pa
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    base = pq_pa.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).to_pandas()
+    E0 = np.stack(base["embedding"].map(np.asarray)).astype(np.float64)
+    n0, dim = E0.shape
+
+    # deterministic jitter per (replica, row, component): keeps the
+    # replicated corpus on the trained quantizer's distribution while
+    # making replicas distinct (ties would otherwise make ground truth
+    # ranking degenerate)
+    reps = []
+    for r in range(factor):
+        i = np.arange(n0)[:, None]
+        j = np.arange(dim)[None, :]
+        h = ((i * 1009 + j * 9176 + (r + 1) * 7919) % 2003) / 2003.0
+        reps.append(E0 + 0.01 * (h - 0.5))
+    E = np.concatenate(reps)  # (n0*factor, dim)
+    n = E.shape[0]
+
+    # queries: BLENDS of two base vectors (deterministic pairing) --
+    # a query whose true neighbors are replicas of two different
+    # parents genuinely straddles cells, so nprobe has a measurable
+    # recall effect. (Plain base-vector queries make the task trivial:
+    # the top-10 are the query's own jittered replicas, recall 1.0 at
+    # every grid point -- measured before switching to blends.)
+    pair = (np.arange(n_q) * 7 + 13) % n0
+    Q = 0.55 * E0[:n_q] + 0.45 * E0[pair]
+
+    cents = (
+        pq_pa.read_table(
+            "/root/repo/fixtures/ivf_centroids.parquet"
+        )
+        .to_pandas()
+        .sort_values("cell_id")
+    )
+    C = np.stack(cents["cv"].map(np.asarray)).astype(np.float64)
+    cell_ids = cents["cell_id"].to_numpy()
+
+    cb = (
+        pq_pa.read_table("/root/repo/fixtures/pq_codebook.parquet")
+        .to_pandas()
+        .sort_values(["m", "code_id"])
+    )
+    ms = sorted(cb["m"].unique())
+    ksub = cb.groupby("m").size().iloc[0]
+    dsub = dim // len(ms)
+    CW = {
+        m: np.stack(
+            cb[cb["m"] == m].sort_values("code_id")["cv"].map(np.asarray)
+        ).astype(np.float64)
+        for m in ms
+    }
+
+    def cos_rows(X, Y):
+        num = X @ Y.T
+        return np.round(
+            num
+            / (np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(Y, axis=1)[None, :]),
+            6,
+        )
+
+    # corpus cell assignment: round(cos,6) DESC, cell_id ASC
+    cc = cos_rows(E, C)
+    assign = cell_ids[
+        np.lexsort((np.broadcast_to(cell_ids, cc.shape), -cc), axis=1)[:, 0]
+    ]
+
+    # PQ codes: per subspace, round(d2,6) ASC, code_id ASC
+    codes = np.empty((n, len(ms)), dtype=np.int64)
+    for mi, m in enumerate(ms):
+        sub = E[:, m * dsub : (m + 1) * dsub]
+        d2 = np.round(
+            ((sub[:, None, :] - CW[m][None, :, :]) ** 2).sum(axis=2), 6
+        )
+        codes[:, mi] = np.argmin(d2, axis=1)  # argmin takes lowest index on ties
+
+    # ground truth: exact IP top-10 per query, (ip DESC, vec_id ASC)
+    ips = Q @ E.T
+    order = np.lexsort((np.broadcast_to(np.arange(n), ips.shape), -ips), axis=1)
+    truth = order[:, :10]
+
+    # query probe ranking + ADC tables
+    qc = cos_rows(Q, C)
+    probe_order = np.lexsort(
+        (np.broadcast_to(cell_ids, qc.shape), -qc), axis=1
+    )
+    luts = np.empty((n_q, len(ms), ksub))
+    for mi, m in enumerate(ms):
+        luts[:, mi, :] = Q[:, m * dsub : (m + 1) * dsub] @ CW[m].T
+
+    results = []
+    for nprobe in (1, 2, 3, 4, 8):
+        probed = cell_ids[probe_order[:, :nprobe]]  # (n_q, nprobe)
+        for shortlist in (16, 32, 64, 128, 256):
+            recalls, cands, fetches = [], [], []
+            for qi in range(n_q):
+                mask = np.isin(assign, probed[qi])
+                cand_idx = np.nonzero(mask)[0]
+                adc = np.round(
+                    sum(
+                        luts[qi, mi, codes[cand_idx, mi]]
+                        for mi in range(len(ms))
+                    ),
+                    6,
+                )
+                s_order = np.lexsort((cand_idx, -adc))[:shortlist]
+                short = cand_idx[s_order]
+                ip_s = np.round(Q[qi] @ E[short].T, 6)
+                top = short[np.lexsort((short, -ip_s))[:10]]
+                recalls.append(
+                    len(set(top) & set(truth[qi])) / 10.0
+                )
+                cands.append(len(cand_idx))
+                fetches.append(min(shortlist, len(cand_idx)))
+            results.append(
+                {
+                    "nprobe": nprobe,
+                    "shortlist": shortlist,
+                    "recall_at_10": round(float(np.mean(recalls)), 4),
+                    "mean_candidates": round(float(np.mean(cands))),
+                    "scan_frac": round(float(np.mean(cands)) / n, 4),
+                    "mean_float_fetches": round(float(np.mean(fetches))),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+    print(
+        json.dumps(
+            {
+                "pq_ivf_recall_curve": {
+                    "corpus": n,
+                    "dim": dim,
+                    "queries": n_q,
+                    "factor": factor,
+                    "points": results,
+                }
+            },
+            indent=1,
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
@@ -1486,5 +1654,7 @@ if __name__ == "__main__":
         tri_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "sovsweep":
         sov_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
+        pq_main()
     else:
         main()
