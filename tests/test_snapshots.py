@@ -1,0 +1,359 @@
+"""Snapshot-manifest tables (plans/snapshots.py): each protocol
+guarantee pinned -- atomic commit, reader isolation, copy-on-write
+proportional to the patch, optimistic concurrency, manifest-level
+pruning, time travel, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.plans.snapshots import (
+    SnapshotConflict,
+    latest_manifest,
+    read_snapshot,
+    snapshot_files,
+    snapshot_upsert,
+    snapshot_write,
+    vacuum,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _orders(spark):
+    return load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_write_read_roundtrip_and_versioning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    v0 = snapshot_write(spark, t, df, part_col="o_orderpriority")
+    assert v0 == 0
+    m = latest_manifest(t)
+    assert m["version"] == 0 and m["base_version"] is None
+    assert sum(e["rows"] for e in m["files"]) == df.count()
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+
+    # a second full write becomes v1 and reads back as the new content
+    half = df.filter(F.col("o_orderkey") % 2 == 0)
+    v1 = snapshot_write(spark, t, half, part_col="o_orderpriority")
+    assert v1 == 1
+    assert _rows(read_snapshot(spark, t)) == _rows(half)
+    # time travel: v0 still reads back exactly
+    assert _rows(read_snapshot(spark, t, version=0)) == _rows(df)
+
+
+def test_upsert_is_cow_proportional_and_correct(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    base_m = latest_manifest(t)
+
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    updates = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(20)
+        .withColumn("o_totalprice", F.lit(999999.0))
+    )
+    new_rows = spark.createDataFrame(
+        [(10**9 + 1, 7, 1.0, prio), (10**9 + 2, 8, 2.0, prio)],
+        df.schema,
+    )
+    updates = updates.unionByName(new_rows)
+
+    v = snapshot_upsert(spark, t, updates, key_col="o_orderkey")
+    assert v == 1
+    m = latest_manifest(t)
+
+    # untouched partitions' files are carried BY REFERENCE (same paths)
+    untouched_before = {
+        e["path"] for e in base_m["files"] if prio not in e["parts"]
+    }
+    untouched_after = {
+        e["path"] for e in m["files"] if prio not in e["parts"]
+    }
+    assert untouched_before and untouched_before <= untouched_after
+
+    # merge semantics: updates win on key, new keys appended,
+    # everything else untouched
+    got = _rows(read_snapshot(spark, t))
+    upd_keys = {r["o_orderkey"] for r in updates.collect()}
+    expect = _rows(
+        df.join(
+            updates.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).unionByName(updates)
+    )
+    assert got == expect
+    changed = read_snapshot(spark, t).filter(
+        F.col("o_orderkey").isin([10**9 + 1, 10**9 + 2])
+    )
+    assert changed.count() == 2
+    assert upd_keys <= {r[0] for r in
+                        read_snapshot(spark, t).select("o_orderkey").collect()}
+
+
+def test_reader_isolation_across_commits(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+
+    # reader resolves the snapshot NOW
+    pinned = read_snapshot(spark, t)
+    before = _rows(pinned)
+
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    updates = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(5)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    snapshot_upsert(spark, t, updates, key_col="o_orderkey")
+
+    # the pinned reader still sees the OLD snapshot, file-for-file
+    assert _rows(pinned) == before
+    # while a fresh reader sees the new one
+    assert _rows(read_snapshot(spark, t)) != before
+
+
+def test_crash_before_commit_leaves_latest_intact(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    m0 = latest_manifest(t)
+
+    # simulate a writer that wrote data files but died before commit:
+    # an allocated version dir with parquet but no manifest/rename
+    orphan = os.path.join(t, "v1")
+    os.mkdir(orphan)
+    df.limit(3).write.mode("overwrite").parquet(
+        os.path.join(orphan, "files")
+    )
+
+    assert latest_manifest(t) == m0
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    # vacuum removes the orphan, keeps the committed version
+    removed = vacuum(t, keep=1)
+    assert "v1" in removed
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+
+    # and the next writer simply allocates past it
+    v = snapshot_write(spark, t, df.limit(10), part_col="o_orderpriority")
+    assert v >= 1
+    assert read_snapshot(spark, t).count() == 10
+
+
+def test_optimistic_concurrency_first_committer_wins(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd_a = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(3)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    upd_b = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(3)
+        .withColumn("o_totalprice", F.lit(2.0))
+    )
+
+    # writer A commits first (from base v0)
+    snapshot_upsert(spark, t, upd_a, key_col="o_orderkey")
+    # writer B computed its merge against the SAME base v0 -- the
+    # commit-time check must refuse rather than silently drop A's rows
+    with pytest.raises(SnapshotConflict):
+        snapshot_upsert(
+            spark, t, upd_b, key_col="o_orderkey", base_version=0
+        )
+    # B retries on the new latest and succeeds; the conflicted attempt
+    # left an uncommitted orphan version dir (numbers are allocated
+    # before the check, so they need not be dense -- vacuum's job)
+    v = snapshot_upsert(spark, t, upd_b, key_col="o_orderkey")
+    assert v == latest_manifest(t)["version"] and v > 1
+    assert "v2" in vacuum(t, keep=10)  # the orphan, not any commit
+
+
+def test_manifest_pruning_cuts_the_file_list(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prios = [r[0] for r in df.select("o_orderpriority").distinct().collect()]
+    one = snapshot_files(t, parts=[prios[0]])
+    everything = snapshot_files(t)
+    assert one and len(one) < len(everything)
+    got = read_snapshot(spark, t, parts=[prios[0]])
+    want = df.filter(F.col("o_orderpriority") == prios[0])
+    assert _rows(got.filter(F.col("o_orderpriority") == prios[0])) == _rows(want)
+
+
+def test_txn_ledger_makes_upsert_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(4)
+        .withColumn("o_totalprice", F.lit(7.0))
+    )
+    v1 = snapshot_upsert(spark, t, upd, key_col="o_orderkey", txn=("q", 0))
+    after = _rows(read_snapshot(spark, t))
+    # replay of the same (app, batch): NO new version, NO row change
+    v_replay = snapshot_upsert(
+        spark, t, upd, key_col="o_orderkey", txn=("q", 0)
+    )
+    assert v_replay == v1
+    assert _rows(read_snapshot(spark, t)) == after
+    # the next batch applies; an unrelated app's version 0 also applies
+    assert snapshot_upsert(
+        spark, t, upd, key_col="o_orderkey", txn=("q", 1)
+    ) > v1
+    assert snapshot_upsert(
+        spark, t, upd, key_col="o_orderkey", txn=("other", 0)
+    ) > v1
+
+
+def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
+    """The transactional foreachBatch sink end-to-end: a file stream of
+    doc-score updates upserts into a snapshot table; re-running the
+    WHOLE stream against a FRESH checkpoint re-delivers every batch id
+    from 0 -- the txn ledger must skip them all, leaving the table
+    bit-identical (exactly-once, not at-least-once)."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_upsert_sink,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.length("text").alias("score")
+    )
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, t, docs, part_col="lang")
+
+    upd = docs.limit(30).withColumn("score", F.col("score") * 10)
+    src = tmp_path / "updates_in"
+    upd.coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    def run(ckpt_tag):
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, score int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                snapshot_upsert_sink(t, "doc_id", app_id="snap-e2e")
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{ckpt_tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("a")
+    after_first = _rows(read_snapshot(spark, t))
+    expect = _rows(
+        docs.join(upd.select("doc_id"), "doc_id", "left_anti").unionByName(
+            upd
+        )
+    )
+    assert after_first == expect
+
+    # full replay against a FRESH checkpoint: batch id 0 re-delivers;
+    # the txn ledger must make it a no-op
+    v_before = latest_manifest(t)["version"]
+    run("b")
+    assert latest_manifest(t)["version"] == v_before
+    assert _rows(read_snapshot(spark, t)) == after_first
+
+    # a genuinely new batch (new file, batch id advances) still applies
+    upd2 = docs.limit(5).withColumn("score", F.lit(0))
+    upd2.coalesce(1).write.parquet(str(src / "b.parquet"))
+    run("a")  # same checkpoint: only the new file is a new batch
+    got = read_snapshot(spark, t)
+    assert got.filter(F.col("score") == 0).count() == 5
+    assert _rows(got) != after_first
+
+
+def test_snapshot_compact_coalesces_without_breaking_readers(spark, tmp_path):
+    """Compaction under snapshot isolation: repeated upserts fragment a
+    partition; compaction rewrites ONLY fragmented partitions into one
+    file each, rows are bit-identical, untouched partitions' files ride
+    by reference, and a reader pinned pre-compaction still sees its
+    snapshot."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    # fragment ONE partition: a scale-shaped patch writes it as 3
+    # files (a hot 100 TB partition cannot be one task/one file)
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(2)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    snapshot_upsert(
+        spark, t, upd, key_col="o_orderkey", files_per_part=3
+    )
+
+    before_m = latest_manifest(t)
+    pinned = read_snapshot(spark, t)
+    before_rows = _rows(pinned)
+    other_refs = {
+        e["path"] for e in before_m["files"] if prio not in e["parts"]
+    }
+
+    v = snapshot_compact(spark, t, max_files_per_part=1)
+    m = latest_manifest(t)
+    assert v == m["version"] > before_m["version"]
+    # rows identical, every partition now <= 1 file
+    assert _rows(read_snapshot(spark, t)) == before_rows
+    per_part = {}
+    for e in m["files"]:
+        for p in e["parts"]:
+            per_part[p] = per_part.get(p, 0) + 1
+    assert all(n == 1 for n in per_part.values()), per_part
+    # untouched partitions carried by reference, pinned reader intact
+    assert other_refs <= {e["path"] for e in m["files"]}
+    assert _rows(pinned) == before_rows
+    # nothing fragmented now: compaction is a no-op returning latest
+    assert snapshot_compact(spark, t, max_files_per_part=1) == v
+
+
+def test_vacuum_retains_referenced_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    for price in (1.0, 2.0, 3.0):
+        upd = (
+            df.filter(F.col("o_orderpriority") == prio)
+            .limit(2)
+            .withColumn("o_totalprice", F.lit(price))
+        )
+        snapshot_upsert(spark, t, upd, key_col="o_orderkey")
+    latest_rows = _rows(read_snapshot(spark, t))
+    removed = vacuum(t, keep=1)
+    # v0 holds files the latest manifest still references (untouched
+    # partitions), so it must SURVIVE; intermediate versions whose
+    # files were all superseded may go
+    assert "v0" not in removed
+    assert _rows(read_snapshot(spark, t)) == latest_rows
