@@ -1639,6 +1639,90 @@ def pq_main() -> None:
     )
 
 
+def snap_main() -> None:
+    """Measure the snapshot protocol's two scale claims
+    (plans/snapshots.py):
+
+    1. WRITE PROPORTIONALITY: a copy-on-write upsert's new-version
+       bytes ride the TOUCHED PARTITION's size, not the table's --
+       untouched partitions' files are carried by manifest reference.
+       The sweep grows the table xFACTOR while the patch stays fixed
+       and records bytes-written / table-bytes.
+    2. MANIFEST PRUNING: a read restricted to one partition opens
+       files(part)/files(total) of the snapshot -- pruned driver-side
+       from the per-file partition stats before Spark lists anything.
+
+        python tools/scale_probe.py snapsweep [max_factor]
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        latest_manifest,
+        snapshot_files,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from dump1090_stream_parser_spark.session import get_spark
+
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    N0, PARTS = 100_000, 16
+    scratch = "/tmp/snap_probe"
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="snapshot_probe",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def tree_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    out = {}
+    factor = 1
+    while factor <= max_factor:
+        n = N0 * factor
+        t = os.path.join(scratch, f"x{factor}")
+        shutil.rmtree(t, ignore_errors=True)
+        df = spark.range(n).select(
+            F.col("id").alias("key"),
+            (F.col("id") % PARTS).cast("string").alias("part"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        snapshot_write(spark, t, df, part_col="part", files_per_part=2)
+        table_bytes = tree_bytes(os.path.join(t, "v0"))
+
+        patch = df.filter(
+            (F.col("part") == "3") & (F.col("key") < 200 * PARTS)
+        ).withColumn("payload", F.lit("patched"))
+        v = snapshot_upsert(spark, t, patch, key_col="key")
+        patch_bytes = tree_bytes(os.path.join(t, f"v{v}"))
+
+        m = latest_manifest(t)
+        total_files = len(m["files"])
+        pruned_files = len(snapshot_files(t, parts=["3"]))
+        row = {
+            "rows": n,
+            "table_mb": round(table_bytes / 1e6, 2),
+            "upsert_write_mb": round(patch_bytes / 1e6, 2),
+            "write_frac_of_table": round(patch_bytes / table_bytes, 4),
+            "files_total": total_files,
+            "files_read_one_part": pruned_files,
+        }
+        out[f"x{factor}"] = row
+        print(json.dumps({f"x{factor}": row}), flush=True)
+        factor *= 4
+    print(json.dumps({"snapshot_probe": out}, indent=1))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fork":
         fork_main()
@@ -1656,5 +1740,7 @@ if __name__ == "__main__":
         sov_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
         pq_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "snapsweep":
+        snap_main()
     else:
         main()
