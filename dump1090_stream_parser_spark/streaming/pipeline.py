@@ -105,11 +105,15 @@ def bronze_from_sbs1_fanin(
     Use this form for its real benefits -- per-group source options,
     per-source offset logs, bounded per-source replay buffers -- and
     keep total receivers <= ~4 per DRIVER for throughput. Scaling
-    drain capacity past one driver's GIL means separate streaming
-    QUERIES in separate driver processes (one ingest job per receiver
-    group, the deployment shape), or moving framing out of Python;
-    recv() itself releases the GIL -- the ceiling is the Python-side
-    line splitting and offset bookkeeping.
+    drain capacity past one driver's GIL means separate ingest jobs on
+    separate MACHINES (or a box with idle cores), or moving framing
+    out of Python; recv() itself releases the GIL -- the ceiling is
+    the Python-side line splitting and offset bookkeeping. Same-box
+    multi-process is ALSO measured and does NOT pay
+    (`tools/ingest_bench.py procs`): two concurrent drivers on this
+    32-core box get ~105k rows/s each vs 305k solo -- the second
+    driver's executors cannibalize the cores the first one's
+    decode/parse stages were using.
 
     Union of streaming DataFrames keeps
     per-source offsets independent in the checkpoint -- exactly-once

@@ -453,6 +453,65 @@ def fanin_main() -> None:
     spark.stop()
 
 
+def procs_main() -> None:
+    """The lever the round-11 fan-in measurement names: drain capacity
+    scales with DRIVER PROCESSES, not with receivers or unioned source
+    instances (both share one driver's Python GIL). This mode runs
+    n_procs INDEPENDENT `multi` benches concurrently -- each its own
+    Python driver + JVM, the one-ingest-job-per-receiver-group
+    deployment shape -- and reports aggregate rows/s over the shared
+    wall clock.
+
+        python tools/ingest_bench.py procs [n_rows_total] [n_procs] [recv_each]
+    """
+    import subprocess
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n_procs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    recv = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    per = n // n_procs
+    here = os.path.abspath(__file__)
+
+    t0 = time.perf_counter()
+    children = [
+        subprocess.Popen(
+            [sys.executable, here, "multi", str(per), str(recv)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for _ in range(n_procs)
+    ]
+    outs = [c.communicate(timeout=900)[0] for c in children]
+    wall = time.perf_counter() - t0
+    assert all(c.returncode == 0 for c in children), [
+        c.returncode for c in children
+    ]
+    per_proc = []
+    for o in outs:
+        line = [ln for ln in o.splitlines() if ln.startswith('{"metric"')][-1]
+        per_proc.append(json.loads(line))
+    print(
+        json.dumps(
+            {
+                "metric": "silver_ingest_multiproc_rows_per_sec",
+                "value": round(n / wall),
+                "unit": "rows/sec",
+                "n_rows": n,
+                "n_procs": n_procs,
+                "recv_each": recv,
+                "wall_seconds": round(wall, 3),
+                "per_proc_rows_per_sec": [p["value"] for p in per_proc],
+                "note": (
+                    "n_procs independent driver processes (own Python"
+                    " runner + JVM each), aggregate over shared wall"
+                    " clock incl. per-process Spark startup"
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "source":
         source_main()
@@ -460,5 +519,7 @@ if __name__ == "__main__":
         multi_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "fanin":
         fanin_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "procs":
+        procs_main()
     else:
         main()
