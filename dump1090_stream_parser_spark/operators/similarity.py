@@ -943,24 +943,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
         for v in r["embedding"]
     ]
-    qcells = [
-        cid
-        for cid, _ in sorted(
-            (
-                (
-                    int(r["cell_id"]),
-                    round(
-                        _cos_py(
-                            qv_vals, [float(v) for v in r["embedding"]]
-                        ),
-                        6,
-                    ),
-                )
-                for r in cent_rows
-            ),
-            key=lambda t: (-t[1], t[0]),
-        )[:IVF_NPROBE]
-    ]
+    qcells = _probe_cells(qv_vals, cent_rows, IVF_NPROBE)
     qv_lit = _array_literal(tuple(qv_vals))
     return (
         assign.filter(
@@ -2104,6 +2087,46 @@ def _pq_lut_py(qv: list[float], m: int, cv: list[float]) -> float:
 #: for the exact re-rank. The recall/cost dial of the PQ read path.
 PQ_SHORTLIST = 64
 
+
+def _probe_cells(qv: list[float], cent_rows, nprobe: int) -> list[int]:
+    """The query's nprobe nearest cells, ranked driver-side with the
+    oracle's exact tie-break -- (round(cos, 6) DESC, cell_id ASC).
+    ``cent_rows`` carries (cell_id, embedding) rows. ONE shared
+    implementation: this ranking is a cross-engine contract
+    (q_ann_ivf_trained's oracle replicates it in SQL), so every probe
+    site -- the trained IVF search, the at-rest layout probe, the
+    registered pruned PQ search -- must rank identically or pruning
+    silently turns into wrong answers."""
+    return [
+        cid
+        for cid, _ in sorted(
+            (
+                (
+                    int(r["cell_id"]),
+                    round(_cos_py(qv, [float(v) for v in r["embedding"]]), 6),
+                )
+                for r in cent_rows
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+
+
+def _adc_lut_terms(qv: list[float], by_m) -> list[str]:
+    """Per-subspace ADC lookup expressions for one query: each is an
+    element_at() over a PQ_KSUB-literal array of _pq_lut_py doubles,
+    indexed by the codes column c<m>. Shared by every ADC scan
+    (in-query, at-rest, single-query layout probe) so the
+    bit-exactness contract with the oracle's list_reduce has exactly
+    one implementation."""
+    terms = []
+    for m in sorted(by_m):
+        lits = ",".join(
+            repr(_pq_lut_py(qv, m, list(cv))) + "D" for _, cv in by_m[m]
+        )
+        terms.append(f"element_at(array({lits}), c{m} + 1)")
+    return terms
+
 #: Shared exact inner-product fold for the re-rank leg (index order,
 #: 0.0 seed) -- the SQL twin of functions.vector.dot.
 _PQ_RERANK_IP_DUCK = (
@@ -2263,6 +2286,11 @@ def _adc_candidates(codes: DataFrame, per_q: list[str], extra=()) -> DataFrame:
     _ADC_QUERY_CHUNK-bounded projections, unioned: plan text per
     projection stays constant in |Q|. ``extra`` names pass-through
     code columns (e.g. cell_id for the pruned layout form)."""
+    if not per_q:
+        raise ValueError(
+            "ADC search got an empty query set (no vec_ids in the"
+            f" query range {ANN_JOIN_Q_LO}..{ANN_JOIN_Q_HI}?)"
+        )
     out = None
     for i in range(0, len(per_q), _ADC_QUERY_CHUNK):
         chunk = per_q[i : i + _ADC_QUERY_CHUNK]
@@ -2292,13 +2320,7 @@ def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
     per_q = []
     for qr in q_rows:
         qv = [float(v) for v in qr["embedding"]]
-        terms = []
-        for m in sorted(by_m):
-            lits = ",".join(
-                repr(_pq_lut_py(qv, m, list(cv))) + "D"
-                for _, cv in by_m[m]
-            )
-            terms.append(f"element_at(array({lits}), c{m} + 1)")
+        terms = _adc_lut_terms(qv, by_m)
         per_q.append(
             f"named_struct('query_id', CAST({int(qr['vec_id'])} AS BIGINT),"
             f" 'adc', round(aggregate(array({','.join(terms)}), 0D,"
@@ -2478,7 +2500,15 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.layout import pq_ivf_codes_layout
 
     emb = load_table(spark, sf_dir, "embeddings")
-    layout_dir = str(_PQ_IVF_LAYOUT_ROOT / Path(sf_dir).name)
+    # session-unique layout dir: the query WRITES, and every other
+    # registered query is read-only -- two concurrent sessions (the
+    # driver plus a local gate) racing one shared path would tear each
+    # other's in-flight scans. applicationId is stable within a
+    # session (re-runs reuse the build) and unique across sessions.
+    layout_dir = str(
+        _PQ_IVF_LAYOUT_ROOT
+        / f"{Path(sf_dir).name}-{spark.sparkContext.applicationId}"
+    )
     pq_ivf_codes_layout(spark, sf_dir, layout_dir, centroids="trained")
 
     cent_rows = sorted(
@@ -2499,23 +2529,9 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_cells: set[int] = set()
     for qr in q_rows:
         qv = [float(v) for v in qr["embedding"]]
-        qcells = [
-            cid
-            for cid, _ in sorted(
-                (
-                    (int(r["cell_id"]), round(_cos_py(qv, [float(v) for v in r["embedding"]]), 6))
-                    for r in cent_rows
-                ),
-                key=lambda t: (-t[1], t[0]),
-            )[:IVF_NPROBE]
-        ]
+        qcells = _probe_cells(qv, cent_rows, IVF_NPROBE)
         union_cells.update(qcells)
-        terms = []
-        for m in sorted(by_m):
-            lits = ",".join(
-                repr(_pq_lut_py(qv, m, list(cv))) + "D" for _, cv in by_m[m]
-            )
-            terms.append(f"element_at(array({lits}), c{m} + 1)")
+        terms = _adc_lut_terms(qv, by_m)
         per_q.append(
             f"named_struct('query_id', CAST({int(qr['vec_id'])} AS BIGINT),"
             f" 'cells', array({','.join(str(c) for c in qcells)}),"

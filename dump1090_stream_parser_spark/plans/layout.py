@@ -644,9 +644,9 @@ def ann_pq_probe_pruned(
     from ..operators.similarity import (
         IVF_NPROBE,
         PQ_SHORTLIST,
+        _adc_lut_terms,
         _array_literal,
-        _cos_py,
-        _pq_lut_py,
+        _probe_cells,
         pq_codebook_by_m,
     )
     from ..functions.vector import dot
@@ -662,29 +662,9 @@ def ann_pq_probe_pruned(
         .collect()
         for v in r["embedding"]
     ]
-    qcells = [
-        cid
-        for cid, _ in sorted(
-            (
-                (
-                    int(r["cell_id"]),
-                    round(
-                        _cos_py(qv, [float(v) for v in r["embedding"]]),
-                        6,
-                    ),
-                )
-                for r in cents
-            ),
-            key=lambda t: (-t[1], t[0]),
-        )[:nprobe]
-    ]
+    qcells = _probe_cells(qv, cents, nprobe)
     by_m = pq_codebook_by_m(spark)
-    terms = []
-    for m in sorted(by_m):
-        lits = ",".join(
-            repr(_pq_lut_py(qv, m, list(cv))) + "D" for _, cv in by_m[m]
-        )
-        terms.append(f"element_at(array({lits}), c{m} + 1)")
+    terms = _adc_lut_terms(qv, by_m)
     adc = (
         f"round(aggregate(array({','.join(terms)}), 0D,"
         " (a, x) -> a + x), 6)"

@@ -129,8 +129,16 @@ def read_snapshot(
     an explicit file list loses nothing."""
     files = snapshot_files(table_dir, version, parts)
     if not files:
-        # pruned-to-empty: preserve the schema from any file of the
-        # snapshot so downstream code sees the real columns
+        # pruned-to-empty (or an empty bootstrap snapshot): rebuild
+        # the schema from the manifest's recorded StructType, falling
+        # back to any file of the snapshot, so downstream code always
+        # sees the real columns
+        m = manifest_for(table_dir, version)
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            return spark.createDataFrame([], schema)
         all_files = snapshot_files(table_dir, version)
         return spark.read.parquet(*all_files).limit(0)
     return spark.read.parquet(*files)
@@ -154,10 +162,12 @@ def _allocate_version(table_dir: str) -> int:
 #: ``partitionBy`` drops its key from file contents, so writing BY A
 #: COPY keeps the real column in the data files (reading an explicit
 #: file list loses nothing) while making every file partition-PURE --
-#: which is what lets an upsert carry untouched partitions' files by
-#: reference instead of rewriting mixed files. (A plain
-#: repartition(part_col) write failed this: AQE coalesces the tiny
-#: shuffle partitions into one mixed-value file.)
+#: the purity is STRUCTURAL (partitionBy splits each task's output per
+#: directory value), which is what lets an upsert carry untouched
+#: partitions' files by reference. (The first cut wrote with a bare
+#: repartition(part_col) and NO partitionBy; AQE coalesced the tiny
+#: shuffle partitions into one mixed-value file -- measured, hence
+#: this design.)
 _PART_DIR_KEY = "__snapshot_part"
 
 
@@ -189,9 +199,10 @@ def _write_version(
             max(1, n_parts) * files_per_part, *keys
         )
     else:
-        # explicit partition count pins one task (= one file) per
-        # value; a bare repartition(col) would let AQE coalesce the
-        # tiny shuffle partitions into one mixed-value file
+        # cluster rows by value so each value's rows sit in one task
+        # and the partitionBy below emits ~one file per value; file
+        # PURITY does not depend on this (partitionBy guarantees it),
+        # only file COUNT does
         staged = staged.repartition(_PART_DIR_KEY)
     (
         staged.write.mode("overwrite")
@@ -203,8 +214,13 @@ def _write_version(
 def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str | None) -> list[dict]:
     """Manifest entries for the parquet files just written under
     ``vdir``: one cheap post-write job collects per-file row counts and
-    the file's distinct partition values (the pruning statistics)."""
-    df = spark.read.parquet(vdir).drop(_PART_DIR_KEY)
+    the file's distinct partition values (the pruning statistics).
+    An empty write (zero data files -- a legitimate bootstrap commit)
+    yields an empty entry list."""
+    try:
+        df = spark.read.parquet(vdir).drop(_PART_DIR_KEY)
+    except Exception:
+        return []  # no data files under vdir
     agg = [F.count(F.lit(1)).alias("rows")]
     if part_col is not None:
         agg.append(
@@ -241,6 +257,7 @@ def _commit(
     part_col: str | None,
     base_version: int | None,
     txns: dict | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Publish: manifest into the version dir, then the atomic
     os.replace onto _LATEST -- preceded by the OCC check that the base
@@ -258,6 +275,7 @@ def _commit(
         "part_col": part_col,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "txns": txns or {},
+        "schema": schema_json,
         "files": entries,
     }
     vpath = os.path.join(_vdir(table_dir, version), _MANIFEST)
@@ -287,7 +305,7 @@ def snapshot_write(
     _write_version(df, vdir, part_col, files_per_part)
     return _commit(
         table_dir, v, _file_entries(spark, table_dir, vdir, part_col),
-        part_col, base_v,
+        part_col, base_v, schema_json=df.schema.json(),
     )
 
 
@@ -339,6 +357,9 @@ def snapshot_upsert(
         app_id, txn_v = txn
         if txn_v <= base.get("txns", {}).get(app_id, -1):
             return base["version"]  # already applied: replay no-op
+    # the updates lineage feeds four consumers below (null check,
+    # touched-partition collect, anti-join, write): evaluate it once
+    updates = updates.localCheckpoint()
     if updates.filter(F.col(part_col).isNull()).limit(1).count():
         raise ValueError(
             f"snapshot_upsert: updates contain NULL {part_col!r}"
@@ -355,9 +376,9 @@ def snapshot_upsert(
     v = _allocate_version(table_dir)
     vdir = _vdir(table_dir, v)
 
-    # Files are pure w.r.t. the partition column only by luck, so the
-    # touched-file set may carry bystander rows: carry them through the
-    # rewrite unchanged (they stay in the snapshot, just in new files).
+    # Defensive: files are partition-pure by construction
+    # (_write_version partitionBy), but if a foreign file ever carried
+    # bystander rows they ride through the rewrite unchanged.
     touched_files = [
         os.path.join(table_dir, e["path"])
         for e in base["files"]
@@ -386,6 +407,7 @@ def snapshot_upsert(
     return _commit(
         table_dir, v, sorted(entries, key=lambda e: e["path"]),
         part_col, base["version"], txns,
+        schema_json=base.get("schema"),
     )
 
 
@@ -427,10 +449,18 @@ def snapshot_compact(
             for e in per_part[p]
         }
     )
-    # coalesce(1) per partition directory via the partitioned write:
-    # one task per partition value after the repartition inside
-    # _write_version, so each fragmented partition lands as one file
-    _write_version(spark.read.parquet(*frag_files), vdir, part_col)
+    frag_df = spark.read.parquet(*frag_files)
+    if part_col is None:
+        # unpartitioned table: the partitioned-write path cannot help,
+        # so coalesce explicitly to the target file count
+        frag_df.coalesce(max(1, max_files_per_part)).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+    else:
+        # one file per partition directory via the partitioned write:
+        # rows cluster per value inside _write_version, so each
+        # fragmented partition lands as one file
+        _write_version(frag_df, vdir, part_col)
     entries = [
         e
         for e in base["files"]
@@ -439,6 +469,7 @@ def snapshot_compact(
     return _commit(
         table_dir, v, sorted(entries, key=lambda e: e["path"]),
         part_col, base["version"], dict(base.get("txns", {})),
+        schema_json=base.get("schema"),
     )
 
 
@@ -475,37 +506,54 @@ def snapshot_upsert_sink(table_dir: str, key_col: str, app_id: str):
     return write
 
 
-def vacuum(table_dir: str, keep: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Remove version directories that (a) were never committed
     (crashed writers' orphans) or (b) fall outside the last ``keep``
     committed versions AND contribute no file to a retained manifest.
-    Returns the removed directory names."""
+    Returns the removed directory names.
+
+    "Committed" means REACHABLE FROM _LATEST through the
+    ``base_version`` chain -- NOT "has a _MANIFEST.json": a writer that
+    crashed between the manifest write and the _LATEST rename leaves an
+    orphan WITH a manifest, which must neither occupy a retention slot
+    (pushing a real version out of the keep window) nor survive as
+    publishable garbage.
+
+    ``min_age_seconds`` is the in-flight-writer grace period: a version
+    directory younger than it is never removed, because "allocated but
+    not yet committed" is indistinguishable from "crashed" while the
+    writer's multi-second Spark write is still running. Maintenance
+    jobs keep the default; tests pass 0."""
     m = latest_manifest(table_dir)
     if m is None:
         return []
-    committed = []
-    v = m["version"]
-    while v >= 0:
+    chain = [m]
+    while chain[-1].get("base_version") is not None:
         try:
-            committed.append(manifest_for(table_dir, v))
+            chain.append(manifest_for(table_dir, chain[-1]["base_version"]))
         except FileNotFoundError:
-            pass
-        v -= 1
-    retained = committed[: max(1, keep)]
+            break  # older history already vacuumed
+    retained = chain[: max(1, keep)]
     needed_dirs = {
         e["path"].split(os.sep)[0]
         for man in retained
         for e in man["files"]
     }
     needed_dirs.add(f"v{m['version']}")
+    now = time.time()
     removed = []
     for name in sorted(os.listdir(table_dir)):
         if not name.startswith("v"):
             continue
-        if not os.path.isdir(os.path.join(table_dir, name)):
+        path = os.path.join(table_dir, name)
+        if not os.path.isdir(path):
             continue
         if name in needed_dirs:
             continue
-        shutil.rmtree(os.path.join(table_dir, name))
+        if now - os.path.getmtime(path) < min_age_seconds:
+            continue  # possibly an in-flight writer's allocation
+        shutil.rmtree(path)
         removed.append(name)
     return removed

@@ -143,7 +143,7 @@ def test_crash_before_commit_leaves_latest_intact(spark, tmp_path):
     assert latest_manifest(t) == m0
     assert _rows(read_snapshot(spark, t)) == _rows(df)
     # vacuum removes the orphan, keeps the committed version
-    removed = vacuum(t, keep=1)
+    removed = vacuum(t, keep=1, min_age_seconds=0)
     assert "v1" in removed
     assert _rows(read_snapshot(spark, t)) == _rows(df)
 
@@ -183,7 +183,75 @@ def test_optimistic_concurrency_first_committer_wins(spark, tmp_path):
     # before the check, so they need not be dense -- vacuum's job)
     v = snapshot_upsert(spark, t, upd_b, key_col="o_orderkey")
     assert v == latest_manifest(t)["version"] and v > 1
-    assert "v2" in vacuum(t, keep=10)  # the orphan, not any commit
+    assert "v2" in vacuum(t, keep=10, min_age_seconds=0)  # the orphan
+    # default grace period protects in-flight writers: a fresh
+    # uncommitted dir survives a default vacuum
+    
+
+
+def test_vacuum_walks_the_commit_chain_not_manifest_presence(spark, tmp_path):
+    """Review finding (round 11): a writer crashing BETWEEN the
+    per-version manifest write and the _LATEST rename leaves an orphan
+    WITH a _MANIFEST.json. 'Committed' must mean reachable from
+    _LATEST through base_version links -- the orphan must not occupy a
+    retention slot (pushing a real version out of the keep window) and
+    must be vacuumed like any other orphan."""
+    import shutil as sh
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")  # v0
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(2)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    snapshot_upsert(spark, t, upd, key_col="o_orderkey")  # v1
+
+    # orphan v2: manifest written, _LATEST never replaced
+    os.mkdir(os.path.join(t, "v2"))
+    m1 = json.load(open(os.path.join(t, "v1", "_MANIFEST.json")))
+    m_orphan = dict(m1, version=2, base_version=1)
+    with open(os.path.join(t, "v2", "_MANIFEST.json"), "w") as f:
+        json.dump(m_orphan, f)
+    sh.copytree(
+        os.path.join(t, "v1"), os.path.join(t, "v2", "copy")
+    )  # give it some bytes so rmtree is observable
+
+    assert latest_manifest(t)["version"] == 1  # orphan unpublished
+
+    snapshot_upsert(
+        spark, t, upd.withColumn("o_totalprice", F.lit(2.0)),
+        key_col="o_orderkey",
+    )  # v3, base_version=1 (the orphan is invisible)
+    latest_rows = _rows(read_snapshot(spark, t))
+
+    removed = vacuum(t, keep=2, min_age_seconds=0)
+    # the orphan goes; the two RETAINED commits are v3 and v1 (chain
+    # order), so time travel to v1 must still work
+    assert "v2" in removed
+    assert _rows(read_snapshot(spark, t)) == latest_rows
+    assert read_snapshot(spark, t, version=1).count() == df.count()
+
+
+def test_empty_bootstrap_commit_reads_back_with_schema(spark, tmp_path):
+    """Review finding (round 11): an empty initial load (a streaming
+    sink table before its first batch) must commit and read back as an
+    empty frame with the REAL schema, via the manifest's recorded
+    StructType."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).limit(0)
+    v = snapshot_write(spark, t, df, part_col="o_orderpriority")
+    assert v == 0
+    got = read_snapshot(spark, t)
+    assert got.count() == 0
+    assert got.schema == df.schema
+    # and an upsert onto the empty table bootstraps content
+    snapshot_upsert(
+        spark, t, _orders(spark).limit(10), key_col="o_orderkey"
+    )
+    assert read_snapshot(spark, t).count() == 10
 
 
 def test_manifest_pruning_cuts_the_file_list(spark, tmp_path):
@@ -351,7 +419,7 @@ def test_vacuum_retains_referenced_files(spark, tmp_path):
         )
         snapshot_upsert(spark, t, upd, key_col="o_orderkey")
     latest_rows = _rows(read_snapshot(spark, t))
-    removed = vacuum(t, keep=1)
+    removed = vacuum(t, keep=1, min_age_seconds=0)
     # v0 holds files the latest manifest still references (untouched
     # partitions), so it must SURVIVE; intermediate versions whose
     # files were all superseded may go
