@@ -317,6 +317,7 @@ def snapshot_upsert(
     base_version: int | None = None,
     txn: tuple[str, int] | None = None,
     files_per_part: int = 1,
+    strict_keys: bool = False,
 ) -> int:
     """Copy-on-write upsert WITH snapshot isolation: rows in
     ``updates`` replace same-key rows (or append) inside only the
@@ -338,7 +339,20 @@ def snapshot_upsert(
     the recorded one returns the current snapshot UNCHANGED instead of
     double-applying. This is what makes the foreachBatch sink
     exactly-once -- Structured Streaming re-delivers the in-flight
-    micro-batch after a restart, with the same batch_id."""
+    micro-batch after a restart, with the same batch_id.
+
+    CONTRACT -- partition-stable keys: a key's partition value must
+    never change (part_col derived from key_col, the standard
+    partitioned-upsert rule). An update that moves a key to a new
+    partition cannot be seen by the partition-scoped merge: the stale
+    row in the key's OLD partition is carried by reference and the
+    table ends up with a duplicate key (found by the model-based
+    hypothesis test, pinned in tests/test_snapshots_model.py).
+    ``strict_keys=True`` buys detection at the price of partition
+    scope: it scans the UNTOUCHED partitions' key column (columnar,
+    key-only, but table-wide) and raises ValueError on any update key
+    found living outside the touched partitions. Moving a key is a
+    delete+insert, which this protocol deliberately does not provide."""
     if base_version is not None:
         base = manifest_for(table_dir, base_version)
     else:
@@ -385,6 +399,28 @@ def snapshot_upsert(
         if set(e["parts"]) & set(touched)
     ]
     tset = set(touched)
+    if strict_keys:
+        untouched_files = [
+            os.path.join(table_dir, e["path"])
+            for e in base["files"]
+            if not (set(e["parts"]) & tset)
+        ]
+        if untouched_files:
+            movers = (
+                spark.read.parquet(*untouched_files)
+                .select(key_col)
+                .join(updates.select(key_col), key_col, "left_semi")
+                .limit(5)
+                .collect()
+            )
+            if movers:
+                raise ValueError(
+                    "snapshot_upsert: update keys already live in"
+                    " partitions the update does not touch (a key's"
+                    " partition is immutable -- see the partition-"
+                    "stable-keys contract): "
+                    + ", ".join(str(r[0]) for r in movers)
+                )
     if touched_files:
         old = spark.read.parquet(*touched_files)
         in_touched = F.col(part_col).cast("string").isin(touched)
