@@ -2503,8 +2503,24 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-unique layout dir: the query WRITES, and every other
     # registered query is read-only -- two concurrent sessions (the
     # driver plus a local gate) racing one shared path would tear each
-    # other's in-flight scans. applicationId is stable within a
-    # session (re-runs reuse the build) and unique across sessions.
+    # other's in-flight scans. applicationId is unique per session;
+    # the layout is REBUILT on every call (mode overwrite -- the
+    # documented determinism choice), and stale sibling dirs from
+    # finished sessions are swept past a one-day grace so repeated
+    # rounds/benches cannot accumulate unbounded directories.
+    import shutil as _shutil
+    import time as _time
+
+    if _PQ_IVF_LAYOUT_ROOT.is_dir():
+        _now = _time.time()
+        _mine = f"-{spark.sparkContext.applicationId}"
+        for _d in _PQ_IVF_LAYOUT_ROOT.iterdir():
+            if (
+                _d.is_dir()
+                and not _d.name.endswith(_mine)
+                and _now - _d.stat().st_mtime > 86400
+            ):
+                _shutil.rmtree(_d, ignore_errors=True)
     layout_dir = str(
         _PQ_IVF_LAYOUT_ROOT
         / f"{Path(sf_dir).name}-{spark.sparkContext.applicationId}"

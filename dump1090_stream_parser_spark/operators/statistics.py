@@ -2146,6 +2146,23 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             - t.cast("decimal(38,0)")
         ).alias("ts"),
     )
+    # The per-row guard above bounds each GROUP's cube; the SUM of many
+    # near-bound groups can still overflow decimal(38,0) to an ANSI-off
+    # silent null (e.g. 10 groups of 4e12 ties = 6.4e38). Same trick at
+    # the aggregate: ts + coalesce(assert_true(ts IS NOT NULL), 0)
+    # leaves every in-range value untouched and turns the overflow null
+    # into a loud failure before it propagates into z.
+    ts_guarded = F.col("ts") + F.coalesce(
+        F.assert_true(
+            F.col("ts").isNotNull(),
+            F.lit(
+                "mann_whitney: aggregated tie-cube sum overflowed"
+                " decimal(38,0)"
+            ),
+        ).cast("decimal(38,0)"),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    s = s.withColumn("ts", ts_guarded)
     return s.join(F.broadcast(pairs), ["g1", "g2"]).select(
         F.col("g1").alias("grp1"),
         F.col("g2").alias("grp2"),

@@ -216,11 +216,19 @@ def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str 
     ``vdir``: one cheap post-write job collects per-file row counts and
     the file's distinct partition values (the pruning statistics).
     An empty write (zero data files -- a legitimate bootstrap commit)
-    yields an empty entry list."""
-    try:
-        df = spark.read.parquet(vdir).drop(_PART_DIR_KEY)
-    except Exception:
-        return []  # no data files under vdir
+    yields an empty entry list; emptiness is decided by LISTING the
+    directory, never by catching the read's exceptions -- a transient
+    post-write read failure must propagate, because treating it as
+    "empty" would commit a manifest that silently drops every touched
+    partition's rows."""
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(vdir)
+        for f in fs
+    )
+    if not has_data:
+        return []
+    df = spark.read.parquet(vdir).drop(_PART_DIR_KEY)
     agg = [F.count(F.lit(1)).alias("rows")]
     if part_col is not None:
         agg.append(
@@ -297,7 +305,17 @@ def snapshot_write(
 ) -> int:
     """Full-table commit (the initial load, or a replace): write every
     row as new files under the next version and publish a manifest
-    referencing only them."""
+    referencing only them. NULL partition values are rejected exactly
+    as in snapshot_upsert: they would land in the Hive default
+    partition with an empty parts=[] stats set -- unreachable by
+    manifest pruning and invisible to touched-partition detection
+    forever."""
+    if part_col is not None and df.filter(
+        F.col(part_col).isNull()
+    ).limit(1).count():
+        raise ValueError(
+            f"snapshot_write: rows contain NULL {part_col!r}"
+        )
     base = latest_manifest(table_dir)
     base_v = None if base is None else base["version"]
     v = _allocate_version(table_dir)
@@ -432,6 +450,17 @@ def snapshot_upsert(
         merged = keep.unionByName(updates.select(*old.columns))
     else:
         merged = updates
+        if base.get("schema"):
+            from pyspark.sql.types import StructType
+
+            cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(base["schema"]))
+            ]
+            # same projection the touched-files branch gets from
+            # old.columns: schema-divergent update frames must not
+            # leak extra/reordered columns into committed files
+            merged = updates.select(*cols)
     _write_version(merged, vdir, part_col, files_per_part)
 
     entries = [
@@ -509,7 +538,12 @@ def snapshot_compact(
     )
 
 
-def snapshot_upsert_sink(table_dir: str, key_col: str, app_id: str):
+def snapshot_upsert_sink(
+    table_dir: str,
+    key_col: str,
+    app_id: str,
+    part_col: str | None = None,
+):
     """foreachBatch factory: an EXACTLY-ONCE transactional upsert sink
     over a snapshot table. Each micro-batch commits one snapshot
     version carrying (app_id, batch_id) in the manifest's txn ledger;
@@ -520,12 +554,28 @@ def snapshot_upsert_sink(table_dir: str, key_col: str, app_id: str):
     retries on the fresh latest (the txn check keeps retries safe).
 
         stream.writeStream.foreachBatch(
-            snapshot_upsert_sink(table_dir, "doc_id", "my-query")
+            snapshot_upsert_sink(table_dir, "doc_id", "my-query",
+                                 part_col="lang")
         )
-    """
+
+    ``part_col`` lets the sink BOOTSTRAP an uninitialized table on its
+    first micro-batch (an empty snapshot_write commit, then the
+    upsert); without it, a fresh ``table_dir`` is a clear error at
+    batch 0 instead of a crash deep in snapshot_upsert."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if latest_manifest(table_dir) is None:
+            if part_col is None:
+                raise FileNotFoundError(
+                    f"snapshot_upsert_sink: {table_dir} is not an"
+                    " initialized snapshot table; snapshot_write(...,"
+                    " part_col=...) it first, or pass part_col= to the"
+                    " sink to let batch 0 bootstrap it"
+                )
+            snapshot_write(
+                spark, table_dir, batch_df.limit(0), part_col=part_col
+            )
         for _ in range(5):
             try:
                 snapshot_upsert(
@@ -577,7 +627,10 @@ def vacuum(
         for man in retained
         for e in man["files"]
     }
-    needed_dirs.add(f"v{m['version']}")
+    # every retained version's OWN dir survives even if it contributed
+    # no data files (empty bootstrap commits): its _MANIFEST.json is
+    # what time travel and the base_version chain walk read
+    needed_dirs |= {f"v{man['version']}" for man in retained}
     now = time.time()
     removed = []
     for name in sorted(os.listdir(table_dir)):

@@ -323,14 +323,16 @@ def multi_main() -> None:
 
 
 def fanin_main() -> None:
-    """Fan-in throughput past the single-runner GIL ceiling (VERDICT
-    r10 ask #4): the same deterministic MSG,3 lines sharded over
-    n_groups x recv_per_group localhost TCP servers, read by
-    ``bronze_from_sbs1_fanin`` -- one partitioned ``sbs1`` source
-    INSTANCE per group, unioned. Every group's receivers share that
-    group's Python runner process; separate groups get separate
-    runners, so aggregate drain capacity should scale with groups
-    where the in-source receiver curve saturated (~4 threads/runner).
+    """Fan-in throughput measurement (VERDICT r10 ask #4): the same
+    deterministic MSG,3 lines sharded over n_groups x recv_per_group
+    localhost TCP servers, read by ``bronze_from_sbs1_fanin`` -- one
+    partitioned ``sbs1`` source INSTANCE per group, unioned. MEASURED
+    RESULT (BASELINE.md round-11 row): the union does NOT scale --
+    simple-reader prefetch runs in the DRIVER process, so every
+    group's drain threads share the one driver GIL and only TOTAL
+    thread count matters (2x4 = 155k rows/s ~= the 1x8 point; a
+    process census shows exactly one Python process). The mode stays
+    as the reproduction harness for that negative.
 
         python tools/ingest_bench.py fanin [n_rows] [n_groups] [recv_per_group]
 
@@ -445,7 +447,8 @@ def fanin_main() -> None:
                 "note": (
                     "end-to-end incl. TCP socket drain + streaming "
                     "micro-batches; one partitioned sbs1 source "
-                    "instance per group (own runner process), unioned"
+                    "instance per group, unioned (all groups share "
+                    "the one driver process -- see BASELINE.md r11)"
                 ),
             }
         )
