@@ -37,22 +37,31 @@ Guarantees (POSIX semantics; tests/test_snapshots.py pins each):
 3. **Optimistic concurrency.** Version numbers are allocated by
    ``os.mkdir`` (atomic; EEXIST -> next number), every manifest records
    the ``base_version`` its writer read, and ``_commit`` re-checks
-   ``_LATEST`` immediately before the rename -- a writer whose base is
-   no longer latest raises :class:`SnapshotConflict` instead of
-   clobbering the other writer's rows (first committer wins, the
-   standard OCC rule).
+   ``_LATEST`` under a COMMIT LOCK immediately before the rename -- a
+   writer whose base is no longer latest raises
+   :class:`SnapshotConflict` instead of clobbering the other writer's
+   rows (first committer wins, the standard OCC rule). The publish
+   step (base re-check + manifest write + rename) is serialized by an
+   ``os.open(O_CREAT|O_EXCL)`` lock file, which IS an atomic
+   compare-and-swap on every POSIX filesystem this protocol targets --
+   so two same-base writers can no longer both pass the check and
+   silently last-rename-wins (the round-11 residual race, now closed;
+   tests/test_snapshots.py::test_concurrent_writers_serialize pins N
+   concurrent upserts -> N serialized versions). The critical section
+   is a JSON write + rename (sub-millisecond, AFTER the multi-second
+   Spark write finished), so contention is brief; a holder that
+   crashes inside it leaves a lock that later writers break once it
+   exceeds ``stale_after`` (default 60 s, >> the section). The catalog
+   seam remains for stores WITHOUT atomic create (S3 pre-strong-
+   consistency era, some NFS configs): there a deployment slots a real
+   catalog (Hive metastore, Iceberg REST, DynamoDB) behind the same
+   commit hook.
 4. **Time travel.** Any retained version reads back exactly
    (``read_snapshot(version=N)``); ``vacuum(keep=K)`` drops versions
-   (and any files ONLY they reference) older than the last K.
-
-The residual race -- two writers passing the final _LATEST check in
-the same instant -- needs a lock service or atomic compare-and-swap
-rename, which a filesystem cannot provide portably; that is precisely
-the seam where a production deployment slots a real catalog (Hive
-metastore, Iceberg REST, DynamoDB for S3). The check windows here are
-microseconds after multi-second writes, and the failure mode is the
-documented last-rename-wins, never a torn manifest (os.replace is
-atomic either way).
+   (and any files ONLY they reference) older than the last K, and
+   deletes the manifest of any SURVIVING uncommitted dir whose file
+   references vacuum just broke (so a later read fails with a clean
+   missing-manifest error, never mid-read on a missing parquet file).
 """
 
 from __future__ import annotations
@@ -67,12 +76,74 @@ from pyspark.sql import functions as F
 
 _LATEST = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
+_COMMIT_LOCK = "_COMMIT_LOCK"
 
 
 class SnapshotConflict(RuntimeError):
     """A concurrent commit landed after this writer read its base
     snapshot: retry the whole read-merge-write cycle on the new
     latest."""
+
+
+class _CommitLock:
+    """Mutual exclusion for the publish step via ``os.open(O_CREAT |
+    O_EXCL)`` -- atomic create-if-absent, the filesystem's native CAS.
+    Held only across the base re-check + manifest write + _LATEST
+    rename (sub-millisecond; the multi-second Spark write happens
+    BEFORE _commit is ever called), so waiters spin briefly. A lock
+    older than ``stale_after`` is presumed abandoned by a crashed
+    holder and broken: the unlink races other breakers benignly
+    (whoever wins the subsequent O_EXCL create owns the section)."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        timeout: float = 30.0,
+        stale_after: float = 60.0,
+    ):
+        self.path = os.path.join(table_dir, _COMMIT_LOCK)
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self) -> "_CommitLock":
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                try:
+                    os.write(
+                        fd, f"pid={os.getpid()} t={time.time()}".encode()
+                    )
+                finally:
+                    os.close(fd)
+                return self
+            except FileExistsError:
+                pass
+            try:
+                age = time.time() - os.path.getmtime(self.path)
+            except FileNotFoundError:
+                continue  # released between create-attempt and stat
+            if age > self.stale_after:
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock {self.path} held for {age:.1f}s; a"
+                    " healthy commit section is sub-millisecond --"
+                    " investigate the holder (contents name its pid)"
+                )
+            time.sleep(0.005)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
 
 
 def _vdir(table_dir: str, version: int) -> str:
@@ -140,6 +211,16 @@ def read_snapshot(
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
         all_files = snapshot_files(table_dir, version)
+        if not all_files:
+            # hand-built/foreign manifest with neither a recorded
+            # schema nor any file: spark.read.parquet() with zero
+            # paths would raise an opaque no-path AnalysisException
+            raise ValueError(
+                f"snapshot v{m['version']} of {table_dir} records no"
+                " schema and no data files; cannot derive the table's"
+                " columns (manifests written by snapshot_write always"
+                " carry a schema -- this one was not)"
+            )
         return spark.read.parquet(*all_files).limit(0)
     return spark.read.parquet(*files)
 
@@ -268,31 +349,36 @@ def _commit(
     schema_json: str | None = None,
 ) -> int:
     """Publish: manifest into the version dir, then the atomic
-    os.replace onto _LATEST -- preceded by the OCC check that the base
-    this writer read is still the latest."""
-    cur = latest_manifest(table_dir)
-    cur_v = None if cur is None else cur["version"]
-    if cur_v != base_version:
-        raise SnapshotConflict(
-            f"snapshot {table_dir} moved {base_version} -> {cur_v} while"
-            " this writer was working; re-read and retry"
-        )
-    manifest = {
-        "version": version,
-        "base_version": base_version,
-        "part_col": part_col,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "txns": txns or {},
-        "schema": schema_json,
-        "files": entries,
-    }
-    vpath = os.path.join(_vdir(table_dir, version), _MANIFEST)
-    with open(vpath, "w") as f:
-        json.dump(manifest, f, indent=1)
-    tmp = os.path.join(table_dir, f"_LATEST.tmp.v{version}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(table_dir, _LATEST))
+    os.replace onto _LATEST -- the OCC base re-check and the rename
+    run as ONE critical section under the table's commit lock, so two
+    same-base writers cannot both pass the check (one commits, the
+    other observes the moved base and raises SnapshotConflict)."""
+    with _CommitLock(table_dir):
+        cur = latest_manifest(table_dir)
+        cur_v = None if cur is None else cur["version"]
+        if cur_v != base_version:
+            raise SnapshotConflict(
+                f"snapshot {table_dir} moved {base_version} -> {cur_v}"
+                " while this writer was working; re-read and retry"
+            )
+        manifest = {
+            "version": version,
+            "base_version": base_version,
+            "part_col": part_col,
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "txns": txns or {},
+            "schema": schema_json,
+            "files": entries,
+        }
+        vpath = os.path.join(_vdir(table_dir, version), _MANIFEST)
+        with open(vpath, "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(table_dir, f"_LATEST.tmp.v{version}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(table_dir, _LATEST))
     return version
 
 
@@ -395,6 +481,24 @@ def snapshot_upsert(
     if updates.filter(F.col(part_col).isNull()).limit(1).count():
         raise ValueError(
             f"snapshot_upsert: updates contain NULL {part_col!r}"
+        )
+    # Key sanity (the Delta MERGE multiple-source-matches rule): a
+    # duplicate key in `updates` would survive the anti-join merge
+    # whole, silently committing a table with duplicate keys; a NULL
+    # key never matches the anti-join, so every replay re-appends it.
+    # One patch-sized aggregation catches both.
+    bad_keys = (
+        updates.groupBy(key_col)
+        .count()
+        .filter((F.col("count") > 1) | F.col(key_col).isNull())
+        .limit(5)
+        .collect()
+    )
+    if bad_keys:
+        raise ValueError(
+            f"snapshot_upsert: updates must carry at most one non-NULL"
+            f" row per {key_col!r}; offending keys: "
+            + ", ".join(str(r[0]) for r in bad_keys)
         )
     touched = sorted(
         str(r[0])
@@ -611,7 +715,19 @@ def vacuum(
     directory younger than it is never removed, because "allocated but
     not yet committed" is indistinguishable from "crashed" while the
     writer's multi-second Spark write is still running. Maintenance
-    jobs keep the default; tests pass 0."""
+    jobs keep the default; tests pass 0.
+
+    Two cleanup details beyond directory removal (review findings,
+    round 12): stale ``_LATEST.tmp.v*`` files (a writer that crashed
+    between writing the temp manifest and the rename) are swept once
+    older than the grace period; and a SURVIVING dir that is not a
+    retained commit (grace-protected in-flight allocation, or an
+    orphan kept for its data files) gets its ``_MANIFEST.json``
+    deleted when that manifest references files inside a dir removed
+    this pass -- such a manifest can never be published (its base is
+    no longer latest) and leaving it would make
+    ``read_snapshot(version=N)`` fail mid-read on missing parquet
+    instead of cleanly on a missing manifest."""
     m = latest_manifest(table_dir)
     if m is None:
         return []
@@ -630,19 +746,41 @@ def vacuum(
     # every retained version's OWN dir survives even if it contributed
     # no data files (empty bootstrap commits): its _MANIFEST.json is
     # what time travel and the base_version chain walk read
-    needed_dirs |= {f"v{man['version']}" for man in retained}
+    retained_dirs = {f"v{man['version']}" for man in retained}
+    needed_dirs |= retained_dirs
     now = time.time()
     removed = []
+    survivors = []
     for name in sorted(os.listdir(table_dir)):
-        if not name.startswith("v"):
-            continue
         path = os.path.join(table_dir, name)
-        if not os.path.isdir(path):
+        if name.startswith(f"{_LATEST}.tmp."):
+            # crashed writer's unpublished temp manifest
+            if now - os.path.getmtime(path) >= min_age_seconds:
+                os.unlink(path)
+            continue
+        if not name.startswith("v") or not os.path.isdir(path):
             continue
         if name in needed_dirs:
+            survivors.append(name)
             continue
         if now - os.path.getmtime(path) < min_age_seconds:
-            continue  # possibly an in-flight writer's allocation
+            survivors.append(name)  # possibly an in-flight allocation
+            continue
         shutil.rmtree(path)
         removed.append(name)
+    gone = set(removed)
+    for name in survivors:
+        if name in retained_dirs:
+            continue  # committed history: its references are protected
+        mpath = os.path.join(table_dir, name, _MANIFEST)
+        try:
+            with open(mpath) as f:
+                refs = {
+                    e["path"].split(os.sep)[0]
+                    for e in json.load(f)["files"]
+                }
+        except (FileNotFoundError, KeyError, ValueError):
+            continue
+        if refs & gone:
+            os.unlink(mpath)
     return removed

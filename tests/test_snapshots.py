@@ -406,6 +406,201 @@ def test_snapshot_compact_coalesces_without_breaking_readers(spark, tmp_path):
     assert snapshot_compact(spark, t, max_files_per_part=1) == v
 
 
+def test_concurrent_writers_serialize(spark, tmp_path):
+    """VERDICT r11 ask #2: the commit lock closes the last-rename-wins
+    race. N writer threads upsert concurrently (disjoint keys, each in
+    its own partition) with an OCC retry loop; every commit must land
+    -- exactly N*K serialized versions whose base_version chain is
+    LINEAR back to v0, with no thread's rows lost."""
+    import threading
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        manifest_for,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prios = sorted(
+        r[0] for r in df.select("o_orderpriority").distinct().collect()
+    )
+    n_threads, n_commits = 4, 3
+    errors: list[BaseException] = []
+
+    def writer(i: int) -> None:
+        prio = prios[i % len(prios)]
+        try:
+            for k in range(n_commits):
+                upd = spark.createDataFrame(
+                    [(2 * 10**9 + i * 100 + k, i, float(k), prio)],
+                    df.schema,
+                )
+                while True:
+                    try:
+                        snapshot_upsert(
+                            spark, t, upd, key_col="o_orderkey"
+                        )
+                        break
+                    except SnapshotConflict:
+                        continue
+        except BaseException as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,))
+        for i in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    # linear history: every commit serialized, none clobbered
+    m = latest_manifest(t)
+    chain = [m]
+    while chain[-1]["base_version"] is not None:
+        chain.append(manifest_for(t, chain[-1]["base_version"]))
+    assert len(chain) == 1 + n_threads * n_commits
+    versions = [c["version"] for c in chain]
+    assert versions == sorted(versions, reverse=True)
+    # and no thread's rows were lost
+    got = {
+        r[0]
+        for r in read_snapshot(spark, t)
+        .filter(F.col("o_orderkey") >= 2 * 10**9)
+        .select("o_orderkey")
+        .collect()
+    }
+    want = {
+        2 * 10**9 + i * 100 + k
+        for i in range(n_threads)
+        for k in range(n_commits)
+    }
+    assert got == want
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A holder that crashed inside the (sub-millisecond) commit
+    section leaves a lock file; once it is older than stale_after the
+    next writer breaks it instead of deadlocking."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    lock = os.path.join(t, "_COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("pid=0 t=0")
+    os.utime(lock, (0, 0))  # ancient: clearly abandoned
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(1)
+        .withColumn("o_totalprice", F.lit(5.0))
+    )
+    v = snapshot_upsert(spark, t, upd, key_col="o_orderkey")
+    assert v == latest_manifest(t)["version"]
+    assert not os.path.exists(lock)
+
+
+def test_upsert_rejects_duplicate_and_null_keys(spark, tmp_path):
+    """Review finding (round 12): duplicate update keys would all
+    survive the anti-join merge (a committed table with duplicate
+    keys); a NULL key re-appends on every replay. Both rejected with
+    the offending keys named, before any file is written."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    v0 = latest_manifest(t)["version"]
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+
+    dup = spark.createDataFrame(
+        [(42, 1, 1.0, prio), (42, 2, 2.0, prio)], df.schema
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_upsert(spark, t, dup, key_col="o_orderkey")
+
+    nul = spark.createDataFrame([(None, 1, 1.0, prio)], df.schema)
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_upsert(spark, t, nul, key_col="o_orderkey")
+
+    assert latest_manifest(t)["version"] == v0  # nothing committed
+
+
+def test_vacuum_sweeps_tmp_and_breaks_unreadable_orphan_manifests(
+    spark, tmp_path
+):
+    """Review findings (round 12): crashed writers' _LATEST.tmp.v*
+    files are swept; a surviving orphan dir whose manifest references
+    files in a dir vacuum removed loses that manifest (clean
+    missing-manifest error instead of a mid-read missing-parquet
+    crash)."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")  # v0
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    for price in (1.0, 2.0):
+        upd = (
+            df.filter(F.col("o_orderpriority") == prio)
+            .limit(2)
+            .withColumn("o_totalprice", F.lit(price))
+        )
+        snapshot_upsert(spark, t, upd, key_col="o_orderkey")  # v1, v2
+
+    # crashed writer leftovers: a temp manifest...
+    with open(os.path.join(t, "_LATEST.tmp.v9"), "w") as f:
+        f.write("{}")
+    # ...and an orphan dir (manifest written, never published) whose
+    # manifest references v1's files; keep the dir alive by making it
+    # young is not possible with age 0, so reference a retained file
+    # to force survival? No: survival via grace is the realistic path,
+    # so give the orphan a fresh mtime and vacuum with a grace window
+    # that protects it but not the tmp file
+    m1 = json.load(open(os.path.join(t, "v1", "_MANIFEST.json")))
+    os.mkdir(os.path.join(t, "v9"))
+    with open(os.path.join(t, "v9", "_MANIFEST.json"), "w") as f:
+        json.dump(dict(m1, version=9, base_version=1), f)
+
+    # age the removable bits; keep v9 young (grace-protected survivor)
+    os.utime(os.path.join(t, "_LATEST.tmp.v9"), (0, 0))
+    for name in ("v0", "v1", "v2"):
+        os.utime(os.path.join(t, name), (0, 0))
+
+    removed = vacuum(t, keep=1, min_age_seconds=3600.0)
+    assert "v1" in removed  # v1's files superseded by v2's rewrite
+    assert not os.path.exists(os.path.join(t, "_LATEST.tmp.v9"))
+    # the orphan survives (young) but its broken manifest is gone
+    assert os.path.isdir(os.path.join(t, "v9"))
+    assert not os.path.exists(os.path.join(t, "v9", "_MANIFEST.json"))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=9)
+    # the live table is untouched
+    assert read_snapshot(spark, t).count() == df.count()
+
+
+def test_read_snapshot_no_schema_no_files_is_a_clear_error(
+    spark, tmp_path
+):
+    """Review finding (round 12): a foreign manifest with neither a
+    recorded schema nor data files must raise a descriptive error, not
+    an opaque no-path AnalysisException."""
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "v0"))
+    manifest = {
+        "version": 0,
+        "base_version": None,
+        "part_col": None,
+        "txns": {},
+        "schema": None,
+        "files": [],
+    }
+    with open(os.path.join(t, "v0", "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(t, "_LATEST"), "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="no data files"):
+        read_snapshot(spark, t)
+
+
 def test_vacuum_retains_referenced_files(spark, tmp_path):
     t = str(tmp_path / "tbl")
     df = _orders(spark)
