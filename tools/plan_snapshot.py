@@ -103,6 +103,14 @@ def exec_pinned_names() -> list[str]:
     return sorted(set(EXEC_PINNED) | set(window))
 
 
+#: Queries with a once-per-session build step (layout caches): their
+#: executed signature is pinned on the steady-state SEARCH path, so
+#: both the regenerator and the test warm them once first -- otherwise
+#: the measured volume depends on whether an earlier test in the same
+#: session already paid the build.
+WARM_FIRST = {"q_ann_pq_pruned"}
+
+
 def build_exec_snapshot(spark, names=None) -> dict[str, dict]:
     import __spark_entry__ as e
 
@@ -113,6 +121,10 @@ def build_exec_snapshot(spark, names=None) -> dict[str, dict]:
     qs = e.queries()
     out = {}
     for name in sorted(names if names is not None else exec_pinned_names()):
+        if name in WARM_FIRST:
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
         sig = executed_stage_signature(
             spark, lambda n=name: qs[n](spark, SF_DIR)
         )
