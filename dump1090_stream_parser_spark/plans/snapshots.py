@@ -669,7 +669,20 @@ def snapshot_upsert_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if latest_manifest(table_dir) is None:
+        m = latest_manifest(table_dir)
+        if m is not None and int(batch_id) <= m.get("txns", {}).get(
+            app_id, -1
+        ):
+            # Replayed batch: a ledger no-op for the TABLE, but the
+            # batch DataFrame must still be fully consumed -- a
+            # stateful upstream operator (applyInPandasWithState etc.)
+            # commits its state stores only when every partition runs,
+            # and Spark validates exactly that (STATE_STORE_COMMIT_
+            # VALIDATION). The noop write executes the whole plan and
+            # discards the rows.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        if m is None:
             if part_col is None:
                 raise FileNotFoundError(
                     f"snapshot_upsert_sink: {table_dir} is not an"

@@ -110,6 +110,61 @@ def cdc_stream(log_stream: DataFrame) -> DataFrame:
     )
 
 
+def cdc_snapshot_sink(table_dir: str, app_id: str, n_buckets: int = 8):
+    """foreachBatch sink landing the CDC twin's emissions in a SNAPSHOT
+    table (VERDICT r11 ask #6): the stateful stream's per-key state
+    rows upsert into the same transactional lineage the batch ops
+    certify -- exactly-once via the manifest txn ledger (a re-delivered
+    micro-batch's non-advancing batch_id is a no-op), snapshot
+    isolation for concurrent readers, compaction and time travel on
+    the streamed table itself (pinned in tests/test_cdc_stream.py).
+
+    The partition column is a hash bucket of the key (``user_id %
+    n_buckets``) -- a pure function of the key, satisfying the
+    snapshot protocol's partition-stable-keys contract by
+    construction. ``cdc_stream`` emits at most one row per key per
+    micro-batch, satisfying the upsert's one-row-per-key rule the same
+    way."""
+    from ..plans.snapshots import snapshot_upsert_sink
+
+    inner = snapshot_upsert_sink(
+        table_dir, "user_id", app_id=app_id, part_col="bucket"
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        inner(
+            batch_df.withColumn(
+                "bucket",
+                F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int"),
+            ),
+            batch_id,
+        )
+
+    return write
+
+
+def live_cdc_snapshot(spark, table_dir: str, version: int | None = None):
+    """The live table over a :func:`cdc_snapshot_sink` snapshot table:
+    the snapshot already holds exactly one (latest) row per key, so the
+    live view is just the tombstone filter -- no max-``ver`` collapse
+    needed (that is what the upsert bought). ``version`` time-travels
+    to any retained snapshot of the STREAMED table."""
+    from ..plans.snapshots import read_snapshot
+
+    return (
+        read_snapshot(spark, table_dir, version=version)
+        .filter(F.col("last_op") != "D")
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes",
+            "last_op",
+            "current_value",
+            "last_ts",
+        )
+    )
+
+
 def latest_cdc(rows: DataFrame) -> DataFrame:
     """Batch helper over an emitted-rows sink: each key's max-``ver``
     emission with tombstones dropped, shaped like q_cdc_apply."""

@@ -125,29 +125,80 @@ def upsert_batch_writer(base_dir: str, part_col: str, key_col: str, ts_col: str)
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        moved = (
-            batch_df.groupBy(key_col)
-            .agg(F.countDistinct(part_col).alias("_np"))
-            .filter(F.col("_np") > 1)
-            .limit(1)
-            .count()
-        )
-        if moved:
-            raise ValueError(
-                f"upsert_batch_writer: a {key_col} maps to multiple "
-                f"{part_col} values in one batch -- part_col must be a "
-                "pure function of the key"
-            )
-        order = F.struct(
-            F.col(ts_col), F.xxhash64(*batch_df.columns).alias("_h")
-        )
-        latest = batch_df.groupBy(key_col).agg(
-            F.max_by(F.struct(*batch_df.columns), order).alias("_row")
-        ).select([F.col(f"_row.{c}").alias(c) for c in batch_df.columns])
+        latest = _newest_per_key(batch_df, part_col, key_col, ts_col)
         spark = batch_df.sparkSession
         if not _exists(spark):
             latest.write.partitionBy(part_col).parquet(base_dir)
             return
         upsert_partitioned(spark, base_dir, latest, part_col, key_col)
+
+    return write
+
+
+def _newest_per_key(
+    batch_df: DataFrame, part_col: str, key_col: str, ts_col: str
+) -> DataFrame:
+    """One micro-batch reduced to its newest row per key (ordered by
+    ``ts_col`` with a deterministic whole-row xxhash64 tiebreak), after
+    validating that no key spans two partition values in the batch."""
+    from pyspark.sql import functions as F
+
+    moved = (
+        batch_df.groupBy(key_col)
+        .agg(F.countDistinct(part_col).alias("_np"))
+        .filter(F.col("_np") > 1)
+        .limit(1)
+        .count()
+    )
+    if moved:
+        raise ValueError(
+            f"upsert_batch_writer: a {key_col} maps to multiple "
+            f"{part_col} values in one batch -- part_col must be a "
+            "pure function of the key"
+        )
+    order = F.struct(
+        F.col(ts_col), F.xxhash64(*batch_df.columns).alias("_h")
+    )
+    return (
+        batch_df.groupBy(key_col)
+        .agg(F.max_by(F.struct(*batch_df.columns), order).alias("_row"))
+        .select([F.col(f"_row.{c}").alias(c) for c in batch_df.columns])
+    )
+
+
+def snapshot_upsert_batch_writer(
+    table_dir: str, part_col: str, key_col: str, ts_col: str, app_id: str
+):
+    """The :func:`upsert_batch_writer` semantics re-pointed at a
+    SNAPSHOT table (VERDICT r11 ask #6): the same newest-row-per-key
+    micro-batch reduction, committed through the snapshot protocol
+    instead of in-place partitioned parquet -- which upgrades the
+    sink's guarantees from idempotence-by-determinism to
+
+    - ledger exactly-once: a re-delivered batch_id is a manifest-level
+      no-op (no rewrite at all, where the plain writer re-rewrites the
+      same bytes);
+    - snapshot isolation: readers pinned to a version never see a
+      half-applied batch, and a concurrent writer surfaces as
+      SnapshotConflict (retried by the underlying sink) instead of a
+      torn layout;
+    - time travel + compaction on the streamed table itself
+      (read_snapshot(version=N), snapshot_compact).
+
+    Same partition-stable-keys contract: ``part_col`` must be a pure
+    function of ``key_col`` (validated per batch)."""
+    from ..plans.snapshots import snapshot_upsert_sink
+
+    inner = snapshot_upsert_sink(
+        table_dir, key_col, app_id=app_id, part_col=part_col
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        inner(
+            _newest_per_key(batch_df, part_col, key_col, ts_col),
+            batch_id,
+        )
 
     return write
