@@ -149,7 +149,8 @@ HEADLINE = [
     "q_sax",               # symbolic aggregate approximation (SAX words)
     "q_decile_lift",       # model-eval lift/capture table (10 rows)
     "q_auc",               # exact rank-sum ROC AUC (no pairwise join)
-    "q_ann_pq_pruned",     # at-rest IVF x PQ index: build + pruned search
+    "q_ann_pq_pruned",     # at-rest IVF x PQ index: pruned search (build once/session)
+    "q_opq_encode",        # OPQ rotated-codebook encode (narrow, staged rotation)
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

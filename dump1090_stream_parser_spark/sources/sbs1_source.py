@@ -41,6 +41,15 @@ unseekable connection can live correctly; what CAN parallelize
 partition plan distributes. The durable-bus caveat stands: replay
 beyond the in-memory buffer needs a seekable upstream (SURVEY.md
 §3.2).
+
+THROUGHPUT CEILING (measured, BASELINE.md rounds 10-12): all drain
+threads share this source's one Python process -- the GIL bounds
+one-box ingest at ~300k rows/s however receivers are grouped. The
+high-throughput path is the JVM-native ``sbs1-jvm`` source
+(java/src/sbs1/Sbs1JvmSource.java, sources/sbs1_jvm.py glue): the
+SAME design on JVM threads, measured 0.9-1.6M rows/s. This Python
+source remains the zero-dependency default -- a real dump1090 feed is
+~10-1.5k msg/s, 200x under its ceiling.
 """
 
 from __future__ import annotations

@@ -89,6 +89,80 @@ def test_pq_encode_plan_is_narrow(spark):
     assert plan.count(") Generate") == 1, plan
 
 
+def test_opq_rotation_is_orthonormal(spark):
+    """The committed OPQ rotation must be orthonormal (R^T R = I): the
+    Procrustes solve guarantees it at training time; this pins the
+    ARTIFACT so a corrupted fixture cannot silently turn 'rotation'
+    into an arbitrary linear map (which would break the
+    distance-preservation argument OPQ rests on)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        _OPQ_ROT_FIXTURE,
+    )
+
+    rows = sorted(
+        spark.read.parquet(_OPQ_ROT_FIXTURE).collect(),
+        key=lambda r: r["out_dim"],
+    )
+    d = PQ_M * PQ_DSUB
+    assert len(rows) == d
+    R = np.array([r["rv"] for r in rows], dtype=np.float64).T
+    assert np.abs(R.T @ R - np.eye(d)).max() < 1e-9
+
+
+def test_opq_improves_reconstruction_on_training_sf(spark):
+    """On the TRAINING corpus (sf0.01 -- the fixture-provenance SF)
+    the trained rotation must beat plain PQ on total squared
+    reconstruction error at identical storage: this proves the
+    alternating Procrustes optimization actually optimized. Measured
+    0.714 -> 0.629 mean (-11.9%); the gate asserts >= 5%.
+
+    Deliberately NOT asserted on held-out SFs: the synthetic
+    embeddings are measured near-isotropic (rotation-invariant), so
+    the train-set gain does not generalize here -- the honest negative
+    recorded in similarity.py's OPQ block and docs/SCALE.md. On a real
+    anisotropic corpus this test's held-out twin would be the gate."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_opq_encode,
+    )
+
+    train_sf = "/root/testdata/sf0.01"
+    plain = sum(
+        r["sq_err"] for r in q_pq_encode(spark, train_sf).collect()
+    )
+    opq = sum(
+        r["sq_err"] for r in q_opq_encode(spark, train_sf).collect()
+    )
+    assert opq < 0.95 * plain, (plain, opq)
+
+
+def test_opq_encode_covers_and_stays_narrow(spark):
+    """Same coverage + plan contract as q_pq_encode: every vector
+    encodes in every subspace, and the whole encode -- rotation
+    included -- is one narrow shuffle-free projection whose staged
+    rotated column is computed once (no join, no exchange, exactly one
+    Generate)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        q_opq_encode,
+    )
+    from dump1090_stream_parser_spark.plans.inspect import formatted_plan
+
+    emb_ids = {
+        r["vec_id"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    rows = q_opq_encode(spark, SF_DIR).collect()
+    assert len(rows) == len(emb_ids) * PQ_M
+    assert all(0 <= r["code_id"] < PQ_KSUB for r in rows)
+    assert all(r["sq_err"] >= 0.0 for r in rows)
+
+    plan = formatted_plan(q_opq_encode(spark, SF_DIR))
+    assert plan.count(") Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    assert plan.count(") Generate") == 1, plan
+
+
 def test_ann_pq_recall_vs_exact_and_shape(spark):
     """q_ann_pq quality + contract: (1) exactly ANN_JOIN_K ranked rows
     per query with rn dense from 1; (2) the re-rank leg's ip is the
