@@ -480,6 +480,76 @@ def test_concurrent_writers_serialize(spark, tmp_path):
     assert got == want
 
 
+def test_commit_lock_serializes_across_processes(tmp_path):
+    """The lock's real claim is CROSS-PROCESS mutual exclusion (thread
+    tests share a GIL and prove less): N OS processes race manifest-
+    only commits through _allocate_version + _commit with an OCC retry
+    loop -- no Spark, pure protocol -- and the final base_version chain
+    must be linear with every commit present exactly once."""
+    import multiprocessing as mp
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        latest_manifest,
+        manifest_for,
+    )
+
+    t = str(tmp_path / "tbl")
+    n_procs, n_commits = 4, 5
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_race_commits, args=(t, i, n_commits))
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+    assert all(p.exitcode == 0 for p in procs), [
+        p.exitcode for p in procs
+    ]
+
+    chain = [latest_manifest(t)]
+    assert chain[0] is not None
+    while chain[-1]["base_version"] is not None:
+        chain.append(manifest_for(t, chain[-1]["base_version"]))
+    assert len(chain) == n_procs * n_commits
+    # every (proc, k) txn landed exactly once across the chain
+    seen = [
+        (m["txns"]["proc"], m["txns"]["k"])
+        for m in chain
+        if m.get("txns")
+    ]
+    assert sorted(seen) == sorted(
+        (i, k) for i in range(n_procs) for k in range(n_commits)
+    )
+
+
+def _race_commits(table_dir: str, proc_id: int, n_commits: int) -> None:
+    """Worker for the cross-process lock test: OCC retry loop around
+    manifest-only commits (entries=[], schema-free) -- the protocol's
+    publish path without Spark."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        SnapshotConflict,
+        _allocate_version,
+        _commit,
+        latest_manifest,
+    )
+
+    for k in range(n_commits):
+        while True:
+            base = latest_manifest(table_dir)
+            base_v = None if base is None else base["version"]
+            v = _allocate_version(table_dir)
+            try:
+                _commit(
+                    table_dir, v, [], None, base_v,
+                    txns={"proc": proc_id, "k": k},
+                )
+                break
+            except SnapshotConflict:
+                continue
+
+
 def test_stale_commit_lock_is_broken(spark, tmp_path):
     """A holder that crashed inside the (sub-millisecond) commit
     section leaves a lock file; once it is older than stale_after the
