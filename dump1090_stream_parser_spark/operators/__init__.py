@@ -666,9 +666,9 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     "q_string_clean": (
         "rotated OUT round 11 age rotation (green driver rows r1+r10,"
         " relational.py's string block untouched this round): the"
-        " string-fn projection surface is held in-window by the"
-        " re-entering q_project_cast (the same narrow expression-only"
-        " projection tier) and q_json_extract's extraction functions;"
+        " string-fn projection surface is held in-window by"
+        " q_ngram_top (string normalization + splitting in the same"
+        " narrow expression tier) and q_containment's text shingling;"
         " re-proven every round by the local parity gate"
     ),
     "q_rollup": (

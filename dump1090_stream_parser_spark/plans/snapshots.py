@@ -227,7 +227,11 @@ def read_snapshot(
 
 def _allocate_version(table_dir: str) -> int:
     """mkdir-atomic version allocation: the first writer to create
-    v<N> owns N; a loser observes EEXIST and probes N+1."""
+    v<N> owns N; a loser observes EEXIST and probes N+1. Exclusivity
+    holds only while the directory EXISTS -- which is why every write
+    into a version dir appends rather than overwrites (overwrite's
+    delete-then-recreate window let a concurrent allocator reclaim the
+    number; see _write_version)."""
     os.makedirs(table_dir, exist_ok=True)
     m = latest_manifest(table_dir)
     n = 0 if m is None else m["version"] + 1
@@ -263,9 +267,18 @@ def _write_version(
     across N files per partition value (a deterministic row-hash salt,
     no RNG); small patches default to 1. Multi-file partitions are what
     ``snapshot_compact`` exists to re-coalesce after many small
-    commits."""
+    commits.
+
+    Mode is APPEND into the freshly-allocated EMPTY dir, never
+    overwrite -- Spark's overwrite DELETES the target directory before
+    recreating it, and that transient absence let a concurrent
+    ``_allocate_version`` mkdir the same version number: two writers
+    then shared one vdir, the later overwrite destroyed the earlier
+    writer's committed files, and readers of its manifest hit
+    FILE_NOT_EXIST (found by the round-12 concurrent-writers stress;
+    os.mkdir's exclusivity is only as durable as the directory)."""
     if part_col is None:
-        df.write.mode("overwrite").parquet(vdir)
+        df.write.mode("append").parquet(vdir)
         return
     staged = df.withColumn(_PART_DIR_KEY, F.col(part_col))
     keys = [F.col(_PART_DIR_KEY)]
@@ -286,7 +299,7 @@ def _write_version(
         # only file COUNT does
         staged = staged.repartition(_PART_DIR_KEY)
     (
-        staged.write.mode("overwrite")
+        staged.write.mode("append")
         .partitionBy(_PART_DIR_KEY)
         .parquet(vdir)
     )
@@ -621,9 +634,11 @@ def snapshot_compact(
     frag_df = spark.read.parquet(*frag_files)
     if part_col is None:
         # unpartitioned table: the partitioned-write path cannot help,
-        # so coalesce explicitly to the target file count
+        # so coalesce explicitly to the target file count (append into
+        # the empty allocated dir -- see _write_version on why never
+        # overwrite)
         frag_df.coalesce(max(1, max_files_per_part)).write.mode(
-            "overwrite"
+            "append"
         ).parquet(vdir)
     else:
         # one file per partition directory via the partitioned write:

@@ -32,6 +32,31 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_streams(request):
+    """A streaming query that outlives its test (awaitTermination
+    timing out under a slow-box epoch, a stop() skipped on an assert
+    path) keeps completing micro-batch stages CONCURRENTLY with later
+    tests -- which polluted an executed-stage pin and starved a
+    thread-stress test in the round-12 full-suite run. Stop stragglers
+    at test teardown and say which test leaked them."""
+    yield
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    if session is None:
+        return
+    for sq in session.streams.active:
+        print(
+            f"WARNING: {request.node.nodeid} leaked streaming query"
+            f" {sq.name or sq.id}; stopping it"
+        )
+        try:
+            sq.stop()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def oracle():
     from dump1090_stream_parser_spark.testing import duckdb_oracle

@@ -61,7 +61,9 @@ def _run(spark, src, out, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()  # never leak an overrunning query into later tests
+        raise AssertionError("cdc stream did not finish in 180s")
 
 
 def _batch(spark):
@@ -147,7 +149,9 @@ def test_stream_on_snapshot_table_equals_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()  # never leak an overrunning query into later tests
+            raise AssertionError("cdc snapshot stream did not finish in 180s")
 
     # phase 1: only the first file exists yet
     import shutil

@@ -72,6 +72,13 @@ def test_executed_shuffle_records_unchanged(spark, name):
     )
     from plan_snapshot import WARM_FIRST
 
+    # A streaming query leaked by an earlier test (awaitTermination
+    # timing out under a slow-box epoch) keeps completing micro-batch
+    # stages CONCURRENTLY with this measurement and pollutes the
+    # before/after stage delta -- stop any stragglers first.
+    for sq in spark.streams.active:
+        sq.stop()
+
     if name in WARM_FIRST:
         # once-per-session layout build: pin the steady-state search
         # signature, independent of which test paid the build first

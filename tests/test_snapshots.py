@@ -455,6 +455,12 @@ def test_concurrent_writers_serialize(spark, tmp_path):
     for th in threads:
         th.join(timeout=600)
     assert not errors, errors
+    # a thread still alive means the join above timed out (slow-box
+    # epoch / OCC retry storm) -- fail with the real cause instead of
+    # a confusing short-chain assertion below
+    assert not any(th.is_alive() for th in threads), (
+        "writer threads did not finish within the join timeout"
+    )
 
     # linear history: every commit serialized, none clobbered
     m = latest_manifest(t)
