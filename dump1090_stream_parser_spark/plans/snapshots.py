@@ -98,9 +98,12 @@ class _CommitLock:
     def __init__(
         self,
         table_dir: str,
-        timeout: float = 30.0,
+        timeout: float = 90.0,
         stale_after: float = 60.0,
     ):
+        # timeout > stale_after on purpose: a waiter arriving just
+        # after a holder crashed must outlive the staleness horizon so
+        # it BREAKS the abandoned lock instead of timing out under it
         self.path = os.path.join(table_dir, _COMMIT_LOCK)
         self.timeout = timeout
         self.stale_after = stale_after
