@@ -626,11 +626,10 @@ def test_vacuum_sweeps_tmp_and_breaks_unreadable_orphan_manifests(
     with open(os.path.join(t, "_LATEST.tmp.v9"), "w") as f:
         f.write("{}")
     # ...and an orphan dir (manifest written, never published) whose
-    # manifest references v1's files; keep the dir alive by making it
-    # young is not possible with age 0, so reference a retained file
-    # to force survival? No: survival via grace is the realistic path,
-    # so give the orphan a fresh mtime and vacuum with a grace window
-    # that protects it but not the tmp file
+    # manifest references v1's files. Survival-via-grace is the
+    # realistic path for such a dir, so leave its mtime fresh and
+    # vacuum with a grace window that protects it but not the aged
+    # tmp file and version dirs below
     m1 = json.load(open(os.path.join(t, "v1", "_MANIFEST.json")))
     os.mkdir(os.path.join(t, "v9"))
     with open(os.path.join(t, "v9", "_MANIFEST.json"), "w") as f:
