@@ -151,6 +151,7 @@ HEADLINE = [
     "q_auc",               # exact rank-sum ROC AUC (no pairwise join)
     "q_ann_pq_pruned",     # at-rest IVF x PQ index: pruned search (build once/session)
     "q_opq_encode",        # OPQ rotated-codebook encode (narrow, staged rotation)
+    "q_ann_opq",           # OPQ ADC search: rotated codes + original-vector re-rank
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

@@ -56,6 +56,19 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 WINDOW_ROUND = 12
 
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-12 second wave: q_ann_opq (the OPQ ADC read path,
+    # full oracle, parity-verified at sf0.001/0.01/0.1 and under a
+    # vanilla session) enters the window for its FIRST driver row --
+    # no registry entry waits a round for its first row (the round-6
+    # second-wave precedent); q_multimodal_resize parks to make room.
+    "q_multimodal_resize": (
+        "rotated OUT round 12 second wave (green driver rows r9, plus"
+        " this window's pending row; multimodal.py's resize block"
+        " untouched this round): the Arrow-batched byte-decimation"
+        " codec path is held in-window by q_multimodal_energy (the"
+        " same mapInPandas payload schema and batch shape); re-proven"
+        " every round by the local parity gate"
+    ),
     # ---- round-12 green-age rotation (VERDICT r11 ask #5): the 25
     # entries last green in r7 (age 5 at this window's round) all
     # re-enter, joined by the full r8 cohort (11) and the first 12 of

@@ -2172,29 +2172,8 @@ def q_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan shape.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    rot_rows = sorted(
-        spark.read.parquet(_OPQ_ROT_FIXTURE).collect(),
-        key=lambda r: int(r["out_dim"]),
-    )
-    dims = []
-    for r in rot_rows:
-        lits = ",".join(repr(float(v)) + "D" for v in r["rv"])
-        dims.append(
-            f"aggregate(zip_with(embedding, array({lits}),"
-            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, t) -> a + t)"
-        )
-    staged = emb.select(
-        "vec_id", F.expr("array(" + ",".join(dims) + ")").alias("remb")
-    )
-    cb_rows = sorted(
-        spark.read.parquet(_OPQ_CB_FIXTURE).collect(),
-        key=lambda r: (r["m"], r["code_id"]),
-    )
-    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
-    for r in cb_rows:
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
-        )
+    staged = opq_rotated_projection(emb, opq_rotation_rows(spark))
+    by_m = opq_codebook_by_m(spark)
     subs = F.array(
         *[_pq_code_expr(m, by_m[m], col="remb") for m in sorted(by_m)]
     )
@@ -2206,6 +2185,62 @@ def q_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.best.code_id").alias("code_id"),
         F.col("e.best.d").alias("sq_err"),
     )
+
+
+def opq_rotation_rows(spark: SparkSession) -> list:
+    """The committed rotation as (out_dim, rv) rows, out_dim order --
+    rv is R's column j, so rotated_j = dot(x, rv_j)."""
+    return sorted(
+        spark.read.parquet(_OPQ_ROT_FIXTURE).collect(),
+        key=lambda r: int(r["out_dim"]),
+    )
+
+
+def opq_codebook_by_m(spark: SparkSession):
+    """The committed OPQ codebook as {m: [(code_id, codeword), ...]}
+    (the pq_codebook_by_m shape over the rotated-space fixture)."""
+    cb_rows = sorted(
+        spark.read.parquet(_OPQ_CB_FIXTURE).collect(),
+        key=lambda r: (r["m"], r["code_id"]),
+    )
+    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
+    for r in cb_rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
+        )
+    return by_m
+
+
+def opq_rotated_projection(emb: DataFrame, rot_rows) -> DataFrame:
+    """(vec_id, remb): the rotated coordinates as ONE parsed
+    array-of-folds expression in its own STAGED projection, so the
+    d^2=4096 literal matrix parses once and downstream consumers read
+    the staged column instead of re-deriving it (CollapseProject keeps
+    a multiply-referenced non-cheap alias)."""
+    dims = []
+    for r in rot_rows:
+        lits = ",".join(repr(float(v)) + "D" for v in r["rv"])
+        dims.append(
+            f"aggregate(zip_with(embedding, array({lits}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, t) -> a + t)"
+        )
+    return emb.select(
+        "vec_id", F.expr("array(" + ",".join(dims) + ")").alias("remb")
+    )
+
+
+def opq_rotate_py(qv: list[float], rot_rows) -> list[float]:
+    """The rotation fold in Python, bit-identical to both engines'
+    SQL folds (index order, 0.0 seed, float32->double promotion on the
+    vector side -- the _pq_lut_py/_cos_py inlining discipline)."""
+    out = []
+    for r in rot_rows:
+        rv = r["rv"]
+        t = 0.0
+        for i in range(len(rv)):
+            t = t + float(qv[i]) * float(rv[i])
+        out.append(t)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -2398,6 +2433,143 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_search(codes, emb, by_m)
 
 
+#: Rotation fold over the QUERY vector (the q-side twin of
+#: _OPQ_ROT_DUCK, which folds over e.embedding).
+_OPQ_ROT_Q_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}),"
+    " i -> CAST(q.qv[i] AS DOUBLE) * r.rv[i])), (a, t) -> a + t)"
+).format(n=PQ_M * PQ_DSUB + 1)
+
+#: ADC lookup-table fold over the ROTATED query coordinates.
+_OPQ_IP_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}),"
+    " i -> rq.rqv[cb.m * {d} + i] * cb.cv[i])), (a, t) -> a + t)"
+).format(n=PQ_DSUB + 1, d=PQ_DSUB)
+
+
+@query(
+    "q_ann_opq",
+    oracle=f"""
+    WITH r AS (
+      SELECT out_dim, rv FROM read_parquet('{_OPQ_ROT_FIXTURE}')
+    ),
+    cb AS (
+      SELECT m, code_id, cv FROM read_parquet('{_OPQ_CB_FIXTURE}')
+    ),
+    re AS (
+      SELECT e.vec_id,
+             list({_OPQ_ROT_DUCK} ORDER BY r.out_dim) AS remb
+      FROM embeddings e CROSS JOIN r
+      WHERE e.vec_id NOT BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+      GROUP BY e.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT re.vec_id, cb.m, cb.code_id,
+               row_number() OVER (
+                 PARTITION BY re.vec_id, cb.m
+                 ORDER BY ROUND({_OPQ_D2_DUCK}, 6), cb.code_id) AS rn
+        FROM re CROSS JOIN cb
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN {ANN_JOIN_Q_LO} AND {ANN_JOIN_Q_HI}
+    ),
+    rq AS (
+      SELECT q.query_id,
+             list({_OPQ_ROT_Q_DUCK} ORDER BY r.out_dim) AS rqv
+      FROM q CROSS JOIN r
+      GROUP BY q.query_id
+    ),
+    lut AS (
+      SELECT rq.query_id, cb.m, cb.code_id,
+             {_OPQ_IP_DUCK} AS part
+      FROM rq CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT c.vec_id, l.query_id,
+             ROUND(list_reduce(
+               list_prepend(0.0, list(l.part ORDER BY l.m)),
+               (a, t) -> a + t), 6) AS adc
+      FROM codes c
+      JOIN lut l ON l.m = c.m AND l.code_id = c.code_id
+      GROUP BY c.vec_id, l.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, adc FROM (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc DESC, vec_id) AS srn
+        FROM scored
+      ) t WHERE srn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.vec_id, s.adc,
+             ROUND({_PQ_RERANK_IP_DUCK}, 6) AS ip
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, adc, ip, rn FROM (
+      SELECT query_id, vec_id, adc, ip,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ip DESC, vec_id) AS rn
+      FROM rer
+    ) t WHERE rn <= {ANN_JOIN_K}
+    """,
+)
+def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ read path, completing q_opq_encode the way q_ann_pq
+    completes q_pq_encode: the corpus is coded in ROTATED coordinates
+    (staged rotation projection -> the shared nearest-code selection
+    over the committed OPQ codebook, columnar c0..c{PQ_M-1}), each
+    query vector is rotated driver-side with the bit-identical Python
+    fold (opq_rotate_py) before its ADC lookup tables are built, and
+    the bounded exact re-rank runs on the ORIGINAL vectors -- an
+    orthonormal rotation preserves inner products, so the rotated-space
+    ADC approximates exactly the quantity the re-rank computes, and the
+    output schema/semantics match q_ann_pq's line for line.
+
+    Plan: q_ann_pq's shape plus one staged narrow projection (the
+    rotation -- d^2 fused multiply-adds per corpus row inside
+    whole-stage codegen, matrix literal parsed once); the ADC scan
+    still touches PQ_M bytes per vector, the shortlist rank is the
+    only data-proportional exchange, float fetches stay bounded at
+    |Q| x PQ_SHORTLIST. On a real anisotropic corpus this buys recall
+    at identical scan cost (the OPQ story); on THIS near-isotropic
+    synthetic corpus the honest expectation is parity with q_ann_pq
+    (docs/SCALE.md opqsweep), and the recall floor is gated in
+    tests/test_pq.py alongside q_ann_pq's.
+
+    Exactness: every stage's float fold is shared as text (or as the
+    proven Python inlining twin) with the oracle -- the rotation folds
+    (_OPQ_ROT_DUCK / _OPQ_ROT_Q_DUCK / opq_rotate_py), the rotated d2
+    (_OPQ_D2_DUCK), the LUT partials (_OPQ_IP_DUCK / _pq_lut_py over
+    rotated coordinates), and the exact re-rank dot
+    (_PQ_RERANK_IP_DUCK / functions.vector.dot).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot_rows = opq_rotation_rows(spark)
+    by_m = opq_codebook_by_m(spark)
+    is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
+    staged = opq_rotated_projection(emb.filter(~is_query), rot_rows)
+    codes = staged.select(
+        "vec_id",
+        *[
+            _pq_code_expr(m, by_m[m], col="remb")["best"]["code_id"]
+            .alias(f"c{m}")
+            for m in sorted(by_m)
+        ],
+    )
+    return adc_search(
+        codes, emb, by_m,
+        qv_transform=lambda qv: opq_rotate_py(qv, rot_rows),
+    )
+
+
 def pq_codebook_by_m(spark: SparkSession):
     """The committed codebook as {m: [(code_id, codeword), ...]} --
     the driver-side artifact every PQ stage inlines from."""
@@ -2461,13 +2633,20 @@ def _adc_candidates(codes: DataFrame, per_q: list[str], extra=()) -> DataFrame:
     return out
 
 
-def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
+def adc_search(
+    codes: DataFrame, emb: DataFrame, by_m, qv_transform=None
+) -> DataFrame:
     """q_ann_pq's search stages over an arbitrary codes frame: ADC
     scoring via inlined per-query lookup tables, the shortlist rank,
     and the exact re-rank join-back against ``emb`` (which supplies
     both the raw vectors and the query table). Lookup tables inline in
     _ADC_QUERY_CHUNK-bounded projections so plan text stays constant
-    however large the query table."""
+    however large the query table. ``qv_transform`` (optional) maps a
+    query vector into the CODES' coordinate space before the lookup
+    tables are built -- the OPQ rotation hook; the exact re-rank stays
+    on the ORIGINAL vectors (an orthonormal rotation preserves inner
+    products, so the ADC approximates the same quantity re-rank
+    computes exactly)."""
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     q_rows = sorted(
         emb.filter(is_query).select("vec_id", "embedding").collect(),
@@ -2478,6 +2657,8 @@ def adc_search(codes: DataFrame, emb: DataFrame, by_m) -> DataFrame:
     per_q = []
     for qr in q_rows:
         qv = [float(v) for v in qr["embedding"]]
+        if qv_transform is not None:
+            qv = qv_transform(qv)
         terms = _adc_lut_terms(qv, by_m)
         per_q.append(
             f"named_struct('query_id', CAST({int(qr['vec_id'])} AS BIGINT),"

@@ -209,6 +209,52 @@ def test_ann_pq_recall_vs_exact_and_shape(spark):
     assert sum(recalls) / len(recalls) >= 0.25, recalls
 
 
+def test_ann_opq_recall_and_rotation_invariance(spark):
+    """q_ann_opq contract: (1) the same ranked-output shape as
+    q_ann_pq (ANN_JOIN_K dense rows per query); (2) the re-rank ip is
+    the TRUE inner product on the ORIGINAL vectors -- the orthonormal
+    rotation must not leak into the exact leg; (3) mean recall@k
+    clears the same floor as q_ann_pq (on this near-isotropic corpus
+    the honest expectation is parity, not superiority -- docs/SCALE.md
+    opqsweep)."""
+    from dump1090_stream_parser_spark.operators.similarity import (
+        ANN_JOIN_K,
+        ANN_JOIN_Q_HI,
+        ANN_JOIN_Q_LO,
+        q_ann_opq,
+    )
+
+    rows = q_ann_opq(spark, SF_DIR).collect()
+    emb = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    qmask = (ids >= ANN_JOIN_Q_LO) & (ids <= ANN_JOIN_Q_HI)
+    QI, Q = ids[qmask], X[qmask]
+    CI, C = ids[~qmask], X[~qmask]
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(QI.tolist())
+    recalls = []
+    for qi, qv in zip(QI, Q):
+        got = sorted(by_q[qi], key=lambda r: r["rn"])
+        assert [r["rn"] for r in got] == list(range(1, ANN_JOIN_K + 1))
+        ip = C @ qv
+        lookup = dict(zip(CI.tolist(), ip))
+        for r in got:
+            assert abs(r["ip"] - lookup[r["vec_id"]]) < 1e-5, r
+        exact = set(CI[np.argsort(-ip, kind="stable")][:ANN_JOIN_K])
+        recalls.append(
+            len(exact & {r["vec_id"] for r in got}) / ANN_JOIN_K
+        )
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
 def test_pq_codes_layout_row_exact_and_small(spark, tmp_path):
     """The at-rest codes table: (1) search over it is ROW-EXACT vs
     the on-the-fly q_ann_pq; (2) its scan schema carries no embedding
