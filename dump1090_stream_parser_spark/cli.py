@@ -96,8 +96,8 @@ def main(argv: list[str] | None = None) -> None:
             (h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1]))
             if ":" in h
             else (h, 30003)
-            for h in args.hosts.split(",")
-            if h.strip()
+            for h in (p.strip() for p in args.hosts.split(","))
+            if h
         ]
 
     def start():

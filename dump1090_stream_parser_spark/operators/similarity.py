@@ -2882,9 +2882,22 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_IVF_LAYOUT_ROOT
         / f"{Path(sf_dir).name}-{spark.sparkContext.applicationId}"
     )
-    if layout_dir in _PQ_IVF_BUILT and os.path.isdir(layout_dir):
-        os.utime(layout_dir)  # liveness heartbeat for the sweep
-    else:
+    # Reuse only a layout whose write COMPLETED (_SUCCESS marker) --
+    # a sibling session's 24h sweep could be mid-rmtree on a dir that
+    # still passes isdir, and trusting a half-deleted layout would
+    # silently shrink the corpus (review finding, round 12; the old
+    # rebuild-per-call was self-healing by construction). Any doubt ->
+    # rebuild: the build is deterministic, so reuse vs rebuild is
+    # bit-identical either way.
+    reusable = False
+    if layout_dir in _PQ_IVF_BUILT:
+        try:
+            reusable = os.path.exists(os.path.join(layout_dir, "_SUCCESS"))
+            if reusable:
+                os.utime(layout_dir)  # liveness heartbeat for the sweep
+        except FileNotFoundError:
+            reusable = False
+    if not reusable:
         pq_ivf_codes_layout(spark, sf_dir, layout_dir, centroids="trained")
         _PQ_IVF_BUILT.add(layout_dir)
 

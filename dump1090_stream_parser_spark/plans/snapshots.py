@@ -41,21 +41,20 @@ Guarantees (POSIX semantics; tests/test_snapshots.py pins each):
    writer whose base is no longer latest raises
    :class:`SnapshotConflict` instead of clobbering the other writer's
    rows (first committer wins, the standard OCC rule). The publish
-   step (base re-check + manifest write + rename) is serialized by an
-   ``os.open(O_CREAT|O_EXCL)`` lock file, which IS an atomic
-   compare-and-swap on every POSIX filesystem this protocol targets --
-   so two same-base writers can no longer both pass the check and
-   silently last-rename-wins (the round-11 residual race, now closed;
-   tests/test_snapshots.py::test_concurrent_writers_serialize pins N
-   concurrent upserts -> N serialized versions). The critical section
-   is a JSON write + rename (sub-millisecond, AFTER the multi-second
-   Spark write finished), so contention is brief; a holder that
-   crashes inside it leaves a lock that later writers break once it
-   exceeds ``stale_after`` (default 60 s, >> the section). The catalog
-   seam remains for stores WITHOUT atomic create (S3 pre-strong-
-   consistency era, some NFS configs): there a deployment slots a real
-   catalog (Hive metastore, Iceberg REST, DynamoDB) behind the same
-   commit hook.
+   step (base re-check + manifest write + rename) is serialized by a
+   kernel ``flock`` on a persistent lock file -- so two same-base
+   writers can no longer both pass the check and silently
+   last-rename-wins (the round-11 residual race, now closed;
+   tests/test_snapshots.py::test_concurrent_writers_serialize and the
+   cross-process twin pin N concurrent upserts -> N serialized
+   versions). The critical section is a JSON write + rename
+   (sub-millisecond, AFTER the multi-second Spark write finished), so
+   contention is brief; a crashed holder's lock is released by the
+   kernel when its fd closes, so there is no staleness heuristic to
+   tune and no breaking protocol to race. The catalog seam remains for
+   stores where advisory locks are unreliable (NFS configs, object
+   stores): there a deployment slots a real catalog (Hive metastore,
+   Iceberg REST, DynamoDB) behind the same commit hook.
 4. **Time travel.** Any retained version reads back exactly
    (``read_snapshot(version=N)``); ``vacuum(keep=K)`` drops versions
    (and any files ONLY they reference) older than the last K, and
@@ -86,67 +85,59 @@ class SnapshotConflict(RuntimeError):
 
 
 class _CommitLock:
-    """Mutual exclusion for the publish step via ``os.open(O_CREAT |
-    O_EXCL)`` -- atomic create-if-absent, the filesystem's native CAS.
-    Held only across the base re-check + manifest write + _LATEST
-    rename (sub-millisecond; the multi-second Spark write happens
-    BEFORE _commit is ever called), so waiters spin briefly. A lock
-    older than ``stale_after`` is presumed abandoned by a crashed
-    holder and broken: the unlink races other breakers benignly
-    (whoever wins the subsequent O_EXCL create owns the section)."""
+    """Mutual exclusion for the publish step via ``fcntl.flock`` on a
+    PERSISTENT lock file. Held only across the base re-check +
+    manifest write + _LATEST rename (sub-millisecond; the multi-second
+    Spark write happens BEFORE _commit is ever called), so waiters
+    spin briefly.
 
-    def __init__(
-        self,
-        table_dir: str,
-        timeout: float = 90.0,
-        stale_after: float = 60.0,
-    ):
-        # timeout > stale_after on purpose: a waiter arriving just
-        # after a holder crashed must outlive the staleness horizon so
-        # it BREAKS the abandoned lock instead of timing out under it
+    flock over O_EXCL-create-and-break, deliberately: a crashed
+    holder's flock is released BY THE KERNEL when its fd closes, so
+    there is no staleness heuristic and no lock-breaking protocol at
+    all -- and every breaking protocol on a create-based lock has a
+    TOCTOU seam (two breakers both observe the stale file; the second
+    one's unlink/rename can destroy the FIRST breaker's fresh lock and
+    admit two writers -- the round-12 review caught exactly this in
+    the first cut). The lock FILE is never unlinked: removing it while
+    a waiter holds an fd to the old inode would split the lock into
+    two inodes and void mutual exclusion. Scope: advisory flock is
+    reliable on the local POSIX filesystems this protocol targets; for
+    NFS/object stores the module docstring's catalog seam applies."""
+
+    def __init__(self, table_dir: str, timeout: float = 90.0):
         self.path = os.path.join(table_dir, _COMMIT_LOCK)
         self.timeout = timeout
-        self.stale_after = stale_after
+        self._fd: int | None = None
 
     def __enter__(self) -> "_CommitLock":
+        import fcntl
+
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + self.timeout
         while True:
             try:
-                fd = os.open(
-                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                try:
-                    os.write(
-                        fd, f"pid={os.getpid()} t={time.time()}".encode()
-                    )
-                finally:
-                    os.close(fd)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._fd = fd
                 return self
-            except FileExistsError:
-                pass
-            try:
-                age = time.time() - os.path.getmtime(self.path)
-            except FileNotFoundError:
-                continue  # released between create-attempt and stat
-            if age > self.stale_after:
-                try:
-                    os.unlink(self.path)
-                except FileNotFoundError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"commit lock {self.path} held for {age:.1f}s; a"
-                    " healthy commit section is sub-millisecond --"
-                    " investigate the holder (contents name its pid)"
-                )
-            time.sleep(0.005)
+            except OSError:
+                if time.monotonic() > deadline:
+                    os.close(fd)
+                    raise TimeoutError(
+                        f"commit lock {self.path} not acquired within"
+                        f" {self.timeout}s; a healthy commit section"
+                        " is sub-millisecond -- investigate the holder"
+                    )
+                time.sleep(0.005)
 
     def __exit__(self, *exc) -> None:
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        import fcntl
+
+        if self._fd is not None:
+            try:
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+            finally:
+                os.close(self._fd)
+                self._fd = None
 
 
 def _vdir(table_dir: str, version: int) -> str:
@@ -494,10 +485,6 @@ def snapshot_upsert(
     # the updates lineage feeds four consumers below (null check,
     # touched-partition collect, anti-join, write): evaluate it once
     updates = updates.localCheckpoint()
-    if updates.filter(F.col(part_col).isNull()).limit(1).count():
-        raise ValueError(
-            f"snapshot_upsert: updates contain NULL {part_col!r}"
-        )
     # Key sanity (the Delta MERGE multiple-source-matches rule): a
     # duplicate key in `updates` would survive the anti-join merge
     # whole, silently committing a table with duplicate keys; a NULL
@@ -516,12 +503,21 @@ def snapshot_upsert(
             f" row per {key_col!r}; offending keys: "
             + ", ".join(str(r[0]) for r in bad_keys)
         )
-    touched = sorted(
-        str(r[0])
+    # Touched partitions AND the NULL-partition guard from ONE job
+    # (a NULL part value surfaces as None in the distinct values --
+    # review finding, round 12: three sequential driver jobs per
+    # micro-batch was one too many)
+    part_vals = [
+        r[0]
         for r in updates.select(
             F.col(part_col).cast("string")
         ).distinct().collect()
-    )
+    ]
+    if any(v is None for v in part_vals):
+        raise ValueError(
+            f"snapshot_upsert: updates contain NULL {part_col!r}"
+        )
+    touched = sorted(part_vals)
     if not touched:
         return base["version"]
 
@@ -708,9 +704,15 @@ def snapshot_upsert_sink(
                     " part_col=...) it first, or pass part_col= to the"
                     " sink to let batch 0 bootstrap it"
                 )
-            snapshot_write(
-                spark, table_dir, batch_df.limit(0), part_col=part_col
-            )
+            try:
+                snapshot_write(
+                    spark, table_dir, batch_df.limit(0), part_col=part_col
+                )
+            except SnapshotConflict:
+                # a concurrent sink racing batch 0 bootstrapped the
+                # table first -- exactly the state we wanted; fall
+                # through to the (retried) upsert
+                pass
         for _ in range(5):
             try:
                 snapshot_upsert(
@@ -785,9 +787,16 @@ def vacuum(
     for name in sorted(os.listdir(table_dir)):
         path = os.path.join(table_dir, name)
         if name.startswith(f"{_LATEST}.tmp."):
-            # crashed writer's unpublished temp manifest
-            if now - os.path.getmtime(path) >= min_age_seconds:
-                os.unlink(path)
+            # crashed writer's unpublished temp manifest -- guard every
+            # fs call: a CONCURRENT commit's os.replace consumes its
+            # tmp between our listdir and stat/unlink (review finding,
+            # round 12). The grace period keeps a live writer's
+            # in-flight tmp safe; maintenance jobs keep the default.
+            try:
+                if now - os.path.getmtime(path) >= min_age_seconds:
+                    os.unlink(path)
+            except FileNotFoundError:
+                pass
             continue
         if not name.startswith("v") or not os.path.isdir(path):
             continue

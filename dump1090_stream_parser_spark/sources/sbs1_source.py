@@ -215,6 +215,7 @@ class _ReceiverThread(threading.Thread):
         self.error: BaseException | None = None
         self._stop = threading.Event()
         self._carry = b""
+        self._synced = False  # first-offset rebase latch (see rebase)
 
     def run(self) -> None:
         sock: socket.socket | None = None
@@ -330,6 +331,33 @@ class _ReceiverThread(threading.Thread):
                 self.buffer.clear()
                 self.buffered_lines = 0
 
+    def rebase(self, line_no: int) -> None:
+        """First-offset sync after (re)start: renumber this FRESH
+        connection's lines to begin at the checkpoint frontier. The old
+        guard (fast_forward only when lo > count) failed whenever the
+        fresh connection out-framed the checkpointed offset during
+        recovery: new-stream lines replayed AS the pending batch
+        (mislabeled under exactly-once) and lines below the offset were
+        silently dropped. Rebasing shifts every buffered line instead:
+        the replayed range reads EMPTY (the documented ephemeral-TCP
+        loss contract) and every fresh line is preserved after it.
+        No-op once synced; fresh queries sync at latestOffset."""
+        with self.lock:
+            if self._synced:
+                return
+            self._synced = True
+            if line_no <= 0:
+                return
+            self.buffer = deque(
+                (start + line_no, n, blob, ts)
+                for start, n, blob, ts in self.buffer
+            )
+            self.count += line_no
+
+    def mark_synced(self) -> None:
+        with self.lock:
+            self._synced = True
+
 
 class Sbs1ReceiverPartition(InputPartition):
     """Data-bearing partition: the receiver's raw bytes for one offset
@@ -425,6 +453,9 @@ class Sbs1PartitionedStreamReader(DataSourceStreamReader):
         # buffered for the next trigger.
         out = {}
         for r in self.receivers:
+            # fresh-query path: no checkpointed offset will arrive, so
+            # numbering starts at 0 (no-op after a restart rebase)
+            r.mark_synced()
             nxt = min(
                 r.snapshot_count(),
                 self._planned[r.index] + self.max_lines_per_batch,
@@ -438,9 +469,13 @@ class Sbs1PartitionedStreamReader(DataSourceStreamReader):
         for r in self._ensure_started():
             lo = int(start.get(f"r{r.index}", 0))
             hi = int(end.get(f"r{r.index}", 0))
+            # restart path: the first planned range is the WAL's
+            # pending batch -- rebase this fresh connection's numbering
+            # to its END (empty replay, documented loss; every line
+            # framed during recovery preserved after it)
+            r.rebase(hi)
             if lo > r.snapshot_count():
-                # restart from a checkpoint ahead of this (fresh)
-                # connection: fast-forward; nothing to emit this batch
+                # defensive: a checkpoint still ahead after rebase
                 r.fast_forward(lo)
                 self._planned[r.index] = max(self._planned[r.index], lo)
                 continue
@@ -490,7 +525,11 @@ class Sbs1PartitionedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         for r in self.receivers or []:
-            r.prune_below(int(end.get(f"r{r.index}", 0)))
+            off = int(end.get(f"r{r.index}", 0))
+            # restart-committed path: rebase so latestOffset never
+            # goes backwards and recovery-framed lines are preserved
+            r.rebase(off)
+            r.prune_below(off)
 
     def stop(self) -> None:
         for r in self.receivers or []:

@@ -352,6 +352,39 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
       }
     }
 
+    private boolean synced = false;
+
+    /** First-offset sync after (re)start: renumber this FRESH
+     * connection's lines to begin at the checkpoint's frontier. The
+     * old guard (fastForward only when lo > count) failed whenever the
+     * fresh connection out-framed the checkpointed offset during
+     * recovery: new-stream lines then replayed AS the pending batch
+     * (mislabeled content under an exactly-once contract) and the
+     * lines below the offset were silently dropped. Rebasing shifts
+     * every buffered line by the checkpoint frontier instead: the
+     * replayed range reads EMPTY (loss across the restart gap is the
+     * documented ephemeral-TCP contract -- these are lines the OLD
+     * connection's offsets covered), and every line the NEW connection
+     * framed is preserved and numbered after it. No-op after the first
+     * external offset and for fresh queries (synced at latestOffset,
+     * before any checkpointed offset exists). */
+    synchronized void rebase(long lineNo) {
+      if (synced) return;
+      synced = true;
+      if (lineNo <= 0) return;
+      ArrayDeque<Chunk> shifted = new ArrayDeque<>();
+      for (Chunk c : buffer) {
+        shifted.addLast(new Chunk(c.firstLine + lineNo, c.nLines, c.blob, c.tsMicros));
+      }
+      buffer.clear();
+      buffer.addAll(shifted);
+      count += lineNo;
+    }
+
+    synchronized void markSynced() {
+      synced = true;
+    }
+
     // -- byte helpers ---------------------------------------------------
 
     static int lastIndexOf(byte[] a, byte b) {
@@ -496,6 +529,10 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
       checkErrors();
       long[] out = new long[rs.length];
       for (int i = 0; i < rs.length; i++) {
+        // fresh-query path: no checkpointed offset will ever arrive,
+        // so numbering starts at 0 (no-op if a restart's
+        // planInputPartitions/commit rebased first)
+        rs[i].markSynced();
         long next = Math.min(rs[i].snapshotCount(), planned[i] + maxLinesPerBatch);
         planned[i] = Math.max(planned[i], next);
         out[i] = next;
@@ -515,8 +552,12 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
       long[] hi = ((Sbs1Offset) end).counts;
       List<InputPartition> parts = new ArrayList<>();
       for (int i = 0; i < rs.length; i++) {
+        // restart path: the first planned range is the WAL's pending
+        // batch -- rebase the fresh connection's numbering to its END
+        // (empty replay, documented loss; fresh lines preserved after)
+        rs[i].rebase(hi[i]);
         if (lo[i] > rs[i].snapshotCount()) {
-          // restart from a checkpoint ahead of this fresh connection
+          // defensive: a checkpoint still ahead after rebase
           rs[i].fastForward(lo[i]);
           planned[i] = Math.max(planned[i], lo[i]);
           continue;
@@ -543,11 +584,12 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
       Receiver[] rs = ensureStarted();
       for (int i = 0; i < rs.length; i++) {
         // Restart path: when the last batch in the checkpoint was
-        // already committed, Spark replays only this commit() -- a
-        // fresh connection's counter must jump to the committed
-        // offset so latestOffset() never goes backwards (no-op on a
-        // live receiver whose count is already past it).
-        rs[i].fastForward(counts[i]);
+        // already committed, Spark replays only this commit() -- the
+        // fresh connection rebases its numbering to the committed
+        // offset so latestOffset() never goes backwards AND every
+        // line framed during recovery is preserved (no-op on a live
+        // synced receiver).
+        rs[i].rebase(counts[i]);
         planned[i] = Math.max(planned[i], counts[i]);
         rs[i].pruneBelow(counts[i]);
       }

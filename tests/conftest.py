@@ -7,6 +7,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from dump1090_stream_parser_spark.session import get_spark
+from dump1090_stream_parser_spark.sources.sbs1_jvm import jvm_source_conf
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,8 +24,10 @@ def spark():
             # UI REST status store; get_spark disables the UI by default
             "spark.ui.enabled": "true",
             # the sbs1-jvm source class must be on the classpath at JVM
-            # launch (DataSource V2 lookup; addJar cannot extend it)
-            "spark.jars": "/root/repo/java/sbs1-jvm-source.jar",
+            # launch (DataSource V2 lookup; addJar cannot extend it);
+            # resolved relative to the package so non-/root checkouts
+            # work, rebuilt from source if the jar is missing
+            **jvm_source_conf(),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -556,17 +557,19 @@ def _race_commits(table_dir: str, proc_id: int, n_commits: int) -> None:
                 continue
 
 
-def test_stale_commit_lock_is_broken(spark, tmp_path):
-    """A holder that crashed inside the (sub-millisecond) commit
-    section leaves a lock file; once it is older than stale_after the
-    next writer breaks it instead of deadlocking."""
+def test_crashed_holder_lock_file_is_harmless(spark, tmp_path):
+    """flock semantics: a crashed holder's lock is released by the
+    kernel with its fd, so a leftover _COMMIT_LOCK file (however old)
+    never blocks the next writer -- no staleness heuristic, no
+    breaking protocol. The file persists by design (unlinking it would
+    split waiters across two inodes and void mutual exclusion)."""
     t = str(tmp_path / "tbl")
     df = _orders(spark)
     snapshot_write(spark, t, df, part_col="o_orderpriority")
     lock = os.path.join(t, "_COMMIT_LOCK")
     with open(lock, "w") as f:
-        f.write("pid=0 t=0")
-    os.utime(lock, (0, 0))  # ancient: clearly abandoned
+        f.write("pid=0 t=0")  # crash leftover: file exists, no flock held
+    os.utime(lock, (0, 0))
     prio = df.select("o_orderpriority").distinct().collect()[0][0]
     upd = (
         df.filter(F.col("o_orderpriority") == prio)
@@ -575,7 +578,28 @@ def test_stale_commit_lock_is_broken(spark, tmp_path):
     )
     v = snapshot_upsert(spark, t, upd, key_col="o_orderkey")
     assert v == latest_manifest(t)["version"]
-    assert not os.path.exists(lock)
+    assert os.path.exists(lock)  # persistent by design
+
+
+def test_commit_lock_blocks_while_held(tmp_path):
+    """A LIVE holder's flock excludes other writers until released --
+    and exclusion is by the kernel lock, not by file presence."""
+    import threading
+
+    from dump1090_stream_parser_spark.plans.snapshots import _CommitLock
+
+    t = str(tmp_path)
+    order = []
+    with _CommitLock(t, timeout=5.0):
+        blocked = threading.Thread(
+            target=lambda: (_CommitLock(t, timeout=10.0).__enter__(),
+                            order.append("acquired")),
+        )
+        blocked.start()
+        time.sleep(0.3)
+        order.append("releasing")
+    blocked.join(timeout=10)
+    assert order == ["releasing", "acquired"]
 
 
 def test_upsert_rejects_duplicate_and_null_keys(spark, tmp_path):

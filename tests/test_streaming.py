@@ -723,6 +723,73 @@ def test_sbs1_partitioned_source_restart_no_duplicates(spark, tmp_path):
         server.server_close()
 
 
+def test_sbs1_partitioned_reader_restart_rebase_preserves_fresh_lines():
+    """Review finding (round 12): on restart, the fresh connection may
+    out-frame the checkpointed offset during recovery. The old guard
+    then delivered NEW lines mislabeled as the replayed WAL batch and
+    silently dropped the lines below the offset. The rebase contract:
+    the first externally-supplied offset renumbers the fresh stream to
+    start AT it -- the replayed range reads EMPTY (the documented
+    ephemeral-TCP loss), and every recovery-framed line is preserved
+    and delivered after it."""
+    import socketserver
+
+    from dump1090_stream_parser_spark.sources.sbs1_source import (
+        Sbs1PartitionedStreamReader,
+    )
+
+    lines = [f"MSG,8,1,1,RB00{i:02d},1,,,,,,,,,,,,,,,,0" for i in range(25)]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload)
+            time.sleep(30)
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    reader = None
+    try:
+        reader = Sbs1PartitionedStreamReader(
+            {
+                "hosts": f"127.0.0.1:{port}",
+                "connect_attempt_limit": "5",
+                "connect_attempt_delay": "0.2",
+            }
+        )
+        # let the drain thread frame everything BEFORE any offset call
+        # (the recovery window: connection live, checkpoint not yet
+        # consulted) -- poke the thread without latestOffset's sync
+        reader._ensure_started()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if reader.receivers[0].snapshot_count() >= len(lines):
+                break
+            time.sleep(0.1)
+        assert reader.receivers[0].snapshot_count() == len(lines)
+
+        # first external offsets = the WAL's pending batch [10, 20):
+        # must replay EMPTY, not serve fresh lines mislabeled as it
+        def materialize(parts):
+            out = []
+            for p in parts:
+                for batch in reader.read(p):
+                    out.extend(r["value"] for r in batch.to_pylist())
+            return out
+
+        assert materialize(reader.partitions({"r0": 10}, {"r0": 20})) == []
+        # the fresh lines were PRESERVED: renumbered to start at 20
+        end = reader.latestOffset()
+        assert end["r0"] == 20 + len(lines)
+        got = materialize(reader.partitions({"r0": 20}, end))
+        assert got == lines
+    finally:
+        if reader is not None:
+            reader.stop()
+
+
 def test_sbs1_partitioned_source_survives_server_kill(spark, tmp_path):
     """A9 end-to-end on the PARTITIONED reader: one of two receivers'
     feeds dies mid-stream and comes back; its drain thread reconnects
