@@ -61,6 +61,13 @@ Guarantees (POSIX semantics; tests/test_snapshots.py pins each):
    deletes the manifest of any SURVIVING uncommitted dir whose file
    references vacuum just broke (so a later read fails with a clean
    missing-manifest error, never mid-read on a missing parquet file).
+5. **Additive schema evolution.** ``snapshot_upsert(...,
+   evolve_schema=True)`` appends new columns to the manifest-versioned
+   schema; committed files are never rewritten -- reads reconcile
+   pre-evolution files to NULL through the manifest's explicit schema,
+   time travel to an older version reads that version's schema, and
+   type changes / drops are rejected loudly (those are a
+   snapshot_write rewrite, not an in-place mutation).
 """
 
 from __future__ import annotations
@@ -76,6 +83,12 @@ from pyspark.sql import functions as F
 _LATEST = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
 _COMMIT_LOCK = "_COMMIT_LOCK"
+
+#: Sentinel for snapshot_write's ``expected_base``: "read the latest
+#: at call time" (the default full-replace semantics). Passing an
+#: explicit version (or None for "the table must still be empty")
+#: turns the write into a compare-and-swap against that base.
+_READ_LATEST = object()
 
 
 class SnapshotConflict(RuntimeError):
@@ -183,6 +196,16 @@ def snapshot_files(
     ]
 
 
+def _manifest_schema(m: dict):
+    """The manifest's recorded StructType, or None for hand-built
+    manifests that never carried one."""
+    if not m.get("schema"):
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(m["schema"]))
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -191,18 +214,24 @@ def read_snapshot(
 ) -> DataFrame:
     """A DataFrame over one immutable snapshot. The partition column is
     a DATA column in every file (never directory-derived), so reading
-    an explicit file list loses nothing."""
+    an explicit file list loses nothing.
+
+    The read uses the MANIFEST's recorded schema, not file inference:
+    after additive schema evolution (snapshot_upsert(...,
+    evolve_schema=True)) a snapshot legitimately references
+    pre-evolution files that lack the new columns, and the explicit
+    schema makes the parquet reader reconcile them to NULL -- while
+    time travel to a pre-evolution version reads with THAT version's
+    narrower schema, exactly as committed."""
     files = snapshot_files(table_dir, version, parts)
+    m = manifest_for(table_dir, version)
+    schema = _manifest_schema(m)
     if not files:
         # pruned-to-empty (or an empty bootstrap snapshot): rebuild
         # the schema from the manifest's recorded StructType, falling
         # back to any file of the snapshot, so downstream code always
         # sees the real columns
-        m = manifest_for(table_dir, version)
-        if m.get("schema"):
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(m["schema"]))
+        if schema is not None:
             return spark.createDataFrame([], schema)
         all_files = snapshot_files(table_dir, version)
         if not all_files:
@@ -216,6 +245,8 @@ def read_snapshot(
                 " carry a schema -- this one was not)"
             )
         return spark.read.parquet(*all_files).limit(0)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -395,6 +426,7 @@ def snapshot_write(
     df: DataFrame,
     part_col: str | None = None,
     files_per_part: int = 1,
+    expected_base=_READ_LATEST,
 ) -> int:
     """Full-table commit (the initial load, or a replace): write every
     row as new files under the next version and publish a manifest
@@ -402,15 +434,27 @@ def snapshot_write(
     as in snapshot_upsert: they would land in the Hive default
     partition with an empty parts=[] stats set -- unreachable by
     manifest pruning and invisible to touched-partition detection
-    forever."""
+    forever.
+
+    ``expected_base`` pins the version this replace was computed
+    against (None = "the table must still be uninitialized"): the
+    commit raises :class:`SnapshotConflict` if _LATEST moved past it.
+    The default re-reads latest at call time -- the plain replace
+    semantics -- but a BOOTSTRAP commit must pass ``expected_base=
+    None``, otherwise a rival sink that committed its bootstrap AND a
+    data upsert in between would be silently erased by this writer's
+    empty replace landing on the rival's newer base (ADVICE r12)."""
     if part_col is not None and df.filter(
         F.col(part_col).isNull()
     ).limit(1).count():
         raise ValueError(
             f"snapshot_write: rows contain NULL {part_col!r}"
         )
-    base = latest_manifest(table_dir)
-    base_v = None if base is None else base["version"]
+    if expected_base is _READ_LATEST:
+        base = latest_manifest(table_dir)
+        base_v = None if base is None else base["version"]
+    else:
+        base_v = expected_base
     v = _allocate_version(table_dir)
     vdir = _vdir(table_dir, v)
     _write_version(df, vdir, part_col, files_per_part)
@@ -429,6 +473,7 @@ def snapshot_upsert(
     txn: tuple[str, int] | None = None,
     files_per_part: int = 1,
     strict_keys: bool = False,
+    evolve_schema: bool = False,
 ) -> int:
     """Copy-on-write upsert WITH snapshot isolation: rows in
     ``updates`` replace same-key rows (or append) inside only the
@@ -463,7 +508,18 @@ def snapshot_upsert(
     scope: it scans the UNTOUCHED partitions' key column (columnar,
     key-only, but table-wide) and raises ValueError on any update key
     found living outside the touched partitions. Moving a key is a
-    delete+insert, which this protocol deliberately does not provide."""
+    delete+insert, which this protocol deliberately does not provide.
+
+    SCHEMA EVOLUTION (additive only): an update frame carrying columns
+    the table schema lacks is rejected loudly unless
+    ``evolve_schema=True``, in which case the new columns are APPENDED
+    to the table schema (the manifest versions the schema; committed
+    files are never rewritten -- pre-evolution files reconcile to NULL
+    at read time via read_snapshot's explicit manifest schema, and
+    time travel to a pre-evolution version still reads that version's
+    narrower schema). A same-name column whose type differs from the
+    table's is always an error -- type changes and drops have no
+    in-place path here; that is a full snapshot_write rewrite."""
     if base_version is not None:
         base = manifest_for(table_dir, base_version)
     else:
@@ -482,6 +538,36 @@ def snapshot_upsert(
         app_id, txn_v = txn
         if txn_v <= base.get("txns", {}).get(app_id, -1):
             return base["version"]  # already applied: replay no-op
+    # Schema reconciliation (driver-side, metadata only): additive
+    # evolution is opt-in; type changes are always rejected.
+    base_schema = _manifest_schema(base)
+    new_fields = []
+    if base_schema is not None:
+        base_types = {f.name: f.dataType for f in base_schema.fields}
+        for f in updates.schema.fields:
+            if f.name not in base_types:
+                new_fields.append(f)
+            elif f.dataType != base_types[f.name]:
+                raise ValueError(
+                    f"snapshot_upsert: column {f.name!r} has type"
+                    f" {f.dataType.simpleString()} in the updates but"
+                    f" {base_types[f.name].simpleString()} in the table"
+                    " schema; in-place type changes are not supported"
+                    " (rewrite with snapshot_write)"
+                )
+        if new_fields and not evolve_schema:
+            raise ValueError(
+                "snapshot_upsert: updates carry columns the table"
+                " schema lacks: "
+                + ", ".join(f.name for f in new_fields)
+                + "; pass evolve_schema=True for additive evolution,"
+                " or drop them from the update frame"
+            )
+    table_schema = base_schema
+    if new_fields:
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType(list(base_schema.fields) + new_fields)
     # the updates lineage feeds four consumers below (null check,
     # touched-partition collect, anti-join, write): evaluate it once
     updates = updates.localCheckpoint()
@@ -490,10 +576,13 @@ def snapshot_upsert(
     # whole, silently committing a table with duplicate keys; a NULL
     # key never matches the anti-join, so every replay re-appends it.
     # One patch-sized aggregation catches both.
+    # explicit alias, NOT .count()/F.col("count"): for a table
+    # legitimately keyed on a column named 'count' the bare reference
+    # would be ambiguous and every upsert would fail (ADVICE r12)
     bad_keys = (
         updates.groupBy(key_col)
-        .count()
-        .filter((F.col("count") > 1) | F.col(key_col).isNull())
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) | F.col(key_col).isNull())
         .limit(5)
         .collect()
     )
@@ -555,28 +644,44 @@ def snapshot_upsert(
                     "stable-keys contract): "
                     + ", ".join(str(r[0]) for r in movers)
                 )
+    table_cols = (
+        [f.name for f in table_schema.fields]
+        if table_schema is not None
+        else None
+    )
     if touched_files:
-        old = spark.read.parquet(*touched_files)
+        # read touched files with the BASE schema: after a prior
+        # evolution they may be schema-heterogeneous on disk, and the
+        # explicit schema reconciles missing columns to NULL instead
+        # of letting the reader pick an arbitrary file's footer
+        reader = (
+            spark.read.schema(base_schema)
+            if base_schema is not None
+            else spark.read
+        )
+        old = reader.parquet(*touched_files)
         in_touched = F.col(part_col).cast("string").isin(touched)
         keep = old.filter(~in_touched).unionByName(
             old.filter(in_touched).join(
                 updates.select(key_col), key_col, "left_anti"
             )
         )
-        merged = keep.unionByName(updates.select(*old.columns))
+        for f in new_fields:
+            # evolving commit: surviving old rows get the new columns
+            # as typed NULLs in the rewritten touched partitions
+            keep = keep.withColumn(f.name, F.lit(None).cast(f.dataType))
+        merged = keep.unionByName(
+            updates.select(*(table_cols or old.columns))
+        )
     else:
-        merged = updates
-        if base.get("schema"):
-            from pyspark.sql.types import StructType
-
-            cols = [
-                f.name
-                for f in StructType.fromJson(json.loads(base["schema"]))
-            ]
-            # same projection the touched-files branch gets from
-            # old.columns: schema-divergent update frames must not
-            # leak extra/reordered columns into committed files
-            merged = updates.select(*cols)
+        # same projection the touched-files branch applies:
+        # schema-divergent update frames must not leak extra/reordered
+        # columns into committed files
+        merged = (
+            updates.select(*table_cols)
+            if table_cols is not None
+            else updates
+        )
     _write_version(merged, vdir, part_col, files_per_part)
 
     entries = [
@@ -588,7 +693,11 @@ def snapshot_upsert(
     return _commit(
         table_dir, v, sorted(entries, key=lambda e: e["path"]),
         part_col, base["version"], txns,
-        schema_json=base.get("schema"),
+        schema_json=(
+            table_schema.json()
+            if table_schema is not None
+            else base.get("schema")
+        ),
     )
 
 
@@ -630,7 +739,14 @@ def snapshot_compact(
             for e in per_part[p]
         }
     )
-    frag_df = spark.read.parquet(*frag_files)
+    # manifest schema, not footer inference: after additive evolution
+    # the fragmented files may be schema-heterogeneous, and the
+    # explicit schema reconciles (compaction thereby physically
+    # upgrades old files to the current schema)
+    _schema = _manifest_schema(base)
+    frag_df = (
+        spark.read.schema(_schema) if _schema is not None else spark.read
+    ).parquet(*frag_files)
     if part_col is None:
         # unpartitioned table: the partitioned-write path cannot help,
         # so coalesce explicitly to the target file count (append into
@@ -705,8 +821,15 @@ def snapshot_upsert_sink(
                     " sink to let batch 0 bootstrap it"
                 )
             try:
+                # expected_base=None: the bootstrap commit is valid
+                # ONLY while the table is still uninitialized. Without
+                # the pin, a rival sink committing its bootstrap AND
+                # its first data upsert between our m-is-None check and
+                # snapshot_write's internal base read would be erased
+                # by this empty replace (ADVICE r12).
                 snapshot_write(
-                    spark, table_dir, batch_df.limit(0), part_col=part_col
+                    spark, table_dir, batch_df.limit(0),
+                    part_col=part_col, expected_base=None,
                 )
             except SnapshotConflict:
                 # a concurrent sink racing batch 0 bootstrapped the

@@ -46,9 +46,21 @@ _JAR = os.path.join(_JAVA_DIR, "sbs1-jvm-source.jar")
 
 def jvm_source_jar() -> str:
     """Path to the source jar, building it from the committed Java
-    source if absent (requires javac; the jar itself is committed, so
-    this is a repair path, not the normal one)."""
-    if not os.path.exists(_JAR):
+    source if absent OR STALE (requires javac; the jar itself is
+    committed, so this is normally a no-op). Staleness is an mtime
+    compare against the .java source and build.sh -- without it, an
+    edit to Sbs1JvmSource.java left the committed jar silently serving
+    the old class bytes to conftest, the CLI, and every test (ADVICE
+    r12)."""
+    inputs = [
+        os.path.join(_JAVA_DIR, "src", "sbs1", "Sbs1JvmSource.java"),
+        os.path.join(_JAVA_DIR, "build.sh"),
+    ]
+    stale = not os.path.exists(_JAR) or any(
+        os.path.exists(p) and os.path.getmtime(p) > os.path.getmtime(_JAR)
+        for p in inputs
+    )
+    if stale:
         subprocess.run(
             ["sh", os.path.join(_JAVA_DIR, "build.sh")],
             check=True,

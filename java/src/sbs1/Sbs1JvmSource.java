@@ -137,7 +137,7 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
   // Offsets: per-receiver cumulative line counts, {"r0":n0,"r1":n1}
   // ------------------------------------------------------------------
 
-  static class Sbs1Offset extends Offset {
+  public static class Sbs1Offset extends Offset {
     final long[] counts;
 
     Sbs1Offset(long[] counts) {
@@ -154,17 +154,40 @@ public class Sbs1JvmSource implements TableProvider, DataSourceRegister {
       return sb.append('}').toString();
     }
 
-    static Sbs1Offset fromJson(String json, int n) {
+    public static Sbs1Offset fromJson(String json, int n) {
       long[] counts = new long[n];
       // flat {"rK":vK,...} -- no nesting, no strings beyond keys
       String body = json.trim();
       body = body.substring(1, body.length() - 1); // strip { }
+      int seen = 0;
       if (!body.isEmpty()) {
         for (String kv : body.split(",")) {
           String[] parts = kv.split(":");
           int idx = Integer.parseInt(parts[0].replaceAll("[^0-9]", ""));
-          if (idx < n) counts[idx] = Long.parseLong(parts[1].trim());
+          // A checkpointed offset whose receiver set disagrees with the
+          // configured hosts must fail fast (the Kafka partition-set
+          // rule): silently dropping idx >= n offsets or zero-filling
+          // missing ones would lose or invent per-receiver progress on
+          // a hosts-list change against an existing checkpoint.
+          if (idx >= n) {
+            throw new IllegalStateException(
+                "checkpointed SBS-1 offset has receiver index " + idx
+                    + " but the query is configured with " + n
+                    + " host(s); the hosts list cannot change against an"
+                    + " existing checkpoint -- start a fresh checkpoint"
+                    + " for the new receiver set");
+          }
+          counts[idx] = Long.parseLong(parts[1].trim());
+          seen++;
         }
+      }
+      if (seen != n) {
+        throw new IllegalStateException(
+            "checkpointed SBS-1 offset carries " + seen
+                + " receiver(s) but the query is configured with " + n
+                + " host(s); the hosts list cannot change against an"
+                + " existing checkpoint -- start a fresh checkpoint for"
+                + " the new receiver set");
       }
       return new Sbs1Offset(counts);
     }

@@ -296,3 +296,23 @@ def test_jvm_source_requires_classpath_and_hosts(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         bronze_from_sbs1_jvm(spark, [])
+
+
+def test_offset_receiver_set_mismatch_fails_fast(spark):
+    """ADVICE r12: a checkpointed offset whose receiver set disagrees
+    with the configured hosts must throw (the Kafka partition-set
+    rule), not silently drop extra receivers' progress or zero-fill
+    missing ones."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # nested static class: py4j addresses it by its binary name
+    Offset = getattr(spark._jvm.sbs1, "Sbs1JvmSource$Sbs1Offset")
+    # matching receiver set round-trips
+    assert Offset.fromJson('{"r0":5,"r1":7}', 2).json() == '{"r0":5,"r1":7}'
+    # hosts list shrank against the checkpoint: extra receiver -> throw
+    with pytest.raises(Py4JJavaError, match="receiver"):
+        Offset.fromJson('{"r0":5,"r1":7,"r2":9}', 2)
+    # hosts list grew against the checkpoint: missing receiver -> throw
+    with pytest.raises(Py4JJavaError, match="receiver"):
+        Offset.fromJson('{"r0":5}', 2)

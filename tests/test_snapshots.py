@@ -719,3 +719,120 @@ def test_vacuum_retains_referenced_files(spark, tmp_path):
     # files were all superseded may go
     assert "v0" not in removed
     assert _rows(read_snapshot(spark, t)) == latest_rows
+
+
+# ---------------------------------------------------------------------------
+# Additive schema evolution (VERDICT r12 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_additive_upsert(spark, tmp_path):
+    """Upsert with a brand-new column + evolve_schema=True: the column
+    joins the manifest-versioned schema; rows in files carried by
+    reference (and surviving rows in touched partitions) read it as
+    NULL; time travel to the pre-evolution version reads the OLD
+    schema."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    updates = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(3)
+        .withColumn("review_note", F.lit("flagged"))
+    )
+    v = snapshot_upsert(
+        spark, t, updates, key_col="o_orderkey", evolve_schema=True
+    )
+    assert v == 1
+
+    cur = read_snapshot(spark, t)
+    assert "review_note" in cur.columns
+    upd_keys = [r["o_orderkey"] for r in updates.collect()]
+    flagged = cur.filter(F.col("o_orderkey").isin(upd_keys))
+    assert {r["review_note"] for r in flagged.collect()} == {"flagged"}
+    # every other row -- untouched partitions (pre-evolution files
+    # carried by reference) AND touched-partition survivors -- is NULL
+    rest = cur.filter(~F.col("o_orderkey").isin(upd_keys))
+    assert rest.filter(F.col("review_note").isNotNull()).count() == 0
+    assert rest.count() == df.count() - len(upd_keys)
+
+    # time travel: v0 reads its own (narrower) schema
+    old = read_snapshot(spark, t, version=0)
+    assert "review_note" not in old.columns
+    assert _rows(old) == _rows(df)
+
+
+def test_schema_evolution_requires_flag_and_rejects_type_change(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(2)
+        .withColumn("extra", F.lit(1))
+    )
+    # silent-drop was the old failure mode; now the new column is loud
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_upsert(spark, t, upd, key_col="o_orderkey")
+    # incompatible (type change) is loud regardless of the flag
+    retyped = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(2)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    )
+    with pytest.raises(ValueError, match="type"):
+        snapshot_upsert(
+            spark, t, retyped, key_col="o_orderkey", evolve_schema=True
+        )
+    # neither refused writer changed the table
+    assert latest_manifest(t)["version"] == 0
+
+
+def test_schema_evolution_survives_compaction(spark, tmp_path):
+    """Compaction after evolution reads fragmented (schema-
+    heterogeneous) files with the manifest schema and physically
+    upgrades them; content is unchanged."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    prio = df.select("o_orderpriority").distinct().collect()[0][0]
+    upd = (
+        df.filter(F.col("o_orderpriority") == prio)
+        .limit(3)
+        .withColumn("review_note", F.lit("flagged"))
+    )
+    snapshot_upsert(
+        spark, t, upd, key_col="o_orderkey", evolve_schema=True
+    )
+    before = _rows(read_snapshot(spark, t))
+    snapshot_compact(spark, t, max_files_per_part=1)
+    assert _rows(read_snapshot(spark, t)) == before
+
+
+def test_bootstrap_write_is_conditional_on_empty_table(spark, tmp_path):
+    """ADVICE r12 (medium): a bootstrap commit (expected_base=None)
+    must raise SnapshotConflict -- NOT silently replace -- when a rival
+    initialized the table between the caller's emptiness check and the
+    write. Simulated sequentially: the rival's state is simply a table
+    that already has committed rows."""
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")  # rival
+    before = _rows(read_snapshot(spark, t))
+    with pytest.raises(SnapshotConflict):
+        snapshot_write(
+            spark, t, df.limit(0), part_col="o_orderpriority",
+            expected_base=None,
+        )
+    # the rival's rows survived; no empty replace landed
+    assert latest_manifest(t)["version"] == 0
+    assert _rows(read_snapshot(spark, t)) == before

@@ -46,14 +46,28 @@ _op = st.one_of(
     ),
     st.tuples(st.just("compact")),
     st.tuples(st.just("vacuum")),
+    # additive schema evolution (VERDICT r12 ask #3): an upsert that
+    # brings a brand-new column into the table with evolve_schema=True
+    st.tuples(
+        st.just("evolve"),
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True),
+        st.integers(min_value=0, max_value=99),
+    ),
 )
 
 
 def _read_as_dict(spark, table, version=None):
+    df = read_snapshot(spark, table, version=version)
+    cols = [c for c in df.columns if c != "key"]
     return {
-        r["key"]: (r["part"], r["val"])
-        for r in read_snapshot(spark, table, version=version).collect()
+        r["key"]: {c: r[c] for c in cols} for r in df.collect()
     }
+
+
+def _schema_str(extras: list[str]) -> str:
+    return "key long, part string, val int" + "".join(
+        f", {c} int" for c in extras
+    )
 
 
 @settings(
@@ -63,27 +77,52 @@ def _read_as_dict(spark, table, version=None):
 )
 @given(ops=st.lists(_op, min_size=2, max_size=5))
 def test_random_histories_match_the_dict_model(spark, tmp_path_factory, ops):
+    import copy
+
     table = str(tmp_path_factory.mktemp("snap_model") / "tbl")
 
     # initial state: even keys, each in its home partition
     init = [(k, _home(k), -1) for k in KEYS if k % 2 == 0]
-    df0 = spark.createDataFrame(init, "key long, part string, val int")
+    df0 = spark.createDataFrame(init, _schema_str([]))
     snapshot_write(spark, table, df0, part_col="part")
-    model = {k: (p, v) for k, p, v in init}
-    history = {latest_manifest(table)["version"]: dict(model)}
+    extras: list[str] = []  # columns added by evolve ops, in order
+    model = {k: {"part": p, "val": v} for k, p, v in init}
+    history = {latest_manifest(table)["version"]: copy.deepcopy(model)}
 
     for op in ops:
         if op[0] == "upsert":
             _, keys, val = op
-            rows = [(k, _home(k), val) for k in keys]
-            upd = spark.createDataFrame(
-                rows, "key long, part string, val int"
-            )
+            rows = [
+                tuple([k, _home(k), val] + [val] * len(extras))
+                for k in keys
+            ]
+            upd = spark.createDataFrame(rows, _schema_str(extras))
             snapshot_upsert(
                 spark, table, upd, key_col="key", strict_keys=True
             )
             for k in keys:
-                model[k] = (_home(k), val)
+                model[k] = {"part": _home(k), "val": val}
+                model[k].update({e: val for e in extras})
+        elif op[0] == "evolve":
+            _, keys, val = op
+            name = f"x{len(extras)}"
+            # rows not in this evolving commit read the new column as
+            # NULL -- including rows in files carried by reference
+            for k in model:
+                model[k][name] = None
+            extras.append(name)
+            rows = [
+                tuple([k, _home(k), val] + [val] * len(extras))
+                for k in keys
+            ]
+            upd = spark.createDataFrame(rows, _schema_str(extras))
+            snapshot_upsert(
+                spark, table, upd, key_col="key", strict_keys=True,
+                evolve_schema=True,
+            )
+            for k in keys:
+                model[k] = {"part": _home(k), "val": val}
+                model[k].update({e: val for e in extras})
         elif op[0] == "compact":
             snapshot_compact(spark, table, max_files_per_part=1)
             # no model change: compaction must be content-neutral
@@ -97,11 +136,12 @@ def test_random_histories_match_the_dict_model(spark, tmp_path_factory, ops):
 
         got = _read_as_dict(spark, table)
         assert got == model, (op, got, model)
-        history[latest_manifest(table)["version"]] = dict(model)
+        history[latest_manifest(table)["version"]] = copy.deepcopy(model)
 
     # time travel: every retained version reads back as the state the
     # model had when it committed (vacuum may have trimmed older ones,
-    # and compaction re-commits an identical state under a new version)
+    # compaction re-commits an identical state under a new version, and
+    # a pre-evolution version must read its OWN narrower schema)
     import os
 
     for v, state in history.items():
@@ -133,4 +173,7 @@ def test_strict_keys_detects_partition_movers(spark, tmp_path):
         upsert(spark, table, mover, key_col="key", strict_keys=True)
     # the table is unchanged -- the refused writer left only an
     # uncommitted orphan dir
-    assert _read_as_dict(spark, table) == {0: ("a", -1), 1: ("b", -1)}
+    assert _read_as_dict(spark, table) == {
+        0: {"part": "a", "val": -1},
+        1: {"part": "b", "val": -1},
+    }
