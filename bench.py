@@ -152,6 +152,8 @@ HEADLINE = [
     "q_ann_pq_pruned",     # at-rest IVF x PQ index: pruned search (build once/session)
     "q_opq_encode",        # OPQ rotated-codebook encode (narrow, staged rotation)
     "q_ann_opq",           # OPQ ADC search: rotated codes + original-vector re-rank
+    "q_bucket_join",       # co-bucketed fact join: zero-exchange (build once/session)
+    "q_snapshot_read",     # snapshot-table time-travel read (build once/session)
 ]
 # q_dedup_clusters and q_pagerank are benched separately (BASELINE.md):
 # an iterative operator's wall-clock is dominated by per-round driver

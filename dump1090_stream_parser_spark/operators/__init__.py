@@ -29,6 +29,7 @@ from . import skyline  # noqa: F401
 from . import cdc  # noqa: F401
 from . import spatial  # noqa: F401
 from . import graph  # noqa: F401
+from . import storage  # noqa: F401
 
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 

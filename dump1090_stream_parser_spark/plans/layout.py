@@ -26,12 +26,16 @@ def write_bucketed(
     n_buckets: int = 64,
     partition_by: str | list[str] | None = None,
     sort_by: str | list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally partitioned) table.
 
     ``sort_by`` defaults to the bucket key: sorted buckets let the
     sort-merge join skip its sort step too (scan -> merge, no exchange,
     no sort). Bucket counts should match between co-joined tables.
+    ``path`` makes the table external at that location (catalog
+    registrations are session-scoped; an explicit path keeps the
+    layout findable independent of the session's warehouse dir).
     """
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     sort = sort_by or keys
@@ -39,6 +43,8 @@ def write_bucketed(
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(
         *sort
     )
+    if path is not None:
+        writer = writer.option("path", path)
     if partition_by:
         parts = (
             [partition_by]

@@ -1,0 +1,155 @@
+"""Storage-layout-certified queries (operators/storage.py):
+
+- q_bucket_join's EXECUTED plan moves ZERO shuffle records (the
+  VERDICT r12 ask #2 pin: the co-bucketed join lever measured by the
+  stage meter, not asserted from plan text), while the shuffled twin
+  of the same join over plain parquet moves thousands -- the pair of
+  numbers recorded in docs/SCALE.md;
+- q_snapshot_read's two version legs read back the exact pre- and
+  post-upsert states (time travel as part of a registered query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dump1090_stream_parser_spark.operators.storage import (
+    _bucketed_pair,
+    _snapshot_docs_table,
+    q_bucket_join,
+    q_snapshot_read,
+)
+from dump1090_stream_parser_spark.plans.inspect import formatted_plan
+from dump1090_stream_parser_spark.plans.metrics import (
+    executed_stage_signature,
+)
+from dump1090_stream_parser_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_bucket_join_executes_with_zero_shuffle_records(spark):
+    """The whole query -- scan, sort-merge join, per-order aggregate --
+    must complete without writing a single shuffle record: the bucket
+    layout satisfies both the join's and the aggregate's required
+    distribution. Warmed first (the one-time layout build shuffles;
+    the pin is the steady-state read path)."""
+    q_bucket_join(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sig = executed_stage_signature(
+        spark, lambda: q_bucket_join(spark, SF_DIR)
+    )
+    assert sig["shuffle_records"] == 0, sig
+
+    plan = formatted_plan(q_bucket_join(spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_bucket_join_shuffled_twin_pays_the_exchange(spark):
+    """The comparison row for docs/SCALE.md: the IDENTICAL join over
+    the plain parquet tables (merge-hinted, so the only difference is
+    the layout) executes with a strictly positive shuffle-record
+    count -- the per-query cost the one-time bucketed layout retires."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+
+    def twin():
+        return (
+            li.hint("merge")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+
+    sig = executed_stage_signature(spark, twin)
+    assert sig["shuffle_records"] > 0, sig
+
+
+def test_bucket_join_matches_plain_join_values(spark):
+    """Layout must never change answers: the bucketed query's rows
+    equal the same aggregation over the plain parquet tables."""
+    got = sorted(map(tuple, q_bucket_join(spark, SF_DIR).collect()))
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    from dump1090_stream_parser_spark.functions.exact import scaled_int
+
+    expect = sorted(
+        map(
+            tuple,
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                (
+                    F.sum(
+                        scaled_int(F.col("l_extendedprice"))
+                        * scaled_int(1 - F.col("l_discount"))
+                    )
+                    / 10000.0
+                ).alias("revenue"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expect and got
+
+
+def test_snapshot_read_time_travel_states(spark):
+    """Version 0 aggregates the ORIGINAL documents; version 1 shows
+    exactly the deterministic patch (every 37th doc +1e6 chars) --
+    and only in the patched docs' partitions were files rewritten."""
+    rows = {
+        (r["version"], r["lang"]): (r["n_docs"], r["total_chars"])
+        for r in q_snapshot_read(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    base = {
+        r["lang"]: (r["n"], r["s"])
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    patched = {
+        r["lang"]: (r["n"], r["s"])
+        for r in docs.withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 37 == 0, F.col("n_chars") + 1_000_000
+            ).otherwise(F.col("n_chars")),
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for lang, nv in base.items():
+        assert rows[(0, lang)] == nv
+    for lang, nv in patched.items():
+        assert rows[(1, lang)] == nv
+
+    # copy-on-write: v1 carries untouched partitions' files by
+    # reference (same relative paths as v0)
+    from dump1090_stream_parser_spark.plans.snapshots import manifest_for
+
+    tdir = _snapshot_docs_table(spark, SF_DIR)
+    v0_paths = {e["path"] for e in manifest_for(tdir, 0)["files"]}
+    v1_paths = {e["path"] for e in manifest_for(tdir, 1)["files"]}
+    assert v0_paths & v1_paths, "no files carried by reference"
+
+
+def test_bucketed_pair_reuses_session_build(spark):
+    """Second call in the same session must not rebuild the layout
+    (the once-per-session contract the bench reps rely on)."""
+    import time
+
+    _bucketed_pair(spark, SF_DIR)
+    t0 = time.time()
+    _bucketed_pair(spark, SF_DIR)
+    assert time.time() - t0 < 0.5

@@ -119,6 +119,10 @@ WARM_FIRST = {
     # #1), so the first call pays collect jobs later calls skip
     "q_ann_opq",
     "q_opq_encode",
+    # round 13: session-built storage layouts (bucketed tables /
+    # snapshot versions) -- the pin is the steady-state read path
+    "q_bucket_join",
+    "q_snapshot_read",
 }
 
 
