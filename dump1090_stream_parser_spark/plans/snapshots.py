@@ -180,6 +180,35 @@ def manifest_for(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def version_as_of(table_dir: str, ts: str) -> int:
+    """The newest committed version whose ``committed_at`` is <= ``ts``
+    (ISO-8601 UTC, e.g. '2026-08-16T12:00:00Z' -- the manifest's own
+    stamp format; a bare 'YYYY-MM-DD' compares as that day's midnight).
+    Walks the base_version chain from latest, so orphan (uncommitted)
+    manifests never resolve. Raises if the table has no version that
+    old."""
+    m = latest_manifest(table_dir)
+    if m is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {table_dir}"
+        )
+    while m is not None:
+        if m.get("committed_at", "") <= ts:
+            return m["version"]
+        base = m.get("base_version")
+        if base is None:
+            break
+        try:
+            m = manifest_for(table_dir, base)
+        except FileNotFoundError:
+            break  # older history vacuumed
+    raise ValueError(
+        f"snapshot {table_dir} has no retained version committed at or"
+        f" before {ts!r} (oldest retained:"
+        f" {m['committed_at'] if m else 'none'})"
+    )
+
+
 def snapshot_files(
     table_dir: str, version: int | None = None, parts=None
 ) -> list[str]:

@@ -37,6 +37,17 @@ def build_sql_parser() -> argparse.ArgumentParser:
                    help="register a reference-written SQLite file's "
                         "squitters table as view 'squitters_db' "
                         "(parallel rowid-range scans)")
+    p.add_argument("--snapshot-table", default=None, metavar="DIR",
+                   help="register a snapshot-manifest table "
+                        "(plans/snapshots.py) as view 'snapshot' -- "
+                        "latest version unless --version/--as-of")
+    p.add_argument("--version", type=int, default=None,
+                   help="time travel: read this snapshot version "
+                        "(with --snapshot-table)")
+    p.add_argument("--as-of", default=None, metavar="TS",
+                   help="time travel: newest version committed at or "
+                        "before this ISO-8601 UTC timestamp "
+                        "(with --snapshot-table)")
     p.add_argument("--limit", type=int, default=None,
                    help="cap output rows (omit for all)")
     p.add_argument("--master", default="local[*]")
@@ -77,6 +88,21 @@ def main(argv: list[str] | None = None) -> None:
             .load()
             .createOrReplaceTempView("squitters_db")
         )
+
+    if args.snapshot_table:
+        # the reference's query half reads the continuously-written
+        # table; the snapshot protocol adds pinned versions -- expose
+        # them here so time travel is one flag, not a Python session
+        from .plans.snapshots import read_snapshot, version_as_of
+
+        if args.version is not None and args.as_of is not None:
+            raise SystemExit("--version and --as-of are exclusive")
+        version = args.version
+        if args.as_of is not None:
+            version = version_as_of(args.snapshot_table, args.as_of)
+        read_snapshot(
+            spark, args.snapshot_table, version=version
+        ).createOrReplaceTempView("snapshot")
 
     df = spark.sql(sql)
     if args.limit is not None:

