@@ -1810,6 +1810,39 @@ def digest_cells(li: DataFrame) -> DataFrame:
     )
 
 
+def digest_frame(df: DataFrame, cols: list[str]) -> DataFrame:
+    """q_table_digest's bucket algebra over an ARBITRARY frame: the
+    cross-STORE comparison primitive (round-13 capstone: the SQLite
+    parity table vs the snapshot silver table). Each row serializes
+    the named columns canonically (cast to string, NULLs coalesced to
+    the injectivity sentinel), hashes through the portable 60-bit md5,
+    and folds into DIGEST_BUCKETS (count, xor, modular-sum) rows --
+    order- and layout-insensitive, so two stores holding the same rows
+    produce identical digest tables however they got them."""
+    ser = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_DIGEST_NULL))
+            for c in cols
+        ],
+    )
+    h = portable_hash64(ser)
+    return (
+        df.select((h % DIGEST_BUCKETS).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_digest"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(DIGEST_SUM_MOD)
+            )
+            .cast("long")
+            .alias("sum_digest"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Key-skew profiler: the scale advisor. Before a 100 TB job shuffles
 # on a key, this one cheap pass answers the questions that decide the

@@ -730,6 +730,137 @@ def snapshot_upsert(
     )
 
 
+def snapshot_append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+    files_per_part: int = 1,
+    evolve_schema: bool = False,
+) -> int:
+    """Append-only commit: write ``df`` as NEW files and carry EVERY
+    base file by reference -- the fact-table shape (an events/squitters
+    stream appends; nothing is ever rewritten), and the cheapest
+    possible commit at any table size (cost tracks the batch, never
+    the table). The partition column comes from the table's manifest
+    (None = unpartitioned appends). ``txn`` = (app_id, version) gives
+    the same replay-idempotent ledger as :func:`snapshot_upsert`;
+    ``evolve_schema`` follows the upsert's additive-only rules (new
+    columns append to the manifest schema; pre-evolution files
+    reconcile to NULL at read; type changes always refuse)."""
+    base = latest_manifest(table_dir)
+    if base is None:
+        raise FileNotFoundError(
+            f"snapshot_append needs an initialized table at {table_dir}"
+            " (snapshot_write it first, or use snapshot_append_sink's"
+            " part_col bootstrap)"
+        )
+    part_col = base["part_col"]
+    if txn is not None:
+        app_id, txn_v = txn
+        if txn_v <= base.get("txns", {}).get(app_id, -1):
+            return base["version"]  # already applied: replay no-op
+    base_schema = _manifest_schema(base)
+    new_fields = []
+    if base_schema is not None:
+        base_types = {f.name: f.dataType for f in base_schema.fields}
+        for f in df.schema.fields:
+            if f.name not in base_types:
+                new_fields.append(f)
+            elif f.dataType != base_types[f.name]:
+                raise ValueError(
+                    f"snapshot_append: column {f.name!r} has type"
+                    f" {f.dataType.simpleString()} in the appended rows"
+                    f" but {base_types[f.name].simpleString()} in the"
+                    " table schema; in-place type changes are not"
+                    " supported (rewrite with snapshot_write)"
+                )
+        if new_fields and not evolve_schema:
+            raise ValueError(
+                "snapshot_append: rows carry columns the table schema"
+                " lacks: " + ", ".join(f.name for f in new_fields)
+                + "; pass evolve_schema=True for additive evolution"
+            )
+    table_schema = base_schema
+    if new_fields:
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType(list(base_schema.fields) + new_fields)
+    if part_col is not None and df.filter(
+        F.col(part_col).isNull()
+    ).limit(1).count():
+        raise ValueError(
+            f"snapshot_append: rows contain NULL {part_col!r}"
+        )
+    if table_schema is not None:
+        df = df.select(*[f.name for f in table_schema.fields])
+    v = _allocate_version(table_dir)
+    vdir = _vdir(table_dir, v)
+    _write_version(df, vdir, part_col, files_per_part)
+    entries = list(base["files"]) + _file_entries(
+        spark, table_dir, vdir, part_col
+    )
+    txns = dict(base.get("txns", {}))
+    if txn is not None:
+        txns[txn[0]] = txn[1]
+    return _commit(
+        table_dir, v, sorted(entries, key=lambda e: e["path"]),
+        part_col, base["version"], txns,
+        schema_json=(
+            table_schema.json()
+            if table_schema is not None
+            else base.get("schema")
+        ),
+    )
+
+
+def snapshot_append_sink(
+    table_dir: str, app_id: str, part_col: str | None = None
+):
+    """foreachBatch factory: EXACTLY-ONCE append-only sink over a
+    snapshot table -- the :func:`snapshot_upsert_sink` discipline
+    (txn-ledger replay no-ops, batch-0 bootstrap conditional on the
+    table still being uninitialized, SnapshotConflict retries) for
+    streams whose rows are FACTS, not keyed state: the silver
+    squitters stream, event logs, any append-only table. An empty
+    micro-batch is consumed (stateful-upstream contract) but commits
+    nothing -- appending zero rows is idempotent, so the ledger can
+    skip it without a version."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = latest_manifest(table_dir)
+        if m is not None and int(batch_id) <= m.get("txns", {}).get(
+            app_id, -1
+        ):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        if m is None:
+            try:
+                snapshot_write(
+                    spark, table_dir, batch_df.limit(0),
+                    part_col=part_col, expected_base=None,
+                )
+            except SnapshotConflict:
+                pass  # a rival bootstrapped first -- fine
+        if batch_df.isEmpty():
+            return
+        for _ in range(5):
+            try:
+                snapshot_append(
+                    spark, table_dir, batch_df,
+                    txn=(app_id, int(batch_id)),
+                )
+                return
+            except SnapshotConflict:
+                continue
+        raise SnapshotConflict(
+            f"batch {batch_id}: conflicting writers outpaced 5 retries"
+        )
+
+    return write
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_dir: str,

@@ -836,3 +836,91 @@ def test_bootstrap_write_is_conditional_on_empty_table(spark, tmp_path):
     # the rival's rows survived; no empty replace landed
     assert latest_manifest(t)["version"] == 0
     assert _rows(read_snapshot(spark, t)) == before
+
+
+def test_append_carries_base_files_and_time_travels(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    lo = df.filter(F.col("o_orderkey") <= 1000)
+    hi = df.filter(F.col("o_orderkey") > 1000)
+    snapshot_write(spark, t, lo, part_col="o_orderpriority")
+    m0 = latest_manifest(t)
+    v1 = snapshot_append(spark, t, hi)
+    assert v1 == 1
+    m1 = latest_manifest(t)
+    # every base file carried by reference, new files added
+    base_paths = {e["path"] for e in m0["files"]}
+    assert base_paths <= {e["path"] for e in m1["files"]}
+    assert len(m1["files"]) > len(m0["files"])
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    assert _rows(read_snapshot(spark, t, version=0)) == _rows(lo)
+
+
+def test_append_txn_replay_is_a_no_op(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).limit(50)
+    snapshot_write(spark, t, df, part_col=None)
+    snapshot_append(spark, t, df.limit(5), txn=("app", 3))
+    n = read_snapshot(spark, t).count()
+    v = latest_manifest(t)["version"]
+    # replaying the same or an older txn commits nothing
+    assert snapshot_append(spark, t, df.limit(5), txn=("app", 3)) == v
+    assert snapshot_append(spark, t, df.limit(5), txn=("app", 2)) == v
+    assert latest_manifest(t)["version"] == v
+    assert read_snapshot(spark, t).count() == n
+
+
+def test_append_schema_guards_and_additive_evolution(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).limit(20)
+    snapshot_write(spark, t, df, part_col=None)
+    widened = df.limit(5).withColumn("flag", F.lit(1))
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_append(spark, t, widened)
+    with pytest.raises(ValueError, match="type"):
+        snapshot_append(
+            spark, t,
+            df.limit(5).withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("string")
+            ),
+        )
+    snapshot_append(spark, t, widened, evolve_schema=True)
+    out = read_snapshot(spark, t)
+    assert "flag" in out.columns
+    # pre-evolution files reconcile the new column to NULL
+    assert out.filter(F.col("flag").isNull()).count() == 20
+    assert out.filter(F.col("flag") == 1).count() == 5
+    # time travel to the pre-evolution version keeps the old schema
+    assert "flag" not in read_snapshot(spark, t, version=0).columns
+
+
+def test_append_rejects_null_partition_and_uninitialized(
+    spark, tmp_path
+):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).limit(10)
+    with pytest.raises(FileNotFoundError):
+        snapshot_append(spark, t, df)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    bad = df.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_append(spark, t, bad)
