@@ -54,22 +54,349 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #: and only a registration left stale for a FULL round (ledger two or
 #: more rounds ahead) is a violation. Bump this constant as part of every
 #: rotation edit.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-13 green-age rotation (VERDICT r12 ask #4): the full
+    # r9 cohort (28 entries, age 4 at this window's round -- they would
+    # hit the green-age bound at round 14) re-enters, joined by the 19
+    # oldest entries of the r10 cohort in tail order, so the whole
+    # registry stays at green-age <= 4 going into round 14. They are
+    # joined by q_bucket_join + q_snapshot_read (NEW this round: the
+    # storage-layout tier, first driver rows -- no registry entry waits
+    # a round for its first row) and q_ann_opq, which STAYS in-window
+    # because its source block changed this round (session-cached
+    # rotation/LUT expression text, VERDICT r12 ask #1) and must
+    # re-earn its green on the code as it stands. The 49 round-12
+    # incumbents below park; every one carries a FRESH r12 green row on
+    # code untouched since (guard-enforced block diffs).
+    "q_cube": (
+        "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
+        " relational.py block untouched this round): rollup/cube/grouping-sets"
+        " aggregation is held in-window by q_rollup_merge (the same partial/final"
+        " mergeable-rollup machinery); re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_approx_distinct": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " relational.py block untouched this round): the sketch-certificate"
+        " discipline is held in-window by q_approx_percentile (exact leg +"
+        " bounded-error sketch over the same scan); the exact distinct leg rides"
+        " q_rollup_merge's agg machinery; re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_profile": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " relational.py block untouched this round): column profiling is held"
+        " in-window by q_length_hist (the same bounded-cardinality histogram"
+        " collapse over the documents scan); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_subquery_scalar": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " relational.py block untouched this round): correlated-scalar"
+        " decorrelation lands on the same left-join + grouped-agg plan held"
+        " in-window by q_join_snowflake's chained joins and q_weighted_median's"
+        " grouped aggregates; re-proven every round by the local parity gate"
+    ),
+    "q_unpivot": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " relational.py block untouched this round): wide-to-long reshaping rides"
+        " the bounded Generate held in-window by q_cooccur's pair expansion;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_join_range": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r1+r3+r4+r5+r6+r7+r12, joins.py block untouched this round):"
+        " theta/range join keys are held in-window by q_scd2_intervals and"
+        " q_interval_peak (the same non-equi interval predicates); re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_asof_lastval": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r1+r3+r4+r5+r6+r7+r12, joins.py block untouched this round): the"
+        " last(ignorenulls) ordered window is held in-window by"
+        " q_sbs1_gold_latest (rank-1 latest state per key over the same"
+        " ordering); re-proven every round by the local parity gate"
+    ),
+    "q_window_trailing": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " windows.py block untouched this round): rows/range window frames are"
+        " held in-window by q_decay_topk (trailing decayed windows over the same"
+        " ordered frames); re-proven every round by the local parity gate"
+    ),
+    "q_lang_id": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r1+r3+r4+r5+r6+r7+r12, text.py block untouched this round): the"
+        " documents-scan text tier is held in-window by q_quality_score and"
+        " q_token_count (the same single-scan character/token profile"
+        " expressions); re-proven every round by the local parity gate"
+    ),
+    "q_rolling_fingerprint": (
+        "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r8+r12,"
+        " text.py block untouched this round): rolling-hash fingerprints are held"
+        " in-window by q_doc_fingerprint (the same polynomial rolling hash and"
+        " winnowing fold); re-proven every round by the local parity gate"
+    ),
+    "q_containment": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12, text.py"
+        " block untouched this round): winnowed containment rides the fingerprint"
+        " machinery held in-window by q_doc_fingerprint and the positional-gram"
+        " expansion of q_dup_spans; re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_bm25": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, text.py block untouched this round): tf/df scoring"
+        " is held in-window by q_tfidf (the same token-frequency scaffolding;"
+        " BM25 only changes the saturation formula); re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_ngram_top": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r8+r12,"
+        " text.py block untouched this round): gram counting +"
+        " TakeOrderedAndProject top-k is held in-window by q_pmi (same"
+        " bounded-vocabulary gram counts) and q_decay_topk (same top-k cap);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_quality_filter": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, text.py block untouched this round): the quality"
+        " heuristics are held in-window by q_quality_score (the same expression"
+        " battery; the filter form only thresholds it); re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_chunk_docs": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r8+r9+r12, text.py block untouched this round): bounded"
+        " sequence Generate is held in-window by q_dup_spans (the same positional"
+        " explode bounded by document length); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_dedup_best": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " dedup.py block untouched this round): keep-best dedup is held in-window"
+        " by q_sbs1_gold_latest (the same rank-1-per-key window discipline);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_dedup_incremental": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
+        " dedup.py block untouched this round): the snapshot-diff read path is"
+        " held in-window by q_snapshot_read (the same manifest-pinned file"
+        " listing) and q_cdc_apply (the same keyed-state reconciliation);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_knn_join": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
+        " similarity.py block untouched this round): exact-kNN JVM expressions"
+        " are held in-window by q_knn_per_label (the same zip_with dot-product"
+        " fold + per-group rank); re-proven every round by the local parity gate"
+    ),
+    "q_ann_ivf": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r1+r3+r4+r5+r6+r7+r12, similarity.py block untouched this round): IVF"
+        " centroid assignment + shortlist search is held in-window by q_ann_opq"
+        " (the same trained-quantizer fixtures and ADC scan); re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_ann_ivf_join": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
+        " similarity.py block untouched this round): the IVF cell-join form rides"
+        " the same quantizer machinery held in-window by q_ann_opq; re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_semantic_dedup": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
+        " similarity.py block untouched this round): cell-bounded semantic pair"
+        " generation is held in-window by q_dedup_clusters_lsh and"
+        " q_near_dedup_embedding_lsh (the same bucketed pair space); re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_ann_lsh": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, similarity.py block untouched this round):"
+        " hyperplane-LSH banding is held in-window by q_near_dedup_embedding_lsh"
+        " (the same session-cached band expressions); re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_random_projection": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
+        " similarity.py block untouched this round): matrix-literal projection is"
+        " held in-window by q_ann_opq (the same broadcast rotation-matrix"
+        " expression fold); re-proven every round by the local parity gate"
+    ),
+    "q_opq_encode": (
+        "rotated OUT round 13 age rotation (green driver rows r12, similarity.py"
+        " block untouched this round): the rotation + PQ encode path is held"
+        " in-window by q_ann_opq (the same trained rotation, codebooks, and"
+        " staged rotation column); re-proven every round by the local parity gate"
+    ),
+    "q_ann_pq_pruned": (
+        "rotated OUT round 13 age rotation (green driver rows r11+r12,"
+        " similarity.py block untouched this round): the at-rest pruned ADC read"
+        " is held in-window by q_ann_opq (the same session-cached fixture layout"
+        " and ADC scan; pruning re-proven by the exec pins); re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_multimodal_energy": (
+        "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
+        " multimodal.py block untouched this round): the Arrow-batched multimodal"
+        " payload path is held in-window by q_multimodal_resize and"
+        " q_multimodal_meta (the same mapInPandas schema and batch shape);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_stratified_sample": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, pipeline_ops.py block untouched this round):"
+        " deterministic hash-split sampling is held in-window by q_abtest (the"
+        " same uniform-hash assignment discipline); re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_weighted_sample": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
+        " pipeline_ops.py block untouched this round): weighted deterministic"
+        " sampling rides the same hash-uniform draw held in-window by q_abtest;"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_pack_shards": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, pipeline_ops.py block untouched this round):"
+        " monotone running-sum bin packing is held in-window by q_streaks (the"
+        " same ordered running-window fold); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_contamination": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, pipeline_ops.py block untouched this round): the"
+        " gram semi-join is held in-window by q_contamination_bloom (the same"
+        " join with the Bloom prefilter fork wired); re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_mix_weights": (
+        "rotated OUT round 13 age rotation (green driver rows"
+        " r3+r4+r5+r6+r7+r12, pipeline_ops.py block untouched this round):"
+        " per-source share algebra is held in-window by q_gini (the same"
+        " source-grain distribution fold); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_heavy_hitters": (
+        "rotated OUT round 13 age rotation (green driver rows r4+r5+r6+r7+r12,"
+        " pipeline_ops.py block untouched this round): frequency ranking is held"
+        " in-window by q_decay_topk (the same count-collapse + top-k cap);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_countmin": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
+        " pipeline_ops.py block untouched this round): the sketch tier is held"
+        " in-window by q_approx_percentile (exact leg + sketch certificate, same"
+        " discipline); re-proven every round by the local parity gate"
+    ),
+    "q_set_overlap_kmv": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
+        " pipeline_ops.py block untouched this round): the KMV overlap estimate"
+        " is held in-window by q_source_overlap (the exact twin of the same"
+        " containment/Jaccard matrix); re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_source_divergence": (
+        "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
+        " pipeline_ops.py block untouched this round): distribution-compare folds"
+        " are held in-window by q_mutual_info (the same joint/marginal"
+        " contingency algebra); re-proven every round by the local parity gate"
+    ),
+    "q_retention_cohorts": (
+        "rotated OUT round 13 age rotation (green driver rows r4+r5+r6+r7+r12,"
+        " pipeline_ops.py block untouched this round): cohort time-bucketing is"
+        " held in-window by q_transitions (the same event-time grouping at key"
+        " grain); re-proven every round by the local parity gate"
+    ),
+    "q_dense_index": (
+        "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
+        " pipeline_ops.py block untouched this round): index materialization is"
+        " held in-window by q_inverted_index and q_bitmap_index (the same"
+        " posting-list builds); re-proven every round by the local parity gate"
+    ),
+    "q_model_score": (
+        "rotated OUT round 13 age rotation (green driver rows r4+r5+r6+r7+r12,"
+        " inference.py block untouched this round): linear-model expression folds"
+        " are held in-window by q_regression (the same closed-form"
+        " normal-equation algebra) and q_lm_score; re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_label_pca": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r8+r12,"
+        " inference.py block untouched this round): the Gram-matrix covariance"
+        " fold is held in-window by q_regression (the same sum-of-products"
+        " collapse); re-proven every round by the local parity gate"
+    ),
+    "q_hybrid_search": (
+        "rotated OUT round 13 age rotation (green driver rows r4+r5+r6+r7+r12,"
+        " inference.py block untouched this round): the lexical leg is held"
+        " in-window by q_inverted_index, the vector leg by q_knn_per_label (the"
+        " same fused rank blend re-proven by parity); re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_pipeline_funnel": (
+        "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r8+r12,"
+        " composite.py block untouched this round): stacked window stages are"
+        " held in-window by q_attribution (the same ordered multi-stage window"
+        " credit pass); re-proven every round by the local parity gate"
+    ),
+    "q_sbs1_gold_deadletter": (
+        "rotated OUT round 13 age rotation (green driver rows r6+r7+r8+r12,"
+        " sbs1_gold.py block untouched this round): the silver parse path and"
+        " arity fork are held in-window by q_sbs1_gold_latest (the same"
+        " production parser over the same fixture lines); re-proven every round"
+        " by the local parity gate"
+    ),
+    "q_ema": (
+        "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
+        " timeseries.py block untouched this round): recursive exponential"
+        " smoothing is held in-window by q_holt (level+trend generalizes the EMA"
+        " fold); re-proven every round by the local parity gate"
+    ),
+    "q_cusum": (
+        "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
+        " timeseries.py block untouched this round): sequential drift screens are"
+        " held in-window by q_burst (trailing-baseline z-scores) and"
+        " q_anomaly_mad (robust deviation gates); re-proven every round by the"
+        " local parity gate"
+    ),
+    "q_acf": (
+        "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
+        " statistics.py block untouched this round): lagged covariance algebra is"
+        " held in-window by q_regression (the same exact sum-of-products fold"
+        " over shifted pairs); re-proven every round by the local parity gate"
+    ),
+    "q_seasonality": (
+        "rotated OUT round 13 age rotation (green driver rows r9+r12,"
+        " statistics.py block untouched this round): the day-grain spine and"
+        " expected-share compare are held in-window by q_burst (the same"
+        " zero-filled day spine); re-proven every round by the local parity gate"
+    ),
+    "q_ks_test": (
+        "rotated OUT round 13 age rotation (green driver rows r9+r12,"
+        " statistics.py block untouched this round): two-sample distribution"
+        " comparison is held in-window by q_abtest (the same cohort-split compare"
+        " discipline); re-proven every round by the local parity gate"
+    ),
+    "q_hill": (
+        "rotated OUT round 13 age rotation (green driver rows r9+r12,"
+        " statistics.py block untouched this round): top-K order statistics are"
+        " held in-window by q_winsorize (the same exact rank-selected clipping);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_triangles": (
+        "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
+        " basket.py block untouched this round): degree-oriented graph joins are"
+        " held in-window by q_paths (the same edge-join expansion with skew"
+        " orientation); re-proven every round by the local parity gate"
+    ),
     # ---- round-12 second wave: q_ann_opq (the OPQ ADC read path,
     # full oracle, parity-verified at sf0.001/0.01/0.1 and under a
     # vanilla session) enters the window for its FIRST driver row --
     # no registry entry waits a round for its first row (the round-6
     # second-wave precedent); q_multimodal_resize parks to make room.
-    "q_multimodal_resize": (
-        "rotated OUT round 12 second wave (green driver rows r9, plus"
-        " this window's pending row; multimodal.py's resize block"
-        " untouched this round): the Arrow-batched byte-decimation"
-        " codec path is held in-window by q_multimodal_energy (the"
-        " same mapInPandas payload schema and batch shape); re-proven"
-        " every round by the local parity gate"
-    ),
     # ---- round-12 green-age rotation (VERDICT r11 ask #5): the 25
     # entries last green in r7 (age 5 at this window's round) all
     # re-enter, joined by the full r8 cohort (11) and the first 12 of
@@ -432,169 +759,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # FRESH r10 green row on code untouched since (guard-enforced block
     # diffs), and 17 of the 18 staying incumbents hold only the single
     # r10 green row, so staying earns them their second.
-    "q_winsorize": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " statistics.py's winsorize block untouched this round): the"
-        " exact rank-selected clipping is held in-window by the"
-        " re-entering q_percentile (the same cumulative-count cut"
-        " selection over a count-collapsed frame) and the robust"
-        " two-sample tier by q_mann_whitney; re-proven every round by"
-        " the local parity gate"
-    ),
-    "q_burst": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " timeseries.py's burst block untouched this round): the"
-        " zero-filled day-spine aggregation is held in-window by the"
-        " re-entering q_gapfill (the same dense-spine Generate +"
-        " fill join) and the day-grain series discipline by q_sax's"
-        " segmentation; re-proven every round by the local parity gate"
-    ),
-    "q_sbs1_gold_latest": (
-        "rotated OUT round 11 age rotation (green driver rows"
-        " r6+r7+r8+r9+r10 -- five consecutive -- sbs1_gold.py"
-        " untouched this round): keyed latest-state ranking is held"
-        " in-window by the re-entering q_window_latest (the same"
-        " row_number-over-key-desc-time shape on the same events"
-        " ordering); the ingest-side gold view stays executed every"
-        " round by the streaming pytest e2e legs and the local parity"
-        " gate"
-    ),
-    "q_multimodal_meta": (
-        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
-        " multimodal.py's meta block untouched this round): the"
-        " Arrow-batched binary metadata plumbing is held in-window by"
-        " the re-entering q_multimodal_frames and q_multimodal_features"
-        " (same payload schema, same mapInPandas batch shape);"
-        " re-proven every round by the local parity gate"
-    ),
-    "q_knn_per_label": (
-        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
-        " similarity.py's per-label block untouched this round): the"
-        " grouped exact top-k cosine scan is held in-window by the"
-        " re-entering q_knn_cosine (the same norm-hoisted scoring core"
-        " and partial WindowGroupLimit, ungrouped form); re-proven"
-        " every round by the local parity gate"
-    ),
-    "q_source_overlap": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " text.py's overlap block untouched this round): the pairwise"
-        " source containment/Jaccard matrix is held in-window by"
-        " q_source_overlap_kmv (the sketch form of the SAME pair"
-        " grid over the same gram streams, staying for its second"
-        " green row); re-proven every round by the local parity gate"
-    ),
-    "q_novelty": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " text.py's novelty block untouched this round):"
-        " first-occurrence gram freshness is held in-window by the"
-        " re-entering q_window_running (the same cumulative"
-        " ordered-window pass that marks first occurrences) and the"
-        " gram-hash family by q_dedup; re-proven every round by the"
-        " local parity gate and the streaming novelty twin's pytest leg"
-    ),
-    "q_dup_spans_bloom": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " dedup.py's bloom fork untouched this round): the"
-        " Bloom-prefiltered corpus-positional gram pipeline is the"
-        " parked q_dup_spans' plan plus a broadcast bitmap gate, whose"
-        " holders (q_near_dedup_minhash's gram hashing, q_window_"
-        "running's windowed marking pass) re-enter the window this"
-        " round; the measured 33%/43% row/byte shuffle cut stays"
-        " pinned in docs/SCALE.md and the local parity gate re-proves"
-        " both forks every round"
-    ),
-    "q_dup_spans": (
-        "rotated OUT round 11 age rotation (green driver rows"
-        " r8+r9+r10, dedup.py's span block untouched this round): the"
-        " corpus-positional gram hashing is held in-window by the"
-        " re-entering q_near_dedup_minhash (the same shingle-hash"
-        " front end) and the one-pass windowed duplicate marking by"
-        " q_window_running's frame machinery; re-proven every round by"
-        " the local parity gate"
-    ),
-    "q_dedup_clusters_lsh": (
-        "rotated OUT round 11 age rotation (green driver rows"
-        " r5+r6+r7+r8+r9+r10 -- six consecutive, the deepest live"
-        " streak in the registry -- dedup.py untouched this round):"
-        " the pointer-jumping connected-components core re-enters the"
-        " window directly as q_dedup_clusters, and its LSH"
-        " edge-generation stage as q_near_dedup_minhash; re-proven"
-        " every round by the local parity gate"
-    ),
-    "q_near_dedup_ngram": (
-        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
-        " dedup.py's ngram block untouched this round): n-gram Jaccard"
-        " near-dup is held in-window by the re-entering"
-        " q_near_dedup_minhash (the sketched estimator of the SAME"
-        " shingle-set Jaccard) and q_near_dedup_simhash; re-proven"
-        " every round by the local parity gate"
-    ),
-    "q_dedup_events": (
-        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
-        " dedup.py's events block untouched this round): the"
-        " fingerprint-keyed exact-dedup shuffle is held in-window by"
-        " the re-entering q_dedup (the same 60-bit content-fingerprint"
-        " groupBy on the documents corpus); re-proven every round by"
-        " the local parity gate and the streaming dedup pytest leg"
-    ),
-    "q_text_entropy": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " text.py's entropy block untouched this round): the"
-        " shared-ln float fold over exact integer counts is held"
-        " in-window by q_benford (the same digit/count goodness-of-fit"
-        " discipline, staying for its fourth green row); the"
-        " zero-exchange per-row sorted scan stays pinned by its"
-        " executed-stage meter row (0 shuffle records) and the local"
-        " parity gate"
-    ),
-    "q_pmi": (
-        "rotated OUT round 11 age rotation (green driver rows r9+r10,"
-        " text.py's pmi block untouched this round): exact-count"
-        " association scoring over a bounded vocabulary is held"
-        " in-window by q_chi2 (the same observed-vs-expected"
-        " contingency fold, staying for its second green row);"
-        " re-proven every round by the local parity gate"
-    ),
-    "q_length_hist": (
-        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
-        " relational.py's histogram block untouched this round): the"
-        " fixed-bucket distribution summary is held in-window by the"
-        " re-entering q_percentile (the exact order-statistics view of"
-        " the same length column); re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_doc_fingerprint": (
-        "rotated OUT round 11 age rotation (green driver rows r1+r10,"
-        " text.py's fingerprint block untouched this round): the"
-        " rolling-hash document fingerprint family is held in-window"
-        " by the re-entering q_dedup (which groups on exactly these"
-        " fingerprints) and q_near_dedup_minhash's shingle hashes;"
-        " re-proven every round by the local parity gate"
-    ),
-    "q_token_count": (
-        "rotated OUT round 11 age rotation (green driver rows r3+r10,"
-        " text.py's token-count block untouched this round): the"
-        " regex-split token accounting is held in-window by the"
-        " re-entering q_repetition_score (the same tokenizer feeding"
-        " its bigram statistics); re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_quality_score": (
-        "rotated OUT round 11 age rotation (green driver rows"
-        " r1+r3+r10, text.py's quality block untouched this round):"
-        " heuristic document scoring (length/punct/stopword ratios) is"
-        " held in-window by the re-entering q_repetition_score (the"
-        " same narrow per-document scan discipline over the same"
-        " corpus); re-proven every round by the local parity gate"
-    ),
-    "q_tfidf": (
-        "rotated OUT round 11 age rotation (green driver rows"
-        " r1+r3+r10, text.py's tfidf block untouched this round): the"
-        " gram-explode + document-frequency join is held in-window by"
-        " the re-entering q_repetition_score (same explode-aggregate"
-        " front end) and the broadcast dim-join shape by q_join_star;"
-        " re-proven every round by the local parity gate"
-    ),
     "q_token_tf": (
         "rotated OUT round 11 age rotation (green driver rows r1+r10,"
         " text.py's tf block untouched this round): the explode ->"
@@ -741,28 +905,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # slots, and the fifth slot swap re-enters q_token_count -- the
     # oldest-aged parked entry (last green r1) -- keeping the drain
     # invariant satisfied as the tail grows past the next quota step.
-    "q_near_dedup_embedding_lsh": (
-        "rotated OUT round 10 mid-round wave (green driver rows"
-        " r6+r7+r8+r9 -- four consecutive -- its similarity.py block"
-        " untouched this session): the banded hyperplane-LSH bucket"
-        " join is held in-window by q_dedup_clusters_lsh, whose pair"
-        " stage IS this query's bucket-keyed self-join (first-agreeing"
-        "-band emission and all), extended with the component fold;"
-        " the embsweep blocking measurements stay recorded in"
-        " docs/SCALE.md and re-proven every round by the local parity"
-        " gate"
-    ),
-    "q_contamination_bloom": (
-        "rotated OUT round 10 mid-round wave (green driver rows"
-        " r4+r5+r6+r7+r8+r9 -- six consecutive -- pipeline_ops'"
-        " bloom-gate block untouched this round): the Bloom-prefilter"
-        " capability is held in-window by q_dup_spans_bloom (the same"
-        " fixed-size bitmap broadcast ahead of a join-back, re-earning"
-        " its row on the round-10 plan); the asymmetric"
-        " eval-set-sized-filter crossover stays measured in"
-        " docs/SCALE.md and re-proven every round by the local parity"
-        " gate"
-    ),
     # ---- round-10 green-age rotation (VERDICT r9 ask #2): the window
     # reserves its rotation quota (ceil(tail/5) = 19 slots) for the
     # OLDEST-aged parked entries -- the 14 whose last driver row was
@@ -773,236 +915,19 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     # rows (r8+r9 minimum) on code untouched this round, enforced by
     # parking_guard block diffs; ages are now guard-enforced via the
     # drain-rate invariant (tools/parking_guard.py check_green_age).
-    "q_pii_scrub": (
-        "rotated OUT round 10 third wave (green driver rows"
-        " r3+r4+r5+r6+r7+r8+r9 -- a seven-green history, the deepest"
-        " in the registry -- text.py's scrub block untouched this"
-        " round): the regex/string-scan tier is double-held in-window"
-        " by q_chunk_docs (the same narrow text pass with sequence"
-        " windowing) and the re-entered q_string_clean; its window"
-        " slot funds q_ann_ivf_trained_join's first driver row (the"
-        " batch form completing the round-10 trained-quantizer"
-        " trilogy); the zero-exchange scrub plan stays pinned by its"
-        " plan test and re-proven every round by the local parity"
-        " gate"
-    ),
-    "q_approx_percentile": (
-        "rotated OUT round 10 age rotation (green driver rows"
-        " r6+r7+r8+r9, statistics untouched this round): the"
-        " percentile-sketch tier's certificate discipline is held"
-        " in-window by q_countmin (sketch rebuilt cell-for-cell by the"
-        " oracle) and the exact-cents selection shape by q_winsorize's"
-        " cumulative-count cuts; bounded-error vs exact stays re-proven"
-        " every round by tests/test_approx.py and the local parity gate"
-    ),
-    "q_join_snowflake": (
-        "rotated OUT round 10 age rotation (green driver rows"
-        " r5+r6+r7+r8+r9, joins.py untouched this round): the"
-        " inner-equi chain capability is held in-window by the"
-        " re-entering q_join_left (outer form over the same star core)"
-        " and q_ann_ivf_join's broadcast-hash equi-join; re-proven"
-        " every round by the local parity gate and its plan pin"
-    ),
-    "q_scd2_intervals": (
-        "rotated OUT round 10 age rotation (green driver rows"
-        " r7+r8+r9, windows.py untouched this round): the lag/lead"
-        " interval staging is held in-window by the re-entering"
-        " q_window_lag_delta (its core analytic) and q_streaks'"
-        " per-user ordered lag runs; the one-exchange two-window plan"
-        " stays pinned by its plan test and the local parity gate"
-    ),
-    "q_interval_peak": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " timeseries.py's interval code untouched this round): the"
-        " bucket-overlap rollup is held in-window by q_burst's"
-        " zero-filled day-spine aggregation and the re-entering"
-        " q_sliding_window's time-bucket tier; re-proven every round"
-        " by the local parity gate"
-    ),
-    "q_decay_topk": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " timeseries.py's decay code untouched this round): the"
-        " time-decayed ranking tier is held in-window by"
-        " q_weighted_sample (priority-ranked top-K through the same"
-        " WindowGroupLimit) and q_burst's trailing-baseline scoring;"
-        " re-proven every round by the local parity gate"
-    ),
-    "q_regression": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's OLS block untouched this round): the"
-        " sufficient-statistics fold over exact scaled integers is"
-        " exactly q_acf's in-window decimal(38,0) discipline (same"
-        " partial+final hash shape); re-proven every round by the"
-        " local parity gate and its third-engine numpy test"
-    ),
-    "q_mutual_info": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's MI block untouched this round): the"
-        " joint-distribution information fold (exact counts, shared-ln"
-        " sorted fold) is held in-window by q_text_entropy (the same"
-        " float discipline over char bigrams) and q_pmi's association"
-        " scoring; re-proven every round by the local parity gate"
-    ),
-    "q_anomaly_mad": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's MAD block untouched this round): the"
-        " per-group aggregate broadcast-join-back (twice: median then"
-        " MAD) is q_winsorize's in-window cut-and-join-back shape;"
-        " re-proven every round by the local parity gate and its"
-        " 3-scan plan pin"
-    ),
-    "q_weighted_median": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's weighted-median block untouched this round):"
-        " cumulative-weight threshold selection is q_winsorize's"
-        " in-window cumulative-count cut over the same count-collapsed"
-        " frame; re-proven every round by the local parity gate"
-    ),
-    "q_abtest": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's z-test block untouched this round): the"
-        " two-sample comparison tier is held in-window by q_ks_test"
-        " (whole-distribution form over the same cohort spend frame,"
-        " now decimal-exact at any scale); re-proven every round by"
-        " the local parity gate"
-    ),
-    "q_gini": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " statistics.py's gini block untouched this round): the"
-        " order-statistics cumulative fold is held in-window by"
-        " q_hill's K-bounded sorted fold over the same"
-        " rank-then-reduce discipline; re-proven every round by the"
-        " local parity gate"
-    ),
-    "q_inverted_index": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " indexing.py untouched this round): sharded posting-list"
-        " construction is held in-window by the re-entering q_token_tf"
-        " (the same explode -> per-token aggregation front end) and"
-        " q_chunk_docs' writer-side sequence tier; re-proven every"
-        " round by the local parity gate"
-    ),
-    "q_bitmap_index": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " indexing.py untouched this round): the bitmap-word"
-        " aggregation is held in-window by q_countmin's fixed-grid"
-        " mergeable partials and the re-entering q_array_explode's"
-        " array tier; re-proven every round by the local parity gate"
-    ),
-    "q_fuzzy_join": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " linkage.py untouched this round): the equi-blocked non-equi"
-        " predicate join discipline is held in-window by"
-        " q_source_overlap and q_source_overlap_kmv (hash-blocked"
-        " self-joins with order predicates -- the same"
-        " BroadcastNestedLoop avoidance); re-proven every round by the"
-        " local parity gate and its plan pin"
-    ),
-    "q_attribution": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " attribution.py untouched this round): per-user ordered"
-        " lookback staging is held in-window by q_streaks (the same"
-        " user-keyed ordered lag) and keyed latest-state by"
-        " q_sbs1_gold_latest; re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_rollup_merge": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " rollup_merge.py untouched this round): the partial-merge"
-        " algebra proof is held in-window by q_countmin (the same"
-        " mergeable-partials discipline with an oracle-rebuilt"
-        " certificate) and the re-entering q_agg_conditional's"
-        " grouped-aggregate tier; re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_cooccur": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " basket.py's cooccur block untouched this round): pairwise"
-        " co-occurrence counting is contained in in-window q_pmi (the"
-        " same presence self-join pair stream, extended with"
-        " association scoring); re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_transitions": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " sequence.py's transition block untouched this round):"
-        " ordered per-user step pairs are q_streaks' in-window lag"
-        " staging (same sort, same keying); the streaming transition"
-        " twin keeps its pytest e2e; re-proven every round by the"
-        " local parity gate"
-    ),
-    "q_paths": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " sequence.py's path block untouched this round): ordered"
-        " prefix aggregation is held in-window by q_streaks (ordered"
-        " runs over the same user-event sort) and q_chunk_docs'"
-        " sequence windowing; re-proven every round by the local"
-        " parity gate"
-    ),
-    "q_skyline": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " skyline.py untouched this round): the dominance-pair"
-        " elimination keeps its block-local antichain shape pinned by"
-        " its plan test, the order-statistics tier held in-window by"
-        " q_hill; re-proven every round by the local parity gate"
-    ),
-    "q_cdc_apply": (
-        "rotated OUT round 10 age rotation (green driver rows r8+r9,"
-        " cdc.py untouched this round): the keyed last-writer fold is"
-        " held in-window by q_sbs1_gold_latest (latest-per-key over"
-        " the same ranking shape) and its merge_states equivalence"
-        " stays pinned exactly by tests/test_cdc.py plus the streaming"
-        " CDC twin's pytest e2e; re-proven every round by the local"
-        " parity gate"
-    ),
     # q_rollup re-entered the window round-10 thirteenth wave: the
     # oldest overdue parked entry (age 6, last green r4) takes the
     # drain slot the quota step to 22 (tail > 105) demands; q_streaks
     # funds the re-entry.
-    "q_streaks": (
-        "rotated OUT round 10 thirteenth wave (green driver row r9 on"
-        " the code as it stands -- its block untouched this round):"
-        " the gaps-and-islands lag-gap core is held in-window by the"
-        " re-entered q_window_lag_delta (the same lag-over-ordered-"
-        "window primitive the island ids integrate) and the date-"
-        "grain spine arithmetic by q_sax's day-index segmentation;"
-        " its pytest leg and the local parity gate re-prove the"
-        " island algebra every round"
-    ),
     # q_token_count re-entered the window mid-round 10: the OLDEST
     # green age in the registry (last driver row r3), funded by
     # q_lm_score's park below -- the age-rotation drain continuing at
     # the quota the guard enforces as the tail grows past 95.
-    "q_lm_score": (
-        "rotated OUT round 10 mid-round wave (green driver rows"
-        " r6+r7+r8+r9 -- four consecutive -- text.py's LM block"
-        " untouched this session): the n-gram language-model scoring"
-        " tier is held in-window by q_pmi (the same bigram/unigram"
-        " association fold over shared gram streams) and q_text_entropy"
-        " (the same shared-ln float discipline per document); its"
-        " window slot funds the re-entry of q_token_count, the oldest"
-        " green age in the registry; re-proven every round by the"
-        " local parity gate"
-    ),
     # q_length_hist re-entered the window round-10 eighth wave: the
     # oldest overdue parked entry (age 7, last green r3) takes the
     # drain slot the quota step to 21 (tail > 100) demands.
     # ---- round-10 eighth wave, second slot: q_holt funds
     # q_length_hist's drain re-entry.
-    "q_holt": (
-        "rotated OUT round 10 eighth wave (green driver rows r8+r9 on"
-        " the coupled level+trend fold; block a9f7a883 -- the one"
-        " drift since the r9 green is the re-read ADVICE fix"
-        " replacing the inline density probe with a call into the"
-        " shared memoized _series_exceeds_task_bound helper, fold"
-        " semantics untouched and re-proven by fresh sf0.001-0.01"
-        " parity this session): the coupled-recurrence"
-        " list-accumulator tier is held in-window by q_ema (the same"
-        " density-dispatched segmented fold family behind the same"
-        " probe) and the exact-sums discipline by q_cusum; the"
-        " segmented-equality property pins and the local parity gate"
-        " re-prove it every round"
-    ),
 }
 # Rotated IN round 4 (per the VERDICT r3 rotation ask): q_locf and
 # q_gapfill -- the newest full-oracle queries (spine generation +
