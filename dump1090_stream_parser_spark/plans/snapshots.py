@@ -51,10 +51,16 @@ Guarantees (POSIX semantics; tests/test_snapshots.py pins each):
    (sub-millisecond, AFTER the multi-second Spark write finished), so
    contention is brief; a crashed holder's lock is released by the
    kernel when its fd closes, so there is no staleness heuristic to
-   tune and no breaking protocol to race. The catalog seam remains for
-   stores where advisory locks are unreliable (NFS configs, object
-   stores): there a deployment slots a real catalog (Hive metastore,
-   Iceberg REST, DynamoDB) behind the same commit hook.
+   tune and no breaking protocol to race. The commit arbiter is
+   PLUGGABLE (round 13): a table binds a :class:`Catalog` at creation
+   (``bind_catalog``), and every publish and latest-read dispatches
+   through it. :class:`FsCatalog` (the default, zero behavior change)
+   keeps the flock + ``_LATEST`` rename; :class:`SqliteCatalog` moves
+   the latest-pointer CAS into a SQLite transaction -- a real
+   database-arbitered commit for stores where advisory locks are
+   unreliable (NFS configs, object stores), and the two-method seam a
+   deployment fills with Hive metastore / Iceberg REST / DynamoDB for
+   multi-box fleets.
 4. **Time travel.** Any retained version reads back exactly
    (``read_snapshot(version=N)``); ``vacuum(keep=K)`` drops versions
    (and any files ONLY they reference) older than the last K, and
@@ -153,6 +159,207 @@ class _CommitLock:
                 self._fd = None
 
 
+_CATALOG_FILE = "_CATALOG.json"
+
+
+class Catalog:
+    """The commit arbiter: the ONLY mutable state in the protocol is
+    the latest-manifest pointer, so a catalog is exactly two methods.
+    Everything else (data files, per-version manifests, vacuum's
+    commit-chain walk) stays on the filesystem and is immutable once
+    committed. A deployment with multi-box writers implements these
+    two methods against its coordination store (Hive metastore,
+    Iceberg REST, DynamoDB conditional put); the contract is:
+
+    - ``latest`` returns the manifest of the current committed
+      version, or None for an uninitialized table;
+    - ``publish`` atomically compares the current version against
+      ``base_version`` and, only on match, installs ``manifest`` as
+      latest -- raising :class:`SnapshotConflict` otherwise. The
+      compare and the install must be ONE atomic step (CAS)."""
+
+    def latest(self, table_dir: str) -> dict | None:
+        raise NotImplementedError
+
+    def publish(
+        self, table_dir: str, manifest: dict, base_version: int | None
+    ) -> None:
+        raise NotImplementedError
+
+
+class FsCatalog(Catalog):
+    """The default filesystem arbiter: latest = the ``_LATEST`` file,
+    publish = base re-check + tmp-write + atomic ``os.replace`` under
+    the table's kernel-flock commit lock. Exactly the pre-seam
+    behavior -- every existing table keeps working unchanged."""
+
+    def latest(self, table_dir: str) -> dict | None:
+        try:
+            with open(os.path.join(table_dir, _LATEST)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def publish(
+        self, table_dir: str, manifest: dict, base_version: int | None
+    ) -> None:
+        with _CommitLock(table_dir):
+            cur = self.latest(table_dir)
+            cur_v = None if cur is None else cur["version"]
+            if cur_v != base_version:
+                raise SnapshotConflict(
+                    f"snapshot {table_dir} moved {base_version} ->"
+                    f" {cur_v} while this writer was working; re-read"
+                    " and retry"
+                )
+            tmp = os.path.join(
+                table_dir, f"_LATEST.tmp.v{manifest['version']}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, os.path.join(table_dir, _LATEST))
+
+
+class SqliteCatalog(Catalog):
+    """A database-arbitered commit: the latest pointer lives in a
+    SQLite row and the CAS is a ``BEGIN IMMEDIATE`` transaction, so
+    mutual exclusion comes from the database's own locking -- no
+    advisory-flock assumption about the table's filesystem at all
+    (the data files can sit on NFS / FUSE / object-store mounts where
+    flock is unreliable; only the small catalog db needs a
+    POSIX-honest home, and a fleet replaces this class with its real
+    metastore through the same two-method seam). Fitting precedent:
+    the reference delegates its entire query surface to SQLite --
+    here it arbitrates the commit protocol instead.
+
+    A crashed writer's open transaction rolls back on connection
+    close (kernel-level, like the flock release), so there is still
+    no staleness heuristic and no lock-breaking protocol."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+
+    def _conn(self):
+        import sqlite3
+
+        conn = sqlite3.connect(self.db_path, timeout=30.0)
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS snapshot_latest ("
+            " table_dir TEXT PRIMARY KEY,"
+            " version INTEGER NOT NULL,"
+            " manifest TEXT NOT NULL)"
+        )
+        return conn
+
+    @staticmethod
+    def _key(table_dir: str) -> str:
+        return os.path.realpath(table_dir)
+
+    def latest(self, table_dir: str) -> dict | None:
+        conn = self._conn()
+        try:
+            row = conn.execute(
+                "SELECT manifest FROM snapshot_latest WHERE table_dir = ?",
+                (self._key(table_dir),),
+            ).fetchone()
+            return None if row is None else json.loads(row[0])
+        finally:
+            conn.close()
+
+    def publish(
+        self, table_dir: str, manifest: dict, base_version: int | None
+    ) -> None:
+        key = self._key(table_dir)
+        conn = self._conn()
+        try:
+            # BEGIN IMMEDIATE takes the write lock up front, so the
+            # SELECT below reads a version no concurrent publisher can
+            # move before our UPDATE commits: the compare and the
+            # install are one serialized step.
+            conn.execute("BEGIN IMMEDIATE")
+            row = conn.execute(
+                "SELECT version FROM snapshot_latest WHERE table_dir = ?",
+                (key,),
+            ).fetchone()
+            cur_v = None if row is None else row[0]
+            if cur_v != base_version:
+                conn.rollback()
+                raise SnapshotConflict(
+                    f"snapshot {table_dir} moved {base_version} ->"
+                    f" {cur_v} while this writer was working; re-read"
+                    " and retry"
+                )
+            payload = json.dumps(manifest)
+            if row is None:
+                conn.execute(
+                    "INSERT INTO snapshot_latest"
+                    " (table_dir, version, manifest) VALUES (?, ?, ?)",
+                    (key, manifest["version"], payload),
+                )
+            else:
+                conn.execute(
+                    "UPDATE snapshot_latest SET version = ?,"
+                    " manifest = ? WHERE table_dir = ?",
+                    (manifest["version"], payload, key),
+                )
+            conn.commit()
+        finally:
+            conn.close()
+
+
+def bind_catalog(table_dir: str, spec: dict) -> None:
+    """Bind ``table_dir`` to a commit arbiter BEFORE its first commit.
+    ``spec`` is ``{"type": "fs"}`` (the default for unbound tables) or
+    ``{"type": "sqlite", "db": <path>}`` (relative db paths resolve
+    against the table dir, so a table and its catalog can move
+    together). The binding is write-once: every reader and writer
+    resolves it from the table itself, so all boxes agree on the
+    arbiter -- rebinding an existing table would let two writers
+    commit through different arbiters, hence the loud refusal."""
+    os.makedirs(table_dir, exist_ok=True)
+    path = os.path.join(table_dir, _CATALOG_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = json.load(f)
+        if cur != spec:
+            raise ValueError(
+                f"{table_dir} is already bound to catalog {cur};"
+                " rebinding would split the commit arbiter"
+            )
+        return
+    if catalog_for(table_dir).latest(table_dir) is not None:
+        raise ValueError(
+            f"{table_dir} already has committed versions under the"
+            " default catalog; bind_catalog must run before the first"
+            " commit"
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, path)
+
+
+def catalog_for(table_dir: str) -> Catalog:
+    """Resolve the table's bound arbiter (absent binding = FsCatalog,
+    the pre-seam default, so every existing table reads unchanged)."""
+    try:
+        with open(os.path.join(table_dir, _CATALOG_FILE)) as f:
+            spec = json.load(f)
+    except FileNotFoundError:
+        return FsCatalog()
+    kind = spec.get("type", "fs")
+    if kind == "fs":
+        return FsCatalog()
+    if kind == "sqlite":
+        db = spec["db"]
+        if not os.path.isabs(db):
+            db = os.path.join(table_dir, db)
+        return SqliteCatalog(db)
+    raise ValueError(
+        f"{table_dir}: unknown catalog type {kind!r} in {_CATALOG_FILE}"
+    )
+
+
 def _vdir(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"v{version}")
 
@@ -160,12 +367,10 @@ def _vdir(table_dir: str, version: int) -> str:
 def latest_manifest(table_dir: str) -> dict | None:
     """The committed manifest, or None for an empty/uninitialized
     table. Orphan version directories (crashed writers) are invisible
-    here by construction -- only the _LATEST rename publishes."""
-    try:
-        with open(os.path.join(table_dir, _LATEST)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
+    here by construction -- only the catalog's publish installs a
+    version. Dispatches through the table's bound arbiter (FsCatalog's
+    ``_LATEST`` file unless the table was bound to another)."""
+    return catalog_for(table_dir).latest(table_dir)
 
 
 def manifest_for(table_dir: str, version: int | None = None) -> dict:
@@ -415,37 +620,28 @@ def _commit(
     txns: dict | None = None,
     schema_json: str | None = None,
 ) -> int:
-    """Publish: manifest into the version dir, then the atomic
-    os.replace onto _LATEST -- the OCC base re-check and the rename
-    run as ONE critical section under the table's commit lock, so two
+    """Publish: manifest into the version dir (private to this writer
+    until published), then the bound catalog's CAS installs it as
+    latest -- the OCC base compare and the install are ONE atomic
+    step inside the arbiter (FsCatalog: flock around re-check +
+    rename; SqliteCatalog: a BEGIN IMMEDIATE transaction), so two
     same-base writers cannot both pass the check (one commits, the
     other observes the moved base and raises SnapshotConflict)."""
-    with _CommitLock(table_dir):
-        cur = latest_manifest(table_dir)
-        cur_v = None if cur is None else cur["version"]
-        if cur_v != base_version:
-            raise SnapshotConflict(
-                f"snapshot {table_dir} moved {base_version} -> {cur_v}"
-                " while this writer was working; re-read and retry"
-            )
-        manifest = {
-            "version": version,
-            "base_version": base_version,
-            "part_col": part_col,
-            "committed_at": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-            ),
-            "txns": txns or {},
-            "schema": schema_json,
-            "files": entries,
-        }
-        vpath = os.path.join(_vdir(table_dir, version), _MANIFEST)
-        with open(vpath, "w") as f:
-            json.dump(manifest, f, indent=1)
-        tmp = os.path.join(table_dir, f"_LATEST.tmp.v{version}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(table_dir, _LATEST))
+    manifest = {
+        "version": version,
+        "base_version": base_version,
+        "part_col": part_col,
+        "committed_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+        "txns": txns or {},
+        "schema": schema_json,
+        "files": entries,
+    }
+    vpath = os.path.join(_vdir(table_dir, version), _MANIFEST)
+    with open(vpath, "w") as f:
+        json.dump(manifest, f, indent=1)
+    catalog_for(table_dir).publish(table_dir, manifest, base_version)
     return version
 
 
