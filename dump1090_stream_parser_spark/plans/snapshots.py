@@ -23,7 +23,12 @@ version directory holds just the new files, exactly how a
 manifest-of-files table format makes copy-on-write proportional to the
 patch, not the table. The per-file value sets double as manifest-level
 pruning statistics: ``read_snapshot(parts=...)`` drops files
-driver-side before Spark ever lists them.
+driver-side before Spark ever lists them -- and each entry also
+records per-column min/max (round 13), so ``read_snapshot(ranges=
+{col: (lo, hi)})`` skips files the manifest proves irrelevant on
+NON-partition columns too (time-ordered appends give tight timestamp
+ranges per file; a point-in-time read then touches a sliver of a
+100 TB table without any partition on that column).
 
 Guarantees (POSIX semantics; tests/test_snapshots.py pins each):
 
@@ -414,19 +419,46 @@ def version_as_of(table_dir: str, ts: str) -> int:
     )
 
 
+def _ranges_overlap(entry: dict, ranges: dict) -> bool:
+    """True unless the entry's recorded min/max PROVE a requested
+    range cannot match. Absent or None-valued stats (old manifests,
+    capped-out columns, all-NULL or NaN files) always keep the file --
+    skipping is an optimization that must never change results."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in ranges.items():
+        st = stats.get(col)
+        if not st:
+            continue
+        mn, mx = st
+        lo, hi = stats_key(lo), stats_key(hi)
+        if hi is not None and mn is not None and mn > hi:
+            return False
+        if lo is not None and mx is not None and mx < lo:
+            return False
+    return True
+
+
 def snapshot_files(
-    table_dir: str, version: int | None = None, parts=None
+    table_dir: str, version: int | None = None, parts=None,
+    ranges: dict | None = None,
 ) -> list[str]:
     """Absolute data-file paths for a snapshot, manifest-pruned to the
-    partition values in ``parts`` (None = all). This is the driver-side
-    pruning step: files whose recorded value set misses every requested
-    value are dropped before Spark lists anything."""
+    partition values in ``parts`` (None = all) and to files whose
+    recorded per-column min/max overlap every ``ranges`` bound
+    (``{col: (lo, hi)}``, None = unbounded side; datetime bounds may
+    be passed raw -- they normalize through :func:`stats_key`). This
+    is the driver-side pruning step: files the manifest PROVES
+    irrelevant are dropped before Spark lists anything. ``ranges`` is
+    file-grain pruning only -- a kept file may still hold non-matching
+    rows, so callers apply the real predicate to the returned read
+    (exactly like partition pruning + a partition filter)."""
     m = manifest_for(table_dir, version)
     want = None if parts is None else {str(p) for p in parts}
     return [
         os.path.join(table_dir, e["path"])
         for e in m["files"]
-        if want is None or want & set(e["parts"])
+        if (want is None or want & set(e["parts"]))
+        and (ranges is None or _ranges_overlap(e, ranges))
     ]
 
 
@@ -445,6 +477,7 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     parts=None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """A DataFrame over one immutable snapshot. The partition column is
     a DATA column in every file (never directory-derived), so reading
@@ -456,8 +489,15 @@ def read_snapshot(
     pre-evolution files that lack the new columns, and the explicit
     schema makes the parquet reader reconcile them to NULL -- while
     time travel to a pre-evolution version reads with THAT version's
-    narrower schema, exactly as committed."""
-    files = snapshot_files(table_dir, version, parts)
+    narrower schema, exactly as committed.
+
+    ``ranges`` prunes at FILE grain via the manifest's per-file
+    min/max (see :func:`snapshot_files`): the returned frame may still
+    contain non-matching rows from kept files, so apply the actual
+    filter on top -- Spark then skips row groups inside kept files via
+    parquet footer stats, making this the manifest-level tier of the
+    same two-tier skipping."""
+    files = snapshot_files(table_dir, version, parts, ranges)
     m = manifest_for(table_dir, version)
     schema = _manifest_schema(m)
     if not files:
@@ -564,10 +604,55 @@ def _write_version(
     )
 
 
+#: Per-file min/max stats are collected for at most this many eligible
+#: columns (schema order). A 100 TB table's manifest must stay
+#: driver-resident; Delta's analogous default is its first 32 columns.
+_STATS_COL_CAP = 16
+
+#: Column types whose min/max are collected. Complex/binary/decimal
+#: columns are excluded: no total order a reader can re-derive cheaply
+#: (decimal would need exact-scale compare; absent stats just mean "no
+#: skip", never a wrong skip).
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz",
+)
+
+
+def stats_key(v):
+    """Normalize a Python value to the manifest's stats encoding:
+    dates/timestamps become FIXED-WIDTH strings whose lexicographic
+    order matches chronological order (timestamps always render the
+    6-digit fraction, so '.09' can never sort above '.1'); everything
+    else passes through. Use this to build ``ranges=`` bounds from
+    datetime objects."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _stats_value(v):
+    """JSON-safe stats cell: normalized via stats_key, with NaN/inf
+    collapsed to None (= "unknown", the never-skip sentinel) so the
+    manifest stays valid JSON and comparisons stay total."""
+    import math
+
+    v = stats_key(v)
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    return v
+
+
 def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str | None) -> list[dict]:
     """Manifest entries for the parquet files just written under
-    ``vdir``: one cheap post-write job collects per-file row counts and
-    the file's distinct partition values (the pruning statistics).
+    ``vdir``: one cheap post-write job collects per-file row counts,
+    the file's distinct partition values, and per-file min/max for up
+    to ``_STATS_COL_CAP`` atomic columns (the data-skipping
+    statistics -- the same single pass, a few extra agg buffers).
     An empty write (zero data files -- a legitimate bootstrap commit)
     yields an empty entry list; emptiness is decided by LISTING the
     directory, never by catching the read's exceptions -- a transient
@@ -587,6 +672,14 @@ def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str 
         agg.append(
             F.collect_set(F.col(part_col).cast("string")).alias("vals")
         )
+    stat_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    ][:_STATS_COL_CAP]
+    for c in stat_cols:
+        agg.append(F.min(c).alias(f"__mn_{c}"))
+        agg.append(F.max(c).alias(f"__mx_{c}"))
     rows = (
         df.groupBy(F.input_file_name().alias("f"))
         .agg(*agg)
@@ -606,6 +699,13 @@ def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str 
                 "path": os.path.relpath(path, table_dir),
                 "rows": r["rows"],
                 "parts": sorted(r["vals"]) if part_col is not None else [],
+                "stats": {
+                    c: [
+                        _stats_value(r[f"__mn_{c}"]),
+                        _stats_value(r[f"__mx_{c}"]),
+                    ]
+                    for c in stat_cols
+                },
             }
         )
     return sorted(out, key=lambda e: e["path"])

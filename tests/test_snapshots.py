@@ -924,3 +924,124 @@ def test_append_rejects_null_partition_and_uninitialized(
     )
     with pytest.raises(ValueError, match="NULL"):
         snapshot_append(spark, t, bad)
+
+
+def test_manifest_records_per_file_minmax_stats(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import stats_key
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(spark, t, df, part_col="o_orderpriority")
+    m = latest_manifest(t)
+    whole = {
+        c: (r[0], r[1])
+        for c, r in zip(
+            ("o_orderkey", "o_totalprice"),
+            [
+                df.agg(
+                    F.min("o_orderkey"), F.max("o_orderkey")
+                ).collect()[0],
+                df.agg(
+                    F.min("o_totalprice"), F.max("o_totalprice")
+                ).collect()[0],
+            ],
+        )
+    }
+    for e in m["files"]:
+        st = e["stats"]
+        for c in ("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority"):
+            mn, mx = st[c]
+            assert mn is not None and mn <= mx
+        # per-file bounds sit inside the table-wide bounds
+        for c, (lo, hi) in whole.items():
+            assert stats_key(lo) <= st[c][0] and st[c][1] <= stats_key(hi)
+
+
+def test_ranges_prune_files_without_changing_results(spark, tmp_path):
+    """File skipping on a NON-partition column: rows are laid out by a
+    derived bucket, so o_orderkey ranges are tight per file and a
+    narrow range read touches a fraction of the manifest -- with
+    results identical to scan-everything-then-filter."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).withColumn(
+        "bucket", (F.col("o_orderkey") / 200).cast("int")
+    )
+    snapshot_write(spark, t, df, part_col="bucket")
+    n_all = len(snapshot_files(t))
+    assert n_all >= 4
+    pruned = snapshot_files(t, ranges={"o_orderkey": (100, 450)})
+    assert 0 < len(pruned) < n_all
+    got = read_snapshot(
+        spark, t, ranges={"o_orderkey": (100, 450)}
+    ).filter(F.col("o_orderkey").between(100, 450))
+    want = _orders(spark).filter(F.col("o_orderkey").between(100, 450))
+    assert _rows(got.drop("bucket")) == _rows(want)
+    # half-open bounds work: only one side constrains
+    lo_only = snapshot_files(t, ranges={"o_orderkey": (None, 450)})
+    assert 0 < len(lo_only) < n_all
+
+
+def test_ranges_normalize_datetime_bounds(spark, tmp_path):
+    import datetime
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    snapshot_write(spark, t, ev, part_col="day")
+    cut_lo = datetime.datetime(2024, 1, 2)
+    cut_hi = datetime.datetime(2024, 1, 4)
+    pruned = snapshot_files(
+        t, ranges={"ts": (cut_lo, cut_hi)}
+    )
+    assert len(pruned) < len(snapshot_files(t))
+    got = read_snapshot(
+        spark, t, ranges={"ts": (cut_lo, cut_hi)}
+    ).filter(F.col("ts").between(cut_lo, cut_hi))
+    want = ev.filter(F.col("ts").between(cut_lo, cut_hi))
+    assert got.count() == want.count() > 0
+
+
+def test_ranges_keep_files_with_absent_or_null_stats():
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        _ranges_overlap,
+    )
+
+    rng = {"x": (10, 20)}
+    assert _ranges_overlap({"path": "p"}, rng)           # old manifest
+    assert _ranges_overlap({"stats": {}}, rng)           # capped out
+    assert _ranges_overlap({"stats": {"x": [None, None]}}, rng)
+    assert _ranges_overlap({"stats": {"x": [15, 15]}}, rng)
+    assert not _ranges_overlap({"stats": {"x": [21, 30]}}, rng)
+    assert not _ranges_overlap({"stats": {"x": [1, 9]}}, rng)
+    # unbounded sides
+    assert _ranges_overlap({"stats": {"x": [21, 30]}}, {"x": (15, None)})
+    assert not _ranges_overlap({"stats": {"x": [1, 9]}}, {"x": (15, None)})
+
+
+def test_append_files_carry_stats_for_pruning(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(
+        spark, t, df.filter(F.col("o_orderkey") <= 700), part_col=None
+    )
+    snapshot_append(
+        spark, t, df.filter(F.col("o_orderkey") > 700)
+    )
+    # a range entirely inside the appended half skips the base file
+    pruned = snapshot_files(t, ranges={"o_orderkey": (1000, None)})
+    assert 0 < len(pruned) < len(snapshot_files(t))
