@@ -1045,3 +1045,81 @@ def test_append_files_carry_stats_for_pruning(spark, tmp_path):
     # a range entirely inside the appended half skips the base file
     pruned = snapshot_files(t, ranges={"o_orderkey": (1000, None)})
     assert 0 < len(pruned) < len(snapshot_files(t))
+
+
+def test_sorted_write_clusters_files_for_surgical_pruning(spark, tmp_path):
+    """sort_cols: ONE bulk write of unsorted rows, range-distributed
+    on the sort key -- per-file ranges are disjoint, so a narrow range
+    read opens ~1 file where the unsorted layout opens all of them."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    df = (
+        _orders(spark)
+        # shuffle the input so clustering is the WRITE's doing
+        .orderBy(F.xxhash64("o_orderkey"))
+    )
+    t_sorted = str(tmp_path / "sorted")
+    t_plain = str(tmp_path / "plain")
+    snapshot_write(
+        spark, t_sorted, df, part_col=None, files_per_part=8,
+        sort_cols=["o_orderkey"],
+    )
+    snapshot_write(
+        spark, t_plain, df.repartition(8), part_col=None
+    )
+    m = latest_manifest(t_sorted)
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"]) for e in m["files"]
+    )
+    assert len(spans) == 8
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary tie allowed)
+    rng = {"o_orderkey": (700, 720)}
+    assert len(snapshot_files(t_sorted, ranges=rng)) <= 2
+    assert len(snapshot_files(t_plain, ranges=rng)) == len(
+        snapshot_files(t_plain)
+    )
+    got = read_snapshot(spark, t_sorted, ranges=rng).filter(
+        F.col("o_orderkey").between(700, 720)
+    )
+    assert got.count() == 21
+
+
+def test_sorted_write_within_partitions(spark, tmp_path):
+    """Partitioned + files_per_part + sort_cols: a hot partition
+    splits into sort-contiguous files (range distribution replaces
+    the hash salt), so range pruning works INSIDE partition values."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).orderBy(F.xxhash64("o_orderkey"))
+    snapshot_write(
+        spark, t, df, part_col="o_orderpriority",
+        files_per_part=4, sort_cols=["o_orderkey"],
+    )
+    m = latest_manifest(t)
+    by_part: dict[str, list] = {}
+    for e in m["files"]:
+        for p in e["parts"]:
+            by_part.setdefault(p, []).append(
+                tuple(e["stats"]["o_orderkey"])
+            )
+    assert any(len(v) > 1 for v in by_part.values())
+    for spans in by_part.values():
+        spans.sort()
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next
+    # pruning composes: partition AND range together
+    some_part = max(by_part, key=lambda p: len(by_part[p]))
+    rng = {"o_orderkey": (0, 100)}
+    both = snapshot_files(t, parts=[some_part], ranges=rng)
+    assert len(both) < len(snapshot_files(t, parts=[some_part]))
+    # correctness unchanged
+    got = read_snapshot(spark, t, ranges=rng).filter(
+        F.col("o_orderkey") <= 100
+    )
+    assert got.count() == 101
