@@ -1195,6 +1195,7 @@ def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
     max_files_per_part: int = 1,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Small-file compaction WITH snapshot isolation: partitions whose
     file count exceeds ``max_files_per_part`` are rewritten into
@@ -1204,7 +1205,16 @@ def snapshot_compact(
     and a concurrent upsert surfaces as :class:`SnapshotConflict` --
     the compact-vs-write race that in-place compact_parquet cannot
     even express. Returns the new version (or the current one if
-    nothing is fragmented)."""
+    nothing is fragmented).
+
+    ``sort_cols`` makes this the OPTIMIZE analog: the rewrite
+    re-CLUSTERS the fragmented rows (range-distributed + sorted, see
+    ``_write_version``), so a table grown from many small interleaved
+    commits comes out with disjoint per-file ranges on the sort key --
+    stats-skipping sharpness is restored by the same pass that fixes
+    the file counts. With sort_cols, ALL files compact (clustering is
+    only meaningful across the whole table), not just fragmented
+    partitions."""
     base = latest_manifest(table_dir)
     if base is None:
         raise FileNotFoundError(
@@ -1218,6 +1228,8 @@ def snapshot_compact(
     fragmented = {
         p for p, es in per_part.items() if len(es) > max_files_per_part
     }
+    if sort_cols:
+        fragmented = set(per_part)  # re-cluster the whole table
     if not fragmented:
         return base["version"]
     v = _allocate_version(table_dir)
@@ -1242,14 +1254,22 @@ def snapshot_compact(
         # so coalesce explicitly to the target file count (append into
         # the empty allocated dir -- see _write_version on why never
         # overwrite)
-        frag_df.coalesce(max(1, max_files_per_part)).write.mode(
-            "append"
-        ).parquet(vdir)
+        if sort_cols:
+            _write_version(
+                frag_df, vdir, None, max_files_per_part, sort_cols
+            )
+        else:
+            frag_df.coalesce(max(1, max_files_per_part)).write.mode(
+                "append"
+            ).parquet(vdir)
     else:
         # one file per partition directory via the partitioned write:
         # rows cluster per value inside _write_version, so each
         # fragmented partition lands as one file
-        _write_version(frag_df, vdir, part_col)
+        _write_version(
+            frag_df, vdir, part_col,
+            max_files_per_part if sort_cols else 1, sort_cols,
+        )
     entries = [
         e
         for e in base["files"]

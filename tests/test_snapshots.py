@@ -1123,3 +1123,48 @@ def test_sorted_write_within_partitions(spark, tmp_path):
         F.col("o_orderkey") <= 100
     )
     assert got.count() == 101
+
+
+def test_compact_with_sort_cols_restores_clustering(spark, tmp_path):
+    """The OPTIMIZE analog: a table grown from interleaved appends has
+    overlapping per-file key ranges (every range read opens every
+    file); snapshot_compact(sort_cols=...) rewrites it clustered --
+    fewer files, disjoint spans, pruning surgical again -- while time
+    travel to the fragmented version still reads exactly."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    # four appends, each spanning the FULL key range (interleaved)
+    snapshot_write(
+        spark, t, df.filter(F.col("o_orderkey") % 4 == 0),
+        part_col=None,
+    )
+    for r in (1, 2, 3):
+        snapshot_append(
+            spark, t, df.filter(F.col("o_orderkey") % 4 == r)
+        )
+    rng = {"o_orderkey": (700, 720)}
+    n_before = len(snapshot_files(t))
+    assert len(snapshot_files(t, ranges=rng)) == n_before  # no skip
+    frag_v = latest_manifest(t)["version"]
+
+    v = snapshot_compact(
+        spark, t, max_files_per_part=4, sort_cols=["o_orderkey"]
+    )
+    assert v == frag_v + 1
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"])
+        for e in latest_manifest(t)["files"]
+    )
+    assert len(spans) == 4
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    assert len(snapshot_files(t, ranges=rng)) <= 2
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    # pinned readers of the fragmented snapshot are untouched
+    assert _rows(read_snapshot(spark, t, version=frag_v)) == _rows(df)
