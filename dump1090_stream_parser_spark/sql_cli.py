@@ -44,6 +44,13 @@ def build_sql_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", type=int, default=None,
                    help="time travel: read this snapshot version "
                         "(with --snapshot-table)")
+    p.add_argument("--range", dest="ranges", nargs=3, default=None,
+                   action="append", metavar=("COL", "LO", "HI"),
+                   help="file-skip the snapshot read to files whose "
+                        "recorded min/max overlap [LO, HI] on COL "
+                        "('-' = unbounded side; repeatable; numeric "
+                        "bounds auto-cast). Pruning is file-grain -- "
+                        "keep the WHERE clause in the query.")
     p.add_argument("--as-of", default=None, metavar="TS",
                    help="time travel: newest version committed at or "
                         "before this ISO-8601 UTC timestamp "
@@ -100,8 +107,23 @@ def main(argv: list[str] | None = None) -> None:
         version = args.version
         if args.as_of is not None:
             version = version_as_of(args.snapshot_table, args.as_of)
+        ranges = None
+        if args.ranges:
+            def bound(v):
+                if v == "-":
+                    return None
+                try:
+                    return int(v)
+                except ValueError:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
+            ranges = {
+                c: (bound(lo), bound(hi)) for c, lo, hi in args.ranges
+            }
         read_snapshot(
-            spark, args.snapshot_table, version=version
+            spark, args.snapshot_table, version=version, ranges=ranges
         ).createOrReplaceTempView("snapshot")
 
     df = spark.sql(sql)

@@ -194,3 +194,36 @@ def test_sql_cli_snapshot_time_travel(spark, tmp_path, capsys):
 
     with pytest.raises(ValueError, match="no retained version"):
         version_as_of(t, "1970-01-01")
+
+
+def test_sql_cli_snapshot_range_skipping(spark, tmp_path, capsys):
+    """`--range COL LO HI` file-skips the snapshot view via the
+    manifest's per-file min/max -- results equal to the full read as
+    long as the WHERE clause restates the predicate (file-grain
+    pruning contract), with '-' as an unbounded side."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_write,
+    )
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(spark, t, mk(0, 100), part_col=None)
+    snapshot_append(spark, t, mk(100, 200))
+    snapshot_append(spark, t, mk(200, 300))
+
+    base = ["-d", str(tmp_path / "no_silver"), "--master", "local[2]"]
+    q = ("SELECT CAST(SUM(v) AS BIGINT) AS s FROM snapshot"
+         " WHERE k BETWEEN 120 AND 130")
+    want = str(sum(2 * k for k in range(120, 131)))
+
+    sql_main(base + ["--snapshot-table", t,
+                     "--range", "k", "120", "130", q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == want
+
+    sql_main(base + ["--snapshot-table", t,
+                     "--range", "k", "120", "-", q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == want
