@@ -832,6 +832,7 @@ def snapshot_upsert(
     files_per_part: int = 1,
     strict_keys: bool = False,
     evolve_schema: bool = False,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Copy-on-write upsert WITH snapshot isolation: rows in
     ``updates`` replace same-key rows (or append) inside only the
@@ -1040,7 +1041,7 @@ def snapshot_upsert(
             if table_cols is not None
             else updates
         )
-    _write_version(merged, vdir, part_col, files_per_part)
+    _write_version(merged, vdir, part_col, files_per_part, sort_cols)
 
     entries = [
         e for e in base["files"] if not (set(e["parts"]) & tset)

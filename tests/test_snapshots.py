@@ -1168,3 +1168,35 @@ def test_compact_with_sort_cols_restores_clustering(spark, tmp_path):
     assert _rows(read_snapshot(spark, t)) == _rows(df)
     # pinned readers of the fragmented snapshot are untouched
     assert _rows(read_snapshot(spark, t, version=frag_v)) == _rows(df)
+
+
+def test_upsert_with_sort_cols_keeps_partition_clustered(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark).orderBy(F.xxhash64("o_orderkey"))
+    snapshot_write(
+        spark, t, df, part_col="o_orderpriority",
+        files_per_part=4, sort_cols=["o_orderkey"],
+    )
+    some_part = df.select("o_orderpriority").first()[0]
+    patch = (
+        df.filter(F.col("o_orderpriority") == some_part)
+        .limit(50)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    snapshot_upsert(
+        spark, t, patch, key_col="o_orderkey",
+        files_per_part=4, sort_cols=["o_orderkey"],
+    )
+    m = latest_manifest(t)
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"])
+        for e in m["files"]
+        if some_part in e["parts"]
+    )
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # rewrite preserved the clustering

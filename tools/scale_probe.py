@@ -1817,6 +1817,22 @@ def stats_main() -> None:
             "wall_pruned_s": run(rng),
             "wall_full_scan_s": run(None),
         }
+        # OPTIMIZE pass: re-cluster on ts -- file count drops to
+        # ~slices and each file covers one contiguous ts span, so the
+        # same range read opens ~1 file
+        from dump1090_stream_parser_spark.plans.snapshots import (
+            snapshot_compact,
+        )
+
+        snapshot_compact(
+            spark, t, max_files_per_part=slices, sort_cols=["ts"]
+        )
+        row["files_total_compacted"] = len(snapshot_files(t))
+        row["files_opened_after_compact"] = len(
+            snapshot_files(t, ranges=rng)
+        )
+        run(rng)
+        row["wall_pruned_after_compact_s"] = run(rng)
         out[f"s{slices}"] = row
         print(json.dumps({f"s{slices}": row}), flush=True)
         slices *= 4
