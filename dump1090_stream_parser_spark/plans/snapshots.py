@@ -338,10 +338,23 @@ def bind_catalog(table_dir: str, spec: dict) -> None:
             " default catalog; bind_catalog must run before the first"
             " commit"
         )
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(spec, f)
-    os.replace(tmp, path)
+    try:
+        # link-then-unlink: creation FAILS if a rival bound first
+        # (os.replace would silently last-win and split the arbiter)
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as f:
+            cur = json.load(f)
+        if cur != spec:
+            raise ValueError(
+                f"{table_dir} was concurrently bound to catalog"
+                f" {cur}; rebinding would split the commit arbiter"
+            )
+    finally:
+        os.unlink(tmp)
 
 
 def catalog_for(table_dir: str) -> Catalog:
@@ -667,14 +680,36 @@ def stats_key(v):
     return v
 
 
-def _stats_value(v):
+#: Long string stats truncate to this many chars -- a documents
+#: table's body column must not embed kilobyte values into every
+#: manifest entry. Bounds stay VALID under truncation (the Iceberg
+#: truncate-transform rule): a min's prefix is still <= every value; a
+#: max's prefix is re-made an upper bound by incrementing its last
+#: non-maximal character.
+_STATS_STR_CAP = 64
+
+
+def _stats_value(v, is_max: bool = False):
     """JSON-safe stats cell: normalized via stats_key, with NaN/inf
     collapsed to None (= "unknown", the never-skip sentinel) so the
-    manifest stays valid JSON and comparisons stay total."""
+    manifest stays valid JSON and comparisons stay total. Strings
+    longer than _STATS_STR_CAP truncate bound-safely: a lower bound
+    truncates freely (prefix <= original <= all values), an upper
+    bound increments the last incrementable character of the prefix
+    (prefix+bump >= any string starting with the prefix) or collapses
+    to None if every prefix char is already U+10FFFF."""
     import math
 
     v = stats_key(v)
     if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, str) and len(v) > _STATS_STR_CAP:
+        cut = v[:_STATS_STR_CAP]
+        if not is_max:
+            return cut
+        for i in range(len(cut) - 1, -1, -1):
+            if ord(cut[i]) < 0x10FFFF:
+                return cut[:i] + chr(ord(cut[i]) + 1)
         return None
     return v
 
@@ -734,7 +769,7 @@ def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str 
                 "stats": {
                     c: [
                         _stats_value(r[f"__mn_{c}"]),
-                        _stats_value(r[f"__mx_{c}"]),
+                        _stats_value(r[f"__mx_{c}"], is_max=True),
                     ]
                     for c in stat_cols
                 },

@@ -1200,3 +1200,60 @@ def test_upsert_with_sort_cols_keeps_partition_clustered(spark, tmp_path):
     assert len(spans) >= 2
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # rewrite preserved the clustering
+
+
+def test_long_string_stats_truncate_bound_safely():
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        _STATS_STR_CAP,
+        _ranges_overlap,
+        _stats_value,
+    )
+
+    long_min = "b" * 200
+    long_max = "m" + "z" * 200
+    mn = _stats_value(long_min)
+    mx = _stats_value(long_max, is_max=True)
+    assert len(mn) <= _STATS_STR_CAP
+    assert len(mx) <= _STATS_STR_CAP
+    # the truncated bounds still BRACKET every original value
+    assert mn <= long_min and long_max <= mx
+    # a range inside the span is kept, one outside is skipped
+    e = {"stats": {"s": [mn, mx]}}
+    assert _ranges_overlap(e, {"s": ("c", "d")})
+    assert not _ranges_overlap(e, {"s": ("z", None)})
+    # all-maximal prefix cannot be bumped: collapses to unknown
+    assert _stats_value(chr(0x10FFFF) * 100, is_max=True) is None
+    # short strings pass through untouched
+    assert _stats_value("abc", is_max=True) == "abc"
+
+
+def test_concurrent_bind_is_first_writer_wins(tmp_path):
+    """Two racers binding DIFFERENT specs must not silently last-win:
+    the loser gets the split-arbiter refusal; same-spec racers are
+    both satisfied."""
+    import multiprocessing as mp
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        bind_catalog,
+        catalog_for,
+        SqliteCatalog,
+    )
+
+    t = str(tmp_path / "tbl")
+    bind_catalog(t, {"type": "sqlite", "db": "a.db"})
+    # rival with a different spec loses loudly even though its tmp
+    # write happens after the first bind landed
+    import pytest
+
+    with pytest.raises(ValueError, match="split the commit arbiter"):
+        bind_catalog(t, {"type": "sqlite", "db": "b.db"})
+    # the winner's binding is intact and resolvable
+    cat = catalog_for(t)
+    assert isinstance(cat, SqliteCatalog)
+    assert cat.db_path.endswith("a.db")
+    # no tmp litter
+    import os
+
+    assert not [
+        f for f in os.listdir(t) if f.startswith("_CATALOG.json.tmp")
+    ]
