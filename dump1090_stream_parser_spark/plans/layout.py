@@ -500,10 +500,38 @@ def zorder_layout(
     overhead vs Hilbert is irrelevant at file granularity."""
     from pyspark.sql import functions as F
 
+    (
+        with_zorder(df, cols, bits=bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def with_zorder(
+    df: DataFrame, cols, bits: int = 6, col_name: str = "_z"
+) -> DataFrame:
+    """``df`` plus the Morton code of ``cols`` as ``col_name`` -- the
+    reusable half of :func:`zorder_layout` (round 13), so the
+    SNAPSHOT protocol clusters multi-dimensionally too:
+
+        snapshot_write(spark, t, with_zorder(df, ("x", "y")),
+                       sort_cols=["_z"])
+
+    gives files disjoint in z, hence local in EVERY named dimension --
+    and since manifests record per-file min/max for the ORIGINAL
+    columns as well, ``read_snapshot(ranges={"y": (lo, hi)})`` prunes
+    at manifest level on any dimension, no parquet footers touched.
+    Quantile-rank buckets (one driver approxQuantile job, all columns
+    at once) + an expression-level shift/or interleave; no UDFs."""
+    from pyspark.sql import functions as F
+
     cols = tuple(cols)
     ndim = len(cols)
     if ndim < 2:
-        raise ValueError("zorder_layout needs >= 2 columns")
+        raise ValueError("with_zorder needs >= 2 columns")
     if bits * ndim > 63:
         raise ValueError(
             f"bits*len(cols) = {bits * ndim} exceeds the 63-bit Morton "
@@ -532,14 +560,7 @@ def zorder_layout(
                 F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
                 * F.lit(1 << pos).cast("long")
             )
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    return df.withColumn(col_name, z)
 
 
 def pq_codes_layout(

@@ -1257,3 +1257,52 @@ def test_concurrent_bind_is_first_writer_wins(tmp_path):
     assert not [
         f for f in os.listdir(t) if f.startswith("_CATALOG.json.tmp")
     ]
+
+
+def test_zorder_snapshot_prunes_on_every_dimension(spark, tmp_path):
+    """with_zorder + sort_cols: a snapshot table clustered on the
+    Morton code of (x, y) skips files at MANIFEST level for a narrow
+    range on EITHER dimension; the 1-D sorted twin can only ever skip
+    on its leading column (trailing-dimension reads open everything).
+    Same rows, same query, different layout -- the multi-dimensional
+    skipping lever."""
+    from dump1090_stream_parser_spark.plans.layout import with_zorder
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    n, files = 40_000, 16
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).alias("y"),
+        )
+    )
+    tz = str(tmp_path / "zordered")
+    t1 = str(tmp_path / "xsorted")
+    snapshot_write(
+        spark, tz, with_zorder(df, ("x", "y")),
+        part_col=None, files_per_part=files, sort_cols=["_z"],
+    )
+    snapshot_write(
+        spark, t1, df, part_col=None,
+        files_per_part=files, sort_cols=["x"],
+    )
+    band_x = {"x": (100, 160)}
+    band_y = {"y": (100, 160)}
+    z_x = len(snapshot_files(tz, ranges=band_x))
+    z_y = len(snapshot_files(tz, ranges=band_y))
+    s_x = len(snapshot_files(t1, ranges=band_x))
+    s_y = len(snapshot_files(t1, ranges=band_y))
+    assert s_x <= 2              # 1-D sort: surgical on its own key
+    assert s_y == files          # ...and blind on the trailing one
+    assert z_x <= files // 2     # z-order: prunes on x
+    assert z_y <= files // 2     # ...AND on y
+    # correctness: same rows through any layout + pruning
+    want = df.filter(F.col("y").between(100, 160))
+    got = read_snapshot(spark, tz, ranges=band_y).filter(
+        F.col("y").between(100, 160)
+    )
+    assert got.count() == want.count() > 0
