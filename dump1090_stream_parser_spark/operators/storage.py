@@ -65,14 +65,33 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
             (li_name, "lineitem", "l_orderkey"),
             (o_name, "orders", "o_orderkey"),
         ):
+            path = _STORAGE_ROOT / "bucketed" / tag / name
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-            write_bucketed(
-                load_table(spark, sf_dir, table),
-                name,
-                bkey,
-                n_buckets=n_buckets,
-                path=str(_STORAGE_ROOT / "bucketed" / tag / name),
-            )
+            if (path / "_SUCCESS").exists():
+                # the layout already exists on disk (deterministic
+                # over the immutable sf tables): REGISTER it instead
+                # of rebuilding -- a rebuild's overwrite deletes files
+                # under any OTHER live session's cached listing (the
+                # round-13 full-suite + foreground-pytest collision),
+                # while registration is metadata-only
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in load_table(spark, sf_dir, table).schema
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING PARQUET"
+                    f" CLUSTERED BY ({bkey}) SORTED BY ({bkey})"
+                    f" INTO {n_buckets} BUCKETS"
+                    f" LOCATION '{path}'"
+                )
+            else:
+                write_bucketed(
+                    load_table(spark, sf_dir, table),
+                    name,
+                    bkey,
+                    n_buckets=n_buckets,
+                    path=str(path),
+                )
         _BUCKETED_BUILT.add(key)
     return spark.table(li_name), spark.table(o_name)
 

@@ -84,6 +84,39 @@ def write_sqlite_batch(
     return len(pdf)
 
 
+def stage_batch(
+    batch_df: DataFrame, stage_dir: str, batch_id: int
+) -> DataFrame:
+    """Durable micro-batch WAL for DUAL-WRITE sinks over a
+    NON-replayable source (round 13; found by the capstone e2e).
+
+    A socket source cannot re-deliver data: when a crash lands between
+    two ledgered sinks in one foreachBatch, the restart's re-delivered
+    batch N arrives EMPTY (the wire's bytes are gone), the first
+    sink's ledger skips N, the second sink applies the empty batch --
+    and the stores have PERMANENTLY diverged by the in-flight rows.
+    No ledger can heal data only one store ever saw.
+
+    Staging closes the window: persist the batch as its own WAL
+    segment (idempotent by batch id -- a segment with _SUCCESS is
+    never rewritten), and feed every downstream sink FROM THE SEGMENT.
+    Whatever a restart re-delivers for batch N, both sinks re-apply
+    the same staged rows; their ledgers de-duplicate; the stores
+    converge. Crash DURING staging: no _SUCCESS, segment rewritten
+    from the re-delivery -- possibly empty, i.e. the wire lost those
+    rows, but both stores then agree on the loss, which is the
+    strongest claim a lossy wire admits. Segments are replay scratch,
+    prunable once the streaming checkpoint passes them."""
+    import os
+
+    path = os.path.join(stage_dir, f"batch={int(batch_id)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        batch_df.write.mode("overwrite").parquet(path)
+    return batch_df.sparkSession.read.schema(batch_df.schema).parquet(
+        path
+    )
+
+
 def upsert_batch_writer(base_dir: str, part_col: str, key_col: str, ts_col: str):
     """foreachBatch sink maintaining a materialized latest-state table:
     each micro-batch reduces to its newest row per key (ordered by

@@ -11,11 +11,16 @@ story offers:
   -- the engine's transactional append-only store, txn-ledger
   exactly-once.
 
-The query is STOPPED mid-stream and restarted from its checkpoint (the
-re-delivered in-flight batch must be a ledger no-op in both stores),
-then q_table_digest's factored digest (digest_frame, the same bucket
-algebra the registered query certifies) runs over both tables: equal
-digests == equal content, across two storage engines and a restart.
+Each micro-batch durable-stages first (streaming/sinks.stage_batch):
+a socket cannot re-deliver lost bytes, so the staged segment is what
+makes the dual write convergent across an ABRUPT mid-batch stop --
+both ledgered sinks re-apply the same segment on replay. The query is
+stopped mid-stream and restarted from its checkpoint (the re-applied
+in-flight batch must be a ledger no-op in the store that committed it
+and a normal commit in the one that did not), then q_table_digest's
+factored digest (digest_frame, the same bucket algebra the registered
+query certifies) runs over both tables: equal digests == equal
+content, across two storage engines and a restart.
 """
 
 from __future__ import annotations
@@ -39,7 +44,11 @@ from dump1090_stream_parser_spark.streaming.pipeline import (
     bronze_from_sbs1_jvm,
     silver_stream,
 )
-from dump1090_stream_parser_spark.streaming.sinks import _COLS, write_sqlite_batch
+from dump1090_stream_parser_spark.streaming.sinks import (
+    _COLS,
+    stage_batch,
+    write_sqlite_batch,
+)
 
 
 class _Server(socketserver.ThreadingTCPServer):
@@ -82,12 +91,20 @@ def test_capstone_sqlite_and_snapshot_stores_hash_equal(spark, tmp_path):
     db = str(tmp_path / "adsb_messages.db")
     tdir = str(tmp_path / "silver_snapshot")
     ckpt = str(tmp_path / "capstone_ckpt")
+    stage = str(tmp_path / "batch_stage")
     snap_sink = snapshot_append_sink(
         tdir, app_id="capstone-silver", part_col="parsed_date"
     )
 
     def both_stores(batch, batch_id):
-        good = silver(batch).localCheckpoint()
+        # durable-stage the batch FIRST (streaming/sinks.stage_batch):
+        # the socket cannot re-deliver data, so without the staged WAL
+        # a crash between the two ledgered sinks diverges the stores
+        # by the in-flight rows FOREVER (observed: the abrupt phase-1
+        # stop landing mid-foreachBatch left sqlite 18 rows ahead and
+        # the replayed batch empty) -- both sinks re-apply the SAME
+        # staged segment on replay instead
+        good = stage_batch(silver(batch), stage, batch_id)
         write_sqlite_batch(good, db, batch_id)
         snap_sink(
             good.withColumn("parsed_date", F.to_date("parsed_time")),
@@ -109,7 +126,7 @@ def test_capstone_sqlite_and_snapshot_stores_hash_equal(spark, tmp_path):
             .start()
         )
 
-    def drain_then_stop(q) -> None:
+    def drain_then_stop(q) -> bool:
         # Pause the feed and wait until the in-flight data is fully
         # committed before stopping: an interrupt mid-foreachBatch
         # would land the batch in only ONE store (dual-write without a
@@ -117,6 +134,7 @@ def test_capstone_sqlite_and_snapshot_stores_hash_equal(spark, tmp_path):
         # but nothing heals it after the FINAL stop, so the final stop
         # must happen at an idle trigger).
         paused.set()
+        idle = False
         deadline = time.monotonic() + 30
         while time.monotonic() < deadline:
             st = q.status
@@ -127,11 +145,13 @@ def test_capstone_sqlite_and_snapshot_stores_hash_equal(spark, tmp_path):
                 time.sleep(1.0)  # one more idle trigger for margin
                 st = q.status
                 if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                    idle = True
                     break
             time.sleep(0.3)
         q.stop()
         q.awaitTermination(30)
         paused.clear()
+        return idle
 
     try:
         # phase 1: ABRUPT stop mid-stream -- the in-flight batch may
@@ -150,10 +170,24 @@ def test_capstone_sqlite_and_snapshot_stores_hash_equal(spark, tmp_path):
         assert phase1 > 0, "phase 1 landed nothing in sqlite"
 
         # phase 2: restart from the checkpoint, then drain to idle and
-        # stop cleanly so the final states are comparable
-        q = start_query()
-        time.sleep(10)
-        drain_then_stop(q)
+        # stop cleanly so the final states are comparable. A run whose
+        # FINAL stop was not clean -- it crashed mid-foreachBatch (a
+        # JVM fault between the two stores; observed once as a regex
+        # StackOverflowError in the stream thread under full-suite
+        # load) or its drain deadline expired while a batch was still
+        # in flight -- can leave the dual write divergent AT ITS STOP;
+        # the ledgers heal on the next restart, which is the
+        # protocol's actual operational story, so restart until one
+        # run both drains to idle and terminates without an exception.
+        clean = False
+        for attempt in range(4):
+            q = start_query()
+            time.sleep(10 if attempt == 0 else 4)
+            idle = drain_then_stop(q)
+            if idle and q.exception() is None:
+                clean = True
+                break
+        assert clean, f"no clean drained run in 4 attempts: {q.exception()}"
     finally:
         server.shutdown()
         server.server_close()
@@ -192,3 +226,27 @@ def _read_sqlite(spark, db: str):
         .option("table", "squitters")
         .load()
     )
+
+
+def test_stage_batch_is_idempotent_by_batch_id(spark, tmp_path):
+    """The WAL-segment contract: a completed segment is never
+    rewritten (a restart's re-delivery -- empty or rebased -- cannot
+    change what the sinks see), while an INCOMPLETE segment (crash
+    mid-stage, no _SUCCESS) is rewritten from the re-delivery."""
+    import os
+
+    stage = str(tmp_path / "stage")
+    a = spark.range(5).selectExpr("id", "id * 2 AS v")
+    b = spark.range(99, 102).selectExpr("id", "id * 2 AS v")
+
+    got = stage_batch(a, stage, 7)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+    # re-delivery with DIFFERENT rows: the sealed segment wins
+    got2 = stage_batch(b, stage, 7)
+    assert sorted(r.id for r in got2.collect()) == [0, 1, 2, 3, 4]
+    # distinct batch id stages independently
+    assert stage_batch(b, stage, 8).count() == 3
+    # crash mid-stage: no _SUCCESS -> segment rewritten on replay
+    os.remove(os.path.join(stage, "batch=7", "_SUCCESS"))
+    got3 = stage_batch(b, stage, 7)
+    assert sorted(r.id for r in got3.collect()) == [99, 100, 101]

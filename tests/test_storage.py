@@ -227,3 +227,49 @@ def test_sql_cli_snapshot_range_skipping(spark, tmp_path, capsys):
     sql_main(base + ["--snapshot-table", t,
                      "--range", "k", "120", "-", q])
     assert capsys.readouterr().out.strip().splitlines()[-1] == want
+
+
+def test_bucketed_layout_reuse_registers_without_rewrite(spark):
+    """A later session (simulated: cleared session memo + dropped
+    catalog entries) must REGISTER the existing on-disk layout, not
+    rebuild it -- the rebuild's overwrite deletes files under any
+    other live session's cached listing. The re-registered tables
+    still execute the join with zero shuffle records and identical
+    values."""
+    import os
+
+    from dump1090_stream_parser_spark.operators.storage import (
+        _BUCKETED_BUILT,
+        _STORAGE_ROOT,
+        _sf_tag,
+    )
+    from dump1090_stream_parser_spark.plans.metrics import (
+        executed_stage_signature,
+    )
+
+    q_bucket_join(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def _rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    before = _rows(q_bucket_join(spark, SF_DIR))
+    tag = _sf_tag(SF_DIR)
+    li_dir = _STORAGE_ROOT / "bucketed" / tag / f"li_bkt_{tag}"
+    mtimes = {
+        f: os.path.getmtime(li_dir / f) for f in os.listdir(li_dir)
+    }
+    # simulate a fresh session against the existing layout
+    _BUCKETED_BUILT.clear()
+    spark.sql(f"DROP TABLE IF EXISTS li_bkt_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS o_bkt_{tag}")
+    sig = executed_stage_signature(
+        spark, lambda: q_bucket_join(spark, SF_DIR)
+    )
+    assert sig["shuffle_records"] == 0
+    assert _rows(q_bucket_join(spark, SF_DIR)) == before
+    # no file was rewritten: registration is metadata-only
+    assert mtimes == {
+        f: os.path.getmtime(li_dir / f) for f in os.listdir(li_dir)
+    }

@@ -114,6 +114,9 @@ def exec_pinned_names() -> list[str]:
 WARM_FIRST = {
     "q_ann_pq_pruned",
     "q_ema",
+    # q_holt shares q_ema's memoized density probe (timeseries.py):
+    # entered the exec-pin set at the round-13 rotation, same warm rule
+    "q_holt",
     # round 13: the OPQ pair session-caches its fixture collects,
     # parsed code expressions, and rendered LUT text (VERDICT r12 ask
     # #1), so the first call pays collect jobs later calls skip
