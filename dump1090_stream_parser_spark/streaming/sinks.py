@@ -117,6 +117,32 @@ def stage_batch(
     )
 
 
+def prune_stage(stage_dir: str, committed_through: int) -> int:
+    """Drop WAL segments for batches the streaming checkpoint has
+    COMMITTED (their re-delivery is impossible, so the segment can
+    never be read again). Call periodically from the foreachBatch
+    itself (``prune_stage(stage, batch_id - K)`` keeps a K-batch
+    safety margin) or from a janitor. Returns segments removed. Only
+    ``batch=N`` children are touched; an in-flight segment (id >
+    ``committed_through``) is never."""
+    import os
+    import re
+    import shutil
+
+    removed = 0
+    try:
+        names = os.listdir(stage_dir)
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        m = re.fullmatch(r"batch=(\d+)", name)
+        if m and int(m.group(1)) <= committed_through:
+            shutil.rmtree(os.path.join(stage_dir, name),
+                          ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def upsert_batch_writer(base_dir: str, part_col: str, key_col: str, ts_col: str):
     """foreachBatch sink maintaining a materialized latest-state table:
     each micro-batch reduces to its newest row per key (ordered by

@@ -250,3 +250,24 @@ def test_stage_batch_is_idempotent_by_batch_id(spark, tmp_path):
     os.remove(os.path.join(stage, "batch=7", "_SUCCESS"))
     got3 = stage_batch(b, stage, 7)
     assert sorted(r.id for r in got3.collect()) == [99, 100, 101]
+
+
+def test_prune_stage_drops_only_committed_segments(spark, tmp_path):
+    import os
+
+    from dump1090_stream_parser_spark.streaming.sinks import (
+        prune_stage,
+    )
+
+    stage = str(tmp_path / "stage")
+    df = spark.range(3)
+    for bid in (4, 5, 6, 7):
+        stage_batch(df, stage, bid)
+    open(os.path.join(stage, "not_a_batch"), "w").close()
+    assert prune_stage(stage, committed_through=5) == 2
+    assert sorted(os.listdir(stage)) == [
+        "batch=6", "batch=7", "not_a_batch"
+    ]
+    # surviving segments still serve replays
+    assert stage_batch(df.limit(0), stage, 6).count() == 3
+    assert prune_stage(str(tmp_path / "absent"), 99) == 0
