@@ -281,3 +281,24 @@ def test_property_typed_fields_parse_or_null(spark):
             assert row["lat"] is None, (lat_text, row["lat"])
 
     check()
+
+
+def test_crlf_trim_matches_protocol_and_strip_semantics(spark):
+    """Round-13 parse-path change (regexp '\\r$' -> rtrim '\\r'): the
+    certified behavior on protocol-legal lines (at most one trailing
+    CR from CRLF framing) is bit-identical; pathological multi-CR
+    tails now trim fully, the reference strip() behavior."""
+    from dump1090_stream_parser_spark.sources.sbs1 import parse_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("MSG,8,1,1,ABC123,1,,,,,,,,,,,,,,,,0\r",),
+            ("MSG,8,1,1,ABC124,1,,,,,,,,,,,,,,,,0",),
+            ("MSG,8,1,1,ABC125,1,,,,,,,,,,,,,,,,0\r\r",),
+        ],
+        "value string",
+    )
+    out = parse_lines(lines).collect()
+    assert [r.hex_ident for r in out] == ["ABC123", "ABC124", "ABC125"]
+    assert all(r._corrupt_record is None for r in out)
+    assert all(r.is_on_ground == 0 for r in out)
