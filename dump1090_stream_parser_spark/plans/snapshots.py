@@ -444,10 +444,20 @@ def _ranges_overlap(entry: dict, ranges: dict) -> bool:
             continue
         mn, mx = st
         lo, hi = stats_key(lo), stats_key(hi)
-        if hi is not None and mn is not None and mn > hi:
-            return False
-        if lo is not None and mx is not None and mx < lo:
-            return False
+        try:
+            if hi is not None and mn is not None and mn > hi:
+                return False
+            if lo is not None and mx is not None and mx < lo:
+                return False
+        except TypeError:
+            raise TypeError(
+                f"ranges[{col!r}]: bound of type"
+                f" {type(lo if lo is not None else hi).__name__} is"
+                " not comparable with the column's recorded"
+                f" {type(mn if mn is not None else mx).__name__} stats"
+                " -- pass bounds of the column's own type (datetime"
+                " values are normalized automatically)"
+            ) from None
     return True
 
 
@@ -1396,6 +1406,66 @@ def snapshot_upsert_sink(
         )
 
     return write
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED between two committed versions -- the incremental
+    consumption primitive (Delta change-feed's append-only core): a
+    downstream job processes ``snapshot_changes(t, last_seen)`` and
+    touches only the NEW files, so each increment costs the batch, not
+    the table, at any table size.
+
+    Exact by construction only over APPEND-ONLY ranges (every commit
+    in (from, to] carries its base's files untouched and adds new
+    ones -- snapshot_append and the append sink produce exactly
+    this). A range containing an upsert, replace, or compaction
+    raises loudly instead of returning wrong deltas: those commits
+    rewrite rows into new files, so "new file" stops meaning "new
+    row" (diff two read_snapshot frames for that, e.g. the
+    q_dedup_incremental pattern)."""
+    to_m = manifest_for(table_dir, to_version)
+    base_m = manifest_for(table_dir, from_version)
+    base_paths = {e["path"] for e in base_m["files"]}
+    # walk the commit chain (to, from] verifying append-onlyness:
+    # every step must carry ALL of its base's files
+    m = to_m
+    while m["version"] != base_m["version"]:
+        bv = m.get("base_version")
+        if bv is None or bv < base_m["version"]:
+            raise ValueError(
+                f"snapshot_changes: version {from_version} is not an"
+                f" ancestor of {m['version']} in {table_dir}"
+            )
+        prev = manifest_for(table_dir, bv)
+        cur_paths = {e["path"] for e in m["files"]}
+        missing = {e["path"] for e in prev["files"]} - cur_paths
+        if missing:
+            raise ValueError(
+                f"snapshot_changes: commit v{m['version']} of"
+                f" {table_dir} removed or rewrote"
+                f" {len(missing)} file(s) -- the range"
+                f" ({from_version}, {to_m['version']}] is not"
+                " append-only; diff two read_snapshot frames instead"
+            )
+        m = prev
+    new = [
+        os.path.join(table_dir, e["path"])
+        for e in to_m["files"]
+        if e["path"] not in base_paths
+    ]
+    schema = _manifest_schema(to_m)
+    if not new:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read_snapshot(spark, table_dir, to_m["version"]).limit(0)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*new)
+    return spark.read.parquet(*new)
 
 
 def vacuum(

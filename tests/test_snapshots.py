@@ -1306,3 +1306,63 @@ def test_zorder_snapshot_prunes_on_every_dimension(spark, tmp_path):
         F.col("y").between(100, 160)
     )
     assert got.count() == want.count() > 0
+
+
+def test_snapshot_changes_incremental_consumption(spark, tmp_path):
+    """The change-feed core: each increment reads ONLY the files new
+    in its range, increments concatenate to the full table, and
+    non-append-only ranges refuse loudly instead of lying."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    thirds = [
+        df.filter(F.col("o_orderkey") % 3 == r) for r in (0, 1, 2)
+    ]
+    snapshot_write(spark, t, thirds[0], part_col=None)
+    snapshot_append(spark, t, thirds[1])
+    snapshot_append(spark, t, thirds[2])
+
+    # per-version increments are exactly the appended batches
+    assert _rows(snapshot_changes(spark, t, 0, 1)) == _rows(thirds[1])
+    assert _rows(snapshot_changes(spark, t, 1, 2)) == _rows(thirds[2])
+    # a multi-version range accumulates; to_version=None means latest
+    assert _rows(snapshot_changes(spark, t, 0)) == _rows(
+        thirds[1].unionByName(thirds[2])
+    )
+    # increments + base == full table (the consumer-loop invariant)
+    got = _rows(read_snapshot(spark, t, version=0)) + _rows(
+        snapshot_changes(spark, t, 0)
+    )
+    assert sorted(got) == _rows(df)
+    # empty range: zero rows, real schema
+    empty = snapshot_changes(spark, t, 2, 2)
+    assert empty.count() == 0 and empty.columns == df.columns
+
+    # a full replace in the range rewrites files -> loud refusal
+    snapshot_write(spark, t, df.limit(10), part_col=None)
+    with pytest.raises(ValueError, match="not append-only"):
+        snapshot_changes(spark, t, 0)
+    # but the post-replace appends are clean again
+    v_after = latest_manifest(t)["version"]
+    snapshot_append(spark, t, df.limit(5))
+    assert snapshot_changes(spark, t, v_after).count() == 5
+
+    # compaction also rewrites -> refuses
+    snapshot_compact(spark, t, max_files_per_part=1)
+    with pytest.raises(ValueError, match="not append-only"):
+        snapshot_changes(spark, t, v_after)
+
+
+def test_ranges_type_mismatch_is_a_clear_error():
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        _ranges_overlap,
+    )
+
+    e = {"stats": {"s": ["apple", "pear"]}}
+    with pytest.raises(TypeError, match="not comparable"):
+        _ranges_overlap(e, {"s": (1, 5)})
