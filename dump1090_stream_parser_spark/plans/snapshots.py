@@ -724,67 +724,118 @@ def _stats_value(v, is_max: bool = False):
     return v
 
 
-def _file_entries(spark: SparkSession, table_dir: str, vdir: str, part_col: str | None) -> list[dict]:
+def _file_entries(
+    spark: SparkSession, table_dir: str, vdir: str,
+    part_col: str | None, stats_cols: list[str] | None = None,
+) -> list[dict]:
     """Manifest entries for the parquet files just written under
-    ``vdir``: one cheap post-write job collects per-file row counts,
-    the file's distinct partition values, and per-file min/max for up
-    to ``_STATS_COL_CAP`` atomic columns (the data-skipping
-    statistics -- the same single pass, a few extra agg buffers).
-    An empty write (zero data files -- a legitimate bootstrap commit)
-    yields an empty entry list; emptiness is decided by LISTING the
-    directory, never by catching the read's exceptions -- a transient
-    post-write read failure must propagate, because treating it as
-    "empty" would commit a manifest that silently drops every touched
-    partition's rows."""
-    has_data = any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(vdir)
-        for f in fs
-    )
-    if not has_data:
-        return []
-    df = spark.read.parquet(vdir).drop(_PART_DIR_KEY)
-    agg = [F.count(F.lit(1)).alias("rows")]
-    if part_col is not None:
-        agg.append(
-            F.collect_set(F.col(part_col).cast("string")).alias("vals")
-        )
-    stat_cols = [
-        f.name
-        for f in df.schema.fields
-        if f.dataType.simpleString() in _STATS_TYPES
-    ][:_STATS_COL_CAP]
-    for c in stat_cols:
-        agg.append(F.min(c).alias(f"__mn_{c}"))
-        agg.append(F.max(c).alias(f"__mx_{c}"))
-    rows = (
-        df.groupBy(F.input_file_name().alias("f"))
-        .agg(*agg)
-        .collect()
-    )
-    out = []
-    for r in rows:
-        # input_file_name() yields a URL (file: scheme, %-encoded
-        # segments -- partition values with spaces etc.); store the
-        # decoded filesystem path
-        from urllib.parse import unquote, urlparse
+    ``vdir`` -- row counts, partition values, and per-column min/max
+    for up to ``_STATS_COL_CAP`` atomic columns -- read from the
+    PARQUET FOOTERS, not from the data (round 13): Spark already
+    wrote exact counts and bound-safe min/max into every footer, so
+    re-scanning the batch to recompute them cost +50-60% on a 1M-row
+    append (measured) for numbers the files carry for free. The walk
+    is driver-side pyarrow over THIS COMMIT's files only (cost tracks
+    the batch's file count, not the table), parallelized over a small
+    thread pool for the many-file case. The partition value comes
+    from the directory name -- files are partition-PURE structurally
+    (see ``_PART_DIR_KEY``), so the dir key IS the file's value set.
 
-        parsed = urlparse(r["f"])
-        path = unquote(parsed.path) if parsed.scheme else unquote(r["f"])
-        out.append(
-            {
-                "path": os.path.relpath(path, table_dir),
-                "rows": r["rows"],
-                "parts": sorted(r["vals"]) if part_col is not None else [],
-                "stats": {
-                    c: [
-                        _stats_value(r[f"__mn_{c}"]),
-                        _stats_value(r[f"__mx_{c}"], is_max=True),
-                    ]
-                    for c in stat_cols
-                },
-            }
-        )
+    An empty write (zero data files -- a legitimate bootstrap commit)
+    yields an empty entry list; a footer read failure propagates,
+    because treating it as "empty"/"no stats" at the FILE level would
+    commit a manifest that silently drops the file's rows.
+
+    Bound-safety chain for strings: parquet writers truncate long
+    string stats bound-safely per spec (max's last byte increments);
+    :func:`_stats_value` re-truncates to ``_STATS_STR_CAP`` with the
+    same rule -- an upper bound of an upper bound is an upper bound.
+    Columns whose footer lacks min/max (NaN-containing doubles, older
+    writers) record None = never-skip."""
+    del spark  # footer walk is driver-side; kept for signature compat
+    from urllib.parse import unquote
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return []
+    import pyarrow.parquet as pq
+
+    _PA_TYPES = (
+        "int8", "int16", "int32", "int64", "float", "double",
+        "string", "large_string", "date32[day]",
+    )
+
+    def eligible_cols(schema) -> list[str]:
+        out = []
+        for field in schema:
+            t = str(field.type)
+            if t in _PA_TYPES or t.startswith("timestamp["):
+                out.append(field.name)
+        return out
+
+    first = pq.read_schema(files[0])
+    avail = eligible_cols(first)
+    if stats_cols is None:
+        stat_cols = avail[:_STATS_COL_CAP]
+    else:
+        bad = [c for c in stats_cols if c not in avail]
+        if bad:
+            raise ValueError(
+                f"stats_cols {bad} are absent or of non-atomic types;"
+                f" eligible: {sorted(avail)}"
+            )
+        stat_cols = list(stats_cols)
+
+    def part_value(path: str) -> list[str]:
+        if part_col is None:
+            return []
+        for seg in os.path.relpath(path, vdir).split(os.sep):
+            if seg.startswith(f"{_PART_DIR_KEY}="):
+                return [unquote(seg.split("=", 1)[1])]
+        return []
+
+    def entry(path: str) -> dict:
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in stat_cols:
+                st = rg.column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins[c] = maxs[c] = None
+                    continue
+                if c not in mins:
+                    mins[c], maxs[c] = st.min, st.max
+                elif mins[c] is not None:
+                    mins[c] = min(mins[c], st.min)
+                    maxs[c] = max(maxs[c], st.max)
+        return {
+            "path": os.path.relpath(path, table_dir),
+            "rows": md.num_rows,
+            "parts": part_value(path),
+            "stats": {
+                c: [
+                    _stats_value(mins.get(c)),
+                    _stats_value(maxs.get(c), is_max=True),
+                ]
+                for c in stat_cols
+            },
+        }
+
+    if len(files) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            out = list(ex.map(entry, files))
+    else:
+        out = [entry(f) for f in files]
     return sorted(out, key=lambda e: e["path"])
 
 
@@ -830,6 +881,7 @@ def snapshot_write(
     files_per_part: int = 1,
     expected_base=_READ_LATEST,
     sort_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Full-table commit (the initial load, or a replace): write every
     row as new files under the next version and publish a manifest
@@ -862,7 +914,8 @@ def snapshot_write(
     vdir = _vdir(table_dir, v)
     _write_version(df, vdir, part_col, files_per_part, sort_cols)
     return _commit(
-        table_dir, v, _file_entries(spark, table_dir, vdir, part_col),
+        table_dir, v,
+        _file_entries(spark, table_dir, vdir, part_col, stats_cols),
         part_col, base_v, schema_json=df.schema.json(),
     )
 
@@ -1113,6 +1166,7 @@ def snapshot_append(
     files_per_part: int = 1,
     evolve_schema: bool = False,
     sort_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append-only commit: write ``df`` as NEW files and carry EVERY
     base file by reference -- the fact-table shape (an events/squitters
@@ -1174,7 +1228,7 @@ def snapshot_append(
     vdir = _vdir(table_dir, v)
     _write_version(df, vdir, part_col, files_per_part, sort_cols)
     entries = list(base["files"]) + _file_entries(
-        spark, table_dir, vdir, part_col
+        spark, table_dir, vdir, part_col, stats_cols
     )
     txns = dict(base.get("txns", {}))
     if txn is not None:
@@ -1191,7 +1245,8 @@ def snapshot_append(
 
 
 def snapshot_append_sink(
-    table_dir: str, app_id: str, part_col: str | None = None
+    table_dir: str, app_id: str, part_col: str | None = None,
+    stats_cols: list[str] | None = None,
 ):
     """foreachBatch factory: EXACTLY-ONCE append-only sink over a
     snapshot table -- the :func:`snapshot_upsert_sink` discipline
@@ -1226,6 +1281,7 @@ def snapshot_append_sink(
                 snapshot_append(
                     spark, table_dir, batch_df,
                     txn=(app_id, int(batch_id)),
+                    stats_cols=stats_cols,
                 )
                 return
             except SnapshotConflict:

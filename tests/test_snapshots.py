@@ -1366,3 +1366,38 @@ def test_ranges_type_mismatch_is_a_clear_error():
     e = {"stats": {"s": ["apple", "pear"]}}
     with pytest.raises(TypeError, match="not comparable"):
         _ranges_overlap(e, {"s": (1, 5)})
+
+
+def test_stats_cols_dial_trims_or_disables_collection(spark, tmp_path):
+    """The stats-column dial: an explicit list records only those
+    columns, [] disables collection entirely, and a bad name is a
+    loud error -- skipping stays correct either way (absent stats =
+    keep the file). Since the footer-walk rewrite the auto stats are
+    ~free (no data re-scan), but the dial still bounds manifest size
+    for very wide tables."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    snapshot_write(
+        spark, t, df, part_col=None, stats_cols=["o_orderkey"]
+    )
+    m = latest_manifest(t)
+    assert all(
+        set(e["stats"]) == {"o_orderkey"} for e in m["files"]
+    )
+    snapshot_append(spark, t, df.limit(50), stats_cols=[])
+    new = [
+        e for e in latest_manifest(t)["files"]
+        if e not in m["files"]
+    ]
+    assert new and all(e["stats"] == {} for e in new)
+    # stats-less files are kept by any range (never a wrong skip)
+    assert len(
+        snapshot_files(t, ranges={"o_orderkey": (10**9, None)})
+    ) == len(new)
+    with pytest.raises(ValueError, match="absent or of non-atomic"):
+        snapshot_append(spark, t, df.limit(5), stats_cols=["nope"])
