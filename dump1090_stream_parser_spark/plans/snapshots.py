@@ -613,6 +613,28 @@ def _write_version(
     writer's committed files, and readers of its manifest hit
     FILE_NOT_EXIST (found by the round-12 concurrent-writers stress;
     os.mkdir's exclusivity is only as durable as the directory)."""
+    # Force modern INT64 timestamps for the write regardless of the
+    # caller's session: the INT96 legacy default writes NO footer
+    # min/max, silently disabling file skipping (and Spark's own
+    # row-group skipping) on every timestamp column. Scoped + restored
+    # -- writers of one version never interleave within a session.
+    spark = df.sparkSession
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    old_ts = spark.conf.get(_TS_KEY)
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        _write_version_inner(df, vdir, part_col, files_per_part, sort_cols)
+    finally:
+        spark.conf.set(_TS_KEY, old_ts)
+
+
+def _write_version_inner(
+    df: DataFrame,
+    vdir: str,
+    part_col: str | None,
+    files_per_part: int = 1,
+    sort_cols: list[str] | None = None,
+) -> None:
     if part_col is None:
         if sort_cols:
             df = df.repartitionByRange(

@@ -32,6 +32,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # MIN/MAX/COUNT can be answered from parquet footers.
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Modern INT64 timestamps, not the legacy INT96 default: INT96
+    # carries NO footer min/max, which silently disables both the
+    # snapshot manifests' file skipping and Spark's own row-group
+    # skipping on every timestamp column (found by the statsweep
+    # probe regressing to open-everything, round 13).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -1401,3 +1401,41 @@ def test_stats_cols_dial_trims_or_disables_collection(spark, tmp_path):
     ) == len(new)
     with pytest.raises(ValueError, match="absent or of non-atomic"):
         snapshot_append(spark, t, df.limit(5), stats_cols=["nope"])
+
+
+def test_timestamp_stats_survive_int96_sessions(spark, tmp_path):
+    """Spark's legacy INT96 parquet timestamps carry NO footer
+    min/max -- under that (default!) conf every timestamp column
+    silently loses both manifest file skipping and row-group
+    skipping (caught when the statsweep probe regressed to
+    open-everything). _write_version forces TIMESTAMP_MICROS scoped
+    to the write and restores the caller's conf."""
+    import datetime
+
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_files,
+    )
+
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        t = str(tmp_path / "tbl")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("id")
+            ).alias("ts"),
+        )
+        snapshot_write(spark, t, df, part_col=None)
+        assert spark.conf.get(key) == "INT96"  # caller conf restored
+        m = latest_manifest(t)
+        assert all(
+            e["stats"]["ts"][0] is not None for e in m["files"]
+        )
+        lo = datetime.datetime(2024, 1, 1, 0, 1)
+        hi = datetime.datetime(2024, 1, 1, 0, 2)
+        pruned = snapshot_files(t, ranges={"ts": (lo, hi)})
+        assert 0 < len(pruned) < len(snapshot_files(t))
+    finally:
+        spark.conf.set(key, old)
