@@ -51,6 +51,14 @@ def build_sql_parser() -> argparse.ArgumentParser:
                         "('-' = unbounded side; repeatable; numeric "
                         "bounds auto-cast). Pruning is file-grain -- "
                         "keep the WHERE clause in the query.")
+    p.add_argument("--changes-from", type=int, default=None,
+                   metavar="V",
+                   help="register rows ADDED after snapshot version V "
+                        "as view 'changes' (append-only ranges; with "
+                        "--snapshot-table)")
+    p.add_argument("--changes-to", type=int, default=None, metavar="V",
+                   help="end version for --changes-from "
+                        "(default: latest)")
     p.add_argument("--as-of", default=None, metavar="TS",
                    help="time travel: newest version committed at or "
                         "before this ISO-8601 UTC timestamp "
@@ -125,6 +133,13 @@ def main(argv: list[str] | None = None) -> None:
         read_snapshot(
             spark, args.snapshot_table, version=version, ranges=ranges
         ).createOrReplaceTempView("snapshot")
+        if args.changes_from is not None:
+            from .plans.snapshots import snapshot_changes
+
+            snapshot_changes(
+                spark, args.snapshot_table, args.changes_from,
+                args.changes_to,
+            ).createOrReplaceTempView("changes")
 
     df = spark.sql(sql)
     if args.limit is not None:

@@ -273,3 +273,29 @@ def test_bucketed_layout_reuse_registers_without_rewrite(spark):
     assert mtimes == {
         f: os.path.getmtime(li_dir / f) for f in os.listdir(li_dir)
     }
+
+
+def test_sql_cli_changes_view(spark, tmp_path, capsys):
+    """`--changes-from V` registers the append-only change feed as
+    view 'changes' -- the incremental-consumer loop from the shell."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_write,
+    )
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    snapshot_write(spark, t, mk(0, 10), part_col=None)
+    snapshot_append(spark, t, mk(10, 25))
+    snapshot_append(spark, t, mk(25, 30))
+
+    base = ["-d", str(tmp_path / "no_silver"), "--master", "local[2]"]
+    q = "SELECT COUNT(*) AS n, CAST(MIN(k) AS BIGINT) AS lo FROM changes"
+    sql_main(base + ["--snapshot-table", t, "--changes-from", "0", q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "20,10"
+    sql_main(base + ["--snapshot-table", t, "--changes-from", "1",
+                     "--changes-to", "2", q])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "5,25"

@@ -1817,6 +1817,24 @@ def stats_main() -> None:
             "wall_pruned_s": run(rng),
             "wall_full_scan_s": run(None),
         }
+        # incremental consumer: the change feed reads ONE append's
+        # files regardless of table size (the O(batch) claim measured)
+        from dump1090_stream_parser_spark.plans.snapshots import (
+            snapshot_changes,
+        )
+
+        def run_changes():
+            t0 = time.perf_counter()
+            (
+                snapshot_changes(spark, t, slices - 2, slices - 1)
+                .agg(F.count(F.lit(1)), F.sum("value"))
+                .collect()
+            )
+            return round(time.perf_counter() - t0, 3)
+
+        run_changes()
+        row["wall_changes_one_append_s"] = run_changes()
+
         # OPTIMIZE pass: re-cluster on ts -- file count drops to
         # ~slices and each file covers one contiguous ts span, so the
         # same range read opens ~1 file
