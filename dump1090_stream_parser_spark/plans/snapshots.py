@@ -1491,6 +1491,7 @@ def snapshot_changes(
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Rows ADDED between two committed versions -- the incremental
     consumption primitive (Delta change-feed's append-only core): a
@@ -1505,7 +1506,10 @@ def snapshot_changes(
     raises loudly instead of returning wrong deltas: those commits
     rewrite rows into new files, so "new file" stops meaning "new
     row" (diff two read_snapshot frames for that, e.g. the
-    q_dedup_incremental pattern)."""
+    q_dedup_incremental pattern). ``ranges`` composes: the increment's
+    files additionally prune by their recorded min/max (same contract
+    as :func:`snapshot_files` -- file grain, caller applies the real
+    predicate)."""
     to_m = manifest_for(table_dir, to_version)
     base_m = manifest_for(table_dir, from_version)
     base_paths = {e["path"] for e in base_m["files"]}
@@ -1535,6 +1539,7 @@ def snapshot_changes(
         os.path.join(table_dir, e["path"])
         for e in to_m["files"]
         if e["path"] not in base_paths
+        and (ranges is None or _ranges_overlap(e, ranges))
     ]
     schema = _manifest_schema(to_m)
     if not new:

@@ -1439,3 +1439,68 @@ def test_timestamp_stats_survive_int96_sessions(spark, tmp_path):
         assert 0 < len(pruned) < len(snapshot_files(t))
     finally:
         spark.conf.set(key, old)
+
+
+def test_changes_compose_with_ranges(spark, tmp_path):
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(spark, t, mk(0, 100), part_col=None,
+                   files_per_part=4, sort_cols=["k"])
+    snapshot_append(spark, t, mk(100, 200),
+                    files_per_part=4, sort_cols=["k"])
+    ch_all = snapshot_changes(spark, t, 0)
+    ch_rng = snapshot_changes(spark, t, 0, ranges={"k": (150, 160)})
+    assert ch_all.count() == 100
+    assert 0 < ch_rng.count() < 100  # pruned at file grain
+    got = ch_rng.filter(F.col("k").between(150, 160))
+    assert got.count() == 11
+
+
+def test_compact_upgrades_legacy_int96_files_to_stats(spark, tmp_path):
+    """A table written under the INT96 legacy conf BEFORE the round-13
+    fix existed has None timestamp stats forever (committed files are
+    immutable); snapshot_compact physically rewrites them with modern
+    encoding, so OPTIMIZE is also the stats-upgrade path for legacy
+    history."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        _file_entries,  # to build a legacy-shaped table directly
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+    )
+    # write a version bypassing the forced conf (simulating pre-fix
+    # history): INT96 files -> no ts stats
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        vdir = os.path.join(t, "v0")
+        os.makedirs(vdir)
+        df.repartition(4).write.mode("append").parquet(vdir)
+    finally:
+        spark.conf.set(key, old)
+    from dump1090_stream_parser_spark.plans.snapshots import _commit
+
+    _commit(t, 0, _file_entries(spark, t, vdir, None), None, None,
+            schema_json=df.schema.json())
+    assert all(
+        e["stats"]["ts"] == [None, None]
+        for e in latest_manifest(t)["files"]
+    )
+    snapshot_compact(spark, t, max_files_per_part=2)
+    assert all(
+        e["stats"]["ts"][0] is not None
+        for e in latest_manifest(t)["files"]
+    )
+    assert read_snapshot(spark, t).count() == 1000
