@@ -1551,6 +1551,67 @@ def snapshot_changes(
     return spark.read.parquet(*new)
 
 
+def snapshot_restore(
+    spark: SparkSession, table_dir: str, version: int
+) -> int:
+    """Roll the table BACK to ``version`` as a NEW commit (the RESTORE
+    analog): the new manifest references the old version's files --
+    nothing is copied, nothing is rewritten, and the bad history
+    stays time-travelable above it (an audit can still read what
+    shipped). Concurrency-safe like any commit: OCC against latest,
+    SnapshotConflict on a racing writer. The restored commit keeps
+    the CURRENT txn ledger (streaming sinks' replay protection must
+    survive a restore, or a restarted sink would re-apply batches
+    onto the restored state)."""
+    del spark  # manifest-only: no data job
+    target = manifest_for(table_dir, version)
+    base = latest_manifest(table_dir)
+    if base is None:
+        raise FileNotFoundError(
+            f"snapshot_restore needs an initialized table at {table_dir}"
+        )
+    if base["version"] == version:
+        return version
+    # the allocated dir holds only this version's manifest (a restore
+    # writes no data files); it must NOT be dropped/recreated -- the
+    # dir's existence IS the allocation lock (see _allocate_version)
+    v = _allocate_version(table_dir)
+    return _commit(
+        table_dir, v, list(target["files"]), target["part_col"],
+        base["version"], dict(base.get("txns", {})),
+        schema_json=target.get("schema"),
+    )
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """The committed version chain, newest first (DESCRIBE HISTORY
+    analog): version, committed_at, base_version, file/row counts, and
+    the txn ledger -- everything an operator needs to pick a restore
+    or time-travel target. Walks base_version links from latest, so
+    orphans never appear; vacuumed history ends the walk."""
+    out = []
+    m = latest_manifest(table_dir)
+    while m is not None:
+        out.append(
+            {
+                "version": m["version"],
+                "committed_at": m.get("committed_at"),
+                "base_version": m.get("base_version"),
+                "n_files": len(m["files"]),
+                "n_rows": sum(e.get("rows", 0) for e in m["files"]),
+                "txns": dict(m.get("txns", {})),
+            }
+        )
+        bv = m.get("base_version")
+        if bv is None:
+            break
+        try:
+            m = manifest_for(table_dir, bv)
+        except FileNotFoundError:
+            break
+    return out
+
+
 def vacuum(
     table_dir: str, keep: int = 1, min_age_seconds: float = 3600.0
 ) -> list[str]:

@@ -51,6 +51,10 @@ def build_sql_parser() -> argparse.ArgumentParser:
                         "('-' = unbounded side; repeatable; numeric "
                         "bounds auto-cast). Pruning is file-grain -- "
                         "keep the WHERE clause in the query.")
+    p.add_argument("--history", action="store_true",
+                   help="print the snapshot version history (newest "
+                        "first) instead of running a query (with "
+                        "--snapshot-table)")
     p.add_argument("--changes-from", type=int, default=None,
                    metavar="V",
                    help="register rows ADDED after snapshot version V "
@@ -72,6 +76,21 @@ def build_sql_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> None:
     args = build_sql_parser().parse_args(argv)
     sql = sys.stdin.read() if args.query == "-" else args.query
+
+    if args.snapshot_table and args.history:
+        import csv
+
+        from .plans.snapshots import snapshot_history
+
+        w = csv.writer(sys.stdout)
+        w.writerow(
+            ["version", "committed_at", "base_version", "n_files",
+             "n_rows"]
+        )
+        for h in snapshot_history(args.snapshot_table):
+            w.writerow([h["version"], h["committed_at"],
+                        h["base_version"], h["n_files"], h["n_rows"]])
+        return
 
     from .session import get_spark
     from .tables import TABLES, load_table

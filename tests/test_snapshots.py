@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dump1090_stream_parser_spark.plans.snapshots import (
     SnapshotConflict,
     latest_manifest,
+    manifest_for,
     read_snapshot,
     snapshot_files,
     snapshot_upsert,
@@ -1504,3 +1505,48 @@ def test_compact_upgrades_legacy_int96_files_to_stats(spark, tmp_path):
         for e in latest_manifest(t)["files"]
     )
     assert read_snapshot(spark, t).count() == 1000
+
+
+def test_restore_rolls_back_by_reference_and_keeps_history(spark, tmp_path):
+    """RESTORE: the table's live state returns to an old version as a
+    NEW commit referencing the old files (nothing copied), the bad
+    history stays time-travelable above it, the txn ledger survives
+    (sink replay protection), and life continues -- appends after a
+    restore build on the restored state."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_history,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = _orders(spark)
+    good = df.filter(F.col("o_orderkey") < 500)
+    bad = df.filter(F.col("o_orderkey").between(500, 600))
+    snapshot_write(spark, t, good, part_col=None)              # v0
+    snapshot_append(spark, t, bad, txn=("app", 7))             # v1 (oops)
+    v = snapshot_restore(spark, t, 0)                          # v2
+    assert v == 2
+    m = latest_manifest(t)
+    assert _rows(read_snapshot(spark, t)) == _rows(good)
+    # restored files are REFERENCES to v0's paths, no new data files
+    assert {e["path"] for e in m["files"]} == {
+        e["path"] for e in manifest_for(t, 0)["files"]
+    }
+    # the bad version still reads (audit), and the ledger survived
+    assert read_snapshot(spark, t, version=1).count() == good.count() + bad.count()
+    assert m["txns"] == {"app": 7}
+    # restoring to the current version is a no-op
+    assert snapshot_restore(spark, t, 2) == 2
+    # life continues on the restored state
+    snapshot_append(spark, t, df.filter(F.col("o_orderkey") == 700))
+    assert read_snapshot(spark, t).count() == good.count() + 1
+
+    hist = snapshot_history(t)
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert hist[1]["n_files"] == len(manifest_for(t, 0)["files"])
+    assert hist[0]["n_rows"] == good.count() + 1
+    # vacuum keeps files referenced by RETAINED versions even though
+    # they were written under a dropped version's dir
+    vacuum(t, keep=2, min_age_seconds=0)
+    assert _rows(read_snapshot(spark, t).filter(F.col("o_orderkey") < 500)) == _rows(good)

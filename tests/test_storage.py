@@ -299,3 +299,24 @@ def test_sql_cli_changes_view(spark, tmp_path, capsys):
     sql_main(base + ["--snapshot-table", t, "--changes-from", "1",
                      "--changes-to", "2", q])
     assert capsys.readouterr().out.strip().splitlines()[-1] == "5,25"
+
+
+def test_sql_cli_history(spark, tmp_path, capsys):
+    """`--history` prints the version chain manifest-only -- no Spark
+    session is started (it returns before get_spark)."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_write,
+    )
+    from dump1090_stream_parser_spark.sql_cli import main as sql_main
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, t, spark.range(10).selectExpr("id AS k"), part_col=None
+    )
+    snapshot_append(spark, t, spark.range(10, 15).selectExpr("id AS k"))
+    sql_main(["--snapshot-table", t, "--history", "ignored"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("version,")
+    assert out[1].split(",")[0] == "1" and out[2].split(",")[0] == "0"
+    assert out[1].split(",")[-1] == "15"
