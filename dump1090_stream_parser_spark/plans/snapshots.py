@@ -686,14 +686,11 @@ def _write_version_inner(
 #: driver-resident; Delta's analogous default is its first 32 columns.
 _STATS_COL_CAP = 16
 
-#: Column types whose min/max are collected. Complex/binary/decimal
-#: columns are excluded: no total order a reader can re-derive cheaply
-#: (decimal would need exact-scale compare; absent stats just mean "no
-#: skip", never a wrong skip).
-_STATS_TYPES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double",
-    "string", "date", "timestamp", "timestamp_ntz",
-)
+#: (Eligible TYPES are decided at the parquet layer now -- see
+#: ``_file_entries``'s ``_PA_TYPES``: complex/binary/decimal columns
+#: are excluded because no total order can be re-derived cheaply from
+#: their JSON-encoded stats; absent stats just mean "no skip", never
+#: a wrong skip.)
 
 
 def stats_key(v):

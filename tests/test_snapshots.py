@@ -1550,3 +1550,31 @@ def test_restore_rolls_back_by_reference_and_keeps_history(spark, tmp_path):
     # they were written under a dropped version's dir
     vacuum(t, keep=2, min_age_seconds=0)
     assert _rows(read_snapshot(spark, t).filter(F.col("o_orderkey") < 500)) == _rows(good)
+
+
+def test_changes_across_schema_evolution_boundary(spark, tmp_path):
+    """The change feed reads with the TO-version's schema, so
+    increments spanning an additive evolution reconcile pre-evolution
+    files' new column to NULL -- same contract as read_snapshot."""
+    from dump1090_stream_parser_spark.plans.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS k", "id * 2 AS v"
+    )
+    snapshot_write(spark, t, mk(0, 10), part_col=None)
+    snapshot_append(spark, t, mk(10, 20))
+    widened = mk(20, 30).withColumn("w", F.lit("new"))
+    snapshot_append(spark, t, widened, evolve_schema=True)
+
+    ch = snapshot_changes(spark, t, 0)
+    assert set(ch.columns) == {"k", "v", "w"}
+    assert ch.count() == 20
+    assert ch.filter(F.col("w").isNull()).count() == 10  # pre-evolution
+    assert ch.filter(F.col("w") == "new").count() == 10
+    # an increment ending BEFORE the evolution keeps the old schema
+    old = snapshot_changes(spark, t, 0, 1)
+    assert set(old.columns) == {"k", "v"}
