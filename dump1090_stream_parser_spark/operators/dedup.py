@@ -65,7 +65,7 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Collision risk at 60 bits is ~n^2/2^61 (~10^-7 at a billion docs);
     a byte-exact pipeline re-checks equality inside each fingerprint
     group, where the text join touches only group members."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(
             "doc_id",
@@ -126,7 +126,7 @@ def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "best" a real choice. Same 8-byte fingerprint-keyed shuffle as
     q_dedup; selection is a single integer arg-max (see _BEST_PACK
     bounds), no second pass over text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     norm = F.lower(
         F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\f\\r]+", " "))
     )
@@ -413,30 +413,49 @@ def minhash_shingles(docs: DataFrame) -> DataFrame:
 def minhash_bands(toks: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) LSH band rows from the shingle
     table -- still a narrow map (signature via higher-order array ops,
-    band fan-out via union of projections). Works identically on batch
-    and streaming inputs, which is what lets the streaming near-dup
-    detector (streaming/near_dup.py) share the exact banding semantics
-    of q_near_dedup_minhash."""
+    band fan-out via ONE generator over the band-struct array). Works
+    identically on batch and streaming inputs, which is what lets the
+    streaming near-dup detector (streaming/near_dup.py) share the exact
+    banding semantics of q_near_dedup_minhash.
+
+    Round 13 (guide §2.4 "remove duplicated subtrees"): the band
+    fan-out used to be a UNION of N_BANDS projections of ``sig``.
+    Union branches are independent physical subtrees, so the whole
+    shingle -> md5 -> 12-permutation signature map re-executed once
+    PER BAND -- and the band self-join evaluates both sides (broadcast
+    build defeats ReuseExchange), so the corpus was tokenized and
+    md5-hashed 8x per run (plans/r13/q_near_dedup_minhash_before.txt:
+    8 documents scans under the two Unions). Exploding an array of
+    (band_idx, band_key) structs emits the identical rows from ONE
+    evaluation of the signature subtree per join side: 10 -> 4
+    documents scans, 3.64 -> measured after-number in
+    OPTIMIZATION_r13.md, identical output (same oracle)."""
     hashed = toks.select(
         "doc_id",
         F.transform("ts", lambda s: portable_hash64(s) % P).alias("hs"),
     )
     sig = hashed.select("doc_id", *_minhash_sig_cols())
 
-    band_frames = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            ",", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        )
-        band_frames.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band_idx"), key.alias("band_key")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        f"m{b * ROWS_PER_BAND + r}"
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionAll(bf)
-    return bands
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("g")).select(
+        "doc_id",
+        F.col("g.band_idx").alias("band_idx"),
+        F.col("g.band_key").alias("band_key"),
+    )
 
 
 @query("q_near_dedup_minhash", oracle=_minhash_oracle())
@@ -444,13 +463,21 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH-banding near-dup (C2): bigram shingles and the
     signature in a narrow map, candidates from a band-key self-join,
     exact jaccard verify on survivors only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = minhash_shingles(docs)
     bands = minhash_bands(toks)
 
+    # shuffle_hash, not broadcast, for the band self-join: both sides
+    # are the IDENTICAL signature subtree, so a shuffle-based join lets
+    # ReuseExchange evaluate the shingle->md5->signature map ONCE and
+    # replay the exchange for the other side -- a broadcast build side
+    # re-executes it (guide §2.4; plans/r13/*_before vs *_after: 2
+    # signature subtrees -> 1 + ReusedExchange). The band-row exchange
+    # itself carries 3 small columns, which is exactly the cheap side
+    # of that trade at any scale.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash").join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -593,7 +620,7 @@ def q_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused -- the expensive vote aggregation runs ONCE), and no
     expansion joins are needed afterwards. Each band join buckets on a
     16-bit key: <= 65536 buckets regardless of corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # Votes sum +-1 per token OCCURRENCE, straight off the explode --
     # no (doc, token) pre-aggregation. A doc's exploded tokens stay in
     # one input partition, so the partial aggregate collapses each doc
@@ -786,7 +813,9 @@ def q_near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verification-grade tool; at corpus scale the probabilistic
     operators (q_near_dedup_minhash / _simhash) are the first pass and
     this runs only on their survivors."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -931,7 +960,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop itself lives in :func:`dedup_clusters_from` (see its docstring
     for the pointer-jumping shape); the oracle closes the graph with a
     recursive CTE over the identical pair set."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup_clusters_from(docs, ngram_jaccard_pairs(docs))
 
 
@@ -968,7 +997,7 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair set is (node, label) propagation, document-size-free.
     The oracle closes the same survivor graph with a recursive CTE, so
     cluster assignments are value-checked end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup_clusters_from(docs, q_near_dedup_minhash(spark, sf_dir))
 
 
@@ -1074,7 +1103,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    grams = span_grams(load_table(spark, sf_dir, "documents"))
+    grams = span_grams(load_table(spark, sf_dir, "documents", spread=True))
     w = Window.partitionBy("ghash")
     marked = (
         grams.withColumn("d_lo", F.min("doc_id").over(w))
@@ -1176,7 +1205,7 @@ def q_dup_spans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent; at cluster scale prefer reliable checkpoint())."""
     from .pipeline_ops import _bloom_word_bit, bloom_bitmap_from_grams
 
-    grams = span_grams(load_table(spark, sf_dir, "documents"))
+    grams = span_grams(load_table(spark, sf_dir, "documents", spread=True))
     dup = _dup_gram_set(grams).localCheckpoint(eager=False)
     bloom = bloom_bitmap_from_grams(
         dup.select(F.col("ghash").alias("gh"))
@@ -1275,7 +1304,7 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     grams = (
-        span_grams(load_table(spark, sf_dir, "documents"))
+        span_grams(load_table(spark, sf_dir, "documents", spread=True))
         .select("doc_id", "ghash")
         .distinct()
     )
@@ -1377,7 +1406,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dup_spans.py recomputes the matrix from Python gram
     sets (third-engine check) and pins containment/Jaccard identities.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select("source", tokens_col().alias("t")).filter(
         F.size("t") >= SPAN_GRAM
     )
@@ -1603,7 +1632,7 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python gram sets (third-engine check) and pins the estimates
     against the 1/sqrt(K-2) error envelope.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select("source", tokens_col().alias("t")).filter(
         F.size("t") >= SPAN_GRAM
     )

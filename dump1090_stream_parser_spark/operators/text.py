@@ -59,7 +59,7 @@ def tokens_col(text: str | F.Column = "text") -> F.Column:
 def q_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top-100 (C4). explode -> hash-agg -> top-k;
     stop-word skew is absorbed by map-side partial aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(F.explode(tokens_col()).alias("token"))
         .groupBy("token")
@@ -98,7 +98,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc-frequency side is |vocabulary| rows -- tiny relative to the
     corpus -- so at scale it broadcasts and the tf side never reshuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # (Deriving df from tf for ReuseExchange was measured: the exchange
@@ -203,6 +203,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    # NO scan_spread stacked here: the operator's own doc_id
+    # repartition below IS the rebalance (the q_containment note).
     docs = load_table(spark, sf_dir, "documents")
     staged = (
         docs.select("doc_id", "lang", "text")
@@ -343,7 +345,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality (C4): stopword ratio + length prior +
     punctuation penalty. Integer counts, single divisions -> exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -397,7 +399,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (C4): whitespace split and a BPE-ish
     regex ([a-z]+|[0-9]+ runs), aggregated per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens_col())).alias("ws_tokens"),
@@ -427,7 +429,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (C4): portable 60-bit hash of normalized text,
     with duplicate-group size and canonical (min) doc id -- the primitive
     under exact dedup at any scale (hash is shuffle key, not raw text)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     w = Window.partitionBy("fingerprint")
     return docs.select(
         "doc_id",
@@ -496,7 +498,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The K sketch hashes come back as scalar columns fp1..fpK (NULL when
     the doc has fewer distinct windows): the driver canonicalizer can't
     sort array cells, and scalars keep the value-hash check exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select(
         "doc_id",
         F.transform(
@@ -691,6 +693,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler halves it) and is NOT -- the asymmetry that distinguishes
     this from every symmetric near-dup operator in the registry.
 
+    NO scan_spread here (round 13): the operator already rebalances
+    the corpus with its own doc_id repartition below, and stacking the
+    round-robin spread under it measured 1.9 -> 6.2 s (two exchanges
+    plus a localCheckpoint over the longer lineage).
+
     Scale shape (the MOSS architecture): winnowing keeps
     ~2/(WINNOW_W+1) of window hashes per doc (narrow in-row selection);
     the stop-print df cut removes boilerplate fingerprints BEFORE the
@@ -813,7 +820,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-pipeline op). The split of a given doc_id never changes
     when the corpus grows -- the property that keeps eval sets stable
     across dataset versions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bucket = portable_hash64(F.col("doc_id")) % 100
     split = (
         F.when(bucket < SPLIT_PCT[0], "train")
@@ -946,7 +953,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the scan. At 100 TB the scoring pass stays a
     narrow map over the corpus + a TakeOrderedAndProject top-k.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         bm25_scored(docs)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -1059,7 +1066,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction -- and the scaling is applied in two factors (see
     _lm_prob_sql) so the product never wraps 64 bits even at
     web-scale bigram counts; ORDER BY carries the doc_id tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select("doc_id", "lang", tokens_col().alias("t"))
     pairs = F.when(
         F.size("t") >= 2,
@@ -1133,7 +1140,7 @@ def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional self-join (tok a JOIN tok b ON ord+1) would shuffle the
     exploded corpus twice; this shape shuffles only (bigram, partial
     count) pairs and finishes with TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select(tokens_col().alias("t"))
     # get() is 0-based; sequence(1, n-1) covers pairs (0,1)..(n-2,n-1).
     # sequence() is descending when start > stop, so guard size < 2.
@@ -1209,7 +1216,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row work for zero shuffles -- at 100 TB that beats the
     two-level groupBy(doc_id, token) alternative, which would shuffle
     the exploded corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # Stage the token array in its own projection: the three features
     # (and the per-distinct-token inner filter) then reference the
     # already-split array instead of re-splitting text per reference
@@ -1286,7 +1293,7 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-division binning is a narrow map; the aggregation is
     partial-agg friendly on a bounded (lang, bin) key space, so at
     100 TB the shuffle moves only |langs|*|bins| partial rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bin_lo = (
         (F.col("n_chars") / HIST_BIN_CHARS).cast("bigint") * HIST_BIN_CHARS
     )
@@ -1353,7 +1360,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     all per-row JVM expressions; nothing shuffles. At 100 TB this is
     the cheapest kind of operator: linear scan, perfectly parallel,
     with the scrubbed column written straight back to parquet."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -1442,7 +1449,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode multiplies rows by ~n/48 (the chunk stride) but stays narrow --
     at 100 TB the chunker is a linear scan whose output is (id, idx,
     count, fingerprint) tuples, 32 bytes per chunk."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     staged = docs.select("doc_id", tokens_col().alias("toks"))
     n = F.size("toks").cast("long")
     n_chunks = F.greatest(
@@ -1564,7 +1571,7 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins symmetry-free ordering
     (token_1 < token_2) and support >= {PMI_MIN_SUP}.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # Lazy localCheckpoint: presence feeds THREE consumers (the doc
     # count, the vocabulary ranking, and the filtered pair stream) and
     # fp feeds both self-join sides -- without the cuts the corpus
@@ -1705,7 +1712,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy <= ln(vocab); tests/test_plans.py pins the
     exchange-and-generate-free plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # The fold lambda names its element ``c``, so the shared per-term
     # text applies verbatim.
     term = _ENT_TERM

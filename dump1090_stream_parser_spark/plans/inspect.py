@@ -55,6 +55,24 @@ def join_strategies(df: DataFrame) -> list[str]:
     return out
 
 
+def spread_exchange_count(plan: str) -> int:
+    """Round-robin exchanges injected by tables.scan_spread (the
+    scale-adaptive input rebalance for unsplittable inputs, round 13).
+    These are absent at production split counts -- scan_spread only
+    fires when the scan yields fewer splits than cores -- so plan-shape
+    pins count them separately from the keyed exchanges that define an
+    operator's true shuffle posture."""
+    return plan.count("Arguments: RoundRobinPartitioning")
+
+
+def keyed_exchange_count(df: DataFrame) -> int:
+    """Exchanges carrying a keyed (hash/range) shuffle -- the
+    scale-posture number the round-pins assert. Excludes the
+    conditional scan_spread round-robin (see spread_exchange_count)."""
+    plan = formatted_plan(df)
+    return plan.count(") Exchange") - spread_exchange_count(plan)
+
+
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan; executes the query to get it.
 

@@ -39,15 +39,77 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame with normalized types."""
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte conf ('128m', '1g', '134217728b', plain int)."""
+    s = str(v).strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def scan_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive input spread (optimization guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read"): when the parquet input yields fewer scan splits than
+    the cluster has cores, the entire scan *stage* -- including every
+    narrow map fused into it (tokenize, hash, higher-order array ops)
+    -- executes on that few tasks while the rest of the machine idles.
+    The driver testdata is one single-row-group file per table, i.e.
+    exactly one split at ANY ``maxPartitionBytes``, so each map-heavy
+    operator ran 1-of-32-cores before round 13.
+
+    The fix is conditional, derived from input size (never a constant
+    tuned for local mode): estimate the split count from the file's
+    on-disk bytes and the session's ``spark.sql.files.maxPartitionBytes``;
+    only when that undershoots ``defaultParallelism`` do we round-robin
+    repartition to the core count. At production scale (thousands of
+    row groups) the condition is false and the plan is untouched, so
+    the "payload never rides an exchange" posture holds exactly where
+    it matters; in the undershoot case the one extra exchange moves a
+    provably small input (< cores x maxPartitionBytes) once, which is
+    the guide's own trade for unsplittable inputs.
+
+    Deterministic under retries: round-robin repartition sorts its
+    input first (spark.sql.execution.sortBeforeRepartition, default
+    on), so row-to-partition assignment is reproducible.
+    """
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    est_splits = max(1, -(-size // max_split))
+    cores = spark.sparkContext.defaultParallelism
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one testdata table as a DataFrame with normalized types.
+
+    ``spread=True`` opts the caller into :func:`scan_spread` -- for
+    operators whose scan stage carries heavy per-row compute (text
+    tokenization, md5 fingerprints, array folds) and would otherwise
+    serialize on an unsplittable input.
+    """
     apply_runtime_conf(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch -> µs TIMESTAMP_NTZ; `div` truncates exactly like DuckDB.
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    if spread:
+        df = scan_spread(spark, df, path)
     return df
 
 
