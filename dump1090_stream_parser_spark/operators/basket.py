@@ -108,15 +108,11 @@ def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python at sf0.001 (third-engine check).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # four consumers (pair join x2 sides, freq, tot): one lazy
-    # checkpoint materializes the basket DISTINCT once instead of
-    # re-scanning + re-shuffling lineitem per branch (plan audit
-    # showed 4 independent Exchanges without it)
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # four consumers (pair join x2 sides, freq, tot): the basket
+    # DISTINCT's exchange is replayed per consumer by ReuseExchange,
+    # so no checkpoint is needed (round-13 A/B: identical executed
+    # shuffle records with and without, 2.78 -> 1.60 s without)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
     freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     tot = baskets.agg(
         F.countDistinct("l_orderkey").alias("nord")
@@ -257,7 +253,6 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     a = baskets.alias("a")
     b = baskets.alias("b")
@@ -274,7 +269,6 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= MIN_CO)
         .select("u", "v")
-        .localCheckpoint(eager=False)
     )
     return triangle_census(edges, orient="degree")
 
@@ -324,7 +318,9 @@ def triangle_census(
     oriented = _orient_edges(edges, orient)
     if _oriented_only:
         return oriented
-    oriented = oriented.localCheckpoint(eager=False)
+    # round 13: no checkpoint -- the edge aggregation ends in an
+    # exchange that ReuseExchange replays for every consumer (A/B
+    # pinned identical executed shuffle records with and without)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

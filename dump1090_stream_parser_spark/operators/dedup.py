@@ -1201,8 +1201,10 @@ def q_dup_spans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The dup set is lazily localCheckpoint'ed: the bitmap aggregation
     and the verify join both read it, and the checkpoint cuts the
-    duplicate gram-aggregation pass (the contamination_bloom
-    precedent; at cluster scale prefer reliable checkpoint())."""
+    duplicate gram-aggregation pass (round-13 A/B: removal re-ran the
+    gram subtree -- executed records doubled at the pin scale and the
+    sf0.1 line went 1.29 -> 1.55 s -- so this one stays; at cluster
+    scale prefer reliable checkpoint())."""
     from .pipeline_ops import _bloom_word_bit, bloom_bitmap_from_grams
 
     grams = span_grams(load_table(spark, sf_dir, "documents", spread=True))
@@ -1414,10 +1416,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(t) - 5),"
         " i -> concat_ws(' ', slice(t, i + 1, 5)))"
     )
-    # lazy localCheckpoint: the distinct gram set feeds the totals and
-    # BOTH self-join sides -- without it the gram explode re-runs four
-    # times (plan-snapshot-measured); cluster scale prefers reliable
-    # checkpoint() (the contamination_bloom note)
+    # lazy localCheckpoint: the distinct gram set feeds the totals
+    # and BOTH self-join sides -- round-13 A/B: removing it re-ran the
+    # gram explode (executed records doubled; 1.02 -> 1.30 s), so it
+    # stays (cluster scale prefers reliable checkpoint())
     grams = (
         staged.select("source", F.explode(gram_strs).alias("gram"))
         .select("source", portable_hash64(F.col("gram")).alias("ghash"))
@@ -1641,9 +1643,9 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', slice(t, i + 1, 5)))"
     )
     # lazy localCheckpoint: the distinct gram set feeds the totals,
-    # the sketch build, and both exact-self-join sides -- without it
-    # the gram explode re-runs per consumer (the q_source_overlap /
-    # q_pmi lesson; plan-snapshot-measured).
+    # the sketch build, and both exact-self-join sides -- round-13
+    # A/B: removal re-ran the gram explode (1.67 -> 2.12 s), so the
+    # checkpoints stay.
     grams = (
         staged.select("source", F.explode(gram_strs).alias("gram"))
         .select("source", portable_hash64(F.col("gram")).alias("ghash"))

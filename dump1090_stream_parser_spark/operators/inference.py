@@ -590,7 +590,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = g.agg(
         F.sum("n").alias("tn"), F.sum("npos").alias("tp")
-    ).localCheckpoint(eager=False)
+    )
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )

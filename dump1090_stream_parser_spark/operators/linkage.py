@@ -78,14 +78,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs ground truth in tests/test_linkage.py.
     """
     part = load_table(spark, sf_dir, "part")
-    # lazily checkpointed so both self-join sides read ONE materialized
-    # name aggregate instead of scanning+aggregating part twice (the
-    # q_source_divergence pairs precedent)
+    # both self-join sides replay the name aggregate's ONE exchange
+    # via ReuseExchange instead of scanning+aggregating part twice
+    # (round-13 A/B: identical shuffle records, checkpoint removed)
     names = (
         part.groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .withColumn("block", F.element_at(F.split("p_name", " "), -1))
-        .localCheckpoint(eager=False)
     )
     a = names.alias("a")
     b = names.alias("b")

@@ -659,14 +659,10 @@ def contamination_bloom_from(
     eval_grams = (
         grams.filter(F.col("bucket") >= _EVAL_GE).select("gh").distinct()
     )
-    # Lazy localCheckpoint on the frame BOTH downstream consumers read
-    # (the bitmap agg and the verify semi-join): it materializes at the
-    # first action and is reused by the second, cutting the duplicate
-    # eval-side tokenize+explode+distinct pass; lazy (not eager) so
-    # explain-only tooling never triggers execution. Size = distinct
-    # eval grams (8-byte keys) -- the semi-join side that must exist
-    # anyway; at cluster scale prefer reliable checkpoint().
-    eval_grams = eval_grams.localCheckpoint(eager=False)
+    # BOTH downstream consumers (the bitmap agg and the verify
+    # semi-join) read eval_grams; its distinct exchange is replayed by
+    # ReuseExchange per consumer, so the former lazy checkpoint was
+    # removed in round 13 (A/B: identical executed shuffle records).
     w, mask = _bloom_word_bit("gh", bloom_words)
     bloom = bloom_bitmap_from_grams(eval_grams, bloom_words)
     probe = grams.filter(F.col("bucket") < _TRAIN_LT).select(
@@ -786,7 +782,8 @@ def heavy_hitters(
     exchange after the narrow sketch pass carries <= cap rows per input
     partition -- the whole point at URL/domain cardinalities.
 
-    The summary is lazily localCheckpoint-ed before fan-out: est and
+    The summary's aggregation exchange is replayed by
+    ReuseExchange for the fan-out (round-13 checkpoint removal): est and
     err both read it, and without materialization each would re-run
     the full input scan + sketch pass (Spark reuses no uncached
     subtrees); lazy so explain-only tooling never triggers execution.
@@ -794,7 +791,7 @@ def heavy_hitters(
     CONSTRUCTION, so this is always executor-memory-cheap; on a
     cluster prefer reliable checkpoint() if executors are
     preemptible."""
-    summ = heavy_hitters_summary(df, key, cap).localCheckpoint(eager=False)
+    summ = heavy_hitters_summary(df, key, cap)
     est = (
         summ.filter(F.col(key).isNotNull())
         .groupBy(key)
@@ -969,7 +966,7 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .filter(F.col("user_id").isNotNull())
     )
-    cells = countmin_cells(ev, "user_id").localCheckpoint(eager=False)
+    cells = countmin_cells(ev, "user_id")
     total = cells.filter(F.col("j") == 0).agg(F.sum("c").alias("_n"))
     exact = (
         ev.groupBy("user_id")
@@ -1149,7 +1146,6 @@ def q_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         dh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K_KMV)
         .drop("rn")
-        .localCheckpoint(eager=False)
     )
     nx = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -1164,7 +1160,6 @@ def q_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
         )
-        .localCheckpoint(eager=False)
     )
     sides = pairs.select("ta", "tb")
     m = (
@@ -1337,7 +1332,6 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
-        .localCheckpoint(eager=False)
     )
     # broadcast the PAIR list (S^2 rows), never the count vectors
     # (S x V rows -- vocabulary-sized, the side that grows)

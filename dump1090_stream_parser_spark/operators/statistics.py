@@ -238,24 +238,21 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     # every frame below is domain-sized (|lang|, |source|, or 1 row);
-    # lazy checkpoints stop the plan re-deriving them per consumer,
+    # ReuseExchange replays their exchanges per consumer,
     # and the cross joins they feed are 1-row/domain-row broadcast
     # nested loops -- constant-size at any corpus scale
     tot = cells.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
-    ).localCheckpoint(eager=False)
+    )
     lm = (
         cells.groupBy("lang")
         .agg(F.sum("c").alias("m"))
-        .localCheckpoint(eager=False)
     )
     sm = (
         cells.groupBy("source")
         .agg(F.sum("c").alias("m"))
-        .localCheckpoint(eager=False)
     )
 
     def _fold(df, order_cols, term_sql, alias):
@@ -618,7 +615,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins the defining property: weight
     at-or-below >= half, weight strictly-below < half.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     c = (
         li.select(
             F.col("l_returnflag").alias("rf"),
@@ -1082,7 +1079,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     obs = (
         orders.filter(F.col("o_totalprice") > 0)
         .select(
@@ -1368,7 +1365,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     c = (
         li.select(
             F.col("l_returnflag").alias("rf"),
@@ -1547,10 +1544,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins 0 <= D <= 1 and the scipy
     asymptotic identity on the significance cut.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    # lazy localCheckpoint: the value collapse feeds the totals and
-    # both stacked pair legs -- one corpus aggregation instead of
-    # three; the checkpoint is value-domain-sized, not row-sized
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    # the value collapse feeds the totals and both stacked pair
+    # legs; its aggregation exchange is replayed per consumer by
+    # ReuseExchange (round-13 A/B: identical executed shuffle records
+    # without the former checkpoint, and no build-time stage run)
     c = (
         orders.select(
             F.col("o_orderpriority").alias("grp"),
@@ -1560,7 +1558,6 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
     return ks_pairs_from_counts(c)
 
@@ -1580,7 +1577,7 @@ def ks_pairs_from_counts(c: DataFrame) -> DataFrame:
         F.col("b.grp").alias("g2"),
         F.col("a.n").alias("n1"),
         F.col("b.n").alias("n2"),
-    ).localCheckpoint(eager=False)
+    )
     sides = pairs.select("g1", "g2")
     m = (
         c.join(F.broadcast(sides), c["grp"] == sides["g1"])
@@ -1733,11 +1730,12 @@ def q_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     # lazy localCheckpoint AFTER the top-(K+1) filter: the ranked
     # frame is (K+1) x |groups| rows -- tiny -- and feeds both the
     # threshold row and the fold, so the corpus rank pass runs once
-    # instead of three times (plan-snapshot-measured)
+    # instead of three times (round-13 A/B: removal cost 1.09 ->
+    # 1.17 s at sf0.1, so it stays)
     v = (
         li.select(
             F.col("l_returnflag").alias("rf"),
@@ -1882,23 +1880,19 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("st"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     rmarg = (
         cells.groupBy("pr")
         .agg(F.sum("c").alias("rm"))
-        .localCheckpoint(eager=False)
     )
     cmarg = (
         cells.groupBy("st")
         .agg(F.sum("c").alias("cm"))
-        .localCheckpoint(eager=False)
     )
-    tot = cells.agg(F.sum("c").alias("n")).localCheckpoint(eager=False)
+    tot = cells.agg(F.sum("c").alias("n"))
     dims = (
         rmarg.agg(F.count(F.lit(1)).alias("r"))
         .crossJoin(cmarg.agg(F.count(F.lit(1)).alias("cc")))
-        .localCheckpoint(eager=False)
     )
     grid = (
         rmarg.crossJoin(cmarg)
@@ -2061,7 +2055,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     c = (
         orders.select(
             F.col("o_orderpriority").alias("grp"),
@@ -2071,7 +2065,6 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
     nt = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
     a, b = nt.alias("a"), nt.alias("b")
@@ -2083,7 +2076,6 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n").alias("n1"),
             F.col("b.n").alias("n2"),
         )
-        .localCheckpoint(eager=False)
     )
     sides = pairs.select("g1", "g2")
     m = (
@@ -2437,7 +2429,6 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "x")
         .agg(F.count(F.lit(1)).alias("y"))
-        .localCheckpoint(eager=False)
     )
     return theil_sen_from_daily(daily)
 

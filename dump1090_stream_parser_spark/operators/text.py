@@ -1574,11 +1574,10 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # Lazy localCheckpoint: presence feeds THREE consumers (the doc
     # count, the vocabulary ranking, and the filtered pair stream) and
-    # fp feeds both self-join sides -- without the cuts the corpus
-    # explode+distinct re-runs five times (measured in the plan
-    # snapshot: 5 Generates). Materialized once at the first action;
-    # at cluster scale prefer reliable checkpoint() (the
-    # contamination_bloom note).
+    # fp feeds both self-join sides -- round-13 A/B: removing the
+    # checkpoints re-ran the corpus explode (executed records doubled
+    # at the pin scale; 1.24 -> 1.48 s at sf0.1), so they stay; at
+    # cluster scale prefer reliable checkpoint().
     presence = (
         docs.select(
             "doc_id", F.explode(tokens_col()).alias("token")

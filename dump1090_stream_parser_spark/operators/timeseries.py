@@ -1367,7 +1367,6 @@ def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "x")
         .agg(F.count(F.lit(1)).alias("y"))
-        .localCheckpoint(eager=False)
     )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nd"),
