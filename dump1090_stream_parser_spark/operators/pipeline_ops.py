@@ -1746,7 +1746,7 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins digest algebra: order/partitioning invariance, single-row
     edit detection, and bucket completeness.
     """
-    return digest_cells(load_table(spark, sf_dir, "lineitem"))
+    return digest_cells(load_table(spark, sf_dir, "lineitem", spread=True))
 
 
 #: Modulus of the sum digest: 2^61 (fits BIGINT in both engines with

@@ -141,13 +141,13 @@ def q_sbs1_gold_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same gold straight from events, so a hash match certifies the
     whole CSV round trip field by field.
 
-    Local bench note: the sf0.1 events parquet is ONE row group, so the
-    whole narrow synth+parse stage runs single-threaded here (~1.5 s of
-    the line is one core doing the work tools/ingest_bench.py measures
-    at ~1M rows/s across 32 partitions). Splittable input parallelizes
-    it with zero plan change -- at deployment the Bronze source
-    provides the partitioning this local floor lacks."""
-    events = load_table(spark, sf_dir, "events")
+    Local bench note: the sf0.1 events parquet is ONE row group, so
+    the narrow synth+parse stage used to run single-threaded here.
+    Round 13 routes the load through the conditional scan_spread
+    (tables.py), which rebalances exactly this unsplittable-input case
+    and is a no-op at deployment, where the Bronze source provides the
+    partitioning this local floor lacks."""
+    events = load_table(spark, sf_dir, "events", spread=True)
     parsed = parse_lines(
         sbs1_lines_from_events(events),
         parsed_time=F.col("generated_ts"),  # deterministic replay stamp
@@ -254,7 +254,7 @@ def q_sbs1_gold_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum_altitude). Scale shape: synthesis + parse is the same narrow
     codegen'd map as q_sbs1_gold_latest; the gold is one global partial
     +final aggregation emitting a single row."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", spread=True)
     parsed = parse_lines(sbs1_lines_with_faults(events))
     valid = F.col("_corrupt_record").isNull()
 

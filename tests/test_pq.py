@@ -83,8 +83,14 @@ def test_pq_beats_one_centroid_baseline(spark):
 def test_pq_encode_plan_is_narrow(spark):
     from dump1090_stream_parser_spark.plans.inspect import formatted_plan
 
+    from dump1090_stream_parser_spark.plans.inspect import (
+        spread_exchange_count,
+    )
+
     plan = formatted_plan(q_pq_encode(spark, SF_DIR))
-    assert plan.count(") Exchange") == 0, plan
+    # zero KEYED exchanges; the conditional scan_spread round-robin
+    # (absent at production split counts) is counted separately
+    assert plan.count(") Exchange") - spread_exchange_count(plan) == 0, plan
     assert "Join" not in plan, plan
     assert plan.count(") Generate") == 1, plan
 
@@ -160,10 +166,15 @@ def test_opq_encode_covers_and_stays_narrow(spark):
     assert all(0 <= r["code_id"] < PQ_KSUB for r in rows)
     assert all(r["sq_err"] >= 0.0 for r in rows)
 
+    from dump1090_stream_parser_spark.plans.inspect import (
+        spread_exchange_count,
+    )
+
     plan = formatted_plan(q_opq_encode(spark, SF_DIR))
-    # no shuffle anywhere: the only Exchange is the 1-row broadcast of
-    # the rotation matrix
-    assert ") Exchange" not in plan, plan
+    # no KEYED shuffle anywhere: the only exchanges are the 1-row
+    # broadcast of the rotation matrix and (locally) the conditional
+    # scan_spread round-robin, absent at production split counts
+    assert plan.count(") Exchange") - spread_exchange_count(plan) == 0, plan
     assert plan.count(") BroadcastExchange") == 1, plan
     assert plan.count(") BroadcastNestedLoopJoin") == 1, plan
     # the broadcast side is the local rotation relation, not a corpus
