@@ -44,6 +44,40 @@ _LIFT = (
 )
 
 
+def basket_arrays(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps: sorted distinct part array) -- ONE exchange on
+    the basket key. Round 13: the pair enumeration used to be a
+    DISTINCT (one exchange) followed by a self-join on the basket key
+    (two more join-side exchanges, or one + a replay); collect_set
+    dedups within the order during the SAME aggregation, and the
+    basket-bounded pair space (TPC-H baskets <= 7 lines) explodes from
+    the sorted array as a narrow map. Identical pair semantics: the
+    array is sorted ascending and each element pairs with its
+    successors, which IS the a.l_partkey < b.l_partkey join predicate
+    over distinct (order, part) rows."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
+def basket_pair_counts(arrs: DataFrame) -> DataFrame:
+    """(part1, part2, co) with part1 < part2 -- counts of baskets
+    containing both parts, from the basket-array frame."""
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x AS part1, y AS part2))))"
+    )
+    return (
+        arrs.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.part1", "pr.part2")
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+
+
 @query(
     "q_cooccur",
     oracle=f"""
@@ -108,30 +142,19 @@ def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python at sf0.001 (third-engine check).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # four consumers (pair join x2 sides, freq, tot): the basket
-    # DISTINCT's exchange is replayed per consumer by ReuseExchange,
-    # so no checkpoint is needed (round-13 A/B: identical executed
-    # shuffle records with and without, 2.78 -> 1.60 s without)
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    tot = baskets.agg(
-        F.countDistinct("l_orderkey").alias("nord")
+    # ONE basket-key exchange (basket_arrays); freq/tot re-derive from
+    # the same aggregation exchange via ReuseExchange, and the pair
+    # space explodes array-side -- no self-join at all (round 13; the
+    # former DISTINCT + self-join shape paid the basket exchange plus
+    # both join sides)
+    arrs = basket_arrays(li)
+    freq = (
+        arrs.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part1"),
-            F.col("b.l_partkey").alias("part2"),
-        )
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= MIN_CO)
-    )
+    tot = arrs.agg(F.count(F.lit(1)).alias("nord"))
+    co = basket_pair_counts(arrs).filter(F.col("co") >= MIN_CO)
     scored = (
         co.join(
             F.broadcast(freq.withColumnsRenamed({"l_partkey": "part1", "n": "n1"})),
@@ -248,27 +271,14 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge identity.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # both self-join sides read one materialized basket DISTINCT
-    # (q_cooccur's plan-audit fix applied here too)
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    # edge derivation shares q_cooccur's array-side pair enumeration
+    # (one basket-key exchange, no self-join -- round 13)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("co"))
+        basket_pair_counts(basket_arrays(li))
         .filter(F.col("co") >= MIN_CO)
-        .select("u", "v")
+        .select(
+            F.col("part1").alias("u"), F.col("part2").alias("v")
+        )
     )
     return triangle_census(edges, orient="degree")
 

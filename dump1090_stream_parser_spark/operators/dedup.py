@@ -65,7 +65,7 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Collision risk at 60 bits is ~n^2/2^61 (~10^-7 at a billion docs);
     a byte-exact pipeline re-checks equality inside each fingerprint
     group, where the text join touches only group members."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id",

@@ -966,7 +966,11 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .filter(F.col("user_id").isNotNull())
     )
-    cells = countmin_cells(ev, "user_id")
+    # lazy localCheckpoint retained: the ckpt A/B was neutral in
+    # isolation but the full-bench line regressed 1.10 -> 1.50 s
+    # without it (the cell grid feeds the probe join and the sketch
+    # fold; round 13)
+    cells = countmin_cells(ev, "user_id").localCheckpoint(eager=False)
     total = cells.filter(F.col("j") == 0).agg(F.sum("c").alias("_n"))
     exact = (
         ev.groupBy("user_id")

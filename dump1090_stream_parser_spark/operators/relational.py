@@ -643,7 +643,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fns" tier): a single sort-based aggregate serves all three
     quantiles. At 100 TB swap in approx_percentile (t-digest sketch) --
     same shape, mergeable map-side state instead of a per-group sort."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),

@@ -135,7 +135,7 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate. tests/test_spatial.py certifies grid == all-pairs at
     sf0.001 and pins both coverage margins numerically.
     """
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer", spread=True)
     pts = cust.select(
         F.col("c_custkey").alias("id"),
         F.expr(_LAT_I).alias("lat_i"),

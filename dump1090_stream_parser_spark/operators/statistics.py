@@ -97,7 +97,7 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     lstsq on the same slices (third-engine check) and the r2 in [0,1]
     envelope.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     xq = F.round(F.col("l_quantity") * 100, 0).cast("long")
     yq = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     dec = "decimal(38,0)"
@@ -2271,7 +2271,7 @@ def q_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure Python (third-engine check), pins mean inside [ci_lo, ci_hi],
     ci_lo <= ci_hi, and that replica membership matches the hash bits.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     h = portable_hash64(F.col("o_orderkey"))
     base = orders.select(
         F.col("o_orderpriority").alias("grp"),

@@ -59,7 +59,7 @@ def tokens_col(text: str | F.Column = "text") -> F.Column:
 def q_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top-100 (C4). explode -> hash-agg -> top-k;
     stop-word skew is absorbed by map-side partial aggregation."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_col()).alias("token"))
         .groupBy("token")
@@ -98,7 +98,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc-frequency side is |vocabulary| rows -- tiny relative to the
     corpus -- so at scale it broadcasts and the tf side never reshuffles.
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # (Deriving df from tf for ReuseExchange was measured: the exchange
@@ -1066,7 +1066,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction -- and the scaling is applied in two factors (see
     _lm_prob_sql) so the product never wraps 64 bits even at
     web-scale bigram counts; ORDER BY carries the doc_id tiebreak."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", "lang", tokens_col().alias("t"))
     pairs = F.when(
         F.size("t") >= 2,

@@ -340,11 +340,20 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running count returns to zero after the last boundary.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    spans = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("d0"))
-        .agg(F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("d1"))
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # aggregate BELOW the join (round 13, guide §2.3 "aggregate before
+    # you shuffle"): the span end needs only MAX(l_shipdate) per
+    # orderkey, so collapsing lineitem 4:1 first makes the fact-fact
+    # join orderkey-unique on both sides -- same spans exactly (the
+    # join key is the grouping key, and orders without lineitems drop
+    # under the inner join either way)
+    ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("d1")
+    )
+    spans = orders.join(ship, "o_orderkey").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        "d1",
     )
     deltas = (
         spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta"))

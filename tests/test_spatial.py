@@ -113,8 +113,14 @@ def test_spatial_join_plan_shape(spark):
     broadcast-nested-loop), one x9 Generate, two exchanges."""
     from dump1090_stream_parser_spark.plans.inspect import formatted_plan
 
+    from dump1090_stream_parser_spark.plans.inspect import (
+        spread_exchange_count,
+    )
+
     plan = formatted_plan(q_spatial_join(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Generate") >= 1, plan
-    assert plan.count(") Exchange") <= 2, plan
+    # <= 2 KEYED exchanges; the conditional scan_spread (round 13,
+    # absent at production split counts) is counted separately
+    assert plan.count(") Exchange") - spread_exchange_count(plan) <= 2, plan
