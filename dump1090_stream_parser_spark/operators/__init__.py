@@ -127,57 +127,73 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_lang_id": (
         "rotated OUT round 13 age rotation (green driver rows"
-        " r1+r3+r4+r5+r6+r7+r12, text.py block untouched this round): the"
+        " r1+r3+r4+r5+r6+r7+r12, text.py block re-touched by the round-13 optimization): the"
         " documents-scan text tier is held in-window by q_quality_score and"
         " q_token_count (the same single-scan character/token profile"
         " expressions); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 329ad247]"
     ),
     "q_rolling_fingerprint": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r8+r12,"
-        " text.py block untouched this round): rolling-hash fingerprints are held"
+        " text.py block re-touched by the round-13 optimization): rolling-hash fingerprints are held"
         " in-window by q_doc_fingerprint (the same polynomial rolling hash and"
         " winnowing fold); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 3b5cb065]"
     ),
     "q_containment": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12, text.py"
-        " block untouched this round): winnowed containment rides the fingerprint"
+        " block re-touched by the round-13 optimization): winnowed containment rides the fingerprint"
         " machinery held in-window by q_doc_fingerprint and the positional-gram"
         " expansion of q_dup_spans; re-proven every round by the local parity"
         " gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 54ba6685]"
     ),
     "q_bm25": (
         "rotated OUT round 13 age rotation (green driver rows"
-        " r3+r4+r5+r6+r7+r12, text.py block untouched this round): tf/df scoring"
+        " r3+r4+r5+r6+r7+r12, text.py block re-touched by the round-13 optimization): tf/df scoring"
         " is held in-window by q_tfidf (the same token-frequency scaffolding;"
         " BM25 only changes the saturation formula); re-proven every round by the"
         " local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block dbcc74fa]"
     ),
     "q_ngram_top": (
         "rotated OUT round 13 age rotation (green driver rows r6+r7+r8+r12,"
-        " text.py block untouched this round): gram counting +"
+        " text.py block re-touched by the round-13 optimization): gram counting +"
         " TakeOrderedAndProject top-k is held in-window by q_pmi (same"
         " bounded-vocabulary gram counts) and q_decay_topk (same top-k cap);"
         " re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 856229b2]"
     ),
     "q_quality_filter": (
         "rotated OUT round 13 age rotation (green driver rows"
-        " r3+r4+r5+r6+r7+r12, text.py block untouched this round): the quality"
+        " r3+r4+r5+r6+r7+r12, text.py block re-touched by the round-13 optimization): the quality"
         " heuristics are held in-window by q_quality_score (the same expression"
         " battery; the filter form only thresholds it); re-proven every round by"
         " the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block a8d31771]"
     ),
     "q_chunk_docs": (
         "rotated OUT round 13 age rotation (green driver rows"
-        " r3+r4+r5+r6+r7+r8+r9+r12, text.py block untouched this round): bounded"
+        " r3+r4+r5+r6+r7+r8+r9+r12, text.py block re-touched by the round-13 optimization): bounded"
         " sequence Generate is held in-window by q_dup_spans (the same positional"
         " explode bounded by document length); re-proven every round by the local"
         " parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block c1fac53f]"
     ),
     "q_dedup_best": (
         "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
-        " dedup.py block untouched this round): keep-best dedup is held in-window"
+        " dedup.py block re-touched by the round-13 optimization): keep-best dedup is held in-window"
         " by q_sbs1_gold_latest (the same rank-1-per-key window discipline);"
         " re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block cf4d852a]"
     ),
     "q_dedup_incremental": (
         "rotated OUT round 13 age rotation (green driver rows r6+r7+r12,"
@@ -188,9 +204,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_knn_join": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
-        " similarity.py block untouched this round): exact-kNN JVM expressions"
+        " similarity.py block re-touched by the round-13 optimization): exact-kNN JVM expressions"
         " are held in-window by q_knn_per_label (the same zip_with dot-product"
         " fold + per-group rank); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 0b1ba54c]"
     ),
     "q_ann_ivf": (
         "rotated OUT round 13 age rotation (green driver rows"
@@ -201,16 +219,20 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_ann_ivf_join": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
-        " similarity.py block untouched this round): the IVF cell-join form rides"
+        " similarity.py block re-touched by the round-13 optimization): the IVF cell-join form rides"
         " the same quantizer machinery held in-window by q_ann_opq; re-proven"
         " every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d3f5a303]"
     ),
     "q_semantic_dedup": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
-        " similarity.py block untouched this round): cell-bounded semantic pair"
+        " similarity.py block re-touched by the round-13 optimization): cell-bounded semantic pair"
         " generation is held in-window by q_dedup_clusters_lsh and"
         " q_near_dedup_embedding_lsh (the same bucketed pair space); re-proven"
         " every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d148ace7]"
     ),
     "q_ann_lsh": (
         "rotated OUT round 13 age rotation (green driver rows"
@@ -221,22 +243,28 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_random_projection": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
-        " similarity.py block untouched this round): matrix-literal projection is"
+        " similarity.py block re-touched by the round-13 optimization): matrix-literal projection is"
         " held in-window by q_ann_opq (the same broadcast rotation-matrix"
         " expression fold); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 3eb8aebb]"
     ),
     "q_opq_encode": (
         "rotated OUT round 13 age rotation (green driver rows r12, similarity.py"
-        " block untouched this round): the rotation + PQ encode path is held"
+        " block re-touched by the round-13 optimization): the rotation + PQ encode path is held"
         " in-window by q_ann_opq (the same trained rotation, codebooks, and"
         " staged rotation column); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 85ced948]"
     ),
     "q_ann_pq_pruned": (
         "rotated OUT round 13 age rotation (green driver rows r11+r12,"
-        " similarity.py block untouched this round): the at-rest pruned ADC read"
+        " similarity.py block re-touched by the round-13 optimization): the at-rest pruned ADC read"
         " is held in-window by q_ann_opq (the same session-cached fixture layout"
         " and ADC scan; pruning re-proven by the exec pins); re-proven every"
         " round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 66e95e60]"
     ),
     "q_multimodal_energy": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
@@ -287,22 +315,28 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_countmin": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
-        " pipeline_ops.py block untouched this round): the sketch tier is held"
+        " pipeline_ops.py block re-touched by the round-13 optimization): the sketch tier is held"
         " in-window by q_approx_percentile (exact leg + sketch certificate, same"
         " discipline); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block c5fdb0c5]"
     ),
     "q_set_overlap_kmv": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
-        " pipeline_ops.py block untouched this round): the KMV overlap estimate"
+        " pipeline_ops.py block re-touched by the round-13 optimization): the KMV overlap estimate"
         " is held in-window by q_source_overlap (the exact twin of the same"
         " containment/Jaccard matrix); re-proven every round by the local parity"
         " gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 1dcbbdec]"
     ),
     "q_source_divergence": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
-        " pipeline_ops.py block untouched this round): distribution-compare folds"
+        " pipeline_ops.py block re-touched by the round-13 optimization): distribution-compare folds"
         " are held in-window by q_mutual_info (the same joint/marginal"
         " contingency algebra); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block ea094007]"
     ),
     "q_retention_cohorts": (
         "rotated OUT round 13 age rotation (green driver rows r4+r5+r6+r7+r12,"
@@ -344,10 +378,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_sbs1_gold_deadletter": (
         "rotated OUT round 13 age rotation (green driver rows r6+r7+r8+r12,"
-        " sbs1_gold.py block untouched this round): the silver parse path and"
+        " sbs1_gold.py block re-touched by the round-13 optimization): the silver parse path and"
         " arity fork are held in-window by q_sbs1_gold_latest (the same"
         " production parser over the same fixture lines); re-proven every round"
         " by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 26421240]"
     ),
     "q_ema": (
         "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
@@ -376,21 +412,27 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_ks_test": (
         "rotated OUT round 13 age rotation (green driver rows r9+r12,"
-        " statistics.py block untouched this round): two-sample distribution"
+        " statistics.py block re-touched by the round-13 optimization): two-sample distribution"
         " comparison is held in-window by q_abtest (the same cohort-split compare"
         " discipline); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 2f8ba0d4]"
     ),
     "q_hill": (
         "rotated OUT round 13 age rotation (green driver rows r9+r12,"
-        " statistics.py block untouched this round): top-K order statistics are"
+        " statistics.py block re-touched by the round-13 optimization): top-K order statistics are"
         " held in-window by q_winsorize (the same exact rank-selected clipping);"
         " re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 698a7a00]"
     ),
     "q_triangles": (
         "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
-        " basket.py block untouched this round): degree-oriented graph joins are"
+        " basket.py block re-touched by the round-13 optimization): degree-oriented graph joins are"
         " held in-window by q_paths (the same edge-join expansion with skew"
         " orientation); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 133feaac]"
     ),
     # ---- round-12 second wave: q_ann_opq (the OPQ ADC read path,
     # full oracle, parity-verified at sf0.001/0.01/0.1 and under a
@@ -480,10 +522,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_percentile": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r1+r3+r4+r11, relational.py block untouched this round): exact"
+        " r1+r3+r4+r11, relational.py block re-touched by the round-13 optimization): exact"
         " order statistics are held in-window by q_hill (rank-selected"
         " top-K over the same count-collapse); re-proven every round by"
         " the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block c655b6c9]"
     ),
     "q_pivot": (
         "rotated OUT round 12 age rotation (green driver rows"
@@ -543,10 +587,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_train_split": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r3+r4+r5+r11, text.py block untouched this round): hash"
+        " r3+r4+r5+r11, text.py block re-touched by the round-13 optimization): hash"
         " splitting is held in-window by q_stratified_sample (the same"
         " deterministic hash-bucket assignment, stratified form); re-"
         " proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block bd9425bf]"
     ),
     "q_dedup": (
         "rotated OUT round 12 age rotation (green driver rows"
@@ -558,31 +604,39 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_near_dedup_minhash": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r1+r3+r4+r11, dedup.py block untouched this round): banded-"
+        " r1+r3+r4+r11, dedup.py block re-touched by the round-13 optimization): banded-"
         " signature blocking is held in-window by q_ann_lsh (band-bucket"
         " join) and q_rolling_fingerprint (the gram-hash stream); re-"
         " proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 17c71cae]"
     ),
     "q_near_dedup_simhash": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r1+r3+r4+r5+r6+r11, dedup.py block untouched this round):"
+        " r1+r3+r4+r5+r6+r11, dedup.py block re-touched by the round-13 optimization):"
         " sign-projection signatures are held in-window by"
         " q_random_projection (the same JL sign-matrix machinery); re-"
         " proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block dc17f90e]"
     ),
     "q_dedup_clusters": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r3+r4+r11, dedup.py block untouched this round): iterative"
+        " r3+r4+r11, dedup.py block re-touched by the round-13 optimization): iterative"
         " connected components is benched separately (BASELINE.md) and"
         " pinned by dedicated tests; the fingerprint-join edge build is"
         " held in-window by q_dedup_incremental; re-proven every round"
         " by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 10b47db4]"
     ),
     "q_source_overlap_kmv": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " dedup.py block untouched this round): held in-window by"
+        " dedup.py block re-touched by the round-13 optimization): held in-window by"
         " q_set_overlap_kmv (the same KMV bottom-k sketch and estimator"
         " legs); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 9d280480]"
     ),
     "q_knn_cosine": (
         "rotated OUT round 12 age rotation (green driver rows"
@@ -600,11 +654,13 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_ann_ivf_trained_join": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " similarity.py block untouched this round): the trained-"
+        " similarity.py block re-touched by the round-13 optimization): the trained-"
         " quantizer probe join is held in-window by q_ann_ivf_join (the"
         " same probe-join plan over the seed quantizer) with the fixture"
         " contract pinned in tests/test_pq.py; re-proven every round by"
         " the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block b3590308]"
     ),
     "q_ann_ivf_trained": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
@@ -629,17 +685,21 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_pq_encode": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " similarity.py block untouched this round): held in-window by"
+        " similarity.py block re-touched by the round-13 optimization): held in-window by"
         " q_opq_encode (the SAME shared _pq_code_expr encode, rotated"
         " form) and q_ann_pq_pruned's layout build; re-proven every"
         " round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 0fc19b46]"
     ),
     "q_ann_pq": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " similarity.py block untouched this round): ADC search is held"
+        " similarity.py block re-touched by the round-13 optimization): ADC search is held"
         " in-window by q_ann_pq_pruned (the same ADC shortlist + exact"
         " re-rank over the at-rest layout, staying for its second green"
         " row); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block ee1ec178]"
     ),
     "q_multimodal_frames": (
         "rotated OUT round 12 age rotation (green driver rows"
@@ -671,9 +731,11 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_table_digest": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " pipeline_ops.py block untouched this round): bucket content"
+        " pipeline_ops.py block re-touched by the round-13 optimization): bucket content"
         " digests are re-proven every round by the local parity gate and"
         " the digest streaming twin's pytest legs"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 993e4d3d]"
     ),
     "q_skew_profile": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
@@ -683,10 +745,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_decile_lift": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " inference.py block untouched this round): the Arrow scoring"
+        " inference.py block re-touched by the round-13 optimization): the Arrow scoring"
         " pass is held in-window by q_model_score (the same mapInPandas"
         " inference path); re-proven every round by the local parity"
         " gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 1fac1f50]"
     ),
     "q_auc": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
@@ -697,50 +761,64 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     ),
     "q_sax": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " timeseries.py block untouched this round): series segmentation"
+        " timeseries.py block re-touched by the round-13 optimization): series segmentation"
         " is held in-window by q_acf's segmented day-grain collapse; re-"
         " proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 15c4f235]"
     ),
     "q_benford": (
         "rotated OUT round 12 age rotation (green driver rows"
-        " r8+r9+r10+r11, statistics.py block untouched this round): the"
+        " r8+r9+r10+r11, statistics.py block re-touched by the round-13 optimization): the"
         " chi-square screen family is held in-window by q_seasonality"
         " (the same expected-vs-observed cell compare); re-proven every"
         " round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 398b4ecb]"
     ),
     "q_chi2": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block untouched this round): held in-window by"
+        " statistics.py block re-touched by the round-13 optimization): held in-window by"
         " q_seasonality (literally the same chi-square machinery at day-"
         " of-week grain); re-proven every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d1b03be8]"
     ),
     "q_mann_whitney": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block untouched this round): tie-corrected rank"
+        " statistics.py block re-touched by the round-13 optimization): tie-corrected rank"
         " sums are held in-window by q_ks_test (the same distinct-value"
         " collapse and pair grid); re-proven every round by the local"
         " parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block ddf13f25]"
     ),
     "q_subsample_ci": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block untouched this round): hash-bit"
+        " statistics.py block re-touched by the round-13 optimization): hash-bit"
         " subsampling is held in-window by q_weighted_sample (the same"
         " deterministic per-row hash priority discipline); re-proven"
         " every round by the local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 5182629f]"
     ),
     "q_theil_sen": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block untouched this round): domain-bounded pair"
+        " statistics.py block re-touched by the round-13 optimization): domain-bounded pair"
         " grids are held in-window by q_ks_test; the day collapse by"
         " q_acf's segmented form; re-proven every round by the local"
         " parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block f386c276]"
     ),
     "q_spatial_join": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " spatial.py block untouched this round): grid-blocked radius"
+        " spatial.py block re-touched by the round-13 optimization): grid-blocked radius"
         " joins are held in-window by q_join_range (the same blocking-"
         " then-verify range join shape); re-proven every round by the"
         " local parity gate"
+    
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block e66e8c28]"
     ),
     "q_pagerank": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
