@@ -416,7 +416,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " comparison is held in-window by q_abtest (the same cohort-split compare"
         " discipline); re-proven every round by the local parity gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 2f8ba0d4]"
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block f4dc8e85]"
     ),
     "q_hill": (
         "rotated OUT round 13 age rotation (green driver rows r9+r12,"
@@ -791,7 +791,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " collapse and pair grid); re-proven every round by the local"
         " parity gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block ddf13f25]"
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 79c32e30]"
     ),
     "q_subsample_ci": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"

@@ -325,12 +325,22 @@ def triangle_census(
     definition); the 3-clique join runs over the chosen acyclic
     orientation. ``_oriented_only`` exposes the oriented edge frame so
     the skew probe can measure the closing join's exact input size."""
+    if not _oriented_only:
+        # Lazy checkpoint back IN after the round-13 array-side pair
+        # rewrite: edges now ends in the pair-count FINAL aggregation
+        # over a 1.26M-row explode, and the census fans it out to six
+        # consumers (deg twice, ecnt, three clique legs via oriented).
+        # ReuseExchange replays only the exchange -- each consumer
+        # re-ran the final aggregation + filter. The edge set itself
+        # is tiny (support-floored pairs), so materializing it once
+        # is strictly cheaper: same-session A/B min-of-4 noop 1.89 ->
+        # 1.72 (edges) -> 1.67 (edges + oriented), and warm reps
+        # stabilize (plain: 3.08/2.07 tail; checkpointed: ~1.7 flat).
+        edges = edges.localCheckpoint(eager=False)
     oriented = _orient_edges(edges, orient)
     if _oriented_only:
         return oriented
-    # round 13: no checkpoint -- the edge aggregation ends in an
-    # exchange that ReuseExchange replays for every consumer (A/B
-    # pinned identical executed shuffle records with and without)
+    oriented = oriented.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

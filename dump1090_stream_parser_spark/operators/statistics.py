@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import keyed_spread, load_table, table_path
 from .registry import query
 
 #: Closed-form OLS over the aggregated doubles (rn, sx, sy, sxy, sxx,
@@ -615,22 +615,23 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins the defining property: weight
     at-or-below >= half, weight strictly-below < half.
     """
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
-    c = (
-        li.select(
-            F.col("l_returnflag").alias("rf"),
-            F.round(F.col("l_extendedprice") * 100, 0)
-            .cast("long")
-            .alias("price_c"),
-            F.round(F.col("l_quantity") * 100, 0)
-            .cast("long")
-            .alias("w_c"),
-        )
-        .groupBy("rf", "price_c")
-        .agg(
-            F.sum("w_c").alias("w"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    # keyed spread on the near-unique collapse key (see q_winsorize).
+    proj = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_quantity") * 100, 0)
+        .cast("long")
+        .alias("w_c"),
+    )
+    proj = keyed_spread(
+        spark, proj, table_path(sf_dir, "lineitem"), ["rf", "price_c"]
+    )
+    c = proj.groupBy("rf", "price_c").agg(
+        F.sum("w_c").alias("w"),
+        F.count(F.lit(1)).alias("n"),
     )
     from pyspark.sql.window import Window
 
@@ -1365,17 +1366,21 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
-    c = (
-        li.select(
-            F.col("l_returnflag").alias("rf"),
-            F.round(F.col("l_extendedprice") * 100, 0)
-            .cast("long")
-            .alias("price_c"),
-        )
-        .groupBy("rf", "price_c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    li = load_table(spark, sf_dir, "lineitem")
+    # keyed spread: (rf, price_c) is near-unique (~594k distinct cent
+    # prices from 600k rows at sf0.1), so partial aggregation buys
+    # nothing and the spread exchange doubles as the collapse
+    # exchange (see q_ks_test / tables.keyed_spread).
+    proj = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_c"),
     )
+    proj = keyed_spread(
+        spark, proj, table_path(sf_dir, "lineitem"), ["rf", "price_c"]
+    )
+    c = proj.groupBy("rf", "price_c").agg(F.count(F.lit(1)).alias("cnt"))
     cum = c.select(
         "rf",
         "price_c",
@@ -1544,21 +1549,23 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (third-engine check) and pins 0 <= D <= 1 and the scipy
     asymptotic identity on the significance cut.
     """
-    orders = load_table(spark, sf_dir, "orders", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
     # the value collapse feeds the totals and both stacked pair
     # legs; its aggregation exchange is replayed per consumer by
     # ReuseExchange (round-13 A/B: identical executed shuffle records
-    # without the former checkpoint, and no build-time stage run)
-    c = (
-        orders.select(
-            F.col("o_orderpriority").alias("grp"),
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("long")
-            .alias("v"),
-        )
-        .groupBy("grp", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # without the former checkpoint, and no build-time stage run).
+    # The collapse key is near-unique (one row per distinct cent
+    # price), so the spread is KEYED on the aggregation key: the
+    # spread exchange doubles as the collapse exchange instead of
+    # paying a round-robin exchange plus a no-reduction shuffle.
+    proj = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
     )
+    proj = keyed_spread(
+        spark, proj, table_path(sf_dir, "orders"), ["grp", "v"]
+    )
+    c = proj.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
     return ks_pairs_from_counts(c)
 
 
@@ -1594,15 +1601,21 @@ def ks_pairs_from_counts(c: DataFrame) -> DataFrame:
             )
         )
     )
-    u = m.groupBy("g1", "g2", "v").agg(
-        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
-    )
+    # No (g1, g2, v) re-aggregation (round 13): a RANGE frame admits
+    # every peer row (same v) into the cumulative sums together, so
+    # the two stacked legs of one value both read the FULL cum1/cum2
+    # at that value -- exactly the integers the former grid groupBy
+    # produced -- and the one duplicate (gap, v) row it leaves behind
+    # is value-identical, so the (gap DESC, v) rank-1 cut returns the
+    # same row either way. Saves a full exchange of the stacked grid
+    # (guide §2.4); the window's own (g1, g2) exchange remains the
+    # only post-collapse shuffle.
     w = (
         Window.partitionBy("g1", "g2")
         .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = u.select(
+    cum = m.select(
         "g1",
         "g2",
         "v",
@@ -2055,17 +2068,17 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    c = (
-        orders.select(
-            F.col("o_orderpriority").alias("grp"),
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("long")
-            .alias("v"),
-        )
-        .groupBy("grp", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    orders = load_table(spark, sf_dir, "orders")
+    # keyed spread: the collapse key is near-unique, so the spread
+    # exchange IS the collapse exchange (see q_ks_test).
+    proj = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
     )
+    proj = keyed_spread(
+        spark, proj, table_path(sf_dir, "orders"), ["grp", "v"]
+    )
+    c = proj.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
     nt = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
     a, b = nt.alias("a"), nt.alias("b")
     pairs = (
@@ -2093,16 +2106,21 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    u = m.groupBy("g1", "g2", "v").agg(
-        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
-    )
-    wb = (
-        Window.partitionBy("g1", "g2")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = u.select(
-        "g1", "g2", "v", "c1", "c2",
+    # No (g1, g2, v) re-aggregation (round 13, the q_ks_test RANGE-
+    # frame discipline): the stacked legs stay as rows, and per-value
+    # combined counts come from a PEER frame (range 0..0 -- all rows
+    # sharing v) over the same sort the exclusive-cum frame already
+    # pays for, so the former grid groupBy's full exchange disappears
+    # while every integer the U/tie algebra consumes is unchanged:
+    # cb2 (opponent count strictly below v, range ..-1 == the grid's
+    # rows ..-1 over distinct values), c1v/c2v (the grid's c1/c2).
+    wv = Window.partitionBy("g1", "g2").orderBy("v")
+    wb = wv.rangeBetween(Window.unboundedPreceding, -1)
+    wp = wv.rangeBetween(Window.currentRow, Window.currentRow)
+    cum = m.select(
+        "g1", "g2", "v", "c1",
+        F.sum("c1").over(wp).alias("c1v"),
+        F.sum("c2").over(wp).alias("c2v"),
         F.coalesce(F.sum("c2").over(wb), F.lit(0).cast("long")).alias(
             "cb2"
         ),
@@ -2115,7 +2133,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (38,0) result exact while t^3 < 1e38, i.e. tie groups to ~4.6e12
     # rows; past _MW_TIE_BOUND the assert_true fails the job LOUDLY
     # instead of the ANSI-off silent null that would propagate into z.
-    t_raw = F.col("c1") + F.col("c2")
+    t_raw = F.col("c1v") + F.col("c2v")
     t = t_raw + F.coalesce(
         F.assert_true(
             t_raw <= F.lit(_MW_TIE_BOUND),
@@ -2126,16 +2144,25 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.lit(0).cast("long"),
     )
+    # Each value contributes its U term once through its leg-1 row
+    # (c1 = 0 on leg-2 rows, so their product vanishes) and its tie
+    # cube once through the FIRST row of its peer group (the leg-1
+    # row when present, else the lone leg-2 row); non-first rows
+    # yield NULL, which SUM skips.
+    is_first = (F.col("c1") > 0) | (F.col("c1v") == F.lit(0))
     s = cum.groupBy("g1", "g2").agg(
         F.sum(
             F.col("c1").cast("decimal(18,0)")
-            * (F.lit(2) * F.col("cb2") + F.col("c2")).cast("decimal(19,0)")
+            * (F.lit(2) * F.col("cb2") + F.col("c2v")).cast("decimal(19,0)")
         ).alias("u2"),
         F.sum(
-            t.cast("decimal(18,0)")
-            * t.cast("decimal(18,0)")
-            * t.cast("decimal(18,0)")
-            - t.cast("decimal(38,0)")
+            F.when(
+                is_first,
+                t.cast("decimal(18,0)")
+                * t.cast("decimal(18,0)")
+                * t.cast("decimal(18,0)")
+                - t.cast("decimal(38,0)"),
+            )
         ).alias("ts"),
     )
     # The per-row guard above bounds each GROUP's cube; the SUM of many

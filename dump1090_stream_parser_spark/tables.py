@@ -102,6 +102,46 @@ def scan_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df.repartition(cores, F.xxhash64(df.columns[0]))
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """On-disk parquet path for one testdata table (the argument both
+    spread helpers size their undershoot condition from)."""
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def keyed_spread(
+    spark: SparkSession, df: DataFrame, path: str, cols: list[str]
+) -> DataFrame:
+    """:func:`scan_spread` for frames whose NEXT operation is a keyed
+    aggregation with ~no map-side reduction (distinct-value collapses:
+    the grouping key is near-unique, so partial aggregation buys
+    nothing and the generic spread pays TWO exchanges -- the spread's
+    round-robin one plus the aggregation's own). Hash-partitioning the
+    spread on the aggregation keys instead makes the spread exchange
+    BE the aggregation exchange: EnsureRequirements recognises
+    HashPartitioning(cols) as satisfying the groupBy's clustered
+    distribution (exact keys or any superset of ``cols``), so the
+    collapse runs spread across the cluster with ONE exchange total
+    (guide §2.4 "two operations keyed the same way can often share one
+    exchange").
+
+    Same undershoot condition as :func:`scan_spread` -- at production
+    split counts this returns ``df`` untouched and the plan is the
+    normal partial-agg -> exchange -> final-agg shape. Deterministic
+    under retries (data-derived hash keys, no round-robin)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    est_splits = max(1, -(-size // max_split))
+    cores = spark.sparkContext.defaultParallelism
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores, *[F.col(c) for c in cols])
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:

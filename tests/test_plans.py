@@ -1034,3 +1034,56 @@ def test_text_entropy_is_exchange_and_generate_free(spark):
     # production split counts)
     n_keyed = final.count(") Exchange") - spread_exchange_count(final)
     assert n_keyed == 0, final
+
+
+def test_keyed_spread_shares_the_collapse_exchange(spark):
+    """tables.keyed_spread (round 13): for a near-unique-key collapse
+    on an undershooting input, the spread exchange must BE the
+    aggregation exchange -- hashpartitioning on the aggregation keys,
+    with no round-robin/xxhash spread exchange and no second keyed
+    exchange between the scan and the collapse."""
+    from pyspark.sql import functions as F
+
+    from dump1090_stream_parser_spark.tables import (
+        keyed_spread,
+        load_table,
+        table_path,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    proj = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    proj = keyed_spread(
+        spark, proj, table_path(SF_DIR, "orders"), ["grp", "v"]
+    )
+    c = proj.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    plan = formatted_plan(c)
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly ONE exchange, keyed on the aggregation key
+    assert final.count(") Exchange") == 1, final
+    assert "hashpartitioning(grp" in final, final
+    assert spread_exchange_count(final) == 0, final
+
+
+def test_keyed_spread_is_a_noop_at_production_split_counts(spark):
+    """With maxPartitionBytes small enough that the scan splits reach
+    defaultParallelism, keyed_spread must return the frame untouched
+    (the scale-adaptive condition, not a local constant)."""
+    from dump1090_stream_parser_spark.tables import (
+        keyed_spread,
+        load_table,
+        table_path,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        out = keyed_spread(
+            spark, orders, table_path(SF_DIR, "orders"), ["o_orderkey"]
+        )
+        assert out is orders
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
