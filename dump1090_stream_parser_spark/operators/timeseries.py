@@ -38,7 +38,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import keyed_spread, load_table, table_path
 from .registry import query
 
 #: Smoothing factor. 0.25 and 0.75 are exact in binary floating point,
@@ -340,14 +340,20 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running count returns to zero after the last boundary.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    li = load_table(spark, sf_dir, "lineitem")
     # aggregate BELOW the join (round 13, guide §2.3 "aggregate before
     # you shuffle"): the span end needs only MAX(l_shipdate) per
     # orderkey, so collapsing lineitem 4:1 first makes the fact-fact
     # join orderkey-unique on both sides -- same spans exactly (the
     # join key is the grouping key, and orders without lineitems drop
-    # under the inner join either way)
-    ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+    # under the inner join either way). The spread is KEYED on the
+    # grouping/join key (tables.keyed_spread), so ONE exchange serves
+    # spread + collapse + the lineitem side of the join.
+    proj = li.select("l_orderkey", "l_shipdate")
+    proj = keyed_spread(
+        spark, proj, table_path(sf_dir, "lineitem"), ["l_orderkey"]
+    )
+    ship = proj.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("d1")
     )
     spans = orders.join(ship, "o_orderkey").select(
@@ -355,9 +361,25 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d0"),
         "d1",
     )
+    # both boundary deltas EXPLODE from one span row (round 13): the
+    # former two-leg unionAll duplicated the span subtree -- the whole
+    # fact-fact join executed once per leg (only its exchanges were
+    # reused) -- while the explode is a narrow 2-row Generate over a
+    # single join execution; the delta rows are identical
     deltas = (
-        spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta"))
-        .unionAll(spans.select(F.col("d1").alias("d"), F.lit(-1).alias("delta")))
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d0").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("d1").alias("d"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.d", "x.delta")
         .groupBy("d")
         .agg(F.sum("delta").alias("net"))
     )
