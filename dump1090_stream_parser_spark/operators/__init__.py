@@ -791,7 +791,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " collapse and pair grid); re-proven every round by the local"
         " parity gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 79c32e30]"
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration; session 3: single-pass broadcast-roles stacking of the pair legs), oracle text unchanged, parity re-verified at sf0.01 and sf0.1 this session; block 77f98500]"
     ),
     "q_subsample_ci": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
