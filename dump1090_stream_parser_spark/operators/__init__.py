@@ -264,7 +264,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " and ADC scan; pruning re-proven by the exec pins); re-proven every"
         " round by the local parity gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 66e95e60]"
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (per-query LUT/probe-cell text + parsed chunks cached like q_ann_opq's), oracle text unchanged, parity re-verified this session; block 70c11ea4]"
     ),
     "q_multimodal_energy": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
@@ -699,7 +699,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " re-rank over the at-rest layout, staying for its second green"
         " row); re-proven every round by the local parity gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block ee1ec178]"
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (adc_search now gets plan_cache_key, skipping the per-call query-vector collect + LUT render/parse), oracle text unchanged, parity re-verified this session; block c6b532c9]"
     ),
     "q_multimodal_frames": (
         "rotated OUT round 12 age rotation (green driver rows"

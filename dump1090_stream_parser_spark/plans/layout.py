@@ -611,7 +611,9 @@ def ann_pq_over_layout(
     codes = spark.read.parquet(codes_dir).filter(
         ~F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
     )
-    return adc_search(codes, emb, by_m)
+    # Same fixture, query set and (absent) transform as q_ann_pq, so
+    # the cached LUT text/Columns are shared with it by key.
+    return adc_search(codes, emb, by_m, plan_cache_key=f"pq:{sf_dir}")
 
 
 def pq_ivf_codes_layout(
