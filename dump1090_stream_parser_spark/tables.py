@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 
 from .session import apply_runtime_conf
 
+#: Process-lifetime cache of testdata parquet schemas, keyed on the
+#: full file path (immutable committed bytes -- the driver-artifact
+#: caching discipline). StructType is plain Python: safe across
+#: sessions, holds no JVM handle.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 #: Tables the driver pre-registers as DuckDB views (TESTDATA.md).
 TABLES = (
     "region",
@@ -154,7 +160,20 @@ def load_table(
     """
     apply_runtime_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    df = spark.read.parquet(path)
+    # Schema-inference skip (r13 opt, guide §1.2 "per-task work" at the
+    # driver): spark.read.parquet() infers the schema from the footer on
+    # EVERY call (~130 ms); with an explicit schema the same read costs
+    # ~25 ms. The testdata is immutable committed bytes, so the schema
+    # keyed on the full path can never go stale within a process; the
+    # first load still infers (with the nanos conf already applied, so
+    # events' ts arrives as the same bigint either way). Data is read
+    # from parquet identically -- this caches METADATA, not results.
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch -> µs TIMESTAMP_NTZ; `div` truncates exactly like DuckDB.
         df = df.withColumn(
