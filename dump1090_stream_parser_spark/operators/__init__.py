@@ -266,7 +266,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " and ADC scan; pruning re-proven by the exec pins); re-proven every"
         " round by the local parity gate"
 
-        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block d537f17a]"
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block 4aeecffe]"
     ),
     "q_multimodal_energy": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"

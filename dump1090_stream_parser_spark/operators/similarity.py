@@ -3101,9 +3101,15 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ADC_LUT_TEXT_CACHE[pruned_key] = cached
     per_q, union_cells_sorted = cached
     # The static union-of-probes predicate compiles to PartitionFilters:
-    # unprobed cell directories are never even listed.
+    # unprobed cell directories are never even listed. Schema cached per
+    # layout dir (written once per session, immutable after _SUCCESS) so
+    # warm builds skip the footer/partition-type inference (~80 ms).
+    lay_schema = _DRIVER_ROWS_CACHE.get(f"layschema:{layout_dir}")
+    if lay_schema is None:
+        lay_schema = spark.read.parquet(layout_dir).schema
+        _DRIVER_ROWS_CACHE[f"layschema:{layout_dir}"] = lay_schema
     codes = (
-        spark.read.parquet(layout_dir)
+        spark.read.schema(lay_schema).parquet(layout_dir)
         .filter(
             F.col("cell_id").isin(union_cells_sorted) & ~is_query
         )
