@@ -32,6 +32,11 @@ def test_bench_emits_driver_contract_json():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # The contract under test is the JSON shape, not the timing
+        # discipline: one rep exercises every code path (reps/value_mean
+        # included) at a third of the wall clock. At 3 reps the run sat
+        # within ~15% of the timeout on a noisy host and flaked (r13).
+        SPARK_GRAFT_BENCH_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -39,7 +44,7 @@ def test_bench_emits_driver_contract_json():
         env=env,
         capture_output=True,
         text=True,
-        timeout=480,
+        timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
 
