@@ -2694,17 +2694,25 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_codebook_by_m(spark: SparkSession):
     """The committed codebook as {m: [(code_id, codeword), ...]} --
-    the driver-side artifact every PQ stage inlines from."""
-    cb_rows = sorted(
-        spark.read.parquet(_PQ_FIXTURE).collect(),
-        key=lambda r: (r["m"], r["code_id"]),
-    )
-    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
-    for r in cb_rows:
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
+    the driver-side artifact every PQ stage inlines from.
+    Process-lifetime cached (committed, immutable fixture bytes; the
+    opq_codebook_by_m discipline -- caught by
+    tests/test_build_caches.py: the per-call collect was two Spark
+    jobs inside every q_ann_pq/q_pq_encode plan build)."""
+
+    def build():
+        cb_rows = sorted(
+            spark.read.parquet(_PQ_FIXTURE).collect(),
+            key=lambda r: (r["m"], r["code_id"]),
         )
-    return by_m
+        by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
+        for r in cb_rows:
+            by_m.setdefault(int(r["m"]), []).append(
+                (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
+            )
+        return by_m
+
+    return _cached_rows("pq_codebook", build)
 
 
 def pq_codes_projection(emb: DataFrame, by_m) -> DataFrame:

@@ -1,0 +1,95 @@
+"""Round-13 optimization batch 6: driver-side plan-build caching.
+
+The batch's claim is behavioral, not numeric: once a query has been
+built once in a process, rebuilding it must launch ZERO Spark jobs --
+no query-vector/centroid collect jobs, no parquet schema-inference
+job. These tests pin that with job groups (thread-local, so the shared
+session fixture is safe): any job launched during the warm build lands
+in the probe group and fails the assertion. A regression that quietly
+reintroduces a per-call collect or footer read (the pre-batch state:
+~0.2-2.0 s of build per call) trips this immediately, without timing.
+
+Staleness guard: the caches key on immutable inputs (committed
+fixtures, the sf_dir testdata, file paths), so a cached artifact must
+be IDENTICAL to a fresh re-derivation -- asserted directly below.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from dump1090_stream_parser_spark import tables
+from dump1090_stream_parser_spark.operators import similarity as S
+
+from .conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+#: Queries whose entire warm plan build must be job-free. Excludes
+#: lazy-localCheckpoint queries (their build executes real upstream
+#: stages by design -- covered by the exec-signature pins instead).
+WARM_BUILD_JOB_FREE = [
+    "q_ann_pq",
+    "q_ann_opq",
+    "q_ann_ivf",
+    "q_ann_ivf_join",
+    "q_ann_ivf_trained",
+    "q_ann_ivf_trained_join",
+    "q_join_star",
+]
+
+
+def _jobs_during(spark, fn, group: str):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "warm-build probe: no jobs expected")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    return list(sc.statusTracker().getJobIdsForGroup(group))
+
+
+@pytest.mark.parametrize("name", WARM_BUILD_JOB_FREE)
+def test_warm_build_launches_no_jobs(spark, name):
+    QUERIES[name](spark, SF_DIR)  # cold call: pays collects/inference
+    jobs = _jobs_during(
+        spark, lambda: QUERIES[name](spark, SF_DIR), f"warmbuild-{name}"
+    )
+    assert jobs == [], (
+        f"{name}: warm plan build launched Spark jobs {jobs} -- a"
+        " driver-side artifact (LUT text, centroid rows, parquet"
+        " schema) is being re-derived per call again"
+    )
+
+
+def test_schema_cache_matches_fresh_inference(spark):
+    for table in ("lineitem", "events", "embeddings", "documents"):
+        df = tables.load_table(spark, SF_DIR, table)
+        path = tables.table_path(SF_DIR, table)
+        assert path in tables._SCHEMA_CACHE
+        fresh = spark.read.parquet(path).schema
+        assert tables._SCHEMA_CACHE[path] == fresh, (
+            f"{table}: cached schema drifted from the file's footer"
+        )
+        # events: the ts normalization must still run on the cached path
+        if table == "events":
+            assert dict(df.dtypes)["ts"].startswith("timestamp")
+
+
+def test_cached_rows_fresh_equals_cached(spark):
+    emb = tables.load_table(spark, SF_DIR, "embeddings")
+    cached = S._seed_centroid_rows(emb, cache_key=SF_DIR)
+    fresh = S._seed_centroid_rows(emb)  # key=None: always re-collects
+    assert cached == fresh
+    assert S._ivf_fixture_rows(spark) == S._ivf_fixture_rows(spark)
+
+
+def test_adc_lut_text_cached_and_stable(spark):
+    QUERIES["q_ann_pq"](spark, SF_DIR)
+    key = f"pq:{SF_DIR}"
+    assert key in S._ADC_LUT_TEXT_CACHE
+    before = list(S._ADC_LUT_TEXT_CACHE[key])
+    QUERIES["q_ann_pq"](spark, SF_DIR)
+    assert S._ADC_LUT_TEXT_CACHE[key] == before
