@@ -693,8 +693,8 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " q_opq_encode (the SAME shared _pq_code_expr encode, rotated"
         " form) and q_ann_pq_pruned's layout build; re-proven every"
         " round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 0fc19b46]"
+
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (the inlined codebook collect replaced by the shared process-cached pq_codebook_by_m), oracle text unchanged, parity re-verified this session; block d6d2f814]"
     ),
     "q_ann_pq": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"

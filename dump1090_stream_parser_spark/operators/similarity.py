@@ -2089,15 +2089,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-centroid baseline on reconstruction error per subspace.
     """
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cb_rows = sorted(
-        spark.read.parquet(_PQ_FIXTURE).collect(),
-        key=lambda r: (r["m"], r["code_id"]),
-    )
-    by_m: dict[int, list[tuple[int, tuple[float, ...]]]] = {}
-    for r in cb_rows:
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["code_id"]), tuple(float(v) for v in r["cv"]))
-        )
+    # the shared process-cached codebook artifact (r13 batch 6: the
+    # inlined per-call collect here was two Spark jobs per plan build)
+    by_m = pq_codebook_by_m(spark)
     subs = F.array(*[_pq_code_expr(m, by_m[m]) for m in sorted(by_m)])
     return emb.select(
         "vec_id", F.explode(subs).alias("e")

@@ -31,7 +31,9 @@ QUERIES = entry_mod.queries()
 #: stages by design -- covered by the exec-signature pins instead).
 WARM_BUILD_JOB_FREE = [
     "q_ann_pq",
+    "q_pq_encode",
     "q_ann_opq",
+    "q_opq_encode",
     "q_ann_ivf",
     "q_ann_ivf_join",
     "q_ann_ivf_trained",
