@@ -763,6 +763,14 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
     )
     g = staged.select("doc_id", "lang", grams.alias("gs"))
+    # Round 14 note (measured, kept as the JOIN shape): the round-13
+    # basket_pair_counts recipe (collect_set per gram + sorted-array
+    # pair explode) was tried here and measured 3.6x SLOWER
+    # (same-session min-of-4: 18.1 s vs 5.0 s at sf0.1/local[32]).
+    # Baskets are <= 7 items; gram doc-frequencies reach ~150, so the
+    # per-row flatten(transform(slice...)) builds O(df^2) struct
+    # arrays inside one codegen expression, far costlier than
+    # streaming the same 9.4M pairs through the hash join below.
     gx = g.select("doc_id", "lang", F.explode("gs").alias("gram"))
     sizes = g.select("doc_id", F.size("gs").alias("sz"))
     inter = (
@@ -851,20 +859,36 @@ def dedup_clusters_from(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # below references it twice, and without the checkpoint each branch
     # would re-run the (potentially expensive) pair build.
     pairs = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-    ).union(
+    # Hash-partition the static edge table on its join key ONCE and
+    # checkpoint the partitioned layout (round 14, guide §2.4): every
+    # propagation round joins edges on dst, and exchange reuse cannot
+    # cross the per-round actions, so the un-partitioned union used to
+    # re-exchange the edge set every round. checkpoint_partitioned
+    # (tables.py) keeps the hashpartitioning visible on the
+    # checkpointed RDD -- a plain AQE-era localCheckpoint records
+    # UnknownPartitioning and every round would re-exchange anyway.
+    from ..tables import checkpoint_partitioned
+
+    edges = checkpoint_partitioned(
         pairs.select(
-            F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
-        )
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        ).union(
+            pairs.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        ),
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        "dst",
     )
     # Singletons (no incident edge) never move: iterate only over nodes
     # that occur in the edge set; everyone else clusters with themselves.
+    # Lazy for the same one-job-per-materialization reason as the loop
+    # below: the initial label-sum collect is the first action.
     lab = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def jump(df: DataFrame) -> DataFrame:
@@ -902,7 +926,13 @@ def dedup_clusters_from(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         # Two pointer jumps per round halve the remaining rounds: each
         # is a self-join on the (node, label) table, trivial next to the
         # round's fixed job overhead.
-        new = jump(jump(cand)).localCheckpoint(eager=True)
+        # LAZY checkpoint (round 14): the convergence collect right
+        # below is the round's first action and materializes the
+        # checkpoint as it runs -- one Spark job per round instead of
+        # the former two (eager checkpoint job + collect job), halving
+        # the per-round driver scheduling this loop's wall-clock is
+        # made of at toy scale.
+        new = jump(jump(cand)).localCheckpoint(eager=False)
         cur_sum = label_sum(new)
         lab = new
         if cur_sum == prev_sum:

@@ -588,14 +588,26 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
     )
-    tot = g.agg(
-        F.sum("n").alias("tn"), F.sum("npos").alias("tp")
-    )
+    # Corpus totals as UNBOUNDED window sums over the 10-row decile
+    # frame (round 14, VERDICT r13 #1): the former 1-row `tot`
+    # aggregate -- whether checkpointed, re-derived, or broadcast --
+    # made the Arrow scoring subtree appear TWICE in the plan (once
+    # under the broadcast build, once under g), and the duplicated
+    # Python-worker pass contended at local[32] (driver measured
+    # 8.08 s vs 0.97 s prev). Both frames share g's partition/order
+    # (one Window node), so the scoring pass provably runs ONCE --
+    # plan-pinned by the single ArrowEvalPython/MapInPandas node in
+    # plans/r14 and the exec-signature test. Same exact integers, same
+    # closed-form texts; oracle unchanged.
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        g.crossJoin(F.broadcast(tot))
+        g.withColumn("tn", F.sum("n").over(wall))
+        .withColumn("tp", F.sum("npos").over(wall))
         .withColumn("cum_pos", F.sum("npos").over(wcum))
         .select(
             "decile",

@@ -148,6 +148,38 @@ def keyed_spread(
     return df.repartition(cores, *[F.col(c) for c in cols])
 
 
+def checkpoint_partitioned(
+    df: DataFrame, n: int, *cols: str
+) -> DataFrame:
+    """Hash-partition ``df`` on ``cols`` and localCheckpoint it so the
+    PARTITIONING SURVIVES for downstream consumers (round 14, guide
+    §2.4 "two operations keyed the same way share one exchange").
+
+    Under AQE, ``repartition(...).localCheckpoint()`` silently records
+    ``UnknownPartitioning``: the RDD is captured through the
+    AdaptiveSparkPlan wrapper, whose output partitioning is not final
+    at capture time -- so every later join/aggregation on the key
+    RE-EXCHANGES the checkpointed table (measured on q_pagerank: 16
+    exchanges / 26 sorts for 5 power iterations over two static
+    tables). Creating the checkpoint with AQE momentarily off makes
+    the LogicalRDD carry ``hashpartitioning(cols, n)``, which AQE-on
+    consumers recognise normally -- iterative loops then pay the key
+    exchange ONCE instead of once per round. The toggle is scoped to
+    the checkpoint creation on the driver thread (query builds here
+    are single-threaded) and flipped back immediately.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = df.repartition(n, *[F.col(c) for c in cols]).localCheckpoint(
+            eager=False
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
