@@ -54,9 +54,94 @@ from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401
 #: and only a registration left stale for a FULL round (ledger two or
 #: more rounds ahead) is a violation. Bump this constant as part of every
 #: rotation edit.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 EVAL_TAIL_RATIONALE: dict[str, str] = {
+    # ---- round-14 rotation (VERDICT r13 ask #3): the round-13/14
+    # restructured queries re-enter the window so the driver
+    # value-certifies the semantics-touching optimization work --
+    # q_ks_test, q_mann_whitney (RANGE-frame pair grids), q_triangles
+    # (array-side pair enumeration), q_near_dedup_minhash (band-struct
+    # explode), q_chi2, q_sax (checkpoint removals), q_decile_lift
+    # (windowed corpus totals, round 14), q_theil_sen (checkpoint
+    # restored, round 14), plus q_pagerank and q_dedup_clusters (the
+    # round-14 checkpoint_partitioned loop restructure). The ten parks
+    # below make room; every one carries a FRESH r13 green row on code
+    # untouched since (guard-enforced block diffs), and each names its
+    # in-window capability holder.
+    "q_cooccur": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " basket.py block untouched this round): the collect_set +"
+        " sorted-array pair enumeration core is held in-window by"
+        " q_triangles (the same basket_pair_counts machinery, one"
+        " census deeper); re-proven every round by the local parity"
+        " gate"
+    ),
+    "q_interval_peak": (
+        "rotated OUT round 14 rotation (green driver rows r10+r13,"
+        " timeseries.py block untouched this round): non-equi interval"
+        " predicates are held in-window by q_scd2_intervals (the same"
+        " validity-interval overlap shape); re-proven every round by"
+        " the local parity gate"
+    ),
+    "q_near_dedup_ngram": (
+        "rotated OUT round 14 rotation (green driver rows r4+r5+r13,"
+        " dedup.py block untouched this round): gram-set Jaccard"
+        " near-dup is held in-window by q_near_dedup_minhash (the same"
+        " shingle pipeline under banded signatures) and"
+        " q_dedup_clusters_lsh (its survivors clustered); re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_dup_spans": (
+        "rotated OUT round 14 rotation (green driver rows r10+r13,"
+        " text.py block untouched this round): span-grain duplicate"
+        " marking is held in-window by q_dup_spans_bloom (the same"
+        " single-window marking behind the Bloom prefilter fork);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_abtest": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " statistics.py block untouched this round): two-sample"
+        " hypothesis testing is held in-window by q_mann_whitney and"
+        " q_ks_test (the same cohort-split compare over exact integer"
+        " sufficient statistics); re-proven every round by the local"
+        " parity gate"
+    ),
+    "q_gini": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " statistics.py block untouched this round): exact"
+        " order-statistic folds over the value collapse are held"
+        " in-window by q_winsorize and q_weighted_median; re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_mutual_info": (
+        "rotated OUT round 14 rotation (green driver rows r9+r13,"
+        " statistics.py block untouched this round): contingency-grid"
+        " machinery is held in-window by q_chi2 (literally the same"
+        " domain-bounded cell counts, a different functional on top);"
+        " re-proven every round by the local parity gate"
+    ),
+    "q_regression": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " statistics.py block untouched this round): trend fitting over"
+        " the day-grain collapse is held in-window by q_theil_sen (the"
+        " robust-slope form over the same collapse); re-proven every"
+        " round by the local parity gate"
+    ),
+    "q_anomaly_mad": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " statistics.py block untouched this round): robust"
+        " median/MAD order statistics are held in-window by"
+        " q_winsorize (the same exact rank-selected fold); re-proven"
+        " every round by the local parity gate"
+    ),
+    "q_transitions": (
+        "rotated OUT round 14 rotation (green driver rows r8+r13,"
+        " sequence.py block untouched this round): ordered"
+        " event-sequence pairing is held in-window by q_paths (the"
+        " same lead/lag sequence machinery one hop deeper); re-proven"
+        " every round by the local parity gate"
+    ),
     # ---- round-13 green-age rotation (VERDICT r12 ask #4): the full
     # r9 cohort (28 entries, age 4 at this window's round -- they would
     # hit the green-age bound at round 14) re-enters, joined by the 19
@@ -266,7 +351,7 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " and ADC scan; pruning re-proven by the exec pins); re-proven every"
         " round by the local parity gate"
 
-        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; block 4aeecffe]"
+        " [round-13 optimization re-touched this block: driver-side plan-build caching only (fixture/seed rows + parsed centroid expressions cached process/session-wide), oracle text unchanged, parity re-verified this session; round-14 ADVICE hygiene re-touch: pruned plan tuples moved to _PRUNED_PLAN_CACHE and the layout schema into tables._SCHEMA_CACHE -- cache plumbing only, same values, parity re-verified; block 5f2d5130]"
     ),
     "q_multimodal_energy": (
         "rotated OUT round 13 age rotation (green driver rows r5+r6+r7+r12,"
@@ -412,14 +497,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " expected-share compare are held in-window by q_burst (the same"
         " zero-filled day spine); re-proven every round by the local parity gate"
     ),
-    "q_ks_test": (
-        "rotated OUT round 13 age rotation (green driver rows r9+r12,"
-        " statistics.py block re-touched by the round-13 optimization): two-sample distribution"
-        " comparison is held in-window by q_abtest (the same cohort-split compare"
-        " discipline); re-proven every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block f4dc8e85]"
-    ),
     "q_hill": (
         "rotated OUT round 13 age rotation (green driver rows r9+r12,"
         " statistics.py block re-touched by the round-13 optimization): top-K order statistics are"
@@ -427,14 +504,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " re-proven every round by the local parity gate"
     
         " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 698a7a00]"
-    ),
-    "q_triangles": (
-        "rotated OUT round 13 age rotation (green driver rows r8+r9+r12,"
-        " basket.py block re-touched by the round-13 optimization): degree-oriented graph joins are"
-        " held in-window by q_paths (the same edge-join expansion with skew"
-        " orientation); re-proven every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 133feaac]"
     ),
     # ---- round-12 second wave: q_ann_opq (the OPQ ADC read path,
     # full oracle, parity-verified at sf0.001/0.01/0.1 and under a
@@ -604,15 +673,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " snapshot-diff forms); re-proven every round by the local"
         " parity gate"
     ),
-    "q_near_dedup_minhash": (
-        "rotated OUT round 12 age rotation (green driver rows"
-        " r1+r3+r4+r11, dedup.py block re-touched by the round-13 optimization): banded-"
-        " signature blocking is held in-window by q_ann_lsh (band-bucket"
-        " join) and q_rolling_fingerprint (the gram-hash stream); re-"
-        " proven every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 17c71cae]"
-    ),
     "q_near_dedup_simhash": (
         "rotated OUT round 12 age rotation (green driver rows"
         " r1+r3+r4+r5+r6+r11, dedup.py block re-touched by the round-13 optimization):"
@@ -621,16 +681,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " proven every round by the local parity gate"
     
         " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block dc17f90e]"
-    ),
-    "q_dedup_clusters": (
-        "rotated OUT round 12 age rotation (green driver rows"
-        " r3+r4+r11, dedup.py block re-touched by the round-13 optimization): iterative"
-        " connected components is benched separately (BASELINE.md) and"
-        " pinned by dedicated tests; the fingerprint-join edge build is"
-        " held in-window by q_dedup_incremental; re-proven every round"
-        " by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 10b47db4]"
     ),
     "q_source_overlap_kmv": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
@@ -747,29 +797,12 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " is re-proven every round by the local parity gate; its salting"
         " remedy is held in-window by q_ann_lsh's bucket keys"
     ),
-    "q_decile_lift": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " inference.py block re-touched by the round-13 optimization): the Arrow scoring"
-        " pass is held in-window by q_model_score (the same mapInPandas"
-        " inference path); re-proven every round by the local parity"
-        " gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 1fac1f50]"
-    ),
     "q_auc": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
         " inference.py block untouched this round): rank-sum machinery"
         " is held in-window by q_ks_test (the same integer rank"
         " statistics over the score collapse); re-proven every round by"
         " the local parity gate"
-    ),
-    "q_sax": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " timeseries.py block re-touched by the round-13 optimization): series segmentation"
-        " is held in-window by q_acf's segmented day-grain collapse; re-"
-        " proven every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 15c4f235]"
     ),
     "q_benford": (
         "rotated OUT round 12 age rotation (green driver rows"
@@ -780,23 +813,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     
         " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 398b4ecb]"
     ),
-    "q_chi2": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block re-touched by the round-13 optimization): held in-window by"
-        " q_seasonality (literally the same chi-square machinery at day-"
-        " of-week grain); re-proven every round by the local parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block d1b03be8]"
-    ),
-    "q_mann_whitney": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block re-touched by the round-13 optimization): tie-corrected rank"
-        " sums are held in-window by q_ks_test (the same distinct-value"
-        " collapse and pair grid); re-proven every round by the local"
-        " parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration; session 3: single-pass broadcast-roles stacking of the pair legs), oracle text unchanged, parity re-verified at sf0.01 and sf0.1 this session; block 77f98500]"
-    ),
     "q_subsample_ci": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
         " statistics.py block re-touched by the round-13 optimization): hash-bit"
@@ -806,15 +822,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
     
         " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 5182629f]"
     ),
-    "q_theil_sen": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " statistics.py block re-touched by the round-13 optimization): domain-bounded pair"
-        " grids are held in-window by q_ks_test; the day collapse by"
-        " q_acf's segmented form; re-proven every round by the local"
-        " parity gate"
-    
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block f386c276]"
-    ),
     "q_spatial_join": (
         "rotated OUT round 12 age rotation (green driver rows r10+r11,"
         " spatial.py block re-touched by the round-13 optimization): grid-blocked radius"
@@ -823,13 +830,6 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " local parity gate"
     
         " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block e66e8c28]"
-    ),
-    "q_pagerank": (
-        "rotated OUT round 12 age rotation (green driver rows r10+r11,"
-        " graph.py block untouched this round): iterative fixed-point is"
-        " benched separately (BASELINE.md) and pinned by dedicated"
-        " tests; the per-round join+agg shape is held in-window by"
-        " q_triangles; re-proven every round by the local parity gate"
     ),
     # ---- round-11 green-age rotation (VERDICT r10 asks #1 + #8): all
     # 21 parked entries past green-age 5 (ages 6-7) re-enter the window

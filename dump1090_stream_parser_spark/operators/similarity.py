@@ -441,6 +441,14 @@ IVF_NPROBE = 2
 #: testdata-derived rows, a constant for fixture-derived ones). Each
 #: warm hit skips one collect JOB (~0.2 s: a full pass over the
 #: single-row-group embeddings file) per query build (r13 opt).
+#: Holds ROWS only; schemas live in tables._SCHEMA_CACHE (r14, ADVICE
+#: r13). All plan-build caches in this module use unsynchronized
+#: check-then-set: query builds run on the single driver thread (the
+#: bench, parity harness, and driver contract all build serially), and
+#: a concurrent rebuild would only be redundant work, never a corrupt
+#: value, because entries are write-once derivations of immutable
+#: inputs. Regeneration flows (tests rewriting fixtures in place) must
+#: call tables.clear_plan_caches().
 _DRIVER_ROWS_CACHE: dict[str, list] = {}
 
 
@@ -2776,10 +2784,17 @@ def _adc_candidates(
 #: query set). Pure Python strings, process lifetime -- the query
 #: vectors come from the immutable driver testdata (the _DIM_CACHE
 #: catalog framing), and caching them skips a collect job + the
-#: per-query LUT fold/render on every warm call.
-#: (the pruned layout form stores (per_q, union_cells) tuples under
-#: its own "pqpruned:" key prefix; plain adc_search keys hold lists)
-_ADC_LUT_TEXT_CACHE: dict[str, object] = {}
+#: per-query LUT fold/render on every warm call. Values are ALWAYS
+#: list[str] of struct texts; the pruned layout form (which also
+#: carries its probe-cell union) has its own cache below (r14, ADVICE
+#: r13 -- one value shape per dict, no key-prefix conventions).
+_ADC_LUT_TEXT_CACHE: dict[str, list] = {}
+
+#: q_ann_pq_pruned's per-sf_dir plan artifacts: (per_q struct texts
+#: WITH probe cells, sorted union of probed cell ids). Split from
+#: _ADC_LUT_TEXT_CACHE so a pruned-style key can never hand adc_search
+#: a tuple where it expects a list (ADVICE r13).
+_PRUNED_PLAN_CACHE: dict[str, tuple[list, list]] = {}
 
 
 def adc_search(
@@ -3076,8 +3091,8 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calls skip two collect jobs + the render (r13 opt; the q_ann_pq
     # fix applied to the pruned form, whose structs carry 'cells' and
     # so need their own key).
-    pruned_key = f"pqpruned:{sf_dir}"
-    cached = _ADC_LUT_TEXT_CACHE.get(pruned_key)
+    pruned_key = sf_dir
+    cached = _PRUNED_PLAN_CACHE.get(pruned_key)
     if cached is None:
         cent_rows = _ivf_fixture_rows(spark)
         q_rows = sorted(
@@ -3100,16 +3115,20 @@ def q_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (a, x) -> a + x), 6))"
             )
         cached = (per_q, sorted(union_cells))
-        _ADC_LUT_TEXT_CACHE[pruned_key] = cached
+        _PRUNED_PLAN_CACHE[pruned_key] = cached
     per_q, union_cells_sorted = cached
     # The static union-of-probes predicate compiles to PartitionFilters:
     # unprobed cell directories are never even listed. Schema cached per
-    # layout dir (written once per session, immutable after _SUCCESS) so
-    # warm builds skip the footer/partition-type inference (~80 ms).
-    lay_schema = _DRIVER_ROWS_CACHE.get(f"layschema:{layout_dir}")
+    # layout dir (written once per session, immutable after _SUCCESS) in
+    # the shared path-keyed schema cache (tables._SCHEMA_CACHE -- same
+    # concern, same store; ADVICE r13) so warm builds skip the
+    # footer/partition-type inference (~80 ms).
+    from ..tables import _SCHEMA_CACHE
+
+    lay_schema = _SCHEMA_CACHE.get(layout_dir)
     if lay_schema is None:
         lay_schema = spark.read.parquet(layout_dir).schema
-        _DRIVER_ROWS_CACHE[f"layschema:{layout_dir}"] = lay_schema
+        _SCHEMA_CACHE[layout_dir] = lay_schema
     codes = (
         spark.read.schema(lay_schema).parquet(layout_dir)
         .filter(

@@ -25,8 +25,28 @@ from .session import apply_runtime_conf
 #: Process-lifetime cache of testdata parquet schemas, keyed on the
 #: full file path (immutable committed bytes -- the driver-artifact
 #: caching discipline). StructType is plain Python: safe across
-#: sessions, holds no JVM handle.
+#: sessions, holds no JVM handle. There is deliberately no mtime/size
+#: component in the key: the driver's testdata and committed fixtures
+#: never change within a process, and any flow that DOES regenerate
+#: data at the same path (a test rewriting fixtures) must call
+#: :func:`clear_plan_caches` (ADVICE r13).
 _SCHEMA_CACHE: dict[str, "object"] = {}
+
+
+def clear_plan_caches() -> None:
+    """Explicit invalidation hook for the process-lifetime plan-build
+    caches (schemas, driver-side fixture rows, rendered ADC texts).
+    The caches key on file paths under an immutability contract;
+    regeneration flows that rewrite those paths in-process call this
+    so stale schemas/rows are never served silently (ADVICE r13)."""
+    _SCHEMA_CACHE.clear()
+    from .operators import similarity as _sim
+
+    _sim._DIM_CACHE.clear()
+    _sim._DRIVER_ROWS_CACHE.clear()
+    _sim._OPQ_FIXTURE_CACHE.clear()
+    _sim._ADC_LUT_TEXT_CACHE.clear()
+    _sim._PRUNED_PLAN_CACHE.clear()
 
 #: Tables the driver pre-registers as DuckDB views (TESTDATA.md).
 TABLES = (
