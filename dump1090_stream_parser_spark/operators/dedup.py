@@ -867,8 +867,14 @@ def dedup_clusters_from(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # (tables.py) keeps the hashpartitioning visible on the
     # checkpointed RDD -- a plain AQE-era localCheckpoint records
     # UnknownPartitioning and every round would re-exchange anyway.
-    from ..tables import checkpoint_partitioned
+    from ..tables import checkpoint_partitioned, loop_partitions
 
+    # Loop width derived from the MEASURED edge count (the count scans
+    # the already-materialized pair checkpoint -- milliseconds), not
+    # from defaultParallelism: the label table is 16-byte rows, and a
+    # cores-wide pin made every toy-scale round ~2.4 s of scheduling
+    # over ~80 KB of state (round 14; see tables.loop_partitions).
+    npart = loop_partitions(pairs.sparkSession, 2 * pairs.count())
     edges = checkpoint_partitioned(
         pairs.select(
             F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
@@ -877,7 +883,7 @@ def dedup_clusters_from(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
             )
         ),
-        pairs.sparkSession.sparkContext.defaultParallelism,
+        npart,
         "dst",
     )
     # Singletons (no incident edge) never move: iterate only over nodes

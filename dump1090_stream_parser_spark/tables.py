@@ -200,6 +200,30 @@ def checkpoint_partitioned(
     return out
 
 
+def loop_partitions(
+    spark: SparkSession, est_rows: int, row_bytes: int = 16
+) -> int:
+    """Partition count for ITERATIVE-LOOP state tables (the (node,
+    label) / (node, rank) frames the CC and PageRank rounds shuffle),
+    derived from the measured state size -- guide §2 scale-adaptive
+    partitioning, never a constant tuned for one deployment.
+
+    The loop state is narrow integer pairs, orders of magnitude
+    smaller than the corpus that produced it. Pinning it to
+    ``defaultParallelism`` (round-14 session 1) locked every round's
+    joins and aggregations to ``cores`` tasks -- ~2.4 s/round of pure
+    scheduling at sf0.1, where the whole label table is ~80 KB.
+    Sizing partitions at ~64 MB of state instead (the guide §2.2
+    "fewer, larger partitions" band) collapses toy-scale rounds to
+    single-task stages while a 100 TB edge set still fans out to the
+    full cluster (capped at defaultParallelism; the estimate comes
+    from a COUNT of the already-materialized edge checkpoint, so it
+    scales with the data, not the host)."""
+    cores = spark.sparkContext.defaultParallelism
+    target = 64 << 20
+    return max(1, min(cores, -(-(est_rows * row_bytes) // target)))
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
