@@ -234,7 +234,15 @@ EVAL_TAIL_RATIONALE: dict[str, str] = {
         " expansion of q_dup_spans; re-proven every round by the local parity"
         " gate"
     
-        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session; block 54ba6685]"
+        " [round-13 optimization re-touched this block: plan-shape only (input spread / checkpoint tuning / pair enumeration), oracle text unchanged, full vanilla parity sweep green this session]"
+
+        " [round-14 optimization re-touched this block (VERDICT r13 #5):"
+        " the winnow rebalance exchange went CONDITIONAL via"
+        " tables.keyed_spread -- locally the undershoot condition fires"
+        " and the plan is byte-identical; at production split counts the"
+        " exchange disappears instead of re-shuffling document text."
+        " Oracle text unchanged, sf0.01 parity green this session;"
+        " block b2b35862]"
     ),
     "q_bm25": (
         "rotated OUT round 13 age rotation (green driver rows"

@@ -67,3 +67,84 @@ def oracle():
     con = duckdb_oracle(SF_DIR)
     yield con
     con.close()
+
+
+# -- slow-marker policy (VERDICT r13 #2: default run must fit the ----------
+# -- driver's ~10 min verify window; full suite runs once per round) -------
+
+import re as _re
+
+#: Whole files whose tests are heavyweight end-to-end by design:
+#: subprocess bench runs, socket-server kill/recovery streaming, the
+#: recall-vs-brute-force quality sweeps, snapshot-store concurrency
+#: e2e. Sum measured 636 s of the round-14 full run's 1499 s.
+_SLOW_FILES = {
+    "test_bench_contract.py",   # subprocess bench e2e (~115 s)
+    "test_streaming.py",        # socket kill/restart resilience (~130 s)
+    "test_sbs1_jvm.py",         # JVM-source kill/restart e2e (~61 s)
+    "test_streaming_gold.py",   # stream-stream join e2e (~70 s)
+    "test_approx.py",           # recall vs brute force sweeps (~124 s)
+    "test_snapshots.py",        # snapshot-store e2e + concurrency (~56 s)
+    "test_capstone_parity.py",  # cross-store hash equality e2e (~31 s)
+    "test_near_dup_stream.py",  # TTL/eviction/restart e2e (~49 s)
+}
+
+#: Name classes that are slow wherever they appear: checkpoint-restart
+#: cycles, rocksdb state-store swaps, server kills, TTL waits, and the
+#: all-registry cartesian lint (a full plan build per query).
+_SLOW_NAME = _re.compile(r"restart|survives|rocksdb|kill|ttl|cartesian")
+
+#: Parity canaries: the head of the CURRENT oracle window (minus the
+#: iterative/CPU-heavy operators that have dedicated tests and 15-25 s
+#: oracles) stays in the default run, so the riskiest recently-touched
+#: queries keep a per-commit cross-engine gate. The FULL 161-query
+#: sweep is slow-marked; it runs in the once-per-round full suite and
+#: in tools/parity.py sweeps.
+_PARITY_CANARY_N = 16
+_PARITY_CANARY_SKIP = {
+    "q_dedup_clusters",
+    "q_dedup_clusters_lsh",
+    "q_containment",
+}
+
+#: Queries whose plan was restructured in the CURRENT round -- update
+#: alongside the EVAL_TAIL_RATIONALE rotation stamp each round so the
+#: riskiest recent edits keep a per-commit cross-engine gate (each is
+#: ~0.5-3 s at sf0.001).
+_ROUND_CANARIES = {
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_triangles",
+    "q_near_dedup_minhash",
+    "q_chi2",
+    "q_sax",
+    "q_decile_lift",
+    "q_theil_sen",
+    "q_pagerank",
+}
+
+
+def _parity_canaries() -> set[str]:
+    import __spark_entry__ as entry_mod
+
+    window = list(entry_mod.queries())[:_PARITY_CANARY_N]
+    return {
+        n for n in window if n not in _PARITY_CANARY_SKIP
+    } | _ROUND_CANARIES
+
+
+def pytest_collection_modifyitems(config, items):
+    canaries = None
+    for item in items:
+        base = item.fspath.basename
+        if base in _SLOW_FILES or _SLOW_NAME.search(item.name):
+            item.add_marker(pytest.mark.slow)
+            continue
+        if base == "test_parity.py" and item.name.startswith(
+            "test_query_parity["
+        ):
+            if canaries is None:
+                canaries = _parity_canaries()
+            qname = item.name.split("[", 1)[1].rstrip("]")
+            if qname not in canaries:
+                item.add_marker(pytest.mark.slow)
