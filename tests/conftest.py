@@ -90,9 +90,14 @@ _SLOW_FILES = {
 }
 
 #: Name classes that are slow wherever they appear: checkpoint-restart
-#: cycles, rocksdb state-store swaps, server kills, TTL waits, and the
-#: all-registry cartesian lint (a full plan build per query).
-_SLOW_NAME = _re.compile(r"restart|survives|rocksdb|kill|ttl|cartesian")
+#: cycles, rocksdb state-store swaps, server kills, TTL waits, the
+#: all-registry cartesian lint (a full plan build per query),
+#: hypothesis-style property sweeps, and the z-order file-layout e2e
+#: writes.
+_SLOW_NAME = _re.compile(
+    r"restart|survives|rocksdb|kill|ttl|cartesian"
+    r"|property|random_histories|zorder"
+)
 
 #: Parity canaries: the head of the CURRENT oracle window (minus the
 #: iterative/CPU-heavy operators that have dedicated tests and 15-25 s
@@ -138,6 +143,17 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         base = item.fspath.basename
         if base in _SLOW_FILES or _SLOW_NAME.search(item.name):
+            item.add_marker(pytest.mark.slow)
+            continue
+        # The executed-shuffle-record pins EXECUTE every pinned query
+        # at sf0.001 (~80 s for the full set) -- they are the
+        # per-round bench-wobble adjudication instrument, re-verified
+        # in the full run; the static plan-SHAPE signatures (cheap,
+        # explain-only) stay in the default run as the per-commit
+        # drift gate.
+        if base == "test_plan_snapshot.py" and item.name.startswith(
+            "test_executed_shuffle_records_unchanged["
+        ):
             item.add_marker(pytest.mark.slow)
             continue
         if base == "test_parity.py" and item.name.startswith(
